@@ -1,0 +1,77 @@
+"""Named-table catalog over a data directory.
+
+The reference's fundamental abstraction is ``dict[str, pd.DataFrame]``
+built by an eager CSV-folder scan (reference project/etl2.py:26-58). The
+engine's equivalent is a lazy catalog of Spark DataFrames, registered as
+temp views so every operator is available to both the DataFrame API and
+``spark.sql``. Nothing materializes until an action.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_dir(
+    spark: SparkSession,
+    data_dir: str,
+    tables: tuple[str, ...] = TPCH_TABLES,
+    register_views: bool = False,
+) -> dict[str, DataFrame]:
+    """Load every ``{table}.parquet`` under ``data_dir`` lazily.
+
+    Parquet scans give Catalyst column pruning + predicate/partition
+    pushdown for free — every downstream filter/projection reaches the
+    scan (check via ``df.explain``: PushedFilters / ReadSchema).
+    """
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        path = os.path.join(data_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = table(spark, data_dir, name)
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+# columns stored as parquet TIMESTAMP(NANOS) — Spark has no nanos type, so
+# they are read as long (legacy conf) and truncated to micros, matching
+# DuckDB's nanos→micros truncation.
+_NANOS_TS_COLS = {"events": ("ts",)}
+
+
+def table(spark: SparkSession, data_dir: str, name: str) -> DataFrame:
+    path = os.path.join(data_dir, f"{name}.parquet")
+    # engine invariant: timestamp semantics are UTC (oracle parity) — the
+    # caller's session may not have set it (e.g. the driver's bare session)
+    if spark.conf.get("spark.sql.session.timeZone") not in ("UTC", "Etc/UTC"):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    nanos_cols = _NANOS_TS_COLS.get(name, ())
+    if nanos_cols:
+        # runtime-settable; harmless for non-nanos files
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos_cols:
+        if isinstance(df.schema[c].dataType, T.LongType):
+            # integer div — float division loses precision at 1e18 nanos
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return df

@@ -1,0 +1,41 @@
+"""Vector math over ``array<float/double>`` columns — pure Catalyst.
+
+Used by the similarity-search and embedding-dedup operators. All math is
+done with ``F.zip_with`` / ``F.aggregate`` higher-order functions: they
+execute inside whole-stage codegen on the JVM, so a brute-force cosine
+top-k over 100 TB of embeddings is a single scan + shuffle-free map, with
+only the top-k reduction shuffling.
+
+Elements are cast to double before accumulation and folded left-to-right
+(Spark's ``aggregate`` is a sequential fold), which makes results
+bit-deterministic for a given array order — required for oracle parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))

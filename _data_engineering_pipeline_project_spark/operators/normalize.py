@@ -1,0 +1,83 @@
+"""Table normalization (M4) — 1NF→3NF split with surrogate keys.
+
+The reference splits the raw ``geolocation`` table into
+``geo_city_state`` / ``geo_zip`` / ``geo_coordinates`` with pandas
+``drop_duplicates`` + ``index+1`` surrogate keys + a per-row ``apply``
+dict lookup (reference project/etl2.py:204-243). The engine generalizes
+this to :func:`extract_dimension`: dedup the dimension attributes, assign
+deterministic surrogate keys, broadcast-join the mapping back.
+
+Scale note: surrogate keys via ``row_number`` over a global window are
+fine for DIMENSION tables (dedup first — cardinality is small by
+definition). For billion-row surrogate keys you'd switch to
+``zipWithIndex``-style partition-offset assignment; dimensions never need
+it, and the fact table side only sees a broadcast hash join (no shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def extract_dimension(
+    df: DataFrame,
+    dim_cols: list[str],
+    key_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Split ``dim_cols`` out of ``df`` into a keyed dimension table.
+
+    Returns ``(dim, mapped)`` where ``dim`` has one row per distinct
+    ``dim_cols`` combination with surrogate ``key_col`` = row_number
+    ordered by the attributes (deterministic — the reference's
+    ``index + 1`` depends on file order, etl2:211), and ``mapped`` is
+    ``df`` with ``key_col`` attached via broadcast join (the reference's
+    per-row dict ``apply``, etl2:213-217).
+    """
+    dim = (
+        df.select(*dim_cols)
+        .dropDuplicates()
+        .withColumn(
+            key_col,
+            F.row_number().over(Window.orderBy(*[F.col(c) for c in dim_cols])),
+        )
+        .select(key_col, *dim_cols)
+    )
+    mapped = df.join(F.broadcast(dim), on=dim_cols, how="left")
+    return dim, mapped
+
+
+def normalize_geolocation(geo: DataFrame) -> dict[str, DataFrame]:
+    """The reference's exact 3NF split (etl2:204-243), on its column names:
+
+    - ``geo_city_state(city_id, city, state)`` — dedup city/state pairs +
+      surrogate key (etl2:206-211)
+    - ``geo_zip(zip_code, city_id)`` — one row per zip (etl2:220-224)
+    - ``geo_coordinates(zip_code, longitude, latitude)`` (etl2:226-233)
+    """
+    dim, mapped = extract_dimension(
+        geo.withColumnRenamed("geolocation_city", "city").withColumnRenamed(
+            "geolocation_state", "state"
+        ),
+        ["city", "state"],
+        "city_id",
+    )
+    # one row per zip; the reference keeps the first file-order occurrence
+    # (etl2:221) — nondeterministic at scale, so the engine keeps min(city_id)
+    geo_zip = (
+        mapped.select(
+            F.col("geolocation_zip_code_prefix").alias("zip_code"), F.col("city_id")
+        )
+        .groupBy("zip_code")
+        .agg(F.min("city_id").alias("city_id"))
+    )
+    geo_coordinates = mapped.select(
+        F.col("geolocation_zip_code_prefix").alias("zip_code"),
+        F.col("geolocation_lng").alias("longitude"),
+        F.col("geolocation_lat").alias("latitude"),
+    ).dropDuplicates()
+    return {
+        "geo_city_state": dim,
+        "geo_zip": geo_zip,
+        "geo_coordinates": geo_coordinates,
+    }

@@ -1,0 +1,642 @@
+"""Driver-facing query surface: every SURVEY.md §2 operator instantiated
+on the TPC-H-ish testdata (FIXTURES.md §B), each paired with a DuckDB
+oracle SQL string in ``ORACLES``.
+
+Parity rules (driver compare = row count + schema + order-insensitive
+value hash):
+- every computed column is aliased identically in Spark and SQL;
+- aggregates over doubles are ``round(x, 2)`` in BOTH engines (partial-
+  aggregation order differs, so raw double sums can differ in the last
+  ulp);
+- dedup/top-k are made deterministic with explicit unique tie-breaks;
+- timestamps stay timestamps (session TZ pinned to UTC).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from _data_engineering_pipeline_project_spark.catalog import table
+from _data_engineering_pipeline_project_spark.functions.expressions import keep_first
+from _data_engineering_pipeline_project_spark.operators import quality as Q
+from _data_engineering_pipeline_project_spark.operators.joins import snapshot_diff
+from _data_engineering_pipeline_project_spark.operators.normalize import (
+    extract_dimension,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_LINEITEM_COLS = (
+    "l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, "
+    "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate"
+)
+
+# (l_orderkey, l_linenumber) is NOT unique in the testdata, so keep-first
+# tie-breaks must order by every remaining column to be deterministic;
+# NULLS FIRST pins DuckDB to Spark's ascending null order.
+_LINEITEM_TIEBREAK = [
+    "l_linenumber",
+    "l_partkey",
+    "l_suppkey",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipdate",
+]
+_LINEITEM_TIEBREAK_SQL = ", ".join(f"{c} NULLS FIRST" for c in _LINEITEM_TIEBREAK)
+
+
+# --------------------------------------------------------------------------
+# Q1 — primary-key validation (SURVEY §2i Q1; dq:95-129)
+# --------------------------------------------------------------------------
+@query(
+    "pk_violations_customer",
+    f"""
+    SELECT *, 'null_pk' AS issue FROM customer WHERE c_custkey IS NULL
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           'duplicate_pk' AS issue
+    FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey
+                    ORDER BY c_name NULLS FIRST, c_nationkey NULLS FIRST,
+                             c_acctbal NULLS FIRST, c_mktsegment NULLS FIRST) AS rn
+          FROM customer WHERE c_custkey IS NOT NULL)
+    WHERE rn > 1
+    """,
+)
+def pk_violations_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """NULL/duplicate PKs on customer (clean data → empty, honestly so)."""
+    return Q.validate_primary_keys(table(spark, sf, "customer"), ["c_custkey"]).violations
+
+
+@query(
+    "pk_dup_violations_lineitem_orderkey",
+    f"""
+    SELECT {_LINEITEM_COLS}, 'duplicate_pk' AS issue
+    FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+                    ORDER BY {_LINEITEM_TIEBREAK_SQL}) AS rn FROM lineitem
+          WHERE l_orderkey IS NOT NULL)
+    WHERE rn > 1
+    UNION ALL
+    SELECT *, 'null_pk' AS issue FROM lineitem WHERE l_orderkey IS NULL
+    """,
+)
+def pk_dup_violations_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Keep-first duplicate detection with a real payload: treating
+    l_orderkey alone as the PK makes every 2nd+ line of an order a
+    'duplicate' — exercises A4's window path non-trivially."""
+    return Q.validate_primary_keys(
+        table(spark, sf, "lineitem"), ["l_orderkey"], order_by=_LINEITEM_TIEBREAK
+    ).violations
+
+
+@query(
+    "pk_dedup_keep_first_lineitem",
+    f"""
+    SELECT {_LINEITEM_COLS}
+    FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+                    ORDER BY {_LINEITEM_TIEBREAK_SQL}) AS rn FROM lineitem
+          WHERE l_orderkey IS NOT NULL)
+    WHERE rn = 1
+    """,
+)
+def pk_dedup_keep_first_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """The cleaned side of the same check: first line per order."""
+    return Q.validate_primary_keys(
+        table(spark, sf, "lineitem"), ["l_orderkey"], order_by=_LINEITEM_TIEBREAK
+    ).cleaned
+
+
+# --------------------------------------------------------------------------
+# Q2 — foreign-key validation (SURVEY §2i Q2, §2c J2; dq:131-164)
+# --------------------------------------------------------------------------
+@query(
+    "fk_orphans_orders_customer",
+    """
+    SELECT o.*, 'orphan_fk' AS issue FROM orders o
+    WHERE o.o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+)
+def fk_orphans_orders_customer(spark: SparkSession, sf: str) -> DataFrame:
+    return Q.validate_foreign_keys(
+        table(spark, sf, "orders"),
+        ["o_custkey"],
+        table(spark, sf, "customer"),
+        ["c_custkey"],
+    ).violations
+
+
+@query(
+    "fk_orphans_stale_supplier_dim",
+    """
+    SELECT l.*, 'orphan_fk' AS issue FROM lineitem l
+    WHERE l.l_suppkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM supplier s
+                      WHERE s.s_suppkey = l.l_suppkey AND s.s_suppkey <= 5)
+    """,
+)
+def fk_orphans_stale_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """Stale-dimension scenario: parent restricted to s_suppkey <= 5, so
+    half the fact rows become orphans — the anti join has real work."""
+    parent = table(spark, sf, "supplier").filter(F.col("s_suppkey") <= 5)
+    return Q.validate_foreign_keys(
+        table(spark, sf, "lineitem"), ["l_suppkey"], parent, ["s_suppkey"]
+    ).violations
+
+
+@query(
+    "fk_clean_lineitem_orders",
+    """
+    SELECT l.* FROM lineitem l
+    WHERE l.l_orderkey IS NULL
+       OR EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    """,
+)
+def fk_clean_lineitem_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Cleaned side: semi join keeps matching rows, NULL FKs kept (dq:151)."""
+    return Q.validate_foreign_keys(
+        table(spark, sf, "lineitem"),
+        ["l_orderkey"],
+        table(spark, sf, "orders"),
+        ["o_orderkey"],
+    ).cleaned
+
+
+# --------------------------------------------------------------------------
+# Q5 — null counts (SURVEY §2d A1; dq:226-239)
+# --------------------------------------------------------------------------
+@query(
+    "null_counts_events",
+    """
+    SELECT 'event_id' AS column_name, CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count FROM events
+    UNION ALL SELECT 'ts', CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+    UNION ALL SELECT 'user_id', CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+    UNION ALL SELECT 'event_type', CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+    UNION ALL SELECT 'value', CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+    UNION ALL SELECT 'props', CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+    """,
+)
+def null_counts_events(spark: SparkSession, sf: str) -> DataFrame:
+    return Q.check_nulls(table(spark, sf, "events")).withColumnRenamed(
+        "column", "column_name"
+    )
+
+
+# --------------------------------------------------------------------------
+# Q6 — required-attribute nulls (dq:244-268)
+# --------------------------------------------------------------------------
+@query(
+    "required_nulls_part",
+    """
+    SELECT *, 'missing_required' AS issue FROM part
+    WHERE p_name IS NULL OR p_brand IS NULL OR p_type IS NULL
+       OR p_size IS NULL OR p_retailprice IS NULL
+    """,
+)
+def required_nulls_part(spark: SparkSession, sf: str) -> DataFrame:
+    return Q.detect_required_nulls(
+        table(spark, sf, "part"),
+        ["p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+    ).violations
+
+
+# --------------------------------------------------------------------------
+# Q7 — date inversion (dq:270-293)
+# --------------------------------------------------------------------------
+@query(
+    "date_inversion_ship_before_order",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, o.o_orderdate, l.l_shipdate,
+           'o_orderdate > l_shipdate' AS issue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL
+      AND o.o_orderdate > l.l_shipdate
+    """,
+)
+def date_inversion_ship_before_order(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey, "inner").select(
+        "l_orderkey", "l_linenumber", "o_orderdate", "l_shipdate"
+    )
+    return Q.check_date_inversion(joined, "o_orderdate", "l_shipdate").violations
+
+
+# --------------------------------------------------------------------------
+# Q8 — chronological lifecycle chain (dq:295-328, F6)
+# --------------------------------------------------------------------------
+@query(
+    "chronology_orders_lifecycle",
+    """
+    WITH agg AS (
+      SELECT o.o_orderkey, o.o_orderdate,
+             min(l.l_shipdate) AS first_ship, max(l.l_shipdate) AS last_ship
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate
+    ), iss AS (
+      SELECT *,
+        CASE WHEN first_ship IS NOT NULL AND o_orderdate IS NOT NULL
+                  AND first_ship < o_orderdate
+             THEN 'o_orderdate > first_ship' END AS i1,
+        CASE WHEN last_ship IS NOT NULL
+                  AND coalesce(first_ship, o_orderdate) IS NOT NULL
+                  AND last_ship < coalesce(first_ship, o_orderdate)
+             THEN (CASE WHEN first_ship IS NOT NULL THEN 'first_ship'
+                        ELSE 'o_orderdate' END) || ' > last_ship' END AS i2
+      FROM agg
+    )
+    SELECT o_orderkey, o_orderdate, first_ship, last_ship,
+           array_to_string(list_filter([i1, i2], x -> x IS NOT NULL), '; ') AS issue
+    FROM iss WHERE i1 IS NOT NULL OR i2 IS NOT NULL
+    """,
+)
+def chronology_orders_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
+    """Order lifecycle: orderdate ≤ first ship ≤ last ship, null-skipping —
+    the TPC-H instantiation of the reference's 4-timestamp chain."""
+    o = table(spark, sf, "orders")
+    li = table(spark, sf, "lineitem")
+    agg = (
+        o.join(li, o.o_orderkey == li.l_orderkey, "inner")
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.min("l_shipdate").alias("first_ship"),
+            F.max("l_shipdate").alias("last_ship"),
+        )
+    )
+    return Q.check_chronological_order(
+        agg, ["o_orderdate", "first_ship", "last_ship"]
+    ).violations
+
+
+# --------------------------------------------------------------------------
+# Q9 — negative values (dq:330-347)
+# --------------------------------------------------------------------------
+@query(
+    "negatives_lineitem",
+    f"""
+    SELECT {_LINEITEM_COLS}, 'negative:l_quantity' AS issue FROM lineitem WHERE l_quantity < 0
+    UNION ALL
+    SELECT {_LINEITEM_COLS}, 'negative:l_extendedprice' AS issue FROM lineitem WHERE l_extendedprice < 0
+    UNION ALL
+    SELECT {_LINEITEM_COLS}, 'negative:l_discount' AS issue FROM lineitem WHERE l_discount < 0
+    UNION ALL
+    SELECT {_LINEITEM_COLS}, 'negative:l_tax' AS issue FROM lineitem WHERE l_tax < 0
+    """,
+)
+def negatives_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    return Q.detect_negative_values(
+        table(spark, sf, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    ).violations
+
+
+# --------------------------------------------------------------------------
+# Q4/F1 — pattern-containment column scan (dq:197-223)
+# --------------------------------------------------------------------------
+@query(
+    "pattern_scan_documents",
+    """
+    SELECT 'text' AS column_name,
+           coalesce(max(CASE WHEN regexp_matches(text, 'spark') THEN TRUE ELSE FALSE END), FALSE) AS has_match FROM documents
+    UNION ALL
+    SELECT 'lang', coalesce(max(CASE WHEN regexp_matches(lang, 'spark') THEN TRUE ELSE FALSE END), FALSE) FROM documents
+    UNION ALL
+    SELECT 'source', coalesce(max(CASE WHEN regexp_matches(source, 'spark') THEN TRUE ELSE FALSE END), FALSE) FROM documents
+    """,
+)
+def pattern_scan_documents(spark: SparkSession, sf: str) -> DataFrame:
+    return Q.detect_pattern_columns(
+        table(spark, sf, "documents"), pattern="spark"
+    ).withColumnRenamed("column", "column_name")
+
+
+# --------------------------------------------------------------------------
+# A3 — deterministic dedup (dq:329, etl2:207)
+# --------------------------------------------------------------------------
+@query(
+    "dedup_events_user_type",
+    """
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                    ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS rn FROM events)
+    WHERE rn = 1
+    """,
+)
+def dedup_events_user_type(spark: SparkSession, sf: str) -> DataFrame:
+    """dropDuplicates with a deterministic keep-earliest tie-break."""
+    kept, _ = keep_first(
+        table(spark, sf, "events"), ["user_id", "event_type"], ["ts", "event_id"]
+    )
+    return kept
+
+
+# --------------------------------------------------------------------------
+# M4/A5 — dimension extraction with surrogate keys (etl2:204-243)
+# --------------------------------------------------------------------------
+@query(
+    "surrogate_dim_customer_segment",
+    """
+    SELECT CAST(row_number() OVER (ORDER BY c_mktsegment) AS INTEGER) AS segment_id,
+           c_mktsegment
+    FROM (SELECT DISTINCT c_mktsegment FROM customer)
+    """,
+)
+def surrogate_dim_customer_segment(spark: SparkSession, sf: str) -> DataFrame:
+    dim, _ = extract_dimension(
+        table(spark, sf, "customer"), ["c_mktsegment"], "segment_id"
+    )
+    return dim
+
+
+@query(
+    "normalize_customer_segment_map",
+    """
+    WITH dim AS (
+      SELECT CAST(row_number() OVER (ORDER BY c_mktsegment) AS INTEGER) AS segment_id,
+             c_mktsegment
+      FROM (SELECT DISTINCT c_mktsegment FROM customer)
+    )
+    SELECT c.c_custkey, d.segment_id
+    FROM customer c LEFT JOIN dim d ON c.c_mktsegment = d.c_mktsegment
+    """,
+)
+def normalize_customer_segment_map(spark: SparkSession, sf: str) -> DataFrame:
+    _, mapped = extract_dimension(
+        table(spark, sf, "customer"), ["c_mktsegment"], "segment_id"
+    )
+    return mapped.select("c_custkey", "segment_id")
+
+
+# --------------------------------------------------------------------------
+# J1/J4/J5/M1 — snapshot diff classifier (etl2:270-296, 329-331, 383)
+# --------------------------------------------------------------------------
+_SNAPSHOT_DIFF_SQL = """
+    WITH existing AS (
+      SELECT * FROM orders WHERE o_orderkey % 7 <> 0
+    ), incoming AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'X-BUMPED' ELSE o_orderpriority END
+               AS o_orderpriority
+      FROM orders WHERE o_orderkey % 3 <> 0
+    )
+    SELECT coalesce(i.o_orderkey, e.o_orderkey) AS o_orderkey,
+           CASE WHEN e.o_orderkey IS NULL THEN 'insert'
+                WHEN i.o_orderkey IS NULL THEN 'delete'
+                WHEN (i.o_custkey IS DISTINCT FROM e.o_custkey)
+                  OR (i.o_orderstatus IS DISTINCT FROM e.o_orderstatus)
+                  OR (i.o_totalprice IS DISTINCT FROM e.o_totalprice)
+                  OR (i.o_orderdate IS DISTINCT FROM e.o_orderdate)
+                  OR (i.o_orderpriority IS DISTINCT FROM e.o_orderpriority)
+                THEN 'update'
+                ELSE 'unchanged' END AS change_type
+    FROM incoming i FULL OUTER JOIN existing e ON i.o_orderkey = e.o_orderkey
+"""
+
+
+@query("snapshot_diff_orders", _SNAPSHOT_DIFF_SQL)
+def snapshot_diff_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental-load classifier on two derived order snapshots:
+    keys mod-7-absent exist only upstream (inserts), mod-3-absent only in
+    the sink (deletes), mod-5 rows have a changed priority (updates)."""
+    o = table(spark, sf, "orders")
+    existing = o.filter(F.col("o_orderkey") % 7 != 0)
+    incoming = o.filter(F.col("o_orderkey") % 3 != 0).withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("X-BUMPED")).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    return snapshot_diff(incoming, existing, ["o_orderkey"]).select(
+        "o_orderkey", "change_type"
+    )
+
+
+# --------------------------------------------------------------------------
+# KPI / analytic extensions (SURVEY §2d absence note: engine exposes
+# groupBy aggregations as first-class queries)
+# --------------------------------------------------------------------------
+@query(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (single-pass hash agg)."""
+    li = table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("sum_disc_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "revenue_by_nation",
+    """
+    SELECT n.n_name, r.r_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """Star join: fact × 2 mid tables × 2 broadcast dims, then hash agg."""
+    li = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    n = table(spark, sf, "nation")
+    r = table(spark, sf, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "top_customers_by_revenue",
+    """
+    WITH rev AS (
+      SELECT c.c_custkey, c.c_name,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_name
+    )
+    SELECT c_custkey, c_name, revenue,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rnk
+          FROM rev)
+    WHERE rnk <= 10
+    """,
+)
+def top_customers_by_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k per global ranking, deterministic tie-break on key; ranking is
+    over the ROUNDED revenue so both engines rank identical values."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return (
+        rev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("c_custkey", "c_name", "revenue", "rnk")
+    )
+
+
+@query(
+    "order_priority_count",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def order_priority_count(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "rollup_order_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_order_status_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouping-sets rollup (engine surface beyond the reference; counts +
+    rounded sums are exact in both engines)."""
+    return (
+        table(spark, sf, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "events_hourly_agg",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def events_hourly_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling-window aggregation (batch twin of the streaming operator)."""
+    ev = table(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "sessionization_events",
+    """
+    WITH seq AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+                 ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id,
+             CASE WHEN prev_ts IS NULL
+                       OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END
+               AS new_session
+      FROM seq
+    )
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions
+    FROM flagged GROUP BY user_id
+    """,
+)
+def sessionization_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization: a new session starts after a >30 min gap per user.
+    lag + conditional count — the batch form of session_window(). The gap
+    test compares timestamps directly (micros-exact in both engines;
+    epoch-seconds would truncate differently)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTES")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"))
+    )

@@ -1,0 +1,51 @@
+"""SparkSession factory.
+
+Scale stance: these defaults are written for a real cluster (AQE on, skew
+join handling on, partition coalescing on) and only the parallelism knobs
+(`shuffle_partitions`, master) are sized for the local[32] test harness.
+On a 1000-executor cluster you'd submit with the same app code and override
+master / shuffle partitions via spark-submit conf; nothing in the engine
+assumes local mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Local test harness sizing; a cluster deployment overrides via spark-submit.
+_DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "data_engineering_pipeline_project_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession with engine defaults.
+
+    AQE is enabled so runtime statistics re-plan shuffles (coalesce small
+    partitions, split skewed ones, demote/promote join strategies); the
+    session timezone is pinned to UTC so timestamp semantics match the
+    DuckDB oracle; Arrow is enabled for the pandas-UDF extension operators.
+    """
+    cpus = int(_DEFAULT_CPUS)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

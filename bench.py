@@ -1,0 +1,77 @@
+"""Benchmark driver: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion via a count() action (results are
+not collected to the driver — the cost measured is scan + shuffle +
+aggregation, the part that matters at scale).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_customers_by_revenue",
+    "pk_dedup_keep_first_lineitem",
+    "fk_orphans_stale_supplier_dim",
+    "date_inversion_ship_before_order",
+    "chronology_orders_lifecycle",
+    "snapshot_diff_orders",
+    "dedup_events_user_type",
+    "sessionization_events",
+    "events_hourly_agg",
+    "null_counts_events",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from _data_engineering_pipeline_project_spark import queries as q
+    from _data_engineering_pipeline_project_spark.session import get_spark
+
+    spark = get_spark("bench")
+
+    # warm the JVM + parquet footers once so per-query times measure the
+    # query, not first-touch JIT
+    q.QUERIES["order_priority_count"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = q.QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""Tests for join/diff/normalize operators and source readers."""
+
+from __future__ import annotations
+
+from _data_engineering_pipeline_project_spark.functions.expressions import (
+    normalize_null_tokens,
+)
+from _data_engineering_pipeline_project_spark.operators.joins import (
+    changed_rows,
+    deleted_rows,
+    new_rows,
+    snapshot_diff,
+)
+from _data_engineering_pipeline_project_spark.operators.normalize import (
+    extract_dimension,
+    normalize_geolocation,
+)
+from _data_engineering_pipeline_project_spark.schema import tpch_registry
+
+
+def ids(df, col="id"):
+    return sorted(r[col] for r in df.collect())
+
+
+def test_new_deleted_changed(spark):
+    old = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id int, v string")
+    new = spark.createDataFrame([(2, "b"), (3, "C"), (4, "d")], "id int, v string")
+    assert ids(new_rows(new, old, ["id"])) == [4]
+    assert ids(deleted_rows(old, new, ["id"])) == [1]
+    assert ids(changed_rows(new, old, ["id"])) == [3]
+
+
+def test_changed_rows_null_safe(spark):
+    old = spark.createDataFrame([(1, None), (2, "x")], "id int, v string")
+    new = spark.createDataFrame([(1, None), (2, None)], "id int, v string")
+    # NULL == NULL must not count as a change (reference J4 <=> semantics)
+    assert ids(changed_rows(new, old, ["id"])) == [2]
+
+
+def test_snapshot_diff_classes(spark):
+    old = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id int, v string")
+    new = spark.createDataFrame([(2, "b"), (3, "C"), (4, "d")], "id int, v string")
+    got = {r["id"]: r["change_type"] for r in snapshot_diff(new, old, ["id"]).collect()}
+    assert got == {1: "delete", 2: "unchanged", 3: "update", 4: "insert"}
+
+
+def test_extract_dimension_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "sp", "SP"), (2, "rj", "RJ"), (3, "sp", "SP")], "id int, city string, st string"
+    )
+    dim, mapped = extract_dimension(df, ["city", "st"], "city_id")
+    assert sorted(tuple(r) for r in dim.collect()) == [(1, "rj", "RJ"), (2, "sp", "SP")]
+    got = {r["id"]: r["city_id"] for r in mapped.collect()}
+    assert got == {1: 2, 2: 1, 3: 2}
+
+
+def test_normalize_geolocation(spark):
+    geo = spark.createDataFrame(
+        [
+            (1000, -23.5, -46.6, "sao paulo", "SP"),
+            (1000, -23.6, -46.7, "sao paulo", "SP"),
+            (2000, -22.9, -43.2, "rio", "RJ"),
+        ],
+        "geolocation_zip_code_prefix int, geolocation_lat double, "
+        "geolocation_lng double, geolocation_city string, geolocation_state string",
+    )
+    out = normalize_geolocation(geo)
+    assert sorted(tuple(r) for r in out["geo_city_state"].collect()) == [
+        (1, "rio", "RJ"),
+        (2, "sao paulo", "SP"),
+    ]
+    assert sorted(tuple(r) for r in out["geo_zip"].collect()) == [(1000, 2), (2000, 1)]
+    assert out["geo_coordinates"].count() == 3
+
+
+def test_normalize_null_tokens(spark):
+    df = spark.createDataFrame(
+        [("nan", 1), ("?", 2), ("ok", 3), (" nan ", 4)], "s string, i int"
+    )
+    out = normalize_null_tokens(df)
+    got = {r["i"]: r["s"] for r in out.collect()}
+    assert got == {1: None, 2: None, 3: "ok", 4: None}
+
+
+def test_registry_load_order():
+    reg = tpch_registry()
+    order = reg.load_order()
+    assert order.index("region") < order.index("nation")
+    assert order.index("nation") < order.index("customer")
+    assert order.index("customer") < order.index("orders")
+    assert order.index("orders") < order.index("lineitem")
+    assert order.index("part") < order.index("lineitem")
+
+
+def test_csv_reader_multi_null_and_datetime_sniff(spark, tmp_path):
+    p = tmp_path / "olist_orders_dataset.csv"
+    p.write_text(
+        "order_id,approved_at,note\n"
+        "1,2020-01-01 10:00:00,ok\n"
+        "2,not-a-date,nan\n"
+        "3,?,x\n"
+    )
+    from _data_engineering_pipeline_project_spark.sources.csv_source import (
+        read_csv_table,
+        table_name_from_filename,
+    )
+
+    assert table_name_from_filename(str(p)) == "orders"
+    df = read_csv_table(spark, str(p))
+    rows = {r["order_id"]: (r["approved_at"], r["note"]) for r in df.collect()}
+    assert rows[1][1] == "ok"
+    assert rows[1][0] is not None  # parsed timestamp
+    assert rows[2][0] is None  # coerce → null (F2 semantics)
+    assert rows[2][1] is None  # 'nan' token → null (S2)
+    assert rows[3][0] is None  # '?' token → null before cast

@@ -1,0 +1,97 @@
+"""SCD2 scenario tests (SURVEY.md §5 item 3): multi-batch sequences —
+initial load → change → delete → re-insert — asserting main + history
+states. This is the part a SQL oracle can't express."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from _data_engineering_pipeline_project_spark.operators.scd2 import (
+    Scd2Table,
+    scd2_merge,
+)
+
+T1 = datetime(2024, 1, 1)
+T2 = datetime(2024, 1, 2)
+T3 = datetime(2024, 1, 3)
+T4 = datetime(2024, 1, 4)
+
+SCHEMA = "id int, name string, price double"
+
+
+def snap(df):
+    return {
+        r["id"]: (r["name"], r["price"], r["is_deleted"], r["updated_at"])
+        for r in df.collect()
+    }
+
+
+def test_initial_load(spark):
+    inc = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], SCHEMA)
+    res = scd2_merge(inc, None, ["id"], T1)
+    s = snap(res.snapshot)
+    assert s == {1: ("a", 1.0, False, T1), 2: ("b", 2.0, False, T1)}
+    assert res.history.count() == 0
+
+
+def test_update_creates_history(spark):
+    b1 = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], SCHEMA)
+    r1 = scd2_merge(b1, None, ["id"], T1)
+    b2 = spark.createDataFrame([(1, "a", 9.9), (2, "b", 2.0)], SCHEMA)
+    r2 = scd2_merge(b2, r1.snapshot, ["id"], T2)
+    s = snap(r2.snapshot)
+    assert s[1] == ("a", 9.9, False, T2)  # updated row, new updated_at
+    assert s[2] == ("b", 2.0, False, T1)  # unchanged keeps old updated_at
+    hist = [tuple(r) for r in r2.history.collect()]
+    # old version archived with valid_from=old updated_at, valid_to=batch ts
+    assert hist == [(1, "a", 1.0, False, T1, T2)]
+
+
+def test_delete_soft_deletes_and_archives(spark):
+    b1 = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], SCHEMA)
+    r1 = scd2_merge(b1, None, ["id"], T1)
+    b2 = spark.createDataFrame([(1, "a", 1.0)], SCHEMA)  # id=2 gone
+    r2 = scd2_merge(b2, r1.snapshot, ["id"], T2)
+    s = snap(r2.snapshot)
+    assert s[2] == ("b", 2.0, True, T2)  # soft-deleted, reference etl2:404-412
+    hist = [tuple(r) for r in r2.history.collect()]
+    assert hist == [(2, "b", 2.0, True, T1, T2)]
+
+
+def test_reappearing_key_reinserts(spark):
+    b1 = spark.createDataFrame([(1, "a", 1.0)], SCHEMA)
+    r1 = scd2_merge(b1, None, ["id"], T1)
+    b2 = spark.createDataFrame([], SCHEMA)
+    r2 = scd2_merge(b2, r1.snapshot, ["id"], T2)
+    assert snap(r2.snapshot)[1][2] is True  # tombstoned
+    b3 = spark.createDataFrame([(1, "a2", 5.0)], SCHEMA)
+    r3 = scd2_merge(b3, r2.snapshot, ["id"], T3)
+    s = snap(r3.snapshot)
+    assert s[1] == ("a2", 5.0, False, T3)  # resurrected
+    assert r3.snapshot.count() == 1  # tombstone replaced, not duplicated
+
+
+def test_full_cycle_on_disk(spark, tmp_path):
+    tbl = Scd2Table(spark, str(tmp_path / "products"), ["id"])
+    tbl.merge(spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], SCHEMA), T1)
+    tbl.merge(spark.createDataFrame([(1, "a", 3.0), (2, "b", 2.0)], SCHEMA), T2)
+    tbl.merge(spark.createDataFrame([(1, "a", 3.0)], SCHEMA), T3)
+    cur = snap(tbl.current())
+    assert cur[1] == ("a", 3.0, False, T2)
+    assert cur[2] == ("b", 2.0, True, T3)
+    hist = sorted(tuple(r) for r in tbl.history().collect())
+    assert hist == [
+        (1, "a", 1.0, False, T1, T2),
+        (2, "b", 2.0, True, T1, T3),
+    ]
+
+
+def test_stats_classification(spark):
+    b1 = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], SCHEMA)
+    r1 = scd2_merge(b1, None, ["id"], T1)
+    b2 = spark.createDataFrame([(1, "a", 1.0), (2, "B", 2.0), (4, "d", 4.0)], SCHEMA)
+    r2 = scd2_merge(b2, r1.snapshot, ["id"], T2)
+    stats = {r["change_type"]: r["n"] for r in r2.stats.collect()}
+    assert stats == {"unchanged": 1, "update": 1, "insert": 1, "delete": 1}

@@ -1,0 +1,119 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at the given scale factor, then compares row count, column names,
+and order-insensitive values (exact match, floats bit-compared after the
+queries' own rounding). Usage:
+
+    python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+def normalize(rows, cols):
+    """Sort columns by name, then rows; stringify values canonically."""
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in idx:
+            v = row[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    vals.append("NaN")
+                else:
+                    vals.append(repr(v))
+            else:
+                vals.append(str(v))
+        out.append(tuple(vals))
+    out.sort()
+    return [cols[i] for i in idx], out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from _data_engineering_pipeline_project_spark.session import get_spark
+
+    spark = get_spark("check_correctness")
+    con = duckdb.connect()
+    for t in TABLES:
+        import os
+
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            spark_cols = sdf.columns
+            spark_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(spark_rows)} rows (no oracle) "
+                  f"[{time.time()-t0:.1f}s]")
+            n_rows_only += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            duck_cols = [d[0] for d in res.description]
+            duck_rows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        ok = True
+        msgs = []
+        if len(spark_rows) != len(duck_rows):
+            ok = False
+            msgs.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
+        if sorted(spark_cols) != sorted(duck_cols):
+            ok = False
+            msgs.append(f"cols spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+        if ok:
+            _, s_norm = normalize(spark_rows, spark_cols)
+            _, d_norm = normalize(duck_rows, duck_cols)
+            if s_norm != d_norm:
+                ok = False
+                diff = [
+                    (a, b) for a, b in zip(s_norm, d_norm) if a != b
+                ][:3]
+                msgs.append(f"values differ, first diffs: {diff}")
+        if ok:
+            print(f"PASS  {name}: {len(spark_rows)} rows [{time.time()-t0:.1f}s]")
+            n_pass += 1
+        else:
+            print(f"FAIL  {name}: {'; '.join(msgs)}")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
