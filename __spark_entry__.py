@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from _data_engineering_pipeline_project_spark import queries as _q
+from _data_engineering_pipeline_project_spark import queries_ext as _qext  # noqa: F401  (registers into _q.QUERIES/ORACLES)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,98 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Policy: media are opaque ``binary`` columns + a typed metadata struct.
+The Spark-side plumbing — schema, partition sizing, Arrow batch shape,
+mapInPandas signatures — is real and tested; the actual codec step is
+STUBBED (this container ships no image/audio libraries): ``decode_image``
+raises NotImplementedError unless PIL is importable, and
+``fake_decode_images`` substitutes a deterministic fake decoder so the
+distributed plumbing can be exercised end-to-end.
+
+Scale notes: binary payloads ride in parquet as byte arrays; keep
+``spark.sql.files.maxPartitionBytes`` small enough that a partition of
+payloads fits executor memory, and process with ``mapInPandas`` so each
+Arrow batch streams through Python without materializing the partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+try:  # decode dependencies are optional in this environment
+    from PIL import Image  # type: ignore  # noqa: F401
+
+    _HAS_PIL = True
+except Exception:  # pragma: no cover
+    _HAS_PIL = False
+
+
+def attach_binary_payload(
+    df: DataFrame, source_col: str = "text", media_type: str = "image/fake"
+) -> DataFrame:
+    """Build a binary media column + typed metadata struct from any source
+    column (here: utf-8 bytes standing in for real media payloads)."""
+    payload = F.encode(F.col(source_col), "UTF-8")
+    return df.withColumn("payload", payload).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(media_type).alias("content_type"),
+            F.octet_length(payload).alias("n_bytes"),
+            F.sha2(payload, 256).alias("sha256"),
+        ),
+    )
+
+
+def binary_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """JVM-side stats over the binary column (no Python): size + digest.
+    This is the part of a media pipeline that never needs a codec."""
+    return df.select(
+        id_col,
+        F.col("media_meta.content_type").alias("content_type"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.sha256").alias("sha256"),
+    )
+
+
+def decode_image(payload: bytes) -> tuple[int, int]:  # pragma: no cover
+    """Real decoder — requires PIL, absent in this container."""
+    if not _HAS_PIL:
+        raise NotImplementedError(
+            "image decode requires PIL/pillow; not available in this environment"
+        )
+    import io
+
+    with Image.open(io.BytesIO(payload)) as im:
+        return im.width, im.height
+
+
+def _fake_dims(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for a codec: dimensions derived from the
+    payload bytes so tests have stable expectations."""
+    h = sum(payload[:64]) if payload else 0
+    return 64 + (h % 1024), 64 + (len(payload) % 1024)
+
+
+def fake_decode_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas 'decode': the real Arrow-batched distributed shape of a
+    media decode stage, with ``_fake_dims`` in place of the codec. Swap
+    ``_fake_dims`` for ``decode_image`` when a codec is available — the
+    plumbing (schema, batching, partitioning) is unchanged."""
+    out_schema = f"{id_col} long, width int, height int, n_bytes long"
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = pdf["payload"].map(_fake_dims)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": dims.map(lambda t: t[0]),
+                    "height": dims.map(lambda t: t[1]),
+                    "n_bytes": pdf["payload"].map(len),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(decode, schema=out_schema)

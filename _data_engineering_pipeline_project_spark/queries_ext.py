@@ -1,0 +1,295 @@
+"""Extension queries: LLM-data-pipeline operators (dedup, similarity
+search, text analysis, multimodal) on documents/embeddings — each with a
+DuckDB oracle where SQL can express it (MinHash+LSH included: the hash
+math is exact integer arithmetic in both engines). Registered into the
+same QUERIES/ORACLES maps as the reference-parity queries."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from _data_engineering_pipeline_project_spark.catalog import table
+from _data_engineering_pipeline_project_spark.multimodal.binary import (
+    attach_binary_payload,
+    binary_stats,
+    fake_decode_images,
+)
+from _data_engineering_pipeline_project_spark.operators import dedup as D
+from _data_engineering_pipeline_project_spark.operators import similarity as SIM
+from _data_engineering_pipeline_project_spark.operators import textstats as TS
+from _data_engineering_pipeline_project_spark.queries import query
+
+# shared SQL fragments (tokenizer/shingler mirrored from textstats/dedup)
+_TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
+_TOKS_RAW = r"string_split_regex(trim(text), '\s+')"
+_SHINGLES = (
+    "list_distinct(CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(generate_series(1, len(toks)-2), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) "
+    "ELSE [] END)"
+)
+_STOPWORDS_SQL = "['" + "', '".join(TS._STOPWORDS) + "']"
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+@query(
+    "token_counts_documents",
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOKS_RAW}) AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]'))
+                AS INTEGER) AS n_bpe_ish
+    FROM documents
+    """,
+)
+def token_counts_documents(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        TS.token_count("text").alias("n_tokens"),
+        TS.bpe_ish_token_count("text").alias("n_bpe_ish"),
+    )
+
+
+@query(
+    "text_quality_documents",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text, {_TOKS} AS toks,
+             CAST(length(text) AS INTEGER) AS n_chars_m,
+             CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS INTEGER) AS n_punct
+      FROM documents
+    ), ratios AS (
+      SELECT doc_id, n_chars_m, n_tokens,
+             CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+                   / CAST(greatest(n_tokens, 1) AS DOUBLE) AS avg_token_len,
+             n_punct / CAST(greatest(n_chars_m, 1) AS DOUBLE) AS punct_ratio,
+             len(list_filter(toks, t -> list_contains({_STOPWORDS_SQL}, t)))
+                   / CAST(greatest(n_tokens, 1) AS DOUBLE) AS stopword_ratio
+      FROM base
+    )
+    SELECT doc_id, n_chars_m, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+           least(n_tokens / 100.0, 1.0) * 0.4
+                 + (1 - punct_ratio) * 0.3
+                 + least(stopword_ratio * 5, 1.0) * 0.3 AS quality_score
+    FROM ratios
+    """,
+)
+def text_quality_documents(spark: SparkSession, sf: str) -> DataFrame:
+    return TS.quality_metrics(table(spark, sf, "documents"))
+
+
+def _langid_sql() -> str:
+    langs = sorted(TS.LANG_MARKERS)
+    score_cols = ",\n           ".join(
+        "CAST(len(list_filter(toks, t -> list_contains(['"
+        + "', '".join(TS.LANG_MARKERS[lg])
+        + f"'], t))) AS INTEGER) AS score_{lg}"
+        for lg in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    cases = "\n                ".join(
+        f"WHEN score_{lg} = best AND best > 0 THEN '{lg}'" for lg in langs
+    )
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, {score_cols}
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ), with_best AS (
+      SELECT *, {best} AS best FROM scored
+    )
+    SELECT doc_id, {", ".join(f"score_{lg}" for lg in langs)},
+           CASE {cases}
+                ELSE 'und' END AS predicted_lang
+    FROM with_best
+    """
+
+
+@query("lang_id_documents", _langid_sql())
+def lang_id_documents(spark: SparkSession, sf: str) -> DataFrame:
+    return TS.language_id(table(spark, sf, "documents"))
+
+
+@query(
+    "fingerprint_documents",
+    r"""
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def fingerprint_documents(spark: SparkSession, sf: str) -> DataFrame:
+    return TS.fingerprint_documents(table(spark, sf, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+@query(
+    "exact_dup_groups_documents",
+    r"""
+    SELECT fp, count(*) AS n_docs, min(doc_id) AS keep_id
+    FROM (SELECT doc_id,
+                 md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+          FROM documents)
+    GROUP BY fp HAVING count(*) > 1
+    """,
+)
+def exact_dup_groups_documents(spark: SparkSession, sf: str) -> DataFrame:
+    return D.exact_duplicate_groups(table(spark, sf, "documents"))
+
+
+_NGRAM_JACCARD_SQL = f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM tok),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, i.common, sa.n AS n_a, sb.n AS n_b,
+           CAST(i.common AS DOUBLE) / (sa.n + sb.n - i.common) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.common AS DOUBLE) / (sa.n + sb.n - i.common) >= 0.05
+"""
+
+
+@query("ngram_jaccard_pairs_documents", _NGRAM_JACCARD_SQL)
+def ngram_jaccard_pairs_documents(spark: SparkSession, sf: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(table(spark, sf, "documents"), threshold=0.05)
+
+
+_MINHASH_SQL = f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM tok),
+    hx AS (SELECT doc_id,
+                  CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)
+                    % 2147483647 AS x
+           FROM sh),
+    mh AS (SELECT doc_id, t.i AS i,
+                  min(((2 * t.i + 1) * x + (11 * t.i + 7)) % 2147483647) AS h
+           FROM hx, unnest(generate_series(0, 31)) AS t(i)
+           GROUP BY doc_id, t.i),
+    bands AS (SELECT doc_id, i // 2 AS band,
+                     string_agg(CAST(h AS VARCHAR), '-' ORDER BY i) AS sig
+              FROM mh GROUP BY doc_id, i // 2),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+              FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              GROUP BY 1, 2)
+    SELECT c.doc_a, c.doc_b,
+           CAST(i.common AS DOUBLE) / (sa.n + sb.n - i.common) AS jaccard
+    FROM cand c
+    JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE CAST(i.common AS DOUBLE) / (sa.n + sb.n - i.common) >= 0.3
+"""
+
+
+@query("minhash_lsh_near_dup_documents", _MINHASH_SQL)
+def minhash_lsh_near_dup_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline, oracle-checked end to end: the
+    universal-hash signature arithmetic is exact 64-bit integer math in
+    both engines."""
+    return D.minhash_near_dup_pairs(table(spark, sf, "documents"), threshold=0.3)
+
+
+@query("simhash_near_dup_documents")  # rows-only: bit-fold not SQL-friendly
+def simhash_near_dup_documents(spark: SparkSession, sf: str) -> DataFrame:
+    return D.simhash_near_dup_pairs(table(spark, sf, "documents"), max_hamming=8)
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------------
+_TOPK_SQL = """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+"""
+
+
+@query("embedding_topk_bruteforce", _TOPK_SQL)
+def embedding_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.topk_cosine_bruteforce(emb, queries, k=5)
+
+
+@query(
+    "embedding_cosine_dup_pairs",
+    """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(a.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])))), 6)
+             AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[]))
+                / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(a.embedding AS DOUBLE[])))
+                   * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])))), 6)
+          >= 0.4
+    """,
+)
+def embedding_cosine_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return SIM.cosine_dup_pairs(table(spark, sf, "embeddings"), threshold=0.4)
+
+
+@query("embedding_topk_lsh")  # rows-only: approximate by design
+def embedding_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.topk_cosine_lsh(emb, queries, dim=64, k=5, num_planes=4)
+
+
+# --------------------------------------------------------------------------
+# Multimodal binary plumbing
+# --------------------------------------------------------------------------
+@query(
+    "multimodal_binary_stats",
+    """
+    SELECT doc_id, 'image/fake' AS content_type,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+)
+def multimodal_binary_stats(spark: SparkSession, sf: str) -> DataFrame:
+    d = attach_binary_payload(table(spark, sf, "documents"))
+    return binary_stats(d)
+
+
+@query("multimodal_fake_decode")  # rows-only: mapInPandas stage
+def multimodal_fake_decode(spark: SparkSession, sf: str) -> DataFrame:
+    d = attach_binary_payload(table(spark, sf, "documents"))
+    return fake_decode_images(d)

@@ -1,0 +1,148 @@
+"""Tests for the LLM-pipeline extension operators: dedup finds planted
+near-duplicates, LSH similarity search achieves high recall vs brute
+force, text stats and multimodal plumbing behave."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from _data_engineering_pipeline_project_spark.multimodal.binary import (
+    attach_binary_payload,
+    binary_stats,
+    fake_decode_images,
+)
+from _data_engineering_pipeline_project_spark.operators import dedup as D
+from _data_engineering_pipeline_project_spark.operators import similarity as SIM
+from _data_engineering_pipeline_project_spark.operators import textstats as TS
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the old oak tree"
+)
+NEAR = BASE.replace("lazy dog", "sleepy dog")  # high 3-gram jaccard
+FAR = "completely different content about spark query engines and shuffles"
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, FAR), (4, BASE)],  # 4 = exact dup of 1
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dup_groups(spark, docs):
+    groups = D.exact_duplicate_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2
+    assert groups[0]["keep_id"] == 1
+
+
+def test_ngram_jaccard_finds_planted_pair(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.5
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_planted_pair(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]) for r in D.minhash_near_dup_pairs(docs, threshold=0.3).collect()
+    }
+    assert (1, 4) in pairs  # exact dup always collides
+    assert (1, 2) in pairs  # high-jaccard near dup
+    assert not any(3 in pair for pair in pairs)
+
+
+def test_simhash_hamming(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in D.simhash_near_dup_pairs(docs, max_hamming=10).collect()
+    }
+    assert pairs[(1, 4)] == 0  # identical text → identical signature
+    assert (1, 2) in pairs  # near dup within hamming 10
+
+
+def _fake_embeddings(spark, n=60, dim=8):
+    import math
+
+    rows = []
+    for i in range(n):
+        # deterministic pseudo-random unit-ish vectors
+        v = [math.sin(i * 0.7 + j * 1.3) for j in range(dim)]
+        rows.append((i, v, i % 3))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_topk_bruteforce_self_similarity(spark):
+    emb = _fake_embeddings(spark)
+    q = emb.filter(F.col("vec_id") < 3)
+    top = SIM.topk_cosine_bruteforce(emb, q, k=3)
+    rows = top.collect()
+    assert len(rows) == 9
+    assert all(r["neighbor_id"] != r["query_id"] for r in rows)
+    # ranks are 1..3 per query
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rnk"])
+    assert all(sorted(v) == [1, 2, 3] for v in by_q.values())
+
+
+def test_lsh_topk_recall(spark):
+    emb = _fake_embeddings(spark, n=80)
+    q = emb.filter(F.col("vec_id") < 5)
+    brute = SIM.topk_cosine_bruteforce(emb, q, k=3)
+    approx = SIM.topk_cosine_lsh(emb, q, dim=8, k=3, num_planes=3)
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_token_count_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [(1, "  Hello   World  "), (2, "hello world")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", TS.token_count("text").alias("n")
+    ).collect()}
+    assert out[1]["n"] == 2 and out[2]["n"] == 2
+    fps = [r["fp"] for r in TS.fingerprint_documents(df).collect()]
+    assert fps[0] == fps[1]  # whitespace/case-normalized fingerprint
+
+
+def test_language_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "el perro y la casa de que y el"),
+            (3, "xyzzy plugh foobar"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["predicted_lang"] for r in TS.language_id(df).collect()}
+    assert got == {1: "en", 2: "es", 3: "und"}
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "defg")], "doc_id long, text string")
+    stats = {r["doc_id"]: r for r in binary_stats(attach_binary_payload(df)).collect()}
+    assert stats[1]["n_bytes"] == 3
+    assert len(stats[1]["sha256"]) == 64
+    decoded = {r["doc_id"]: r for r in fake_decode_images(
+        attach_binary_payload(df)
+    ).collect()}
+    assert decoded[2]["n_bytes"] == 4
+    assert decoded[1]["width"] >= 64 and decoded[1]["height"] >= 64
+
+
+def test_decode_image_stub_raises():
+    from _data_engineering_pipeline_project_spark.multimodal import binary as B
+
+    if not B._HAS_PIL:
+        with pytest.raises(NotImplementedError):
+            B.decode_image(b"\x89PNG")
