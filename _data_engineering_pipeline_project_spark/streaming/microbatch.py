@@ -1,0 +1,124 @@
+"""Micro-batch incremental load (M2) — Structured Streaming around SCD2.
+
+The reference's scheduler is a polling loop: ``schedule.every(8).minutes``
+re-runs the whole pipeline, re-reading the full source folder every cycle
+(reference project/etl2.py:462-467). The engine expresses the same
+contract as a Structured Streaming file source feeding ``foreachBatch``:
+
+- **file source** discovers only NEW files per trigger (checkpointed) —
+  the reference re-reads everything, every cycle;
+- each micro-batch is a full source *snapshot*, merged with the SCD2
+  operator (operators/scd2.py) inside ``foreachBatch`` — exactly-once via
+  the checkpoint + deterministic batch semantics;
+- ``Trigger.AvailableNow`` = drain-everything-then-stop (one driver
+  invocation per cycle, cron-style); ``processingTime='8 minutes'`` =
+  resident-driver clone of the reference's cadence.
+
+No watermarks/event-time windows are needed for reference parity (the
+reference processes full snapshots); ``run_windowed_agg_stream`` below is
+the event-time extension for stream-shaped tables (events).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from _data_engineering_pipeline_project_spark.operators.scd2 import Scd2Table
+
+
+class IncrementalLoader:
+    """Streaming wrapper: watch a directory of snapshot files, SCD2-merge
+    each micro-batch into a parquet-backed table.
+
+    Each arriving file is a full snapshot of the source table (the
+    reference's model: the CSV folder IS the current state). Batches are
+    merged in arrival order; ``batch_ts`` derives from the micro-batch id
+    so replays are deterministic.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        schema: T.StructType,
+        table_dir: str,
+        pk: list[str],
+        source_format: str = "parquet",
+    ):
+        self.spark = spark
+        self.source_dir = source_dir
+        self.schema = schema
+        self.table = Scd2Table(spark, table_dir, pk)
+        self.source_format = source_format
+        self.batches_seen: list[int] = []
+
+    def _merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # deterministic, monotone batch timestamp (replay-safe); wall-clock
+        # would break exactly-once on retry
+        batch_ts = datetime(2024, 1, 1) + batch_id * timedelta(minutes=8)
+        self.table.merge(batch_df, batch_ts)
+        self.batches_seen.append(batch_id)
+
+    def run_available_now(self, checkpoint_dir: str) -> None:
+        """Drain all pending files and stop — the cron-style trigger."""
+        reader = (
+            self.spark.readStream.format(self.source_format)
+            .schema(self.schema)
+            .option("maxFilesPerTrigger", 1)  # one snapshot file per batch
+        )
+        stream = reader.load(self.source_dir)
+        q = (
+            stream.writeStream.foreachBatch(self._merge_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def current(self) -> DataFrame | None:
+        return self.table.current()
+
+    def history(self) -> DataFrame:
+        return self.table.history()
+
+
+def run_windowed_agg_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    query_name: str = "windowed_agg",
+) -> DataFrame:
+    """Event-time tumbling-window aggregation with late-data handling —
+    the streaming twin of the batch ``events_hourly_agg`` query. Late rows
+    beyond the watermark are dropped; results land in an in-memory sink
+    (swap for parquet/kafka in production)."""
+    stream = spark.readStream.format("parquet").schema(schema).load(source_dir)
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("event_type"),
+            F.col("n_events"),
+            F.col("total_value"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {query_name}")
