@@ -13,13 +13,14 @@ Two paths:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from _data_engineering_pipeline_project_spark.functions.vectors import (
     cosine_similarity,
 )
-from _data_engineering_pipeline_project_spark.operators.dedup import md5_hash60
 
 
 def topk_cosine_bruteforce(
@@ -84,34 +85,44 @@ def cosine_dup_pairs(
     )
 
 
-def _hyperplane(dim: int, plane_idx: int):
-    """Deterministic ±1 hyperplane components from md5 of (plane, dim) —
+def hyperplanes(dim: int, num_planes: int):
+    """Deterministic ±1 hyperplane matrix from md5 of (plane, dim) —
     reproducible on any engine/cluster with no RNG state."""
-    return F.array(
-        *[
-            F.when(
-                md5_hash60(F.lit(f"plane:{plane_idx}:dim:{j}")) % 2 == 0, F.lit(1.0)
-            ).otherwise(F.lit(-1.0))
-            for j in range(dim)
+    import hashlib
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    return np.array(
+        [
+            [1.0 if h60(f"plane:{p}:dim:{j}") % 2 == 0 else -1.0 for j in range(dim)]
+            for p in range(num_planes)
         ]
     )
 
 
 def lsh_bucket(vec_col, dim: int, num_planes: int = 8):
-    """Sign-pattern bucket id in [0, 2^num_planes)."""
-    bucket = F.lit(0)
-    for p in range(num_planes):
-        dot = F.aggregate(
-            F.zip_with(
-                F.col(vec_col) if isinstance(vec_col, str) else vec_col,
-                _hyperplane(dim, p),
-                lambda x, h: x.cast("double") * h,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
+    """Sign-pattern bucket id in [0, 2^num_planes).
+
+    Vectorized pandas UDF: the matrix of hyperplane dots per Arrow batch is
+    one BLAS matmul — the pure-expression form (num_planes × dim literal
+    folds) bloats codegen into multi-MB task binaries and dominates compile
+    time. The planes matrix is a tiny closure constant shipped per task.
+    """
+    from pyspark.sql.types import IntegerType
+
+    planes = hyperplanes(dim, num_planes)  # (p, dim)
+    weights = (1 << np.arange(num_planes)).astype(np.int64)
+
+    @F.pandas_udf(IntegerType())
+    def _bucket(vecs: pd.Series) -> pd.Series:
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        if mat.size == 0:
+            return pd.Series(np.array([], dtype=np.int32))
+        dots = mat @ planes.T  # (n, p)
+        return pd.Series(((dots >= 0) @ weights).astype(np.int32))
+
+    return _bucket(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
 
 
 def topk_cosine_lsh(

@@ -1,0 +1,254 @@
+"""Second wave of driver-facing queries: the SCD2 merge verified end-to-end
+against a SQL oracle, the as-of join (oracled by DuckDB's native ASOF
+JOIN), and the remaining relational surface (set ops, pivot, cube,
+top-k per group)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from _data_engineering_pipeline_project_spark.catalog import table
+from _data_engineering_pipeline_project_spark.functions.expressions import keep_first
+from _data_engineering_pipeline_project_spark.operators.asof import asof_join
+from _data_engineering_pipeline_project_spark.operators.scd2 import scd2_merge
+from _data_engineering_pipeline_project_spark.queries import query
+
+_T1 = datetime(2024, 1, 1)
+_T2 = datetime(2024, 2, 1)
+
+# batch1 = part keys not divisible by 5; batch2 = keys not divisible by 7,
+# with p_brand bumped on keys divisible by 3 → between the batches there
+# are inserts (%5==0, %7!=0), deletes (%7==0), updates (%3==0 overlap),
+# and unchanged rows.
+_PART_COLS = "p_partkey, p_name, p_brand, p_type, p_size, p_retailprice"
+_BATCHES_SQL = f"""
+    b1 AS (SELECT {_PART_COLS} FROM part WHERE p_partkey % 5 <> 0),
+    b2 AS (SELECT p_partkey, p_name,
+                  CASE WHEN p_partkey % 3 = 0 THEN 'BUMPED' ELSE p_brand END AS p_brand,
+                  p_type, p_size, p_retailprice
+           FROM part WHERE p_partkey % 7 <> 0)
+"""
+
+
+def _part_batches(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
+    p = table(spark, sf, "part")
+    b1 = p.filter(F.col("p_partkey") % 5 != 0)
+    b2 = p.filter(F.col("p_partkey") % 7 != 0).withColumn(
+        "p_brand",
+        F.when(F.col("p_partkey") % 3 == 0, F.lit("BUMPED")).otherwise(
+            F.col("p_brand")
+        ),
+    )
+    return b1, b2
+
+
+@query(
+    "scd2_snapshot_after_two_batches",
+    f"""
+    WITH {_BATCHES_SQL}
+    SELECT coalesce(b2.p_partkey, b1.p_partkey) AS p_partkey,
+           coalesce(b2.p_name, b1.p_name) AS p_name,
+           coalesce(b2.p_brand, b1.p_brand) AS p_brand,
+           coalesce(b2.p_type, b1.p_type) AS p_type,
+           coalesce(b2.p_size, b1.p_size) AS p_size,
+           coalesce(b2.p_retailprice, b1.p_retailprice) AS p_retailprice,
+           CASE WHEN b1.p_partkey IS NULL THEN TIMESTAMP '2024-02-01'         -- insert
+                WHEN b2.p_partkey IS NULL THEN TIMESTAMP '2024-02-01'         -- delete
+                WHEN b2.p_brand IS DISTINCT FROM b1.p_brand
+                  THEN TIMESTAMP '2024-02-01'                                 -- update
+                ELSE TIMESTAMP '2024-01-01' END AS updated_at,                -- unchanged
+           (b2.p_partkey IS NULL) AS is_deleted
+    FROM b1 FULL OUTER JOIN b2 ON b1.p_partkey = b2.p_partkey
+    """,
+)
+def scd2_snapshot_after_two_batches(spark: SparkSession, sf: str) -> DataFrame:
+    """M1 flagship verified end-to-end: two scd2_merge passes over derived
+    part snapshots; the oracle reconstructs the expected current state
+    with one FULL OUTER JOIN."""
+    b1, b2 = _part_batches(spark, sf)
+    r1 = scd2_merge(b1, None, ["p_partkey"], _T1)
+    r2 = scd2_merge(b2, r1.snapshot, ["p_partkey"], _T2)
+    return r2.snapshot
+
+
+@query(
+    "scd2_history_after_two_batches",
+    f"""
+    WITH {_BATCHES_SQL}
+    SELECT b1.p_partkey, b1.p_name, b1.p_brand, b1.p_type, b1.p_size,
+           b1.p_retailprice,
+           (b2.p_partkey IS NULL) AS is_deleted,
+           TIMESTAMP '2024-01-01' AS valid_from,
+           TIMESTAMP '2024-02-01' AS valid_to
+    FROM b1 LEFT JOIN b2 ON b1.p_partkey = b2.p_partkey
+    WHERE b2.p_partkey IS NULL                         -- archived by delete
+       OR b2.p_brand IS DISTINCT FROM b1.p_brand       -- archived by update
+    """,
+)
+def scd2_history_after_two_batches(spark: SparkSession, sf: str) -> DataFrame:
+    """History delta of the second merge: the OLD version of every updated
+    row plus a tombstone copy of every deleted row (reference etl2:346-369,
+    382-401)."""
+    b1, b2 = _part_batches(spark, sf)
+    r1 = scd2_merge(b1, None, ["p_partkey"], _T1)
+    r2 = scd2_merge(b2, r1.snapshot, ["p_partkey"], _T2)
+    return r2.history
+
+
+@query(
+    "asof_join_events",
+    """
+    WITH clicks AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value
+      FROM events WHERE event_type = 'click'
+    ), signups AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                      ORDER BY event_id NULLS FIRST) AS rn
+            FROM events WHERE event_type = 'signup')
+      WHERE rn = 1
+    )
+    SELECT c.event_id, c.ts, c.user_id, c.value,
+           s.ts AS ts_asof, s.event_id AS signup_event_id
+    FROM clicks c ASOF LEFT JOIN signups s
+      ON c.user_id = s.user_id AND c.ts >= s.ts
+    """,
+)
+def asof_join_events(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: each click paired with the user's most recent signup at
+    or before it (point-in-time lookup). DuckDB's native ASOF JOIN is the
+    oracle for the engine's union-tag-window implementation."""
+    ev = table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "event_id"
+    )
+    # unique (user_id, ts) on the right side for deterministic ties
+    signups, _ = keep_first(signups, ["user_id", "ts"], ["event_id"])
+    return asof_join(
+        clicks,
+        signups,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id"],
+    ).withColumnRenamed("event_id_asof", "signup_event_id")
+
+
+@query(
+    "orders_snapshot_except",
+    """
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 3 <> 0
+    EXCEPT ALL
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 7 <> 0
+    """,
+)
+def orders_snapshot_except(spark: SparkSession, sf: str) -> DataFrame:
+    """Set ops (SURVEY §2f): bag difference between two snapshots."""
+    o = table(spark, sf, "orders").select("o_orderkey", "o_orderstatus")
+    a = o.filter(F.col("o_orderkey") % 3 != 0)
+    b = o.filter(F.col("o_orderkey") % 7 != 0)
+    return a.exceptAll(b)
+
+
+@query(
+    "orders_snapshot_intersect",
+    """
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 3 <> 0
+    INTERSECT
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 5 <> 0
+    """,
+)
+def orders_snapshot_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders").select("o_orderkey", "o_orderstatus")
+    return o.filter(F.col("o_orderkey") % 3 != 0).intersect(
+        o.filter(F.col("o_orderkey") % 5 != 0)
+    )
+
+
+@query(
+    "events_pivot_by_type",
+    """
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def events_pivot_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot: event counts per day × type (fixed pivot values keep the
+    schema stable and let Catalyst plan a single aggregation)."""
+    ev = table(spark, sf, "events")
+    out = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot yields nullable counts; normalize missing combos to 0
+    for c in ["click", "error", "purchase", "signup", "view"]:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    return out
+
+
+@query(
+    "cube_lineitem_flags",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_lineitem_flags(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "topk_parts_per_brand",
+    """
+    WITH rev AS (
+      SELECT p.p_brand, l.l_partkey,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand, l.l_partkey
+    )
+    SELECT p_brand, l_partkey, revenue, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY p_brand
+                    ORDER BY revenue DESC, l_partkey) AS rnk FROM rev)
+    WHERE rnk <= 3
+    """,
+)
+def topk_parts_per_brand(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k per group: window over partitioned rank (the distributed
+    top-k idiom — no global sort)."""
+    li = table(spark, sf, "lineitem")
+    p = table(spark, sf, "part")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "l_partkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.col("revenue").desc(), F.col("l_partkey"))
+    return (
+        rev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "l_partkey", "revenue", "rnk")
+    )
