@@ -132,6 +132,9 @@ def validate_column_types(
         numeric_ok = isinstance(want, T.NumericType) and isinstance(have, T.NumericType)
         if numeric_ok:
             continue  # FLOAT-for-INTEGER style relaxation
+        ts_family = (T.TimestampType, T.TimestampNTZType, T.DateType)
+        if isinstance(want, ts_family) and isinstance(have, ts_family):
+            continue  # parquet NTZ vs session-TZ timestamps are compatible
         issues.append(
             {
                 "column": name,

@@ -126,6 +126,64 @@ def fingerprint_documents(spark: SparkSession, sf: str) -> DataFrame:
     return TS.fingerprint_documents(table(spark, sf, "documents"))
 
 
+_EMOJI_SQL_PATTERN = (
+    "[\\x{1F600}-\\x{1F64F}\\x{1F300}-\\x{1F5FF}\\x{1F680}-\\x{1F6FF}"
+    "\\x{1F1E0}-\\x{1F1FF}\\x{2702}-\\x{27B0}\\x{24C2}-\\x{1F251}]"
+)
+
+
+@query(
+    "emoji_scan_documents",
+    f"""
+    SELECT 'text' AS column_name,
+           coalesce(max(CASE WHEN regexp_matches(text, '{_EMOJI_SQL_PATTERN}')
+                             THEN TRUE ELSE FALSE END), FALSE) AS has_match
+    FROM documents
+    UNION ALL
+    SELECT 'lang', coalesce(max(CASE WHEN regexp_matches(lang, '{_EMOJI_SQL_PATTERN}')
+                                 THEN TRUE ELSE FALSE END), FALSE) FROM documents
+    UNION ALL
+    SELECT 'source', coalesce(max(CASE WHEN regexp_matches(source, '{_EMOJI_SQL_PATTERN}')
+                                   THEN TRUE ELSE FALSE END), FALSE) FROM documents
+    """,
+)
+def emoji_scan_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Q4 with the reference's actual emoji blocks (dq:202-217): Java regex
+    and RE2 both support \\x{...} codepoint ranges, so the oracle runs the
+    identical pattern."""
+    from _data_engineering_pipeline_project_spark.operators import quality as Q
+
+    return Q.detect_pattern_columns(table(spark, sf, "documents")).withColumnRenamed(
+        "column", "column_name"
+    )
+
+
+@query("type_validation_tpch")  # rows-only: compares against the Python registry
+def type_validation_tpch(spark: SparkSession, sf: str) -> DataFrame:
+    """Q3 — declared-vs-actual schema reconciliation for every testdata
+    table (metadata-only; no data scanned). Empty on conforming data."""
+    from _data_engineering_pipeline_project_spark.operators.quality import (
+        validate_column_types,
+    )
+    from _data_engineering_pipeline_project_spark.schema import tpch_registry
+
+    reg = tpch_registry()
+    rows = []
+    for name in reg.tables:
+        try:
+            df = table(spark, sf, name)
+        except Exception:
+            rows.append(
+                {"table_name": name, "column": "", "issue": "missing_table",
+                 "expected": "", "actual": ""}
+            )
+            continue
+        for issue in validate_column_types(df, reg[name]):
+            rows.append({"table_name": name, **issue})
+    schema = "table_name string, column string, issue string, expected string, actual string"
+    return spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+
+
 # --------------------------------------------------------------------------
 # Deduplication
 # --------------------------------------------------------------------------
