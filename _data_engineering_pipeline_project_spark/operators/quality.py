@@ -234,7 +234,10 @@ def detect_negative_values(
         ]
     cols = [c for c in numeric_cols if not any(x in c.lower() for x in exclude)]
     if not cols:
-        return CheckResult("negative_values", df.filter(F.lit(False)), df)
+        empty = df.filter(F.lit(False)).withColumn(
+            "issue", F.lit(None).cast("string")
+        )
+        return CheckResult("negative_values", empty, df)
     parts = [
         df.filter(F.col(c) < 0).withColumn("issue", F.lit(f"negative:{c}"))
         for c in cols

@@ -141,6 +141,53 @@ def asof_join_events(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "range_join_events_pairs",
+    """
+    SELECT a.event_id AS l_event_id, b.event_id AS r_event_id,
+           a.user_id AS l_user_id,
+           CAST(a.ts AS TIMESTAMP) AS l_ts, CAST(b.ts AS TIMESTAMP) AS r_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND a.event_id <> b.event_id
+     AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+     AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 1800 SECOND
+    """,
+)
+def range_join_events_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval join: same-user event pairs within 30 minutes, planned as a
+    bucketized hash join (operators/rangejoin.py) — NOT the quadratic
+    BroadcastNestedLoopJoin Spark produces for a raw inequality join."""
+    from _data_engineering_pipeline_project_spark.operators.rangejoin import (
+        range_join_within,
+    )
+
+    ev = table(spark, sf, "events").select("event_id", "ts", "user_id")
+    out = range_join_within(ev, ev, ["user_id"], "ts", "ts", 1800)
+    return out.filter(F.col("l_event_id") != F.col("r_event_id")).select(
+        "l_event_id", "r_event_id", "l_user_id", "l_ts", "r_ts"
+    )
+
+
+@query(
+    "distinct_users_per_event_type",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def distinct_users_per_event_type(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct aggregation (exact; the approx_count_distinct twin is the
+    scale path but is engine-specific, so the oracle checks the exact one)."""
+    return (
+        table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query(
     "orders_snapshot_except",
     """
     SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 3 <> 0
