@@ -1,0 +1,83 @@
+"""Skew and co-location utilities.
+
+- **salted_join**: explicit skew mitigation for joins where one key
+  dominates (AQE's skew-join split handles sort-merge skew at runtime;
+  salting is the declarative form that also works for aggregations and
+  older planners). The skewed left side gets a random-but-deterministic
+  salt in [0, buckets); the right side is replicated ``buckets`` times;
+  the join key becomes (key, salt). Row multiplicity is unchanged.
+
+- **salted_aggregate**: two-phase aggregation for skewed groupBy keys —
+  partial agg on (key, salt), final agg on key. Sums/counts compose
+  exactly; the helper takes the partial/final expression pairs.
+
+- **write_bucketed / bucketed_table**: persist a table bucketed by its
+  join key so repeated joins on that key are shuffle-free (verified in
+  tests by the absence of Exchange under the join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with a salted key. Deterministic salt (hash of all left
+    columns) keeps re-runs reproducible — rand() would not be."""
+    salt = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(buckets))
+    l_salted = left.withColumn("__salt", salt)
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+    out = l_salted.join(r_salted, [*on, "__salt"], how)
+    return out.drop("__salt")
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    partial_aggs: dict[str, object],
+    final_aggs: dict[str, object],
+    buckets: int = 8,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``partial_aggs``: alias → Column over the raw rows (runs on
+    (keys, salt)); ``final_aggs``: alias → Column over the partials (runs
+    on keys). E.g. partial {'s': sum(x), 'c': count(1)} and final
+    {'total': sum(s), 'n': sum(c)} computes skew-safe sum+count.
+    """
+    salt = F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(buckets * 64))
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(*[c.alias(a) for a, c in partial_aggs.items()])
+    )
+    return partial.groupBy(*keys).agg(
+        *[c.alias(a) for a, c in final_aggs.items()]
+    )
+
+
+def write_bucketed(
+    df: DataFrame, name: str, bucket_cols: list[str], num_buckets: int = 8
+) -> None:
+    """Persist bucketed by the join key: subsequent joins between tables
+    bucketed the same way skip the shuffle entirely."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .format("parquet")
+        .saveAsTable(name)
+    )
+
+
+def bucketed_table(spark: SparkSession, name: str) -> DataFrame:
+    return spark.table(name)

@@ -188,6 +188,85 @@ def distinct_users_per_event_type(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "json_extract_events",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+             AS sum_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def json_extract_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured ops: parse the JSON props column JVM-side
+    (get_json_object — no Python, full codegen) and aggregate a field."""
+    ev = table(spark, sf, "events")
+    return (
+        ev.withColumn(
+            "k", F.get_json_object(F.col("props"), "$.k").cast("int")
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "median_value_per_type",
+    """
+    SELECT event_type, CAST(median(value) AS DOUBLE) AS median_value,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def median_value_per_type(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact median (order statistic — no accumulation-order float drift,
+    unlike sums)."""
+    return (
+        table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.median("value").alias("median_value"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "udaf_value_stats_per_user",
+    """
+    SELECT user_id, count(*) AS n,
+           CAST(median(value) AS DOUBLE) AS median_value,
+           max(value) - min(value) AS value_range
+    FROM events GROUP BY user_id
+    """,
+)
+def udaf_value_stats_per_user(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom UDAF surface (SURVEY §2h): per-group pandas aggregation via
+    applyInPandas — the engine's pattern for aggregates Spark lacks. The
+    oracle cross-checks the pandas implementation against DuckDB's
+    built-ins (median = numpy median, avg-of-middle-two for even counts)."""
+    import numpy as np
+    import pandas as pd
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n": [len(v)],
+                "median_value": [float(np.median(v))],
+                "value_range": [float(v.max() - v.min())],
+            }
+        )
+
+    return (
+        table(spark, sf, "events")
+        .select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            stats, "user_id long, n long, median_value double, value_range double"
+        )
+    )
+
+
+@query(
     "orders_snapshot_except",
     """
     SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 3 <> 0

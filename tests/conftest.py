@@ -4,8 +4,13 @@ import pytest
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from _data_engineering_pipeline_project_spark.session import get_spark
 
-    spark = get_spark("tests", shuffle_partitions=4)
+    warehouse = tmp_path_factory.mktemp("warehouse")
+    spark = get_spark(
+        "tests",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": str(warehouse)},
+    )
     yield spark

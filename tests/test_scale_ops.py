@@ -1,0 +1,98 @@
+"""Scale-toolkit tests: salted join/aggregate equivalence, bucketed-join
+shuffle elimination, range-join correctness vs a naive inequality join."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from _data_engineering_pipeline_project_spark.operators.rangejoin import (
+    range_join_within,
+)
+from _data_engineering_pipeline_project_spark.operators.skew import (
+    bucketed_table,
+    salted_aggregate,
+    salted_join,
+    write_bucketed,
+)
+
+
+def test_salted_join_matches_plain_join(spark):
+    # one dominant key (90% of rows) — the salting target
+    left = spark.createDataFrame(
+        [(1, i) for i in range(90)] + [(k, 100 + k) for k in range(2, 12)],
+        "k int, payload int",
+    )
+    right = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(1, 12)], "k int, attr string"
+    )
+    plain = sorted(
+        (r["k"], r["payload"], r["attr"])
+        for r in left.join(right, "k").collect()
+    )
+    salted = sorted(
+        (r["k"], r["payload"], r["attr"])
+        for r in salted_join(left, right, ["k"], buckets=4).collect()
+    )
+    assert salted == plain
+
+
+def test_salted_aggregate_matches_plain(spark):
+    df = spark.createDataFrame(
+        [(1, float(i)) for i in range(50)] + [(2, 5.0), (3, 7.0)],
+        "k int, v double",
+    )
+    plain = {
+        r["k"]: (r["total"], r["n"])
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    skewsafe = {
+        r["k"]: (r["total"], r["n"])
+        for r in salted_aggregate(
+            df,
+            ["k"],
+            {"s": F.sum("v"), "c": F.count(F.lit(1))},
+            {"total": F.sum("s"), "n": F.sum("c")},
+        ).collect()
+    }
+    assert skewsafe == plain
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    a = spark.range(0, 1000).withColumn("va", F.col("id") * 2)
+    b = spark.range(0, 1000).withColumn("vb", F.col("id") * 3)
+    write_bucketed(a, "bk_a", ["id"], num_buckets=4)
+    write_bucketed(b, "bk_b", ["id"], num_buckets=4)
+    joined = bucketed_table(spark, "bk_a").join(bucketed_table(spark, "bk_b"), "id")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # co-located buckets: no shuffle exchange under the sort-merge join
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert joined.count() == 1000
+
+
+def test_range_join_matches_naive(spark):
+    t0 = datetime(2024, 1, 1)
+    rows = [(i, 1, t0 + timedelta(seconds=37 * i)) for i in range(40)] + [
+        (100 + i, 2, t0 + timedelta(seconds=911 * i)) for i in range(10)
+    ]
+    ev = spark.createDataFrame(rows, "event_id int, user_id int, ts timestamp")
+    naive = (
+        ev.alias("a")
+        .join(
+            ev.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_id") != F.col("b.event_id"))
+            & (F.col("b.ts") >= F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 120 SECONDS")),
+        )
+        .select(F.col("a.event_id").alias("x"), F.col("b.event_id").alias("y"))
+    )
+    fast = range_join_within(
+        ev, ev, ["user_id"], "ts", "ts", 120
+    ).filter(F.col("l_event_id") != F.col("r_event_id")).select(
+        F.col("l_event_id").alias("x"), F.col("r_event_id").alias("y")
+    )
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, naive.collect()))
