@@ -60,6 +60,31 @@ class TableSchema:
             if isinstance(f.dataType, (T.TimestampType, T.DateType))
         ]
 
+    def to_ddl(self, fmt: str = "parquet", location: str | None = None) -> str:
+        """S6 — CREATE TABLE DDL from the declared schema (the reference
+        drives physical DDL from the same metadata via
+        ``MetaData.create_all``, etl2:262-267). PK/FK are emitted as
+        comments: Spark doesn't enforce constraints — the quality
+        operators do."""
+        cols = ",\n  ".join(
+            f"{f.name} {f.dataType.simpleString().upper()}"
+            for f in self.struct.fields
+        )
+        comments = []
+        if self.primary_key:
+            comments.append(f"-- PRIMARY KEY ({', '.join(self.primary_key)})")
+        for fk in self.foreign_keys:
+            comments.append(
+                f"-- FOREIGN KEY ({', '.join(fk.columns)}) REFERENCES "
+                f"{fk.ref_table}({', '.join(fk.ref_columns)})"
+            )
+        loc = f"\nLOCATION '{location}'" if location else ""
+        comment_block = ("\n" + "\n".join(comments)) if comments else ""
+        return (
+            f"CREATE TABLE IF NOT EXISTS {self.name} (\n  {cols}\n)"
+            f"\nUSING {fmt}{loc};{comment_block}"
+        )
+
 
 @dataclass
 class SchemaRegistry:

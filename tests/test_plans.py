@@ -1,0 +1,55 @@
+"""Plan-shape regression tests: pin the physical properties that matter at
+100 TB — pushdown, pruning, broadcast joins, shuffle counts. A failure
+here is a 10× slowdown at scale caught at unit-test time."""
+
+from __future__ import annotations
+
+from _data_engineering_pipeline_project_spark import queries as q
+from _data_engineering_pipeline_project_spark.plans.audit import (
+    broadcast_join_count,
+    pushed_filters,
+    read_schemas,
+    scan_summary,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pricing_summary_prunes_columns(spark):
+    df = q.QUERIES["pricing_summary"](spark, SF)
+    schemas = read_schemas(df)
+    assert len(schemas) == 1
+    # 5 of 11 lineitem columns read — projection reached the scan
+    assert schemas[0].count(":") == 5
+    s = scan_summary(df)
+    assert s["shuffles"] == 1  # single agg exchange
+
+
+def test_revenue_by_nation_broadcasts_dims(spark):
+    df = q.QUERIES["revenue_by_nation"](spark, SF)
+    assert broadcast_join_count(df) == 4  # orders/customer/nation/region all broadcast
+
+
+def test_fk_check_pushes_parent_filter(spark):
+    df = q.QUERIES["fk_orphans_stale_supplier_dim"](spark, SF)
+    pushed = pushed_filters(df)
+    assert any("LessThanOrEqual(s_suppkey,5" in f for f in pushed), pushed
+
+
+def test_date_inversion_no_shuffle_join(spark):
+    # equi-join with broadcastable orders → no sort-merge shuffle for the fact
+    df = q.QUERIES["date_inversion_ship_before_order"](spark, SF)
+    s = scan_summary(df)
+    assert s["broadcast_joins"] >= 1
+
+
+def test_ddl_generation():
+    from _data_engineering_pipeline_project_spark.schema import tpch_registry
+
+    ddl = tpch_registry()["lineitem"].to_ddl(location="/data/lineitem")
+    assert "CREATE TABLE IF NOT EXISTS lineitem" in ddl
+    assert "l_orderkey BIGINT" in ddl
+    assert "USING parquet" in ddl
+    assert "LOCATION '/data/lineitem'" in ddl
+    assert "-- PRIMARY KEY (l_orderkey, l_linenumber)" in ddl
+    assert "-- FOREIGN KEY (l_orderkey) REFERENCES orders(o_orderkey)" in ddl
