@@ -266,6 +266,24 @@ def udaf_value_stats_per_user(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query("approx_distinct_and_quantiles")  # rows-only: sketches are engine-specific
+def approx_distinct_and_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """The sketch-based scale path for distinct counts and quantiles
+    (HyperLogLog++ / GK): at 100 TB these replace their exact twins
+    (`distinct_users_per_event_type`, `median_value_per_type`) at a
+    fraction of the shuffle. Engine-specific estimates → rows-only check;
+    accuracy is asserted against the exact values in tests."""
+    return (
+        table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.percentile_approx("value", 0.5).alias("approx_median_value"),
+            F.percentile_approx("value", 0.99).alias("approx_p99_value"),
+        )
+    )
+
+
 @query(
     "orders_snapshot_except",
     """
