@@ -183,3 +183,49 @@ class Scd2Table:
 
     def history(self) -> DataFrame:
         return self.spark.read.parquet(self.history_dir)
+
+    def snapshot_as_of(self, version: int) -> DataFrame:
+        """Time travel: read an earlier snapshot version (versions are
+        1-based merge counts). With Delta/Iceberg this maps onto
+        ``VERSION AS OF``; here the versioned directories ARE the log."""
+        import os
+
+        path = f"{self.snapshot_dir}_v{version}"
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"no snapshot version {version} (current: {self._version})"
+            )
+        return self.spark.read.parquet(path)
+
+    def as_of_timestamp(self, ts) -> DataFrame:
+        """Point-in-time state reconstructed from current + history: rows
+        whose validity interval covers ``ts`` (SCD2's whole purpose). A
+        row is current at ts if it was last updated at or before ts and
+        not superseded; else its archived version with
+        valid_from <= ts < valid_to applies."""
+        from pyspark.sql import functions as F
+
+        cur = self.current()
+        if cur is None:
+            raise FileNotFoundError("table has no snapshot yet")
+        ts_lit = F.lit(ts).cast("timestamp")
+        current_part = cur.filter(F.col("updated_at") <= ts_lit)
+        hist = self.history().filter(
+            (F.col("valid_from") <= ts_lit) & (ts_lit < F.col("valid_to"))
+        )
+        # history rows were LIVE during [valid_from, valid_to) — their
+        # is_deleted flag records why they were archived (tombstone vs
+        # update), not their state inside the interval
+        hist_part = (
+            hist.withColumn("is_deleted", F.lit(False))
+            .select(
+                *[c for c in cur.columns if c not in ("updated_at",)],
+                F.col("valid_from").alias("updated_at"),
+            )
+            .select(*cur.columns)
+        )
+        # archived version wins where both exist (the current row was
+        # updated after ts, so its old version is the truth at ts)
+        return hist_part.unionByName(
+            current_part.join(hist_part.select(*self.pk), on=self.pk, how="left_anti")
+        )

@@ -188,6 +188,31 @@ def distinct_users_per_event_type(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "sql_api_revenue_by_segment",
+    """
+    SELECT c.c_mktsegment, round(sum(o.o_totalprice), 2) AS total_price,
+           count(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def sql_api_revenue_by_segment(spark: SparkSession, sf: str) -> DataFrame:
+    """The engine's SQL surface: tables registered as temp views, query
+    written in spark.sql — Catalyst produces the same plan as the
+    DataFrame API (the engine supports both front ends)."""
+    table(spark, sf, "orders").createOrReplaceTempView("v_orders")
+    table(spark, sf, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment, round(sum(o.o_totalprice), 2) AS total_price,
+               count(*) AS n_orders
+        FROM v_orders o JOIN v_customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        """
+    )
+
+
+@query(
     "json_extract_events",
     """
     SELECT event_type,

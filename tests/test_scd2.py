@@ -88,6 +88,34 @@ def test_full_cycle_on_disk(spark, tmp_path):
     ]
 
 
+def test_time_travel(spark, tmp_path):
+    tbl = Scd2Table(spark, str(tmp_path / "tt"), ["id"])
+    tbl.merge(spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], SCHEMA), T1)
+    tbl.merge(spark.createDataFrame([(1, "a", 5.0), (2, "b", 2.0)], SCHEMA), T2)
+    tbl.merge(spark.createDataFrame([(1, "a", 5.0)], SCHEMA), T3)
+
+    # version travel: v1 = initial state
+    v1 = snap(tbl.snapshot_as_of(1))
+    assert v1[1] == ("a", 1.0, False, T1)
+
+    # timestamp travel: between T1 and T2, id=1 still has price 1.0 and
+    # id=2 exists un-deleted
+    at = {
+        r["id"]: (r["price"], r["is_deleted"])
+        for r in tbl.as_of_timestamp(datetime(2024, 1, 1, 12)).collect()
+    }
+    assert at[1] == (1.0, False)
+    assert at[2] == (2.0, False)
+
+    # between T2 and T3: id=1 updated to 5.0, id=2 still alive
+    at2 = {
+        r["id"]: (r["price"], r["is_deleted"])
+        for r in tbl.as_of_timestamp(datetime(2024, 1, 2, 12)).collect()
+    }
+    assert at2[1] == (5.0, False)
+    assert at2[2] == (2.0, False)
+
+
 def test_stats_classification(spark):
     b1 = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], SCHEMA)
     r1 = scd2_merge(b1, None, ["id"], T1)
