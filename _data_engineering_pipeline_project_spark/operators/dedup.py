@@ -217,6 +217,65 @@ def minhash_near_dup_pairs(
 SIMHASH_BITS = 60  # usable bits of the md5-derived hash; top 4 stay zero
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Duplicate clustering: connected components over a near-dup pair
+    graph via iterative min-label propagation (transitive closure — docs
+    a~b and b~c belong to one cluster even if a,c never paired).
+
+    Each iteration joins labels across edges and keeps the minimum; stops
+    when no label changes. Iterations are O(log n) for path-like graphs
+    and each is one shuffle — the standard large-graph CC pattern without
+    GraphX. Returns (id, cluster) where cluster = min id of the component.
+    (A genuinely iterative algorithm — the class of operator the driver
+    records as rows-only rather than SQL-oracled.)
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .dropDuplicates()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .dropDuplicates()
+        .withColumn("cluster", F.col("id"))
+    )
+    for _ in range(max_iters):
+        # each node adopts the min cluster among itself and its neighbors
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster").alias("nb_cluster"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("nb_cluster"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.cache()
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash64(col: Column | str) -> Column:
     """SimHash over whitespace tokens: bit j of the signature is 1 when the
     sum of ±1 contributions (per-token hash bit j) is positive.

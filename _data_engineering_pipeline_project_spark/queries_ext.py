@@ -263,6 +263,15 @@ def minhash_lsh_near_dup_documents(spark: SparkSession, sf: str) -> DataFrame:
     return D.minhash_near_dup_pairs(table(spark, sf, "documents"), threshold=0.3)
 
 
+@query("dedup_clusters_documents")  # rows-only: iterative algorithm
+def dedup_clusters_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup CLUSTERS: transitive closure over the MinHash pair graph
+    (keep one doc per cluster at materialization time). Iterative label
+    propagation — the contract's 'genuinely non-SQL-expressible' class."""
+    pairs = D.minhash_near_dup_pairs(table(spark, sf, "documents"), threshold=0.3)
+    return D.connected_components(pairs)
+
+
 @query("simhash_near_dup_documents")  # rows-only: bit-fold not SQL-friendly
 def simhash_near_dup_documents(spark: SparkSession, sf: str) -> DataFrame:
     return D.simhash_near_dup_pairs(table(spark, sf, "documents"), max_hamming=8)

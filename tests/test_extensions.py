@@ -58,6 +58,17 @@ def test_minhash_lsh_finds_planted_pair(spark, docs):
     assert not any(3 in pair for pair in pairs)
 
 
+def test_connected_components_transitive(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 1)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["id"]: r["cluster"] for r in D.connected_components(pairs).collect()
+    }
+    # chain 9-1-2-3 all collapse to min id 1; 5-6 separate
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+
 def test_simhash_hamming(spark, docs):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["hamming"]
