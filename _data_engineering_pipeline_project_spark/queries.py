@@ -5,9 +5,12 @@ oracle SQL string in ``ORACLES``.
 Parity rules (driver compare = row count + schema + order-insensitive
 value hash):
 - every computed column is aliased identically in Spark and SQL;
-- aggregates over doubles are ``round(x, 2)`` in BOTH engines (partial-
-  aggregation order differs, so raw double sums can differ in the last
-  ulp);
+- aggregates over doubles are rounded identically in BOTH engines
+  (partial-aggregation order differs, so raw double sums can differ in
+  the last ulp) — and the rounding digit must be AT OR FINER THAN the
+  summed values' decimal granularity: discounted revenue terms have 4
+  decimals, so their sums land exactly on ``.xx5`` and ``round(x, 2)``
+  diverges between engines; ``round(x, 4)`` has no halfway cases;
 - dedup/top-k are made deterministic with explicit unique tie-breaks;
 - timestamps stay timestamps (session TZ pinned to UTC).
 """
@@ -441,7 +444,7 @@ def snapshot_diff_orders(spark: SparkSession, sf: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
            round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
            round(avg(l_discount), 4) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
@@ -455,7 +458,7 @@ def pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
         F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
         ).alias("sum_disc_price"),
         F.round(F.avg("l_discount"), 4).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
@@ -466,7 +469,7 @@ def pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     "revenue_by_nation",
     """
     SELECT n.n_name, r.r_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
            count(*) AS n_lineitems
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -491,7 +494,7 @@ def revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("n_name", "r_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
@@ -503,7 +506,7 @@ def revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH rev AS (
       SELECT c.c_custkey, c.c_name,
-             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
       FROM lineitem l
       JOIN orders o ON l.l_orderkey = o.o_orderkey
       JOIN customer c ON o.o_custkey = c.c_custkey
@@ -530,7 +533,7 @@ def top_customers_by_revenue(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("c_custkey", "c_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("revenue")
         )
     )
@@ -539,6 +542,79 @@ def top_customers_by_revenue(spark: SparkSession, sf: str) -> DataFrame:
         rev.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 10)
         .select("c_custkey", "c_name", "revenue", "rnk")
+    )
+
+
+@query(
+    "shipping_priority_topn",
+    """
+    SELECT l.l_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+             AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 20
+    """,
+)
+def shipping_priority_topn(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension filter → star join → agg →
+    global top-N (TakeOrderedAndProject — no full sort at scale)."""
+    c = table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf, "orders")
+    li = table(spark, sf, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "returned_items_by_customer",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS lost_revenue,
+           count(*) AS n_returned_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    HAVING count(*) >= 5
+    """,
+)
+def returned_items_by_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape: fact filter pushed to the scan, broadcast dims,
+    HAVING post-aggregation filter."""
+    li = table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    n = table(spark, sf, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("lost_revenue"),
+            F.count(F.lit(1)).alias("n_returned_items"),
+        )
+        .filter(F.col("n_returned_items") >= 5)
     )
 
 

@@ -391,7 +391,7 @@ def cube_lineitem_flags(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH rev AS (
       SELECT p.p_brand, l.l_partkey,
-             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       GROUP BY p.p_brand, l.l_partkey
     )
@@ -411,7 +411,7 @@ def topk_parts_per_brand(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("p_brand", "l_partkey")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("revenue")
         )
     )
