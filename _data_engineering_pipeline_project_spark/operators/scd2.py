@@ -37,6 +37,14 @@ class Scd2Result:
     snapshot: DataFrame  # new current-state table (incl. soft-deleted rows)
     history: DataFrame  # rows to APPEND to the history table
     stats: DataFrame  # (change_type, n) audit aggregate
+    _diff: DataFrame | None = None  # cached classifier plan (release())
+
+    def release(self) -> None:
+        """Unpersist the cached diff once snapshot+history are written —
+        long-running micro-batch loops would otherwise accumulate cached
+        partitions across batches."""
+        if self._diff is not None:
+            self._diff.unpersist()
 
 
 def scd2_merge(
@@ -137,7 +145,7 @@ def scd2_merge(
     )
 
     stats = diff.groupBy("change_type").agg(F.count(F.lit(1)).alias("n"))
-    return Scd2Result(snapshot, history, stats)
+    return Scd2Result(snapshot, history, stats, _diff=diff)
 
 
 class Scd2Table:
@@ -179,7 +187,9 @@ class Scd2Table:
         else:
             res.history.write.mode("append").parquet(self.history_dir)
         self._version += 1
-        return res.stats
+        stats = res.stats.collect()
+        res.release()
+        return self.spark.createDataFrame(stats, res.stats.schema)
 
     def history(self) -> DataFrame:
         return self.spark.read.parquet(self.history_dir)
