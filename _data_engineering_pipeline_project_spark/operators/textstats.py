@@ -127,3 +127,36 @@ def fingerprint(col: Column | str) -> Column:
 
 def fingerprint_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("doc_id", fingerprint(text_col).alias("fp"))
+
+
+# Redaction patterns for PII scrubbing (training-data hygiene). Order
+# matters: longest/most-specific first so partial matches don't shadow.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\+?\d{1,3}[-. ])?(?:\(\d{3}\)|\d{3})[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b(?:\d[ -]?){13,16}\b", "<CARD>"),
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Chain of regexp_replace passes — JVM-side, shuffle-free; the
+    standard scrubbing stage before LLM training-data export."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-pattern match document counts (report shape stable)."""
+    aggs = [
+        F.sum(F.col(text_col).rlike(pat).cast("long")).alias(token)
+        for pat, token in PII_PATTERNS
+    ]
+    wide = df.agg(*aggs)
+    stack = "stack({n}, {args}) as (pii_type, n_docs)".format(
+        n=len(PII_PATTERNS),
+        args=", ".join(f"'{t}', `{t}`" for _, t in PII_PATTERNS),
+    )
+    return wide.selectExpr(stack)

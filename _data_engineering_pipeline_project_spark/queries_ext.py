@@ -277,6 +277,81 @@ def simhash_near_dup_documents(spark: SparkSession, sf: str) -> DataFrame:
     return D.simhash_near_dup_pairs(table(spark, sf, "documents"), max_hamming=8)
 
 
+@query(
+    "top_terms_per_lang",
+    f"""
+    WITH tok AS (
+      SELECT lang, unnest({_TOKS}) AS term FROM documents
+    ), counts AS (
+      SELECT lang, term, count(*) AS n FROM tok GROUP BY lang, term
+    )
+    SELECT lang, term, n, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY lang
+                    ORDER BY n DESC, term NULLS FIRST) AS rnk FROM counts)
+    WHERE rnk <= 5
+    """,
+)
+def top_terms_per_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Term-frequency analytics: explode tokens → count → top-5 per lang
+    (deterministic tie-break on the term)."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf, "documents")
+    counts = (
+        d.select("lang", F.explode(TS.tokens("text")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("term"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "term", "n", "rnk")
+    )
+
+
+@query(
+    "pii_scan_documents",
+    f"""
+    SELECT '<EMAIL>' AS pii_type,
+           CAST(sum(CASE WHEN regexp_matches(text, '{TS.PII_PATTERNS[0][0]}') THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
+    FROM documents
+    UNION ALL
+    SELECT '<PHONE>', CAST(sum(CASE WHEN regexp_matches(text, '{TS.PII_PATTERNS[1][0]}') THEN 1 ELSE 0 END) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT '<SSN>', CAST(sum(CASE WHEN regexp_matches(text, '{TS.PII_PATTERNS[2][0]}') THEN 1 ELSE 0 END) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT '<CARD>', CAST(sum(CASE WHEN regexp_matches(text, '{TS.PII_PATTERNS[3][0]}') THEN 1 ELSE 0 END) AS BIGINT) FROM documents
+    """,
+)
+def pii_scan_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing report: per-pattern document counts (the redaction
+    pass itself is `textstats.redact_pii`, unit-tested on planted PII)."""
+    return TS.pii_counts(table(spark, sf, "documents"))
+
+
+@query(
+    "hash_sample_documents",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+          % 10000 < 1000
+    """,
+)
+def hash_sample_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 10% sample: selection keyed on a content hash, so the
+    same rows are chosen on any partitioning/cluster/engine (df.sample()
+    is not reproducible across layouts)."""
+    from _data_engineering_pipeline_project_spark.operators.sampling import (
+        hash_sample,
+    )
+
+    return hash_sample(
+        table(spark, sf, "documents"), "doc_id", rate=0.10
+    ).select("doc_id", "lang")
+
+
 # --------------------------------------------------------------------------
 # Similarity search over embeddings
 # --------------------------------------------------------------------------

@@ -139,6 +139,53 @@ def test_language_id_markers(spark):
     assert got == {1: "en", 2: "es", 3: "und"}
 
 
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "contact me at alice@example.com or 555-123-4567 thanks"),
+            (2, "ssn 123-45-6789 card 4111 1111 1111 1111 end"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["clean"] for r in df.select(
+        "doc_id", TS.redact_pii("text").alias("clean")
+    ).collect()}
+    assert "<EMAIL>" in out[1] and "<PHONE>" in out[1]
+    assert "alice@" not in out[1] and "4567" not in out[1]
+    assert "<SSN>" in out[2] and "<CARD>" in out[2]
+    assert out[3] == "nothing sensitive here"
+
+    counts = {r["pii_type"]: r["n_docs"] for r in TS.pii_counts(df).collect()}
+    assert counts["<EMAIL>"] == 1 and counts["<SSN>"] == 1
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    from _data_engineering_pipeline_project_spark.operators.sampling import (
+        hash_sample,
+    )
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    s10 = {r["k"] for r in hash_sample(df, "k", 0.10).collect()}
+    s10_again = {r["k"] for r in hash_sample(df.repartition(7), "k", 0.10).collect()}
+    assert s10 == s10_again  # partitioning-independent
+    assert 120 <= len(s10) <= 280  # ~10% of 2000
+    s01 = {r["k"] for r in hash_sample(df, "k", 0.01).collect()}
+    assert s01 <= s10  # consistent/nested sampling
+
+
+def test_compact_parquet(spark, tmp_path):
+    from _data_engineering_pipeline_project_spark.operators.sampling import (
+        compact_parquet,
+    )
+
+    src = str(tmp_path / "many")
+    spark.range(0, 10000).repartition(40).write.parquet(src)
+    n_files = compact_parquet(spark, src, str(tmp_path / "few"), target_file_mb=128)
+    assert n_files <= 4
+    assert spark.read.parquet(str(tmp_path / "few")).count() == 10000
+
+
 def test_multimodal_plumbing(spark):
     df = spark.createDataFrame([(1, "abc"), (2, "defg")], "doc_id long, text string")
     stats = {r["doc_id"]: r for r in binary_stats(attach_binary_payload(df)).collect()}
