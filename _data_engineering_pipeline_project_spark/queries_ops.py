@@ -188,6 +188,46 @@ def distinct_users_per_event_type(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "windowed_order_analytics",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+           max(o_totalprice) OVER w AS running_max,
+           CAST(count(*) OVER w AS BIGINT) AS n_so_far,
+           o_totalprice - lag(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST,
+              o_orderkey NULLS FIRST) AS delta_vs_prev,
+           CAST(row_number() OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST,
+              o_orderkey NULLS FIRST) AS INTEGER) AS order_seq
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST,
+                 o_orderkey NULLS FIRST
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def windowed_order_analytics(spark: SparkSession, sf: str) -> DataFrame:
+    """Window frames + lag analytics per customer: running max, running
+    count, delta vs previous order, sequence number. Only order-exact
+    aggregates (max/count/lag) — window SUMS accumulate in engine-specific
+    order (DuckDB segment trees) and can drift in the last ulp."""
+    o = table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.max("o_totalprice").over(frame).alias("running_max"),
+        F.count(F.lit(1)).over(frame).alias("n_so_far"),
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias(
+            "delta_vs_prev"
+        ),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@query(
     "sql_api_revenue_by_segment",
     """
     SELECT c.c_mktsegment, round(sum(o.o_totalprice), 2) AS total_price,
