@@ -5,6 +5,8 @@ here is a 10× slowdown at scale caught at unit-test time."""
 from __future__ import annotations
 
 from _data_engineering_pipeline_project_spark import queries as q
+from _data_engineering_pipeline_project_spark import queries_ext  # noqa: F401 — registers
+from _data_engineering_pipeline_project_spark import queries_ops  # noqa: F401 — registers
 from _data_engineering_pipeline_project_spark.plans.audit import (
     broadcast_join_count,
     pushed_filters,
@@ -41,6 +43,24 @@ def test_date_inversion_no_shuffle_join(spark):
     df = q.QUERIES["date_inversion_ship_before_order"](spark, SF)
     s = scan_summary(df)
     assert s["broadcast_joins"] >= 1
+
+
+def test_range_join_is_not_nested_loop(spark):
+    from _data_engineering_pipeline_project_spark.plans.audit import explain_str
+
+    df = q.QUERIES["range_join_events_pairs"](spark, SF)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    from _data_engineering_pipeline_project_spark.plans.audit import scan_summary
+
+    df = q.QUERIES["asof_join_events"](spark, SF)
+    s = scan_summary(df)
+    assert s["broadcast_joins"] == 0 and s["sortmerge_joins"] == 0
+    # union-tag-window: shuffles only for the window partitioning, no join
 
 
 def test_ddl_generation():
