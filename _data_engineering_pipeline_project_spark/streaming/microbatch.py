@@ -88,6 +88,62 @@ class IncrementalLoader:
         return self.table.history()
 
 
+def run_stream_stream_join(
+    spark: SparkSession,
+    left_dir: str,
+    right_dir: str,
+    schema: T.StructType,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+    query_name: str = "ss_join",
+) -> DataFrame:
+    """Stream-stream inner join with event-time constraint: left rows pair
+    with right rows for the same key within ``within`` after the left
+    event. Both sides carry watermarks so the state store can evict rows
+    older than the join window — the unbounded-state failure mode of
+    naive stream joins. AvailableNow drains both sources and stops."""
+    left = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .load(left_dir)
+        .withWatermark(ts_col, watermark)
+        .select(
+            F.col(key),
+            F.col(ts_col).alias("l_ts"),
+            F.col("event_id").alias("l_event_id"),
+        )
+    )
+    right = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .load(right_dir)
+        .withWatermark(ts_col, watermark)
+        .select(
+            F.col(key).alias(f"r_{key}"),
+            F.col(ts_col).alias("r_ts"),
+            F.col("event_id").alias("r_event_id"),
+        )
+    )
+    joined = left.join(
+        right,
+        (F.col(key) == F.col(f"r_{key}"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+        "inner",
+    ).select(key, "l_event_id", "r_event_id", "l_ts", "r_ts")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def run_windowed_agg_stream(
     spark: SparkSession,
     source_dir: str,

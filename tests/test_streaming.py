@@ -57,6 +57,42 @@ def test_incremental_loader_scd2(spark, tmp_path):
     assert len(hist) == 2  # old version of 1 + tombstone of 2
 
 
+def test_stream_stream_join(spark, tmp_path):
+    from datetime import datetime
+
+    from _data_engineering_pipeline_project_spark.streaming.microbatch import (
+        run_stream_stream_join,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    t = datetime
+    left = str(tmp_path / "clicks")
+    right = str(tmp_path / "buys")
+    spark.createDataFrame(
+        [(1, 7, t(2024, 1, 1, 10, 0)), (2, 7, t(2024, 1, 1, 12, 0)),
+         (3, 8, t(2024, 1, 1, 10, 0))],
+        schema,
+    ).coalesce(1).write.parquet(left)
+    spark.createDataFrame(
+        [(10, 7, t(2024, 1, 1, 10, 20)),   # within 30m of click 1
+         (11, 7, t(2024, 1, 1, 13, 0)),    # within 60m of click 2? no: >30m
+         (12, 9, t(2024, 1, 1, 10, 5))],   # wrong user
+        schema,
+    ).coalesce(1).write.parquet(right)
+
+    out = run_stream_stream_join(
+        spark, left, right, schema, query_name="t_ss_join"
+    )
+    pairs = {(r["l_event_id"], r["r_event_id"]) for r in out.collect()}
+    assert pairs == {(1, 10)}
+
+
 def test_windowed_agg_stream(spark, tmp_path):
     from datetime import datetime
 
