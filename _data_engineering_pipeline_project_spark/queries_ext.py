@@ -414,6 +414,85 @@ def embedding_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.topk_cosine_lsh(emb, queries, dim=64, k=5, num_planes=4)
 
 
+_CURATION_SQL = f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM tok),
+    hx AS (SELECT doc_id,
+                  CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)
+                    % 2147483647 AS x
+           FROM sh),
+    mh AS (SELECT doc_id, t.i AS i,
+                  min(((2 * t.i + 1) * x + (11 * t.i + 7)) % 2147483647) AS h
+           FROM hx, unnest(generate_series(0, 31)) AS t(i)
+           GROUP BY doc_id, t.i),
+    bands AS (SELECT doc_id, i // 2 AS band,
+                     string_agg(CAST(h AS VARCHAR), '-' ORDER BY i) AS sig
+              FROM mh GROUP BY doc_id, i // 2),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+              FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              GROUP BY 1, 2),
+    dup_losers AS (
+      SELECT DISTINCT c.doc_b AS doc_id
+      FROM cand c
+      JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      WHERE CAST(i.common AS DOUBLE) / (sa.n + sb.n - i.common) >= 0.3
+    ),
+    quality AS (
+      SELECT doc_id, lang,
+             CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+             len(list_filter({_TOKS}, t -> list_contains({_STOPWORDS_SQL}, t)))
+               / CAST(greatest(len({_TOKS}), 1) AS DOUBLE) AS sw_ratio,
+             text
+      FROM documents
+    )
+    SELECT q.doc_id, q.lang, q.n_tokens,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(q.text,
+             '{TS.PII_PATTERNS[0][0]}', '<EMAIL>', 'g'),
+             '{TS.PII_PATTERNS[1][0]}', '<PHONE>', 'g'),
+             '{TS.PII_PATTERNS[2][0]}', '<SSN>', 'g'),
+             '{TS.PII_PATTERNS[3][0]}', '<CARD>', 'g') AS clean_text
+    FROM quality q
+    WHERE q.n_tokens >= 20 AND q.sw_ratio >= 0.02
+      AND q.doc_id NOT IN (SELECT doc_id FROM dup_losers)
+"""
+
+
+@query("corpus_curation_pipeline", _CURATION_SQL)
+def corpus_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """Flagship LLM-data curation composite, oracle-checked end to end:
+    quality gate (length + stopword ratio) → MinHash+LSH near-dup removal
+    (keep the lower doc_id of each verified duplicate pair) → PII
+    redaction. One declarative plan: Catalyst fuses the quality filters
+    into the scan while the dedup branch shuffles only shingle/band keys."""
+    d = table(spark, sf, "documents")
+    toks = TS.tokens("text")
+    n_tokens = F.size(toks)
+    sw_ratio = TS.stopword_ratio("text")
+    losers = (
+        D.minhash_near_dup_pairs(d, threshold=0.3)
+        .select(F.col("doc_b").alias("doc_id"))
+        .dropDuplicates()
+    )
+    return (
+        d.withColumn("n_tokens", n_tokens)
+        .withColumn("sw_ratio", sw_ratio)
+        .filter((F.col("n_tokens") >= 20) & (F.col("sw_ratio") >= 0.02))
+        .join(losers, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            TS.redact_pii("text").alias("clean_text"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Multimodal binary plumbing
 # --------------------------------------------------------------------------
