@@ -30,8 +30,10 @@ def range_join_within(
 ) -> DataFrame:
     """Inner range join: same key, right_ts in [left_ts, left_ts+gap]."""
     gap = F.lit(max_gap_seconds)
-    l_bucket = (F.unix_timestamp(F.col(left_ts)) / max_gap_seconds).cast("long")
-    r_bucket = (F.unix_timestamp(F.col(right_ts)) / max_gap_seconds).cast("long")
+    # floor, not cast: cast truncates toward zero, which mis-buckets
+    # pre-1970 (negative-epoch) timestamps
+    l_bucket = F.floor(F.unix_timestamp(F.col(left_ts)) / max_gap_seconds).cast("long")
+    r_bucket = F.floor(F.unix_timestamp(F.col(right_ts)) / max_gap_seconds).cast("long")
 
     l_cols = [F.col(c).alias(f"{left_prefix}{c}") for c in left.columns]
     r_cols = [F.col(c).alias(f"{right_prefix}{c}") for c in right.columns]

@@ -73,6 +73,30 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
     assert joined.count() == 1000
 
 
+def test_range_join_pre_epoch_timestamps(spark):
+    # negative epoch seconds: cast-truncation would mis-bucket these
+    t0 = datetime(1965, 6, 1)
+    rows = [(i, 1, t0 + timedelta(seconds=100 * i)) for i in range(30)]
+    ev = spark.createDataFrame(rows, "event_id int, user_id int, ts timestamp")
+    naive = (
+        ev.alias("a")
+        .join(
+            ev.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_id") != F.col("b.event_id"))
+            & (F.col("b.ts") >= F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 250 SECONDS")),
+        )
+        .count()
+    )
+    fast = (
+        range_join_within(ev, ev, ["user_id"], "ts", "ts", 250)
+        .filter(F.col("l_event_id") != F.col("r_event_id"))
+        .count()
+    )
+    assert fast == naive
+
+
 def test_range_join_matches_naive(spark):
     t0 = datetime(2024, 1, 1)
     rows = [(i, 1, t0 + timedelta(seconds=37 * i)) for i in range(40)] + [
