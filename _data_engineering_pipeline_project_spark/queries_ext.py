@@ -263,17 +263,92 @@ def minhash_lsh_near_dup_documents(spark: SparkSession, sf: str) -> DataFrame:
     return D.minhash_near_dup_pairs(table(spark, sf, "documents"), threshold=0.3)
 
 
-@query("dedup_clusters_documents")  # rows-only: iterative algorithm
+_MINHASH_PAIRS_CTES = f"""
+    tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM tok),
+    hx AS (SELECT doc_id,
+                  CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)
+                    % 2147483647 AS x
+           FROM sh),
+    mh AS (SELECT doc_id, t.i AS i,
+                  min(((2 * t.i + 1) * x + (11 * t.i + 7)) % 2147483647) AS h
+           FROM hx, unnest(generate_series(0, 31)) AS t(i)
+           GROUP BY doc_id, t.i),
+    bands AS (SELECT doc_id, i // 2 AS band,
+                     string_agg(CAST(h AS VARCHAR), '-' ORDER BY i) AS sig
+              FROM mh GROUP BY doc_id, i // 2),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+              FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              GROUP BY 1, 2),
+    dup_pairs AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      WHERE CAST(i.common AS DOUBLE) / (sa.n + sb.n - i.common) >= 0.3
+    )
+"""
+
+
+@query(
+    "dedup_clusters_documents",
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    ed AS (SELECT doc_a AS a, doc_b AS b FROM dup_pairs
+           UNION SELECT doc_b, doc_a FROM dup_pairs),
+    reach(id, r) AS (
+      SELECT a, b FROM ed
+      UNION
+      SELECT reach.id, ed.b FROM reach JOIN ed ON reach.r = ed.a
+    )
+    SELECT id, least(id, min(r)) AS cluster FROM reach GROUP BY id
+    """,
+)
 def dedup_clusters_documents(spark: SparkSession, sf: str) -> DataFrame:
-    """Near-dup CLUSTERS: transitive closure over the MinHash pair graph
-    (keep one doc per cluster at materialization time). Iterative label
-    propagation — the contract's 'genuinely non-SQL-expressible' class."""
+    """Near-dup CLUSTERS: transitive closure over the MinHash pair graph —
+    iterative min-label propagation on Spark, a recursive CTE in the
+    oracle. Docs a~b, b~c share one cluster even if a,c never paired."""
     pairs = D.minhash_near_dup_pairs(table(spark, sf, "documents"), threshold=0.3)
     return D.connected_components(pairs)
 
 
-@query("simhash_near_dup_documents")  # rows-only: bit-fold not SQL-friendly
+@query(
+    "simhash_near_dup_documents",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tk FROM documents),
+    hx AS (SELECT doc_id, CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT) AS x
+           FROM tok),
+    votes AS (
+      SELECT doc_id, j.j AS j,
+             sum(CASE WHEN (x >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+      FROM hx, unnest(generate_series(0, 59)) AS j(j)
+      GROUP BY doc_id, j.j
+    ),
+    sigs AS (SELECT doc_id,
+                    CAST(sum(CASE WHEN cnt > 0 THEN (1::BIGINT << j)
+                             ELSE 0 END) AS BIGINT) AS sig
+             FROM votes GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, sig, b.b AS band, (sig >> (b.b * 15)) & 32767 AS key
+      FROM sigs, unnest(generate_series(0, 3)) AS b(b)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 8
+    """,
+)
 def simhash_near_dup_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dups, oracle-checked end to end: the signature is
+    exact integer math (md5-derived 60-bit token hashes, bit votes,
+    band-bucketed Hamming verification) so DuckDB reproduces Spark's
+    pandas-UDF signatures bit for bit."""
     return D.simhash_near_dup_pairs(table(spark, sf, "documents"), max_hamming=8)
 
 
