@@ -585,7 +585,22 @@ def multimodal_binary_stats(spark: SparkSession, sf: str) -> DataFrame:
     return binary_stats(d)
 
 
-@query("multimodal_fake_decode")  # rows-only: mapInPandas stage
+@query(
+    "multimodal_fake_decode",
+    """
+    SELECT doc_id,
+           CAST(64 + (list_sum(list_transform(
+                 generate_series(1, least(64, length(text))),
+                 i -> ascii(substr(text, i, 1)))) % 1024) AS INTEGER) AS width,
+           CAST(64 + (octet_length(encode(text)) % 1024) AS INTEGER) AS height,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
 def multimodal_fake_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """mapInPandas decode stage, oracle-checked: the deterministic fake
+    codec derives dimensions from payload bytes, which the oracle
+    reproduces in SQL (documents are ASCII, so char ordinals == bytes —
+    verified; a real codec would make this rows-only)."""
     d = attach_binary_payload(table(spark, sf, "documents"))
     return fake_decode_images(d)
