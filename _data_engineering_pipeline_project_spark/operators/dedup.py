@@ -44,8 +44,19 @@ def md5_hash60(col: Column) -> Column:
 
 
 def shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a document (lowercased)."""
+    """Distinct word n-gram shingles of a document (lowercased).
+
+    NOTE: ``col`` should be a MATERIALIZED token-array column when used on
+    wide data — Catalyst does not common-subexpression-eliminate inside
+    lambda bodies, so passing the raw text column makes every
+    ``element_at`` re-run the tokenizer (O(tokens²) per row). See
+    ``_shingle_table``.
+    """
     toks = tokens(col)
+    return _shingles_of_tokens(toks, n)
+
+
+def _shingles_of_tokens(toks: Column, n: int) -> Column:
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -75,8 +86,13 @@ def exact_duplicate_groups(
 
 
 def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return df.select(
-        F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle")
+    # two-step projection: tokenize ONCE into a column, then shingle over
+    # the materialized array (tokenizing inside the shingle lambda would
+    # re-split the text per element access — O(tokens²) per doc)
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    return toked.select(
+        F.col(id_col),
+        F.explode(_shingles_of_tokens(F.col("__toks"), n)).alias("shingle"),
     )
 
 
@@ -137,19 +153,34 @@ def minhash_signatures(
     a single shuffle of (doc, i) keys. Deterministic coefficients make the
     signature reproducible anywhere (incl. the DuckDB oracle).
     """
-    sh = _shingle_table(df, id_col, text_col, shingle_n).withColumn(
-        "x", md5_hash60(F.col("shingle")) % MERSENNE_P
+    return minhash_signatures_from_shingles(
+        _shingle_table(df, id_col, text_col, shingle_n), id_col, num_hashes
     )
-    hashed = sh.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"),
-        F.col("x"),
-    ).withColumn(
-        "h",
-        ((F.lit(2) * F.col("i") + 1) * F.col("x") + (F.lit(11) * F.col("i") + 7))
-        % MERSENNE_P,
+
+
+def minhash_signatures_from_shingles(
+    shingle_table: DataFrame, id_col: str = "doc_id", num_hashes: int = 32
+) -> DataFrame:
+    """Signature from a pre-built (id, shingle) table — lets callers share
+    one shingle explode between signatures and verification.
+
+    The k hash functions are k min-aggregate EXPRESSIONS over one groupBy
+    (map-side partial aggregation), not a k-way row explode: for a corpus
+    with S shingle rows this aggregates S rows once instead of shuffling
+    k·S rows. Output stays narrow (id, i, h) for banding.
+    """
+    sh = shingle_table.withColumn("x", md5_hash60(F.col("shingle")) % MERSENNE_P)
+    aggs = [
+        F.min(
+            ((F.lit(2 * i + 1)) * F.col("x") + F.lit(11 * i + 7)) % MERSENNE_P
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    wide = sh.groupBy(id_col).agg(*aggs)
+    stack = "stack({n}, {args}) as (i, h)".format(
+        n=num_hashes, args=", ".join(f"{i}, h{i}" for i in range(num_hashes))
     )
-    return hashed.groupBy(id_col, "i").agg(F.min("h").alias("h"))
+    return wide.selectExpr(id_col, stack)
 
 
 def lsh_candidate_pairs(
@@ -201,17 +232,44 @@ def minhash_near_dup_pairs(
     """Full MinHash+LSH pipeline: candidates from banding, then EXACT
     Jaccard verification of candidates only (false positives dropped,
     so the output is exact over the candidate set)."""
+    sh = _shingle_table(df, id_col, text_col, shingle_n).cache()
     cands = lsh_candidate_pairs(
-        minhash_signatures(df, id_col, text_col, num_hashes, shingle_n),
+        minhash_signatures_from_shingles(sh, id_col, num_hashes),
         id_col,
         rows_per_band,
     )
-    exact = ngram_jaccard_pairs(df, id_col, text_col, shingle_n, threshold=0.0)
-    return (
-        cands.join(exact, ["doc_a", "doc_b"], "inner")
+    # exact-Jaccard verification restricted to CANDIDATE pairs only — the
+    # whole point of LSH is that the quadratic stage never touches
+    # non-candidates (an all-pairs verify would defeat it at scale)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = cands.join(
+        sh.select(F.col(id_col).alias("doc_a"), "shingle"), "doc_a"
+    )
+    common = (
+        sh_a.join(
+            sh.select(F.col(id_col).alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(
+            sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    return out
 
 
 SIMHASH_BITS = 60  # usable bits of the md5-derived hash; top 4 stay zero

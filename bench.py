@@ -18,6 +18,19 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# extension-operator timings reported separately (not in the headline
+# metric, which tracks the reference-surface queries against BASELINE)
+EXTENSION_QUERIES = [
+    "minhash_lsh_near_dup_documents",
+    "simhash_near_dup_documents",
+    "embedding_topk_bruteforce",
+    "embedding_topk_lsh",
+    "asof_join_events",
+    "range_join_events_pairs",
+    "corpus_curation_pipeline",
+    "token_counts_documents",
+]
+
 BENCH_QUERIES = [
     "pricing_summary",
     "revenue_by_nation",
@@ -40,6 +53,8 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
 
     from _data_engineering_pipeline_project_spark import queries as q
+    from _data_engineering_pipeline_project_spark import queries_ext  # noqa: F401
+    from _data_engineering_pipeline_project_spark import queries_ops  # noqa: F401
     from _data_engineering_pipeline_project_spark.session import get_spark
 
     spark = get_spark("bench")
@@ -64,6 +79,15 @@ def main() -> None:
         timings[name] = round(best, 3)
         total += best
 
+    ext_timings: dict[str, float] = {}
+    for name in EXTENSION_QUERIES:
+        fn = q.QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        ext_timings[name] = round(time.time() - t0, 3)
+
     print(
         json.dumps(
             {
@@ -71,6 +95,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "extensions": ext_timings,
                 "sf": sf,
             }
         )
