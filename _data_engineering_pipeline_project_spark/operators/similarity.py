@@ -125,6 +125,135 @@ def lsh_bucket(vec_col, dim: int, num_planes: int = 8):
     return _bucket(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
 
 
+def ivf_seed_centroids(
+    corpus: DataFrame,
+    num_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic IVF seed centroids: the ``num_centroids`` corpus
+    vectors with the smallest md5(id) digest (a portable uniform sample —
+    the same rows on any engine, cf. operators/sampling.py).
+
+    ``orderBy(...).limit(C)`` compiles to TakeOrderedAndProject — each
+    scan task keeps its local top-C, the driver merges C-sized heaps, so
+    seeding never shuffles the corpus. Real IVF would Lloyd-iterate from
+    these seeds; the seed-only variant keeps the partition/probe geometry
+    (and is exactly reproducible in the SQL oracle).
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    seeds = (
+        corpus.select(F.col(id_col), F.col(vec_col), h.alias("__h"))
+        .orderBy("__h", id_col)
+        .limit(num_centroids)
+    )
+    w = Window.orderBy("__h", F.col(id_col))
+    return seeds.select(
+        F.row_number().over(w).cast("int").alias("centroid_id"),
+        F.col(vec_col).alias("__cvec"),
+    )
+
+
+def _nearest_centroid_scores(
+    df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Cross-score every row against the (broadcast) centroid table with
+    the codegen'd cosine, rounded to 6 digits before any ranking so both
+    engines rank identical values."""
+    return df.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("centroid_id"),
+        F.round(
+            cosine_similarity(F.col(vec_col), F.col("__cvec")), 6
+        ).alias("__cos"),
+    )
+
+
+def topk_cosine_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k cosine via IVF (inverted-file) partitioning.
+
+    Plan shape (the 100 TB path): centroids are broadcast, so corpus
+    assignment is a map-side cross-score + ``max_by`` hash aggregate —
+    partial aggregation combines per-partition, shuffling ONE row per
+    corpus vector (never the corpus×centroids product). Queries probe
+    their ``nprobe`` nearest lists; candidates are corpus∩probed-lists
+    via a broadcast equi-join on centroid_id, so scored-candidate volume
+    is ~|corpus|·nprobe/num_centroids per query instead of |corpus|.
+
+    Fully deterministic (seeded centroids, 6-digit rounding, id
+    tie-breaks) → exact DuckDB-oracle parity, unlike hash-bucket LSH
+    whose recall is only measured statistically.
+    """
+    centroids = ivf_seed_centroids(corpus, num_centroids, id_col, vec_col)
+
+    # corpus → nearest list: argmax by (cosine, -centroid_id) struct order
+    # == SQL row_number() ORDER BY cos DESC, centroid_id ASC
+    assigned = (
+        _nearest_centroid_scores(corpus, centroids, id_col, vec_col)
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col("centroid_id").alias("cid"),
+                    F.col(vec_col).alias("vec"),
+                ),
+                F.struct(
+                    F.col("__cos").alias("c"),
+                    (-F.col("centroid_id")).alias("n"),
+                ),
+            ).alias("__best")
+        )
+        .select(
+            F.col(id_col),
+            F.col("__best.cid").alias("centroid_id"),
+            F.col("__best.vec").alias(vec_col),
+        )
+    )
+
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("__cos").desc(), F.col("centroid_id")
+    )
+    probes = (
+        _nearest_centroid_scores(q, centroids, query_id_col, "__qvec")
+        .withColumn("__rnk", F.row_number().over(wq))
+        .filter(F.col("__rnk") <= nprobe)
+        .select(query_id_col, "__qvec", "centroid_id")
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probes), on="centroid_id")
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col("__qvec")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rnk")
+    )
+
+
 def topk_cosine_lsh(
     corpus: DataFrame,
     queries: DataFrame,

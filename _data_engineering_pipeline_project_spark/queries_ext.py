@@ -482,6 +482,62 @@ def embedding_cosine_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.cosine_dup_pairs(table(spark, sf, "embeddings"), threshold=0.4)
 
 
+_TOPK_IVF_SQL = """
+    WITH seeds AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cvec,
+             md5(CAST(vec_id AS VARCHAR)) AS h
+      FROM embeddings ORDER BY h, vec_id LIMIT 8
+    ),
+    cent AS (
+      SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER)
+               AS centroid_id, cvec
+      FROM seeds
+    ),
+    cscore AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS vec, c.centroid_id,
+             round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS cos
+      FROM embeddings e, cent c
+    ),
+    assigned AS (
+      SELECT vec_id, vec, centroid_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cos DESC, centroid_id) AS arnk
+        FROM cscore) WHERE arnk = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, vec AS qv, centroid_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cos DESC, centroid_id) AS arnk
+        FROM cscore WHERE vec_id < 10) WHERE arnk <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             round(list_dot_product(a.vec, p.qv)
+                   / (sqrt(list_dot_product(a.vec, a.vec))
+                      * sqrt(list_dot_product(p.qv, p.qv))), 6) AS cosine
+      FROM assigned a JOIN probes p USING (centroid_id)
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+"""
+
+
+@query("embedding_topk_ivf", _TOPK_IVF_SQL)
+def embedding_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN: deterministic seed centroids, max_by list assignment,
+    nprobe=2 probe join — exact oracle parity (unlike hash-bucket LSH)."""
+    emb = table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.topk_cosine_ivf(emb, queries, k=5, num_centroids=8, nprobe=2)
+
+
 @query("embedding_topk_lsh")  # rows-only: approximate by design
 def embedding_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
     emb = table(spark, sf, "embeddings")

@@ -25,6 +25,7 @@ EXTENSION_QUERIES = [
     "simhash_near_dup_documents",
     "embedding_topk_bruteforce",
     "embedding_topk_lsh",
+    "embedding_topk_ivf",
     "asof_join_events",
     "range_join_events_pairs",
     "corpus_curation_pipeline",

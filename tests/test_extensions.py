@@ -114,6 +114,29 @@ def test_lsh_topk_recall(spark):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_ivf_topk_recall_and_shape(spark):
+    emb = _fake_embeddings(spark, n=80)
+    q = emb.filter(F.col("vec_id") < 5)
+    brute = SIM.topk_cosine_bruteforce(emb, q, k=3)
+    approx = SIM.topk_cosine_ivf(emb, q, k=3, num_centroids=4, nprobe=2)
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    rows = approx.collect()
+    a = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    assert all(r["neighbor_id"] != r["query_id"] for r in rows)
+    recall = len(a & b) / len(b)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_ivf_probes_all_lists_is_exact(spark):
+    # nprobe == num_centroids degenerates to exact search: every corpus
+    # vector is in some probed list, so results must equal brute force
+    emb = _fake_embeddings(spark, n=40)
+    q = emb.filter(F.col("vec_id") < 4)
+    brute = SIM.topk_cosine_bruteforce(emb, q, k=3)
+    full = SIM.topk_cosine_ivf(emb, q, k=3, num_centroids=4, nprobe=4)
+    assert sorted(map(tuple, brute.collect())) == sorted(map(tuple, full.collect()))
+
+
 def test_token_count_and_fingerprint(spark):
     df = spark.createDataFrame(
         [(1, "  Hello   World  "), (2, "hello world")], "doc_id long, text string"
