@@ -716,3 +716,92 @@ def sessionization_events(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.sum("new_session").alias("n_sessions"))
     )
+
+
+@query(
+    "session_window_events",
+    """
+    WITH seq AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+                 ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR ts >= prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END
+               AS new_session
+      FROM seq
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id
+                 ORDER BY ts NULLS FIRST
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def session_window_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Native ``session_window`` gap-merge (the state-store-backed operator
+    Structured Streaming uses) — unlike the lag+cumsum form above there is
+    no per-user sort window, just one hash aggregate whose grouping key
+    merges overlapping [ts, ts+gap) intervals. Boundary is half-open:
+    an event exactly gap after the previous STARTS a new session (hence
+    ``>=`` in the oracle's island flag, vs ``>`` in sessionization_events).
+    """
+    ev = table(spark, sf, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "large_order_customers",
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING sum(l_quantity) > 200)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def large_order_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): IN-subquery over an
+    aggregate → left-semi join against the pre-aggregated keys. The
+    aggregate side shrinks lineitem to one row per orderkey BEFORE the
+    semi join, and the customer dim joins broadcast — the only full-size
+    shuffle is the lineitem groupBy. l_quantity is integer-valued, so the
+    HAVING comparison is exact in both engines."""
+    li = table(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 200)
+        .select("l_orderkey")
+    )
+    return (
+        table(spark, sf, "orders")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(big, "l_orderkey", "left_semi")
+        .join(
+            F.broadcast(table(spark, sf, "customer")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    )

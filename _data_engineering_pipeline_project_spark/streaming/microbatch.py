@@ -178,3 +178,71 @@ def run_windowed_agg_stream(
     )
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def run_session_window_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    query_name: str = "session_agg",
+) -> DataFrame:
+    """Event-time session windows (gap-merged, state-store backed) — the
+    streaming twin of the batch ``session_window_events`` query. State per
+    (user, open session) is bounded by the watermark: sessions whose end
+    is older than the watermark are finalized and evicted."""
+    stream = spark.readStream.format("parquet").schema(schema).load(source_dir)
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col("user_id"),
+            F.session_window(F.col(ts_col), gap).alias("sw"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def run_streaming_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    query_name: str = "stream_dedup",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps the first-seen row per key and
+    evicts key state once the watermark passes — unlike plain
+    ``dropDuplicates`` on a stream, whose state grows forever. The batch
+    twin is keep_first (A3/A4)."""
+    stream = spark.readStream.format("parquet").schema(schema).load(source_dir)
+    dedup = stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {query_name}")

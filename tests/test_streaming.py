@@ -117,3 +117,86 @@ def test_windowed_agg_stream(spark, tmp_path):
     )
     rows = {(r["window_start"].hour, r["event_type"]): r["n_events"] for r in out.collect()}
     assert rows == {(10, "click"): 2, (11, "view"): 1}
+
+
+def test_session_window_stream(spark, tmp_path):
+    from datetime import datetime
+
+    from _data_engineering_pipeline_project_spark.streaming.microbatch import (
+        run_session_window_stream,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    t = datetime
+    src = str(tmp_path / "sessions")
+    # user 7: 10:00, 10:10, 10:20 merge into ONE session (gaps < 30m);
+    # 11:30 is > 30m after 10:20 -> second session. user 8: one event.
+    spark.createDataFrame(
+        [
+            (7, t(2024, 1, 1, 10, 0)),
+            (7, t(2024, 1, 1, 10, 10)),
+            (7, t(2024, 1, 1, 10, 20)),
+            (7, t(2024, 1, 1, 11, 30)),
+            (8, t(2024, 1, 1, 10, 0)),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(src)
+
+    out = run_session_window_stream(
+        spark, src, schema, query_name="session_agg_t"
+    ).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[7]) == 2 and len(by_user[8]) == 1
+    first = min(by_user[7], key=lambda r: r["session_start"])
+    assert first["n_events"] == 3
+    assert first["session_start"] == t(2024, 1, 1, 10, 0)
+    # session end = last event + gap
+    assert first["session_end"] == t(2024, 1, 1, 10, 50)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    from datetime import datetime
+
+    from _data_engineering_pipeline_project_spark.streaming.microbatch import (
+        run_streaming_dedup,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    t = datetime
+    src = str(tmp_path / "dups")
+    os.makedirs(src)
+    # duplicate event_ids across two files (micro-batches) within the
+    # watermark window -> exactly one survivor per id
+    spark.createDataFrame(
+        [
+            (1, t(2024, 1, 1, 10, 0), 1.0),
+            (2, t(2024, 1, 1, 10, 5), 2.0),
+            (1, t(2024, 1, 1, 10, 1), 99.0),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(os.path.join(src, "f1"))
+    spark.createDataFrame(
+        [
+            (2, t(2024, 1, 1, 10, 20), 88.0),
+            (3, t(2024, 1, 1, 10, 30), 3.0),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(os.path.join(src, "f2"))
+
+    out = run_streaming_dedup(
+        spark, src + "/*/", schema, ["event_id"], query_name="stream_dedup_t"
+    ).collect()
+    assert sorted(r["event_id"] for r in out) == [1, 2, 3]
