@@ -805,3 +805,91 @@ def large_order_customers(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
     )
+
+
+@query(
+    "cheapest_supplier_per_part",
+    """
+    SELECT DISTINCT l.l_partkey, l.l_suppkey, s.s_name,
+           l.l_extendedprice AS min_price
+    FROM lineitem l
+    JOIN (SELECT l_partkey, min(l_extendedprice) AS mp
+          FROM lineitem GROUP BY l_partkey) m
+      ON l.l_partkey = m.l_partkey AND l.l_extendedprice = m.mp
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    """,
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape (min-per-group correlated subquery, decorrelated):
+    aggregate once, join the min back on (key, value) equality — two
+    shuffles on l_partkey which AQE coalesces into co-partitioned stages;
+    the supplier dim is broadcast. Price equality compares stored double
+    bits (min of stored values IS a stored value) — exact in both
+    engines. Ties produce one row per tying supplier in both."""
+    li = (
+        table(spark, sf, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .alias("l")
+    )
+    m = (
+        table(spark, sf, "lineitem")
+        .groupBy(F.col("l_partkey").alias("m_partkey"))
+        .agg(F.min("l_extendedprice").alias("mp"))
+        .alias("m")
+    )
+    return (
+        li.join(
+            m,
+            (F.col("l.l_partkey") == F.col("m.m_partkey"))
+            & (F.col("l.l_extendedprice") == F.col("m.mp")),
+        )
+        .join(
+            F.broadcast(table(spark, sf, "supplier")),
+            F.col("l.l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            F.col("l.l_partkey"),
+            F.col("l.l_suppkey"),
+            F.col("s_name"),
+            F.col("l.l_extendedprice").alias("min_price"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "idle_rich_customers",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    """,
+)
+def idle_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar aggregate subquery (global avg broadcast as
+    a 1-row cross join — no collect, stays one lazy plan) + NOT EXISTS as
+    a left-anti join against filtered orders (every testdata customer has
+    SOME order, so the no-orders-at-all form would be vacuously empty).
+    The threshold compares the raw double avg (rounding a near-tie would
+    diverge between engines; unrounded only misfires within 1 ulp)."""
+    c = table(spark, sf, "customer")
+    avg_df = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("__avg"))
+    )
+    return (
+        c.join(
+            table(spark, sf, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .crossJoin(F.broadcast(avg_df))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .select("c_custkey", "c_name", "c_acctbal")
+    )

@@ -73,3 +73,26 @@ def test_ddl_generation():
     assert "LOCATION '/data/lineitem'" in ddl
     assert "-- PRIMARY KEY (l_orderkey, l_linenumber)" in ddl
     assert "-- FOREIGN KEY (l_orderkey) REFERENCES orders(o_orderkey)" in ddl
+
+
+def test_large_order_customers_plan(spark):
+    from _data_engineering_pipeline_project_spark.plans.audit import explain_str
+
+    df = q.QUERIES["large_order_customers"](spark, SF)
+    plan = explain_str(df)
+    # the IN-subquery must decorrelate to a semi join, never a cartesian
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    # customer dim joins broadcast
+    assert broadcast_join_count(df) >= 1
+
+
+def test_idle_rich_customers_plan(spark):
+    from _data_engineering_pipeline_project_spark.plans.audit import explain_str
+
+    df = q.QUERIES["idle_rich_customers"](spark, SF)
+    plan = explain_str(df)
+    # NOT EXISTS → anti join; urgent-orders filter pushed to the scan
+    assert "LeftAnti" in plan
+    pushed = pushed_filters(df)
+    assert any("o_orderpriority" in f for f in pushed), pushed
