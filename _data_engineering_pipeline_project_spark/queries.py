@@ -893,3 +893,163 @@ def idle_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("c_acctbal") > F.col("__avg"))
         .select("c_custkey", "c_name", "c_acctbal")
     )
+
+
+@query(
+    "waiting_suppliers",
+    """
+    SELECT s.s_name, count(DISTINCT l1.l_orderkey) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    """,
+)
+def waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who were the SOLE late shipper on a
+    multi-supplier finished order). The reference has no such operator;
+    this exercises the hardest decorrelation: correlated EXISTS +
+    NOT EXISTS over the same fact table.
+
+    Spark-first rewrite: instead of two self-joins (what a naive EXISTS
+    translation produces — three scans of lineitem shuffled twice), compute
+    per-order supplier counts ONCE (n_supp, n_late_supp) and filter on
+    (n_supp > 1 AND n_late_supp == 1). One groupBy shuffle on l_orderkey,
+    reused by the join back (AQE co-partitions); supplier dim broadcast.
+    At 100 TB this is the difference between 2 and 4 full fact shuffles."""
+    li = table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = (
+        table(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    return (
+        j.filter(F.col("is_late"))
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            per_order.filter(
+                (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+            ).select("l_orderkey"),
+            "l_orderkey",
+        )
+        .join(
+            F.broadcast(table(spark, sf, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+    )
+
+
+@query(
+    "unpivot_lineitem_measures",
+    """
+    WITH longf AS (
+      SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val
+      FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+    )
+    SELECT l_returnflag, measure,
+           round(sum(val), 2) AS total,
+           CAST(count(*) AS BIGINT) AS n
+    FROM longf
+    GROUP BY l_returnflag, measure
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide→long reshape (melt) + aggregate: the ETL complement of the
+    pivot query. Native `DataFrame.unpivot` stays in whole-stage codegen
+    (one scan, the 4× row expansion happens inside the stage — no union of
+    4 scans, which is what the portable oracle SQL spells). Summed columns
+    carry ≤2 decimals, so round(2) has no halfway cases (see module
+    docstring)."""
+    return (
+        table(spark, sf, "lineitem")
+        .select(
+            "l_returnflag", "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+        )
+        .unpivot(
+            ["l_returnflag"],
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            "measure",
+            "val",
+        )
+        .groupBy("l_returnflag", "measure")
+        .agg(
+            F.round(F.sum("val"), 2).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "disjunctive_part_revenue",
+    """
+    SELECT p_brand,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 30)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 5 AND 50)
+    GROUP BY p_brand
+    """,
+)
+def disjunctive_part_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides.
+    Catalyst extracts the common `p_brand IN (...)` / quantity bounds as
+    pushable conjuncts (visible as PushedFilters on both scans) while the
+    cross-table residual evaluates post-join; part is broadcast. Revenue
+    terms have 4 decimals → round(4) (no halfway cases; round(2)
+    diverges between engines — module docstring)."""
+    li = table(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = table(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    cond1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 30)
+    )
+    cond2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(5, 50)
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond1 | cond2)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

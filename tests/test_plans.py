@@ -96,3 +96,26 @@ def test_idle_rich_customers_plan(spark):
     assert "LeftAnti" in plan
     pushed = pushed_filters(df)
     assert any("o_orderpriority" in f for f in pushed), pushed
+
+
+def test_disjunctive_part_revenue_plan(spark):
+    # Q19 shape: the OR-of-ANDs must split into per-side conjuncts pushed
+    # to BOTH parquet scans, with the part side broadcast
+    df = q.QUERIES["disjunctive_part_revenue"](spark, SF)
+    pushed = pushed_filters(df)
+    assert any("p_brand" in f and "Or(" in f for f in pushed), pushed
+    assert any("l_quantity" in f and "Or(" in f for f in pushed), pushed
+    assert broadcast_join_count(df) >= 1
+
+
+def test_waiting_suppliers_plan(spark):
+    from _data_engineering_pipeline_project_spark.plans.audit import explain_str
+
+    df = q.QUERIES["waiting_suppliers"](spark, SF)
+    plan = explain_str(df)
+    # decorrelated form: no cartesian, supplier dim broadcast, and the
+    # orders status filter reaches the scan
+    assert "CartesianProduct" not in plan
+    assert broadcast_join_count(df) >= 1
+    pushed = pushed_filters(df)
+    assert any("o_orderstatus" in f for f in pushed), pushed
