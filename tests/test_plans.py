@@ -119,3 +119,35 @@ def test_waiting_suppliers_plan(spark):
     assert broadcast_join_count(df) >= 1
     pushed = pushed_filters(df)
     assert any("o_orderstatus" in f for f in pushed), pushed
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """At 100 TB the fact table is partitioned on a date-derived column;
+    a selective dim filter must prune fact PARTITIONS at runtime (DPP),
+    not scan everything and filter post-join."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "li_by_month")
+    (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .withColumn("ship_month", F.date_format("l_shipdate", "yyyy-MM"))
+        .write.partitionBy("ship_month")
+        .parquet(path)
+    )
+    fact = spark.read.parquet(path)
+    # selective dim whose surviving months are only knowable at RUNTIME
+    # (filter on a non-join column — a literal month filter would fold
+    # into a static partition filter via constraint propagation instead)
+    dim = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.date_format("o_orderdate", "yyyy-MM").alias("m"))
+        .distinct()
+    )
+    joined = fact.join(F.broadcast(dim), fact.ship_month == dim.m).groupBy(
+        "ship_month"
+    ).count()
+    from _data_engineering_pipeline_project_spark.plans.audit import explain_str
+
+    plan = explain_str(joined)
+    assert "dynamicpruning" in plan, plan
