@@ -96,3 +96,94 @@ def fake_decode_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(decode, schema=out_schema)
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Real resize — requires PIL, absent in this container."""
+    if not _HAS_PIL:  # pragma: no cover
+        raise NotImplementedError(
+            "image resize requires PIL/pillow; not available in this environment"
+        )
+    import io
+
+    with Image.open(io.BytesIO(payload)) as im:  # pragma: no cover
+        buf = io.BytesIO()
+        im.resize((width, height)).save(buf, format=im.format or "PNG")
+        return buf.getvalue()
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in: 'resample' to width*height bytes by striding
+    (downscale) or tiling (upscale) the source bytes."""
+    target = width * height
+    if not payload:
+        return b"\x00" * target
+    if len(payload) >= target:
+        step = len(payload) / target
+        return bytes(payload[int(i * step)] for i in range(target))
+    reps = -(-target // len(payload))
+    return (payload * reps)[:target]
+
+
+def fake_resize_images(
+    df: DataFrame, width: int, height: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """mapInPandas 'resize' stage: binary in → binary out, the shape of any
+    payload-transforming media op (transcode, crop, thumbnail). Output
+    metadata is recomputed JVM-side by re-running ``attach``-style exprs on
+    the new payload."""
+    out_schema = f"{id_col} long, payload binary"
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": pdf["payload"].map(
+                        lambda p: _fake_resize(p, width, height)
+                    ),
+                }
+            )
+
+    resized = df.select(id_col, "payload").mapInPandas(resize, schema=out_schema)
+    return resized.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image/fake-resized").alias("content_type"),
+            F.octet_length("payload").alias("n_bytes"),
+            F.sha2(F.col("payload"), 256).alias("sha256"),
+        ),
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_bytes: int = 256,
+    every_n: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame-sampling stage for 'video' payloads: treat the binary payload
+    as a sequence of fixed-size frame blocks and emit every Nth frame as
+    its own row — the 1→many mapInPandas expansion every video pipeline
+    needs (a codec would replace the block-slicing with real frame
+    extraction; the distributed shape is identical). Emits
+    (id, frame_idx, frame payload, crc) with frame_idx the index in the
+    ORIGINAL stream, so downstream ops can reconstruct timing."""
+    out_schema = f"{id_col} long, frame_idx int, frame binary, frame_crc long"
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, blocks, crcs = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                n_frames = len(payload) // frame_bytes
+                for i in range(0, n_frames, every_n):
+                    block = payload[i * frame_bytes : (i + 1) * frame_bytes]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    blocks.append(block)
+                    crcs.append(sum(block))
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "frame": blocks, "frame_crc": crcs}
+            )
+
+    return df.select(id_col, "payload").mapInPandas(frames, schema=out_schema)

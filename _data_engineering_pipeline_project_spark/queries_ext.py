@@ -14,6 +14,8 @@ from _data_engineering_pipeline_project_spark.multimodal.binary import (
     attach_binary_payload,
     binary_stats,
     fake_decode_images,
+    fake_resize_images,
+    sample_frames,
 )
 from _data_engineering_pipeline_project_spark.operators import dedup as D
 from _data_engineering_pipeline_project_spark.operators import similarity as SIM
@@ -660,3 +662,36 @@ def multimodal_fake_decode(spark: SparkSession, sf: str) -> DataFrame:
     verified; a real codec would make this rows-only)."""
     d = attach_binary_payload(table(spark, sf, "documents"))
     return fake_decode_images(d)
+
+
+@query(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id,
+           CAST(f AS INTEGER) AS frame_idx,
+           CAST(list_sum(list_transform(
+                 generate_series(f * 256 + 1, f * 256 + 256),
+                 i -> ascii(substr(text, i, 1)))) AS BIGINT) AS frame_crc
+    FROM documents,
+         LATERAL (SELECT unnest(generate_series(
+                    0, CAST(length(text) // 256 AS INTEGER) - 1, 4)) AS f)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """mapInPandas frame-sampling stage (video-pipeline shape): payload
+    sliced into 256-byte 'frames', every 4th emitted as its own row. The
+    1→many expansion and CRC are reproduced in the oracle via per-char
+    ordinal sums (ASCII docs: char ordinals == payload bytes)."""
+    d = attach_binary_payload(table(spark, sf, "documents"))
+    return sample_frames(d, frame_bytes=256, every_n=4).select(
+        "doc_id", "frame_idx", "frame_crc"
+    )
+
+
+@query("multimodal_fake_resize")  # rows-only: striding math is UDF-internal
+def multimodal_fake_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary→binary resize stage; metadata recomputed JVM-side on the new
+    payload. Verified in pytest against a pure-Python reference
+    (test_extensions.py); the driver records a rows-only check."""
+    d = attach_binary_payload(table(spark, sf, "documents"))
+    return binary_stats(fake_resize_images(d, 32, 32))

@@ -227,3 +227,54 @@ def test_decode_image_stub_raises():
     if not B._HAS_PIL:
         with pytest.raises(NotImplementedError):
             B.decode_image(b"\x89PNG")
+
+
+def test_fake_resize_semantics(spark):
+    from _data_engineering_pipeline_project_spark.multimodal.binary import (
+        _fake_resize,
+        fake_resize_images,
+    )
+
+    # pure-python reference behavior: exact target size, stride/tile rules
+    assert _fake_resize(b"", 4, 4) == b"\x00" * 16
+    assert _fake_resize(b"ab", 2, 3) == b"ababab"          # tile up
+    assert len(_fake_resize(bytes(range(100)), 4, 4)) == 16  # stride down
+    df = spark.createDataFrame(
+        [(1, "x" * 10), (2, "hello world, a longer payload")],
+        "doc_id long, text string",
+    )
+    from _data_engineering_pipeline_project_spark.multimodal.binary import (
+        attach_binary_payload,
+    )
+
+    out = {
+        r["doc_id"]: r
+        for r in fake_resize_images(attach_binary_payload(df), 8, 8).collect()
+    }
+    assert all(len(r["payload"]) == 64 for r in out.values())
+    assert out[1]["media_meta"]["n_bytes"] == 64
+    # deterministic: same input → same bytes
+    assert out[1]["payload"] == bytes(_fake_resize(b"x" * 10, 8, 8))
+
+
+def test_sample_frames_matches_python_reference(spark):
+    from _data_engineering_pipeline_project_spark.multimodal.binary import (
+        attach_binary_payload,
+        sample_frames,
+    )
+
+    texts = [(1, "a" * 50), (2, "b" * 300), (3, "c" * 1300)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["frame_idx"], bytes(r["frame"]), r["frame_crc"])
+        for r in sample_frames(
+            attach_binary_payload(df), frame_bytes=100, every_n=3
+        ).collect()
+    )
+    want = []
+    for doc_id, text in texts:
+        payload = text.encode()
+        for i in range(0, len(payload) // 100, 3):
+            block = payload[i * 100 : (i + 1) * 100]
+            want.append((doc_id, i, block, sum(block)))
+    assert got == sorted(want)  # doc1: 0 frames; doc2: 1; doc3: frames 0,3,6,9,12
