@@ -1053,3 +1053,171 @@ def disjunctive_part_revenue(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@query(
+    "customer_order_distribution",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+          FROM customer
+          LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): left OUTER
+    join with the priority filter INSIDE the join condition (a WHERE would
+    silently turn it inner and drop zero-order customers), then a double
+    aggregation. count(o_orderkey) counts matches only — null for
+    no-order customers — giving the c_count=0 bucket. First groupBy
+    shuffles on c_custkey; the second input is at most |distinct counts|
+    rows, so its shuffle is negligible at any scale."""
+    c = table(spark, sf, "customer").select("c_custkey")
+    o = table(spark, sf, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "promo_revenue_ratio",
+    """
+    SELECT round(100.0 * promo / total, 6) AS promo_pct,
+           promo AS promo_revenue, total AS total_revenue
+    FROM (SELECT round(sum(CASE WHEN p_type = 'PROMO'
+                               THEN l_extendedprice * (1 - l_discount)
+                               ELSE 0 END), 4) AS promo,
+                 round(sum(l_extendedprice * (1 - l_discount)), 4) AS total
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01')
+    """,
+)
+def promo_revenue_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape (promo revenue share): conditional aggregate ratio
+    in ONE pass over the date-pruned lineitem slice — the shipdate range
+    reaches the scan as a pushed filter, part is broadcast, and both
+    branches of the ratio come from a single hash aggregate (no second
+    scan for the denominator). Each sum is rounded at 4 decimals (exact —
+    the terms have 4-decimal granularity) BEFORE the division, so the
+    ratio divides bit-identical doubles in both engines."""
+    li = table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = table(spark, sf, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))), 4
+            ).alias("promo"),
+            F.round(F.sum(rev), 4).alias("total"),
+        )
+    )
+    return agg.select(
+        F.round(100.0 * F.col("promo") / F.col("total"), 6).alias("promo_pct"),
+        F.col("promo").alias("promo_revenue"),
+        F.col("total").alias("total_revenue"),
+    )
+
+
+@query(
+    "top_revenue_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 4)
+             AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-07-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def top_revenue_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier by windowed revenue): the CTE-backed
+    scalar-max subquery becomes aggregate → 1-row max → broadcast cross
+    join back, all one lazy plan (no collect, no second lineitem scan —
+    Spark reuses the rev aggregate for both branches under AQE). Per-
+    supplier revenue is rounded at 4 decimals BEFORE max/compare, so the
+    equality matches bit-identical doubles in both engines; ties emit one
+    row per tying supplier in both."""
+    rev = (
+        table(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+            .alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(
+            F.broadcast(table(spark, sf, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "small_order_part_revenue",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (SELECT l_partkey AS a_partkey,
+                 sum(l_quantity) / count(l_quantity) AS avg_qty
+          FROM lineitem GROUP BY l_partkey) a
+      ON a_partkey = l_partkey
+    WHERE p_brand = 'Brand#1' AND l_quantity < 0.5 * avg_qty
+    """,
+)
+def small_order_part_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity orders vs per-part average): the
+    correlated scalar subquery `0.2 * avg(l_quantity) WHERE partkey = ...`
+    decorrelates to one groupBy over lineitem joined back on partkey —
+    two shuffles on l_partkey that AQE co-partitions, vs one shuffle per
+    part for the naive correlated plan. The boundary compare is exact:
+    l_quantity is integer-valued, its per-part sum is an exactly-
+    representable double regardless of partial-agg order, so sum/count is
+    bit-identical in both engines (spelled sum/count in the oracle —
+    DuckDB's avg() uses a different summation order)."""
+    li = table(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_q = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.sum("l_quantity") / F.count("l_quantity")).alias("avg_qty")
+    )
+    p = (
+        table(spark, sf, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_q, F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
