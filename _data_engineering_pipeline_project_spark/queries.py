@@ -1221,3 +1221,228 @@ def small_order_part_revenue(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
     )
+
+
+@query(
+    "nation_pair_shipping_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 4) AS revenue
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM supplier
+          JOIN lineitem ON s_suppkey = l_suppkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                               AND TIMESTAMP '1997-12-31')
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def nation_pair_shipping_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape (bilateral shipping volume): the same dimension table
+    joined TWICE under different roles (supplier nation vs customer
+    nation) with a symmetric pair predicate. Both nation joins and the
+    supplier/customer dims broadcast, so the only big shuffle is
+    lineitem⋈orders; the nation-pair filter can't prune the fact scans
+    (it needs both sides joined) but the shipdate range pushes down."""
+    n1 = table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    li = table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp"),
+            F.lit("1997-12-31").cast("timestamp"),
+        )
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(
+            F.broadcast(table(spark, sf, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            table(spark, sf, "orders").select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(table(spark, sf, "customer").select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "nation_market_share",
+    """
+    SELECT o_year,
+           round(round(sum(CASE WHEN nat = 'NATION_3' THEN volume
+                                ELSE 0 END), 4)
+                 / round(sum(volume), 4), 6) AS mkt_share
+    FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                 l_extendedprice * (1 - l_discount) AS volume,
+                 n_name AS nat
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN part ON l_partkey = p_partkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE p_type = 'ECONOMY')
+    GROUP BY o_year
+    """,
+)
+def nation_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape (market share of one nation per year): conditional
+    share-of-total ratio from a single aggregate pass — numerator and
+    denominator both come from one hash agg, no second scan. The
+    p_type filter prunes through the broadcast part join; numerator and
+    denominator are each rounded at 4 decimals (exact for 4-decimal
+    terms) BEFORE the division so the ratio is bit-deterministic."""
+    li = table(spark, sf, "lineitem")
+    p = (
+        table(spark, sf, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            table(spark, sf, "orders").select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(table(spark, sf, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(table(spark, sf, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.round(
+                    F.sum(F.when(F.col("n_name") == "NATION_3", vol).otherwise(0.0)), 4
+                )
+                / F.round(F.sum(vol), 4),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "product_profit_by_nation_year",
+    """
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)
+                     - p_retailprice * l_quantity), 4) AS sum_profit
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, o_year
+    """,
+)
+def product_profit_by_nation_year(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): LIKE-filtered part dim
+    pruning a 4-way star join, profit grouped by supplier nation and
+    order year. The testdata has no partsupp/supplycost table, so cost is
+    p_retailprice * l_quantity (2-decimal x integer keeps the summed
+    terms at 4-decimal granularity -> round(4) exact). Part/supplier/
+    nation broadcast; lineitem⋈orders is the single big shuffle."""
+    p = (
+        table(spark, sf, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        table(spark, sf, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            table(spark, sf, "orders").select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(table(spark, sf, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(table(spark, sf, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            profit.alias("__p"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("__p"), 4).alias("sum_profit"))
+    )
+
+
+@query(
+    "priority_line_counts",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def priority_line_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode priority classification): conditional
+    counts splitting one pass by a CASE over the joined dimension's
+    priority — no second scan per class. The shipdate range is the only
+    pushed fact filter; integer counts are exact in both engines. The
+    testdata lacks l_shipmode, so l_returnflag plays the grouping role
+    (same plan shape: group on a low-cardinality fact column)."""
+    li = table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.select("l_orderkey", "l_returnflag")
+        .join(
+            table(spark, sf, "orders").select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
