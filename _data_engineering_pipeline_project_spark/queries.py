@@ -1446,3 +1446,175 @@ def priority_line_counts(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+@query(
+    "filtered_revenue_forecast",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def filtered_revenue_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): pure scan-filter-agg, no
+    join — the canonical pushdown benchmark. All three predicates reach
+    the parquet scan as PushedFilters (only shipdate/discount/quantity/
+    extendedprice columns are read); the aggregate is a single partial+
+    final pass. Discount values are exact 2-decimal doubles stored in the
+    data, so BETWEEN on them compares identically in both engines."""
+    li = table(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "important_part_inventory",
+    """
+    WITH value_per_part AS (
+      SELECT l_partkey, round(sum(l_extendedprice), 2) AS part_value
+      FROM lineitem GROUP BY l_partkey)
+    SELECT l_partkey, part_value
+    FROM value_per_part
+    WHERE part_value > (SELECT round(sum(l_extendedprice), 2) * 1.5
+                               / count(DISTINCT l_partkey)
+                        FROM lineitem)
+    """,
+)
+def important_part_inventory(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape (parts above a fraction of global value): HAVING
+    against a global scalar subquery over the SAME aggregate input. Spark
+    plan: one groupBy on l_partkey + a 1-row global agg broadcast as a
+    cross join — no correlated re-scan per group. Both sides round at 2
+    decimals (l_extendedprice is 2-decimal, sums land exactly) before the
+    strict compare, so the threshold test is bit-deterministic; the
+    *1.5/n arithmetic over identical doubles and an exact integer count
+    is identical in both engines. Threshold = 1.5x the average per-part
+    value, which scales with sf (a fixed fraction of total would empty
+    out as the part count grows)."""
+    li = table(spark, sf, "lineitem").select("l_partkey", "l_extendedprice")
+    per_part = li.groupBy("l_partkey").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("part_value")
+    )
+    total = li.agg(
+        (
+            F.round(F.sum("l_extendedprice"), 2)
+            * 1.5
+            / F.countDistinct("l_partkey")
+        ).alias("__threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("__threshold"))
+        .select("l_partkey", "part_value")
+    )
+
+
+@query(
+    "supplier_count_by_part_class",
+    """
+    SELECT p_brand, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type <> 'PROMO'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    """,
+)
+def supplier_count_by_part_class(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier diversity per part class): distinct-agg
+    over an anti-joined fact. NOT IN over a non-null key column becomes a
+    left-anti join against the filtered supplier dim (broadcast — the
+    excluded set is tiny); the negated part predicates prune through the
+    broadcast part join. countDistinct expands to a two-phase partial
+    distinct + final count, so the shuffle carries deduped (group, supp)
+    pairs, not raw lineitem rows."""
+    bad_supp = (
+        table(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = (
+        table(spark, sf, "part")
+        .filter((F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO"))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    return (
+        table(spark, sf, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "excess_stock_suppliers",
+    """
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_type = 'PROMO')
+        GROUP BY l_suppkey, l_partkey
+        HAVING sum(l_quantity) > 100)
+      AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+    """,
+)
+def excess_stock_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers holding excess stock of a part class):
+    a two-level nested IN chain — parts of a type -> per-(supplier, part)
+    shipped quantity above a threshold -> supplier semi join. Each IN
+    level decorrelates to a semi join against a pre-aggregated key set;
+    the part filter is broadcast into the fact scan side, the groupBy on
+    (l_suppkey, l_partkey) is the single fact shuffle, and the final
+    semi join against the supplier dim is broadcast. l_quantity sums are
+    integer-valued -> the HAVING threshold is exact in both engines."""
+    promo_parts = (
+        table(spark, sf, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    heavy_supp = (
+        table(spark, sf, "lineitem")
+        .join(F.broadcast(promo_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 100)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        table(spark, sf, "supplier")
+        .join(F.broadcast(heavy_supp), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(
+            F.broadcast(
+                table(spark, sf, "nation").filter(
+                    F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
