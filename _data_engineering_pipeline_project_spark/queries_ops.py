@@ -461,3 +461,36 @@ def topk_parts_per_brand(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("p_brand", "l_partkey", "revenue", "rnk")
     )
+
+
+@query(
+    "grouping_sets_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+           round(sum(l_quantity), 2) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def grouping_sets_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Native GROUPING SETS (the general form behind cube/rollup): three
+    explicit granularities in ONE aggregate pass — Spark's Expand node
+    replicates each input row once per set inside the stage, so there is
+    exactly one shuffle regardless of how many sets are requested (a
+    UNION-of-groupBys would scan and shuffle once per set). grouping()
+    flags disambiguate subtotal rows from genuine NULL group keys."""
+    table(spark, sf, "lineitem").createOrReplaceTempView("v_li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n
+        FROM v_li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
