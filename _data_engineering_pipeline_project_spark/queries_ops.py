@@ -494,3 +494,47 @@ def grouping_sets_lineitem(spark: SparkSession, sf: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )
+
+
+@query(
+    "incremental_rollup_orders",
+    """
+    WITH b1 AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+         b2 AS (SELECT * FROM orders WHERE o_orderkey % 2 = 1),
+         allb AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+    SELECT o_orderstatus,
+           CAST(count(o_totalprice) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total,
+           vmin, vmax
+    FROM allb
+    JOIN (SELECT o_orderstatus AS s2, min(o_totalprice) AS vmin,
+                 max(o_totalprice) AS vmax
+          FROM allb GROUP BY 1) ON s2 = o_orderstatus
+    GROUP BY o_orderstatus, vmin, vmax
+    """,
+)
+def incremental_rollup_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance verified end-to-end:
+    orders split into two micro-batches, each partial-aggregated and
+    monoid-merged into the rollup (streaming/aggmaint.py — counts/sums
+    add, min/max take least/greatest). The oracle recomputes the same
+    rollup from scratch over all rows: incremental == full recompute is
+    exactly the invariant that makes per-batch O(batch) maintenance
+    correct at 100 TB. Sums rounded at 2 (o_totalprice is 2-decimal) —
+    note the incremental path adds two partial sums, which lands on the
+    same 2-decimal value as the one-pass sum."""
+    from _data_engineering_pipeline_project_spark.streaming.aggmaint import (
+        merge_rollup,
+        partial_agg,
+    )
+
+    o = table(spark, sf, "orders")
+    b1 = o.filter(F.col("o_orderkey") % 2 == 0)
+    b2 = o.filter(F.col("o_orderkey") % 2 == 1)
+    r1 = merge_rollup(partial_agg(b1, ["o_orderstatus"], "o_totalprice"), None,
+                      ["o_orderstatus"])
+    r2 = merge_rollup(partial_agg(b2, ["o_orderstatus"], "o_totalprice"), r1,
+                      ["o_orderstatus"])
+    return r2.select(
+        "o_orderstatus", "n", F.round("total", 2).alias("total"), "vmin", "vmax"
+    )

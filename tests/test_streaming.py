@@ -200,3 +200,66 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         spark, src + "/*/", schema, ["event_id"], query_name="stream_dedup_t"
     ).collect()
     assert sorted(r["event_id"] for r in out) == [1, 2, 3]
+
+
+def test_agg_maintainer_matches_full_recompute(spark, tmp_path):
+    from _data_engineering_pipeline_project_spark.streaming.aggmaint import (
+        AggMaintainer,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "facts")
+    os.makedirs(src)
+    m = AggMaintainer(spark, str(tmp_path / "rollup"), ["k"], "v")
+    ckpt = str(tmp_path / "ckpt")
+
+    batches = [
+        [("a", 1.0), ("a", 3.0), ("b", 5.0)],
+        [("b", -2.0), ("c", 7.0)],
+        [("a", 10.0), ("c", 0.5), ("c", 2.5)],
+    ]
+    seen = []
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(src, f"b{i}")
+        )
+        seen += rows
+        m.run_available_now(src + "/*/", schema, ckpt)
+
+        # incremental rollup == full recompute over everything seen so far
+        import pyspark.sql.functions as F
+
+        want = {
+            r["k"]: (r["n"], r["total"], r["vmin"], r["vmax"])
+            for r in spark.createDataFrame(seen, schema)
+            .groupBy("k")
+            .agg(
+                F.count("v").alias("n"),
+                F.sum("v").alias("total"),
+                F.min("v").alias("vmin"),
+                F.max("v").alias("vmax"),
+            )
+            .collect()
+        }
+        got = {
+            r["k"]: (r["n"], r["total"], r["vmin"], r["vmax"])
+            for r in m.current().collect()
+        }
+        assert got == want, f"after batch {i}"
+
+    # derived avg
+    avgs = {r["k"]: r["vavg"] for r in m.result().collect()}
+    assert avgs["a"] == (1.0 + 3.0 + 10.0) / 3
+
+    # re-draining with the same checkpoint merges nothing new (exactly-once)
+    m.run_available_now(src + "/*/", schema, ckpt)
+    assert {r["k"]: (r["n"], r["total"]) for r in m.current().collect()} == {
+        "a": (3, 14.0),
+        "b": (2, 3.0),
+        "c": (3, 10.0),
+    }
