@@ -6,6 +6,8 @@ from __future__ import annotations
 
 from datetime import datetime
 
+import pytest
+
 from pyspark.sql import types as T
 
 from _data_engineering_pipeline_project_spark.streaming.stateful import (
@@ -37,3 +39,55 @@ def test_running_user_stats(spark, tmp_path):
     }
     assert out[1] == (3, 13.0, t(2024, 1, 2, 10))
     assert out[2] == (1, 2.0, t(2024, 1, 1, 11))
+
+
+def test_threshold_alerts_across_batches(spark, tmp_path):
+    # transformWithStateInPandas runs a protobuf-based state-server worker;
+    # this container lacks google.protobuf, so the operator is deploy-gated
+    # (same policy as the PIL-gated image decode)
+    pytest.importorskip("google.protobuf")
+    from _data_engineering_pipeline_project_spark.streaming.transform_state import (
+        cumulative_threshold_alerts,
+    )
+
+    src = str(tmp_path / "tsrc")
+    t = datetime
+    # batch 1: user 1 reaches 7.0 (no crossing at 10), user 2 reaches 25.0
+    # (crosses 10 and 20 in one event)
+    spark.createDataFrame(
+        [(1, t(2024, 1, 1, 10), 7.0), (2, t(2024, 1, 1, 11), 25.0)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    # batch 2: user 1 adds 5.0 -> 12.0 (crosses 10); user 2 adds 4.0 -> 29.0
+    # (no new crossing) — requires state to have survived batch 1
+    spark.createDataFrame(
+        [(1, t(2024, 1, 2, 9), 5.0), (2, t(2024, 1, 2, 9), 4.0)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    rows = cumulative_threshold_alerts(spark, src, SCHEMA, 10.0).collect()
+    alerts = sorted(
+        (r["user_id"], r["crossed_multiple"], r["running_total"]) for r in rows
+    )
+    assert alerts == [
+        (1, 1, 12.0),   # crossed 10 only once state carried 7.0 forward
+        (2, 1, 25.0),   # one event crossing two multiples -> two alerts
+        (2, 2, 25.0),
+    ]
+
+
+def test_fold_alerts_pure_semantics():
+    from _data_engineering_pipeline_project_spark.streaming.transform_state import (
+        fold_alerts,
+    )
+
+    # resume from carried state: 7.0 + 5.0 crosses 10 exactly once
+    total, crossings, alerts = fold_alerts(7.0, 0, [5.0], 10.0)
+    assert (total, crossings, alerts) == (12.0, 1, [(1, 12.0)])
+    # one event crossing two multiples fires two alerts
+    total, crossings, alerts = fold_alerts(0.0, 0, [25.0], 10.0)
+    assert alerts == [(1, 25.0), (2, 25.0)]
+    # no re-alerting on multiples already crossed
+    total, crossings, alerts = fold_alerts(total, crossings, [4.0], 10.0)
+    assert alerts == []
+    # landing exactly ON a multiple counts as crossed
+    _, _, alerts = fold_alerts(5.0, 0, [5.0], 10.0)
+    assert alerts == [(1, 10.0)]
