@@ -47,6 +47,33 @@ BENCH_QUERIES = [
     "null_counts_events",
 ]
 
+# all 22 TPC-H query patterns (timed separately from the headline metric,
+# which tracks the reference-surface queries against BASELINE)
+TPCH_QUERIES = [
+    "pricing_summary",                  # Q1
+    "cheapest_supplier_per_part",       # Q2
+    "shipping_priority_topn",           # Q3
+    "order_priority_count",             # Q4
+    "revenue_by_nation",                # Q5
+    "filtered_revenue_forecast",        # Q6
+    "nation_pair_shipping_volume",      # Q7
+    "nation_market_share",              # Q8
+    "product_profit_by_nation_year",    # Q9
+    "returned_items_by_customer",       # Q10
+    "important_part_inventory",         # Q11
+    "priority_line_counts",             # Q12
+    "customer_order_distribution",      # Q13
+    "promo_revenue_ratio",              # Q14
+    "top_revenue_supplier",             # Q15
+    "supplier_count_by_part_class",     # Q16
+    "small_order_part_revenue",         # Q17
+    "large_order_customers",            # Q18
+    "disjunctive_part_revenue",         # Q19
+    "excess_stock_suppliers",           # Q20
+    "waiting_suppliers",                # Q21
+    "idle_rich_customers",              # Q22
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -89,6 +116,17 @@ def main() -> None:
         fn(spark, sf_dir).count()
         ext_timings[name] = round(time.time() - t0, 3)
 
+    tpch_timings: dict[str, float] = {}
+    tpch_total = 0.0
+    for name in TPCH_QUERIES:
+        fn = q.QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        tpch_timings[name] = round(time.time() - t0, 3)
+        tpch_total += tpch_timings[name]
+
     print(
         json.dumps(
             {
@@ -97,6 +135,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "extensions": ext_timings,
+                "tpch": tpch_timings,
+                "tpch_total": round(tpch_total, 3),
                 "sf": sf,
             }
         )

