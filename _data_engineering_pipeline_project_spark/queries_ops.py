@@ -538,3 +538,37 @@ def incremental_rollup_orders(spark: SparkSession, sf: str) -> DataFrame:
     return r2.select(
         "o_orderstatus", "n", F.round("total", 2).alias("total"), "vmin", "vmax"
     )
+
+
+@query(
+    "order_rank_distribution",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(ntile(4) OVER w AS INTEGER) AS price_quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           lead(o_orderkey) OVER w AS next_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice NULLS FIRST, o_orderkey NULLS FIRST)
+    """,
+)
+def order_rank_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution-analytic window functions (ntile / percent_rank /
+    cume_dist / lead) per order-status partition — the remaining window
+    surface beyond frames/lag. The ORDER BY carries o_orderkey as a
+    unique tiebreak: rank-family results on ties are otherwise
+    engine-dependent. percent_rank/cume_dist divide exact integer
+    ranks by exact counts — identical doubles in both engines, rounded
+    at 6 only to normalize repr."""
+    o = table(spark, sf, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )

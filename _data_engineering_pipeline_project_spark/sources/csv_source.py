@@ -66,6 +66,47 @@ def read_csv_table(
     return df
 
 
+def read_csv_with_corrupt_capture(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    null_tokens: tuple[str, ...] = ("nan", "?"),
+) -> tuple[DataFrame, DataFrame]:
+    """Schema'd CSV read that ROUTES malformed rows instead of silently
+    nulling them: returns ``(clean, corrupt)`` where ``corrupt`` carries
+    the raw offending line. The reference has no malformed-row path at
+    all (a bad CSV line just produces NaNs that later checks may or may
+    not catch); the engine treats parse failure itself as a first-class
+    quality violation feeding the same error sink as the §2i checks.
+
+    Mechanics: PERMISSIVE mode + ``columnNameOfCorruptRecord`` appends a
+    string column holding the raw line for any row where parsing/casting
+    failed; both outputs share ONE scan (lazy splits of the same plan).
+    At scale this beats FAILFAST (one bad line kills a 100 TB job) and
+    DROPMALFORMED (silent data loss, unauditable).
+    """
+    with_corrupt = T.StructType(
+        schema.fields + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    df = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(with_corrupt)
+        .csv(path)
+    )
+    # Spark requires caching/materializing before filtering on the
+    # corrupt-record column alone (SPARK-21610: the pushed-down projection
+    # would otherwise never parse the full row)
+    df = df.cache()
+    clean = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    clean = normalize_null_tokens(clean, null_tokens)
+    corrupt = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return clean, corrupt
+
+
 def read_csv_dir(
     spark: SparkSession,
     data_dir: str,

@@ -246,3 +246,35 @@ def run_streaming_dedup(
     )
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def run_stream_static_enrichment(
+    spark: SparkSession,
+    stream_dir: str,
+    stream_schema: T.StructType,
+    dim: DataFrame,
+    key: str = "user_id",
+    query_name: str = "enriched",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against a
+    static dimension (broadcast — no state store involved, unlike
+    stream-stream joins). The canonical shape for attaching slowly-
+    changing reference data (user profiles, product catalogs) to a fact
+    stream; the static side is re-resolved per micro-batch, so swapping
+    the files under ``dim``'s path between triggers picks up dimension
+    updates without restarting the query. Left join keeps facts whose
+    key has no dimension row yet (late-arriving dims must not drop
+    facts)."""
+    stream = (
+        spark.readStream.format("parquet").schema(stream_schema).load(stream_dir)
+    )
+    enriched = stream.join(F.broadcast(dim), on=key, how="left")
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -113,3 +113,33 @@ def test_csv_reader_multi_null_and_datetime_sniff(spark, tmp_path):
     assert rows[2][0] is None  # coerce → null (F2 semantics)
     assert rows[2][1] is None  # 'nan' token → null (S2)
     assert rows[3][0] is None  # '?' token → null before cast
+
+
+def test_csv_corrupt_record_capture(spark, tmp_path):
+    from _data_engineering_pipeline_project_spark.sources.csv_source import (
+        read_csv_with_corrupt_capture,
+    )
+    from pyspark.sql import types as T
+
+    p = tmp_path / "t.csv"
+    p.write_text(
+        "id,qty,price\n"
+        "1,5,9.99\n"
+        "2,not_a_number,1.50\n"   # qty unparseable -> corrupt
+        "3,7,2.25\n"
+        '4,"unclosed quote,8\n'   # structurally malformed -> corrupt
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("qty", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    clean, corrupt = read_csv_with_corrupt_capture(spark, str(p), schema)
+    assert sorted(r["id"] for r in clean.collect()) == [1, 3]
+    bad = sorted(r["raw_line"] for r in corrupt.collect())
+    assert len(bad) == 2
+    assert any("not_a_number" in b for b in bad)
+    # clean rows parsed with the declared types
+    assert clean.schema["qty"].dataType.typeName() == "long"

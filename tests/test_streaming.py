@@ -263,3 +263,33 @@ def test_agg_maintainer_matches_full_recompute(spark, tmp_path):
         "b": (2, 3.0),
         "c": (3, 10.0),
     }
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    from datetime import datetime as t
+
+    from _data_engineering_pipeline_project_spark.streaming.microbatch import (
+        run_stream_static_enrichment,
+    )
+
+    sschema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(1, t(2024, 1, 1), 5.0), (2, t(2024, 1, 1), 6.0), (9, t(2024, 1, 1), 7.0)],
+        sschema,
+    ).coalesce(1).write.parquet(src)
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+    out = {
+        r["user_id"]: r["tier"]
+        for r in run_stream_static_enrichment(spark, src, sschema, dim).collect()
+    }
+    # matched keys enriched; unmatched fact NOT dropped (left join)
+    assert out == {1: "gold", 2: "silver", 9: None}
