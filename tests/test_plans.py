@@ -201,3 +201,42 @@ def test_q7_dual_role_dimension_broadcast(spark):
     assert broadcast_join_count(df) >= 4
     pushed = pushed_filters(df)
     assert any("l_shipdate" in f for f in pushed), pushed
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """At 100 TB a selective dim filter should prune the FACT side of a
+    shuffle join before the shuffle, via a runtime bloom filter built
+    from the dim keys (row-level complement to dynamic partition
+    pruning). Local thresholds are tuned down so the optimizer injects
+    the filter at test scale; on a cluster the defaults (10 GB scan
+    side) trigger it exactly where it pays off."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
