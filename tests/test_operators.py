@@ -143,3 +143,46 @@ def test_csv_corrupt_record_capture(spark, tmp_path):
     assert any("not_a_number" in b for b in bad)
     # clean rows parsed with the declared types
     assert clean.schema["qty"].dataType.typeName() == "long"
+
+
+def test_conform_to_schema_evolution(spark):
+    import pytest
+    from pyspark.sql import types as T
+
+    from _data_engineering_pipeline_project_spark.operators.evolution import (
+        conform_to_schema,
+    )
+
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),        # widened from int
+            T.StructField("price", T.DoubleType()),   # widened from float
+            T.StructField("note", T.StringType()),    # missing -> null
+        ]
+    )
+    src = spark.createDataFrame(
+        [(1, 2.5, "x")], "id int, price float, legacy string"
+    )
+    out, actions = conform_to_schema(src, target)
+    assert [f.dataType.typeName() for f in out.schema.fields] == [
+        "long", "double", "string",
+    ]
+    row = out.collect()[0]
+    assert (row["id"], row["price"], row["note"]) == (1, 2.5, None)
+    acts = {(a.column, a.action) for a in actions}
+    assert acts == {
+        ("id", "widened"),
+        ("price", "widened"),
+        ("note", "added_null"),
+        ("legacy", "dropped"),
+    }
+
+    # narrowing drift refuses by default...
+    bad_target = T.StructType([T.StructField("id", T.IntegerType())])
+    big = spark.createDataFrame([(2**40,)], "id long")
+    with pytest.raises(TypeError):
+        conform_to_schema(big, bad_target)
+    # ...and nulls-with-report when asked
+    out2, actions2 = conform_to_schema(big, bad_target, on_incompatible="null")
+    assert out2.collect()[0]["id"] is None
+    assert actions2[0].action == "nulled_incompatible"
