@@ -65,3 +65,24 @@ def compact_parquet(
             if f.endswith(".parquet")
         ]
     )
+
+
+def write_clustered(
+    df: DataFrame,
+    dest_dir: str,
+    cluster_cols: list[str],
+    n_files: int | None = None,
+) -> None:
+    """Data-skipping layout: repartition by range on ``cluster_cols`` and
+    sort within each file, so parquet row-group min/max stats become
+    SELECTIVE — a filter on the cluster column then skips whole row
+    groups/files at scan time, the poor-man's Z-order (exact for 1-D
+    clustering; multi-D keys get lexicographic locality).
+
+    At 100 TB this is the difference between "pushed filter evaluated on
+    every row group" and "row group never read": pushdown alone doesn't
+    help when every file spans the whole key range (uniform writes give
+    every row group min=global-min, max=global-max)."""
+    parts = [F.col(c) for c in cluster_cols]
+    w = df.repartitionByRange(*( [n_files] if n_files else [] ), *parts)
+    w.sortWithinPartitions(*parts).write.mode("overwrite").parquet(dest_dir)

@@ -120,3 +120,40 @@ def test_range_join_matches_naive(spark):
         F.col("l_event_id").alias("x"), F.col("r_event_id").alias("y")
     )
     assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_write_clustered_narrows_rowgroup_stats(spark, tmp_path):
+    """Clustered writes must produce files whose min/max key ranges are
+    narrow slices (skippable), not all spanning the global range."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from _data_engineering_pipeline_project_spark.operators.sampling import (
+        write_clustered,
+    )
+
+    df = spark.range(0, 10000).selectExpr(
+        "id", "cast(id % 997 as long) as k", "id * 2.0 as v"
+    )
+    dest = str(tmp_path / "clustered")
+    write_clustered(df, dest, ["id"], n_files=8)
+
+    files = sorted(
+        os.path.join(dest, f) for f in os.listdir(dest) if f.endswith(".parquet")
+    )
+    assert len(files) == 8
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        stats = md.row_group(0).column(0).statistics
+        spans.append((stats.min, stats.max))
+    spans.sort()
+    # ranges are disjoint slices of [0, 10000): each file covers ~1/8th,
+    # and consecutive files don't overlap
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2
+        assert hi1 - lo1 < 10000 / 4  # narrow, not global
+    # functional equivalence: clustered read == original under a filter
+    back = spark.read.parquet(dest).filter("id between 100 and 200")
+    assert back.count() == 101
