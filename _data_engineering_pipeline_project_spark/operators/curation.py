@@ -1,0 +1,184 @@
+"""LLM training-corpus curation operators beyond dedup/quality scoring:
+chunking, repetition scoring, benchmark decontamination, sequence packing.
+
+All hot paths are native column expressions (sequence/transform/substring/
+explode run inside whole-stage codegen over the scan — no Python per row);
+packing is the one genuinely imperative step and runs as applyInPandas
+per salt-partition.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_chars: int = 200,
+    overlap: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into fixed-size character chunks with overlap —
+    the context-window preprocessing step of every RAG/pretraining
+    pipeline (token-exact chunking swaps ``substring`` for a tokenizer
+    UDF; the distributed shape is identical).
+
+    Native plan: ``sequence()`` generates chunk start offsets per row,
+    ``explode`` fans them out inside the stage, ``substring`` slices —
+    one scan, no shuffle, no Python. Chunk i starts at i*(chunk-overlap)
+    (1-based); a final short chunk keeps the tail. Empty/null docs yield
+    zero chunks."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be < chunk_chars")
+    stride = chunk_chars - overlap
+    n_chunks = F.ceil(
+        F.greatest(F.length(text_col) - F.lit(overlap), F.lit(1)) / F.lit(stride)
+    ).cast("int")
+    return (
+        df.filter(F.length(text_col) > 0)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+            text_col,
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.substring(
+                F.col(text_col), F.col("chunk_idx") * stride + 1, chunk_chars
+            ).alias("chunk"),
+        )
+    )
+
+
+def repeated_ngram_ratio(
+    df: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition quality signal: fraction of word n-gram
+    OCCURRENCES that are repeats of an n-gram already seen in the same
+    document (0 = all distinct, →1 = the doc loops). High values flag
+    boilerplate/spam/generation loops for corpus filtering.
+
+    Plan: split→n-gram explode→per-(doc, gram) counts→per-doc ratio —
+    two groupBys keyed by doc (AQE co-partitions them), all expressions
+    JVM-side. ratio = 1 - distinct/total as exact int division."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    exploded = df.filter(F.length(text_col) > 0).select(
+        id_col, F.explode(grams).alias("gram")
+    )
+    per_gram = exploded.groupBy(id_col, "gram").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    return per_gram.groupBy(id_col).agg(
+        F.sum("occ").alias("total_ngrams"),
+        F.count(F.lit(1)).alias("distinct_ngrams"),
+        F.round(1 - F.count(F.lit(1)) / F.sum("occ"), 6).alias("repeat_ratio"),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    min_hits: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Benchmark decontamination: drop training documents sharing ≥
+    ``min_hits`` distinct word n-grams with any benchmark/eval document —
+    the standard guard against test-set leakage into a training corpus.
+
+    Plan: benchmark n-grams (small) are distinct-collected and BROADCAST;
+    the corpus side explodes its n-grams once and semi-joins the
+    broadcast set — the 100 TB corpus never shuffles. Returns
+    (clean, contaminated) where contaminated carries the hit count."""
+    def grams(col: str, k: int) -> Column:
+        words = F.split(F.trim(F.col(col)), r"\s+")
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+        )
+
+    bench_grams = (
+        benchmark.filter(F.length(bench_text_col) > 0)
+        .select(F.explode(grams(bench_text_col, n)).alias("gram"))
+        .distinct()
+    )
+    corpus_grams = corpus.filter(F.length(text_col) > 0).select(
+        id_col, F.explode_outer(F.array_distinct(grams(text_col, n))).alias("gram")
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+        .filter(F.col("n_contaminated_ngrams") >= min_hits)
+    )
+    contaminated = corpus.join(hits, id_col)
+    clean = corpus.join(hits.select(id_col), id_col, "left_anti")
+    return clean, contaminated
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_len: int = 512,
+    id_col: str = "doc_id",
+    len_col: str = "n_tokens",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Greedy sequence packing: assign documents to fixed-capacity bins
+    (training batches) so short docs share a context window instead of
+    padding it — first-fit-decreasing per partition via applyInPandas.
+
+    Distribution note: bins never span partitions (each partition packs
+    independently and bin ids are globally disambiguated by partition id),
+    so the operator is one hash-repartition + an Arrow-batched pass —
+    FFD inside a partition is the imperative step Spark expressions can't
+    express. Per-partition packing costs at most one extra bin per
+    partition vs a global pack, which is noise at scale. Docs longer than
+    ``max_len`` get a singleton bin (truncation is the caller's policy)."""
+    out_schema = f"{id_col} long, bin_id string, bin_fill long"
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        part = pdf["pid"].iloc[0]
+        pdf = pdf.sort_values(len_col, ascending=False)
+        bins: list[int] = []  # remaining capacity
+        assign: list[int] = []
+        for ln in pdf[len_col].clip(upper=max_len):
+            placed = None
+            for b, rem in enumerate(bins):
+                if rem >= ln:
+                    placed = b
+                    bins[b] = rem - ln
+                    break
+            if placed is None:
+                bins.append(max_len - ln)
+                placed = len(bins) - 1
+            assign.append(placed)
+        fills = [max_len - r for r in bins]
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].values,
+                "bin_id": [f"{part}_{a}" for a in assign],
+                "bin_fill": [fills[a] for a in assign],
+            }
+        )
+
+    prepped = (
+        df.select(id_col, len_col)
+        .repartition(num_partitions, id_col)
+        .withColumn("pid", F.spark_partition_id())
+    )
+    return prepped.groupBy("pid").applyInPandas(pack, schema=out_schema)

@@ -695,3 +695,115 @@ def multimodal_fake_resize(spark: SparkSession, sf: str) -> DataFrame:
     (test_extensions.py); the driver records a rows-only check."""
     d = attach_binary_payload(table(spark, sf, "documents"))
     return binary_stats(fake_resize_images(d, 32, 32))
+
+
+@query(
+    "chunk_documents_overlap",
+    """
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+           substr(text, i * 150 + 1, 200) AS chunk
+    FROM documents,
+         LATERAL (SELECT unnest(generate_series(0,
+                    CAST(ceil(greatest(length(text) - 50, 1) / 150.0)
+                         AS INTEGER) - 1)) AS i)
+    WHERE length(text) > 0
+    """,
+)
+def chunk_documents_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-window chunking (200 chars, 50 overlap) as a pure native
+    plan: sequence→explode→substring inside one codegen'd scan — zero
+    shuffles, zero Python. The oracle reproduces the stride math with
+    generate_series + substr."""
+    from _data_engineering_pipeline_project_spark.operators.curation import (
+        chunk_documents,
+    )
+
+    return chunk_documents(
+        table(spark, sf, "documents"), chunk_chars=200, overlap=50
+    )
+
+
+@query(
+    "repetition_ratio_documents",
+    """
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+               FROM documents WHERE length(text) > 0),
+         g AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS gram
+               FROM w, LATERAL (SELECT unnest(generate_series(1,
+                          greatest(len(ws) - 1, 1))) AS i)),
+         pg AS (SELECT doc_id, gram, count(*) AS occ
+                FROM g GROUP BY doc_id, gram)
+    SELECT doc_id,
+           CAST(sum(occ) AS BIGINT) AS total_ngrams,
+           CAST(count(*) AS BIGINT) AS distinct_ngrams,
+           round(1 - count(*) / CAST(sum(occ) AS DOUBLE), 6) AS repeat_ratio
+    FROM pg GROUP BY doc_id
+    """,
+)
+def repetition_ratio_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repeated-bigram ratio per document (corpus-quality
+    filter for boilerplate/loops). Ratio is exact integer division
+    rounded only to normalize repr."""
+    from _data_engineering_pipeline_project_spark.operators.curation import (
+        repeated_ngram_ratio,
+    )
+
+    return repeated_ngram_ratio(table(spark, sf, "documents"), n=2)
+
+
+@query(
+    "decontaminate_corpus",
+    """
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+         bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+         bw AS (SELECT string_split_regex(trim(text), '\\s+') AS ws
+                FROM bench WHERE length(text) > 0),
+         bg AS (SELECT DISTINCT array_to_string(ws[i:i+3], ' ') AS gram
+                FROM bw, LATERAL (SELECT unnest(generate_series(1,
+                           greatest(len(ws) - 3, 1))) AS i)),
+         cw AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+                FROM corpus WHERE length(text) > 0),
+         cg AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+3], ' ') AS gram
+                FROM cw, LATERAL (SELECT unnest(generate_series(1,
+                           greatest(len(ws) - 3, 1))) AS i))
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_ngrams
+    FROM cg JOIN bg USING (gram)
+    GROUP BY doc_id
+    """,
+)
+def decontaminate_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any 4-word n-gram
+    with the held-out 'benchmark' slice (doc_id % 97 == 0 plays the eval
+    set). The benchmark n-gram set is broadcast; the corpus never
+    shuffles — the plan a 100 TB decontamination needs. Returns the
+    contaminated doc ids with hit counts (the clean split is the anti
+    join of the same hits)."""
+    from _data_engineering_pipeline_project_spark.operators.curation import (
+        decontaminate,
+    )
+
+    docs = table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    _clean, contaminated = decontaminate(corpus, bench, n=4)
+    return contaminated.select("doc_id", "n_contaminated_ngrams")
+
+
+@query("pack_training_sequences")  # rows-only: FFD bin ids are partition-dependent
+def pack_training_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy sequence packing of documents into 512-'token' training
+    bins by whitespace token count (applyInPandas FFD per partition;
+    bins never span partitions). Assignment is deterministic per
+    partitioning but bin IDs aren't SQL-expressible — pytest verifies
+    capacity/coverage invariants; the driver records rows-only."""
+    from _data_engineering_pipeline_project_spark.operators.curation import (
+        pack_sequences,
+    )
+    from _data_engineering_pipeline_project_spark.operators.textstats import (
+        token_count,
+    )
+
+    docs = table(spark, sf, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    return pack_sequences(docs, max_len=512)

@@ -278,3 +278,47 @@ def test_sample_frames_matches_python_reference(spark):
             block = payload[i * 100 : (i + 1) * 100]
             want.append((doc_id, i, block, sum(block)))
     assert got == sorted(want)  # doc1: 0 frames; doc2: 1; doc3: frames 0,3,6,9,12
+
+
+def test_pack_sequences_ffd(spark):
+    from _data_engineering_pipeline_project_spark.operators.curation import (
+        pack_sequences,
+    )
+
+    rows = [(i, ln) for i, ln in enumerate([300, 300, 200, 200, 100, 100, 50, 600])]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences(df, max_len=512, num_partitions=1).collect()
+
+    # every doc assigned exactly once
+    assert sorted(r["doc_id"] for r in out) == list(range(8))
+    # no bin overflows; oversized doc (600) capped into its own bin
+    by_bin = {}
+    lens = dict(rows)
+    for r in out:
+        by_bin.setdefault(r["bin_id"], []).append(min(lens[r["doc_id"]], 512))
+    assert all(sum(v) <= 512 for v in by_bin.values())
+    # FFD on one partition: total 1850 over 512-cap bins -> lower bound 4
+    # bins; greedy must be within +1 of optimal here
+    assert len(by_bin) <= 5
+    # reported fill matches the bin's actual content
+    fills = {r["bin_id"]: r["bin_fill"] for r in out}
+    assert all(fills[b] == sum(v) for b, v in by_bin.items())
+
+
+def test_chunk_documents_edge_cases(spark):
+    from _data_engineering_pipeline_project_spark.operators.curation import (
+        chunk_documents,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a" * 10), (2, "b" * 200), (3, "c" * 201), (4, ""), (5, None)],
+        "doc_id long, text string",
+    )
+    out = {}
+    for r in chunk_documents(df, chunk_chars=200, overlap=50).collect():
+        out.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk"]))
+    assert out[1] == [(0, "a" * 10)]          # short doc -> one short chunk
+    assert out[2] == [(0, "b" * 200)]         # exact fit -> one chunk
+    assert len(out[3]) == 2                   # one char over -> overlap tail
+    assert out[3][1] == (1, "c" * 51)         # starts at 151, 51 chars left
+    assert 4 not in out and 5 not in out      # empty/null -> zero chunks
