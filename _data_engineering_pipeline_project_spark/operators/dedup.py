@@ -183,6 +183,75 @@ def minhash_signatures_from_shingles(
     return wide.selectExpr(id_col, stack)
 
 
+def minhash_wide_signatures(
+    shingle_table: DataFrame, id_col: str = "doc_id", num_hashes: int = 32
+) -> DataFrame:
+    """Wide signature frame (id, h0..h{k-1}) — the k min-aggregates of
+    ``minhash_signatures_from_shingles`` BEFORE the stack to narrow form.
+    Banding can consume this directly (see ``lsh_candidate_pairs_wide``),
+    skipping the narrow explode + re-group entirely."""
+    sh = shingle_table.withColumn("x", md5_hash60(F.col("shingle")) % MERSENNE_P)
+    aggs = [
+        F.min(
+            ((F.lit(2 * i + 1)) * F.col("x") + F.lit(11 * i + 7)) % MERSENNE_P
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs_wide(
+    wide: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Banding as a PROJECTION over the wide signature frame: each band's
+    signature string concatenates its r hash columns in-row, then one
+    explode fans out (id, band, sig) — no second aggregation. The narrow
+    (id, i, h) path re-groups by (id, band) with collect_list +
+    array_sort; that groupBy reuses the id hash-partitioning (no extra
+    shuffle — Catalyst knows hash(id) clusters (id, band)), but still
+    pays an ObjectHashAggregate materializing and sorting k structs per
+    doc. Here banding is codegen'd string concat in the same stage as
+    the signature agg. Band sig strings are identical to the narrow
+    path's (same order, same separator), so candidates are
+    bit-identical."""
+    n_bands = num_hashes // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "-",
+                    *[
+                        F.col(f"h{b * rows_per_band + j}").cast("string")
+                        for j in range(rows_per_band)
+                    ],
+                ).alias("sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = wide.select(id_col, F.explode(bands).alias("bs")).select(
+        id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .dropDuplicates()
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, id_col: str = "doc_id", rows_per_band: int = 2
 ) -> DataFrame:
@@ -233,9 +302,10 @@ def minhash_near_dup_pairs(
     Jaccard verification of candidates only (false positives dropped,
     so the output is exact over the candidate set)."""
     sh = _shingle_table(df, id_col, text_col, shingle_n).cache()
-    cands = lsh_candidate_pairs(
-        minhash_signatures_from_shingles(sh, id_col, num_hashes),
+    cands = lsh_candidate_pairs_wide(
+        minhash_wide_signatures(sh, id_col, num_hashes),
         id_col,
+        num_hashes,
         rows_per_band,
     )
     # exact-Jaccard verification restricted to CANDIDATE pairs only — the

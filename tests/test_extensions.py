@@ -322,3 +322,43 @@ def test_chunk_documents_edge_cases(spark):
     assert len(out[3]) == 2                   # one char over -> overlap tail
     assert out[3][1] == (1, "c" * 51)         # starts at 151, 51 chars left
     assert 4 not in out and 5 not in out      # empty/null -> zero chunks
+
+
+def test_lsh_wide_banding_equals_narrow_and_saves_a_shuffle(spark):
+    from _data_engineering_pipeline_project_spark.operators.dedup import (
+        _shingle_table,
+        lsh_candidate_pairs,
+        lsh_candidate_pairs_wide,
+        minhash_signatures_from_shingles,
+        minhash_wide_signatures,
+    )
+    from _data_engineering_pipeline_project_spark.plans.audit import exchange_count
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different content here entirely"),
+            (4, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = _shingle_table(df, "doc_id", "text", 3)
+    narrow = lsh_candidate_pairs(
+        minhash_signatures_from_shingles(sh, "doc_id", 32), "doc_id", 2
+    )
+    wide_sig = minhash_wide_signatures(sh, "doc_id", 32)
+    wide = lsh_candidate_pairs_wide(wide_sig, "doc_id", 32, 2)
+    pairs = lambda d: sorted((r["doc_a"], r["doc_b"]) for r in d.collect())
+    assert pairs(wide) == pairs(narrow)
+    assert (1, 4) in pairs(wide)  # exact dup always a candidate
+    # same shuffle count (Catalyst already reuses hash(id) partitioning
+    # for the narrow path's (id, band) re-group) ...
+    assert exchange_count(wide) == exchange_count(narrow)
+    # ... but the wide path eliminates the collect_list/array_sort
+    # re-aggregation entirely: banding is codegen'd concat in the
+    # signature stage, no ObjectHashAggregate anywhere
+    from _data_engineering_pipeline_project_spark.plans.audit import explain_str
+
+    assert "ObjectHashAggregate" in explain_str(narrow)
+    assert "ObjectHashAggregate" not in explain_str(wide)
