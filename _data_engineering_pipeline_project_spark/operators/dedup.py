@@ -449,7 +449,10 @@ def simhash_near_dup_pairs(
     Hamming ≤ 3 of each other shares at least one identical band by
     pigeonhole; wider distances are caught probabilistically), then verify
     Hamming distance within buckets only."""
-    sigs = df.select(F.col(id_col), simhash64(text_col).alias("sig"))
+    # cache: the bucket self-join would otherwise evaluate the signature
+    # UDF on BOTH sides (twice over the full corpus — the expensive stage;
+    # the cached frame is just (id, int64), tiny relative to the text)
+    sigs = df.select(F.col(id_col), simhash64(text_col).alias("sig")).cache()
     bands = sigs.select(
         id_col,
         "sig",
