@@ -15,6 +15,8 @@ costs (the classic 100 TB 'millions of tiny files' failure).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -86,3 +88,60 @@ def write_clustered(
     parts = [F.col(c) for c in cluster_cols]
     w = df.repartitionByRange(*( [n_files] if n_files else [] ), *parts)
     w.sortWithinPartitions(*parts).write.mode("overwrite").parquet(dest_dir)
+
+
+def zorder_value(col_a: Column | str, col_b: Column | str) -> Column:
+    """Morton (Z-order) interleave of two NON-NEGATIVE int columns into
+    one sort key: bit i of each input lands at bits 2i / 2i+1 of the
+    output, so sorting by it gives locality in BOTH dimensions at once —
+    the multi-column generalization of 1-D range clustering
+    (``write_clustered``). Inputs are used modulo 2^31; rank-transform
+    skewed/large domains first.
+
+    Arrow-batched numpy implementation: the pure-expression form is a
+    62-term shift/mask fold per column that bloats codegen (same
+    trade-off as simhash64); the UDF is one vectorized pass, and the
+    z-value is computed once per row at WRITE time only."""
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def _morton(a: pd.Series, b: pd.Series) -> pd.Series:
+        x = a.fillna(0).to_numpy(dtype=np.int64) & 0x7FFFFFFF
+        y = b.fillna(0).to_numpy(dtype=np.int64) & 0x7FFFFFFF
+        # classic bit-spreading: x -> ..a.b.c.d (even bits)
+        def spread(v: np.ndarray) -> np.ndarray:
+            v = (v | (v << 16)) & 0x0000FFFF0000FFFF
+            v = (v | (v << 8)) & 0x00FF00FF00FF00FF
+            v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0F
+            v = (v | (v << 2)) & 0x3333333333333333
+            v = (v | (v << 1)) & 0x5555555555555555
+            return v
+
+        return pd.Series(spread(x) | (spread(y) << 1))
+
+    a = F.col(col_a) if isinstance(col_a, str) else col_a
+    b = F.col(col_b) if isinstance(col_b, str) else col_b
+    return _morton(a, b)
+
+
+def write_zordered(
+    df: DataFrame,
+    dest_dir: str,
+    col_a: str,
+    col_b: str,
+    n_files: int | None = None,
+) -> None:
+    """Z-order clustered write: range-partition + sort by the Morton key
+    of (col_a, col_b), then drop it. Each output file covers a compact
+    rectangle-ish region of the 2-D key space, so row-group min/max
+    stats are selective for predicates on EITHER column — 1-D clustering
+    can only serve one of them."""
+    z = df.withColumn("__z", zorder_value(col_a, col_b))
+    parts = [F.col("__z")]
+    w = z.repartitionByRange(*([n_files] if n_files else []), *parts)
+    (
+        w.sortWithinPartitions(*parts)
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(dest_dir)
+    )

@@ -157,3 +157,54 @@ def test_write_clustered_narrows_rowgroup_stats(spark, tmp_path):
     # functional equivalence: clustered read == original under a filter
     back = spark.read.parquet(dest).filter("id between 100 and 200")
     assert back.count() == 101
+
+
+def test_zorder_write_localizes_both_dimensions(spark, tmp_path):
+    """Z-ordered files must cover narrow ranges in BOTH columns; a 1-D
+    sort by x leaves y spanning the global range in every file."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from _data_engineering_pipeline_project_spark.operators.sampling import (
+        write_zordered,
+        zorder_value,
+    )
+
+    # morton key unit checks (numpy path == python reference)
+    df1 = spark.createDataFrame([(0, 0), (1, 0), (0, 1), (3, 5)], "x long, y long")
+    got = [r[0] for r in df1.select(zorder_value("x", "y")).collect()]
+
+    def ref(x, y):
+        z = 0
+        for i in range(31):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == [ref(0, 0), ref(1, 0), ref(0, 1), ref(3, 5)]
+
+    # 64x64 grid, z-ordered into 16 files -> each file's (x, y) ranges
+    # must both be narrow (a 1-D sort would leave one dimension global)
+    grid = spark.range(64 * 64).selectExpr(
+        "id % 64 as x", "cast(id / 64 as long) as y", "id as payload"
+    )
+    dest = str(tmp_path / "z")
+    write_zordered(grid, dest, "x", "y", n_files=16)
+    files = [
+        os.path.join(dest, f) for f in os.listdir(dest) if f.endswith(".parquet")
+    ]
+    assert len(files) == 16
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        cols = {
+            md.row_group(0).column(i).path_in_schema: md.row_group(0)
+            .column(i)
+            .statistics
+            for i in range(md.row_group(0).num_columns)
+        }
+        x_span = cols["x"].max - cols["x"].min
+        y_span = cols["y"].max - cols["y"].min
+        # each of 16 files holds 1/16 of a 64x64 grid = a 16x16 z-block
+        # (or two adjacent ones) — far below the 63 a 1-D sort gives
+        assert x_span <= 32 and y_span <= 32, (f, x_span, y_span)
