@@ -572,3 +572,130 @@ def order_rank_distribution(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.lead("o_orderkey").over(w).alias("next_orderkey"),
     )
+
+
+@query(
+    "daily_event_counts_gapfilled",
+    """
+    WITH days AS (
+      SELECT unnest(generate_series(
+               date_trunc('day', (SELECT min(ts) FROM events)),
+               date_trunc('day', (SELECT max(ts) FROM events)),
+               INTERVAL 1 DAY)) AS day),
+         types AS (SELECT DISTINCT event_type FROM events),
+         counts AS (SELECT date_trunc('day', ts) AS day, event_type,
+                           count(*) AS n
+                    FROM events GROUP BY 1, 2)
+    SELECT d.day, t.event_type,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n
+    FROM days d
+    CROSS JOIN types t
+    LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type
+    """,
+)
+def daily_event_counts_gapfilled(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series resampling with gap fill: daily counts per event type
+    on a DENSE day spine (missing (day, type) combos become explicit
+    zeros — the difference between a chart with holes and a correct
+    one). The spine is generated from a 1-row min/max aggregate via
+    sequence+explode and cross-joined with the distinct types — both
+    sides are tiny and broadcast; the only fact-sized work is the one
+    groupBy. ts arrives as TIMESTAMP(NANOS) parquet; the catalog
+    normalizes to microseconds identically in both engines, and
+    date_trunc erases any sub-second concern."""
+    ev = table(spark, sf, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    )
+    counts = ev.groupBy("day", "event_type").agg(F.count(F.lit(1)).alias("_n"))
+    bounds = ev.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    days = bounds.select(
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    return (
+        days.crossJoin(types)
+        .join(counts, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce("_n", F.lit(0)).alias("n"),
+        )
+    )
+
+
+@query(
+    "value_quartiles_per_type",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS q25,
+           round(quantile_cont(value, 0.50), 6) AS q50,
+           round(quantile_cont(value, 0.75), 6) AS q75,
+           CAST(count(value) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def value_quartiles_per_type(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact multi-quantile aggregate (order statistics with linear
+    interpolation — both engines interpolate (1-g)*lo + g*hi over the
+    same sorted doubles, so values match to the bit; round(6) only
+    normalizes repr). The approximate twin for 100 TB is
+    approx_distinct_and_quantiles (GK sketch)."""
+    pcts = F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (
+        table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(pcts.alias("_p"), F.count("value").alias("n"))
+        .select(
+            "event_type",
+            F.round(F.col("_p")[0], 6).alias("q25"),
+            F.round(F.col("_p")[1], 6).alias("q50"),
+            F.round(F.col("_p")[2], 6).alias("q75"),
+            "n",
+        )
+    )
+
+
+@query(
+    "udtf_json_kv_explode",
+    """
+    SELECT event_id,
+           regexp_extract(props, '"(\\w+)"', 1) AS key,
+           regexp_extract(props, ': ?([^}]+)}', 1) AS val
+    FROM events WHERE props IS NOT NULL
+    """,
+)
+def udtf_json_kv_explode(spark: SparkSession, sf: str) -> DataFrame:
+    """Python UDTF surface (Spark 4 table functions): schema-on-read
+    explosion of a JSON column into (key, value) rows WITHOUT declaring
+    the keys up front — the one JSON shape `get_json_object` can't
+    express (unknown keys). The UDTF runs per-row in a lateral join;
+    for known-key extraction the codegen'd `get_json_object` path
+    (`json_extract_events`) is the fast lane — this covers the dynamic
+    case and the UDTF API itself. Oracle exploits the testdata's
+    single-key props via regexp (DuckDB's json extension isn't bundled
+    offline)."""
+    import json
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="event_id bigint, key string, val string")
+    class JsonKV:
+        def eval(self, event_id, props):  # noqa: ANN001 — UDTF protocol
+            if props is None:
+                return
+            for k, v in json.loads(props).items():
+                yield event_id, k, str(v)
+
+    spark.udtf.register("json_kv", JsonKV)
+    table(spark, sf, "events").createOrReplaceTempView("v_ev_udtf")
+    return spark.sql(
+        """
+        SELECT kv.event_id, kv.key, kv.val
+        FROM v_ev_udtf e, LATERAL json_kv(e.event_id, e.props) kv
+        WHERE e.props IS NOT NULL
+        """
+    )
