@@ -699,3 +699,69 @@ def udtf_json_kv_explode(spark: SparkSession, sf: str) -> DataFrame:
         WHERE e.props IS NOT NULL
         """
     )
+
+
+@query(
+    "value_stats_moments_per_type",
+    """
+    SELECT event_type,
+           round(stddev_samp(value), 6) AS sd,
+           round(var_samp(value), 6) AS var,
+           round(covar_samp(value, CAST(user_id AS DOUBLE)), 6) AS cov_user,
+           round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_user,
+           CAST(count(value) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def value_stats_moments_per_type(spark: SparkSession, sf: str) -> DataFrame:
+    """Second-moment statistical aggregates (stddev/variance/covariance/
+    correlation) per group — single-pass co-moment accumulation in both
+    engines (Welford-style), numerically stable; round(6) absorbs the
+    accumulation-order ulp drift (relative error ~1e-12, far below the
+    rounding digit)."""
+    uid = F.col("user_id").cast("double")
+    return (
+        table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.stddev_samp("value"), 6).alias("sd"),
+            F.round(F.var_samp("value"), 6).alias("var"),
+            F.round(F.covar_samp(F.col("value"), uid), 6).alias("cov_user"),
+            F.round(F.corr(F.col("value"), uid), 6).alias("corr_user"),
+            F.count("value").alias("n"),
+        )
+    )
+
+
+@query(
+    "value_histogram",
+    """
+    SELECT CAST(least(greatest(floor(value / 10.0), -1), 10) AS BIGINT)
+             AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 6) AS lo,
+           round(max(value), 6) AS hi
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def value_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width histogram as a one-pass aggregate: bucket index from
+    floor division (clamped tails), per-bucket count and actual bounds.
+    The bucket expression is identical integer arithmetic in both
+    engines — no width_bucket dialect differences. At scale this is the
+    map-side-combinable histogram every profiler needs (distinct bucket
+    count is tiny, so the shuffle is O(buckets))."""
+    b = F.least(
+        F.greatest(F.floor(F.col("value") / 10.0), F.lit(-1)), F.lit(10)
+    ).cast("long")
+    return (
+        table(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(b.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )

@@ -240,3 +240,40 @@ def test_runtime_bloom_filter_join_pruning(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_table_statistics_inform_planning(spark):
+    """Catalog statistics (ANALYZE TABLE) must reach the optimizer: a
+    table whose stats say 'tiny' gets auto-broadcast in a join with no
+    hint — at 100 TB, stats-informed planning (CBO + AQE) is what picks
+    broadcast vs shuffle correctly when the code gives no hints."""
+    import pyspark.sql.functions as F
+
+    spark.sql("DROP TABLE IF EXISTS stats_dim")
+    spark.sql("DROP TABLE IF EXISTS stats_fact")
+    spark.range(50).selectExpr("id as k", "concat('d', id) as name").write.saveAsTable(
+        "stats_dim"
+    )
+    spark.range(100000).selectExpr("id % 50 as k", "id as v").write.saveAsTable(
+        "stats_fact"
+    )
+    spark.sql("ANALYZE TABLE stats_dim COMPUTE STATISTICS FOR ALL COLUMNS")
+    spark.sql("ANALYZE TABLE stats_fact COMPUTE STATISTICS FOR ALL COLUMNS")
+
+    # row count + size stats recorded in the catalog
+    stats = spark.sql("DESCRIBE TABLE EXTENDED stats_dim").collect()
+    rows = {r["col_name"]: r["data_type"] for r in stats}
+    assert "Statistics" in rows and "50 rows" in rows["Statistics"], rows.get(
+        "Statistics"
+    )
+
+    # join with NO broadcast hint: stats mark the dim tiny -> broadcast
+    j = (
+        spark.table("stats_fact")
+        .join(spark.table("stats_dim"), "k")
+        .groupBy("name")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert broadcast_join_count(j) >= 1
+    spark.sql("DROP TABLE stats_dim")
+    spark.sql("DROP TABLE stats_fact")
