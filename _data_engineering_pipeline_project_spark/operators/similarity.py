@@ -290,3 +290,87 @@ def topk_cosine_lsh(
         .filter(F.col("rnk") <= k)
         .select(query_id_col, "neighbor_id", "cosine", "rnk")
     )
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Scalar int8 quantization of an embedding column: global symmetric
+    scale = max(|x|)/127, each component rounded to [-127, 127] — a 4×
+    memory/IO cut for a 100 TB embedding store (float32 → int8), the
+    standard first rung before PQ/OPQ.
+
+    Plan: one aggregate computes the global max-abs (broadcast back as a
+    1-row cross join), one projection quantizes via transform() —
+    all JVM-side, no shuffle beyond the scalar agg. Returns
+    (id, qvec array<tinyint>, scale double); dequantize ≈ qvec * scale."""
+    amax = df.select(
+        F.max(
+            F.aggregate(
+                F.transform(vec_col, lambda x: F.abs(x)),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            )
+        ).alias("__amax")
+    )
+    return (
+        df.crossJoin(F.broadcast(amax))
+        .select(
+            id_col,
+            F.transform(
+                vec_col,
+                lambda x: F.round(x / F.col("__amax") * 127).cast("tinyint"),
+            ).alias("qvec"),
+            (F.col("__amax") / 127).alias("scale"),
+        )
+    )
+
+
+def topk_cosine_quantized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Brute-force top-k over int8-quantized vectors — same plan shape as
+    the float path (broadcast queries, scored scan, per-query window) but
+    the corpus side reads 4× fewer bytes. Symmetric quantization
+    preserves cosine ORDER well (test pins recall vs the exact path);
+    scale factors cancel in the cosine ratio."""
+    qz = quantize_int8(corpus, id_col, vec_col)
+    qq = quantize_int8(queries, id_col, vec_col).select(
+        F.col(id_col).alias(query_id_col), F.col("qvec").alias("__qvec")
+    )
+    # int dot products / int norms — exact integer math until the ratio
+    dot = F.aggregate(
+        F.zip_with("qvec", "__qvec", lambda a, b: a.cast("long") * b.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("long") * x.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+    scored = (
+        qz.join(F.broadcast(qq), F.col(query_id_col) != F.col(id_col))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            F.round(dot / (norm(F.col("qvec")) * norm(F.col("__qvec"))), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rnk")
+    )

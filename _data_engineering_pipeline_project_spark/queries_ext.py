@@ -807,3 +807,13 @@ def pack_training_sequences(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", token_count("text").alias("n_tokens")
     )
     return pack_sequences(docs, max_len=512)
+
+
+@query("embedding_topk_int8")  # rows-only: quantized ranks are approximation
+def embedding_topk_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force top-k over int8-quantized embeddings: 4x less corpus
+    IO with the same plan shape as the float path; recall vs exact is
+    pinned in pytest (>=0.8 @10). The quantized ordering is an
+    approximation, so the driver records rows-only."""
+    emb = table(spark, sf, "embeddings")
+    return SIM.topk_cosine_quantized(emb, emb.filter("vec_id < 10"), k=5)

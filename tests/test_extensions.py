@@ -362,3 +362,33 @@ def test_lsh_wide_banding_equals_narrow_and_saves_a_shuffle(spark):
 
     assert "ObjectHashAggregate" in explain_str(narrow)
     assert "ObjectHashAggregate" not in explain_str(wide)
+
+
+def test_int8_quantized_topk_recall(spark):
+    from _data_engineering_pipeline_project_spark.catalog import table
+    from _data_engineering_pipeline_project_spark.operators.similarity import (
+        quantize_int8,
+        topk_cosine_bruteforce,
+        topk_cosine_quantized,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = table(spark, sf, "embeddings")
+    queries = emb.filter("vec_id < 10")
+
+    # quantized components bounded and scale positive
+    qz = quantize_int8(emb).limit(50).collect()
+    assert all(-127 <= v <= 127 for r in qz for v in r["qvec"])
+    assert all(r["scale"] > 0 for r in qz)
+
+    exact = topk_cosine_bruteforce(emb, queries, k=10)
+    quant = topk_cosine_quantized(emb, queries, k=10)
+    e = {}
+    for r in exact.collect():
+        e.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    q = {}
+    for r in quant.collect():
+        q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # int8 symmetric quantization preserves cosine order: recall@10 >= 0.8
+    recalls = [len(e[qid] & q[qid]) / len(e[qid]) for qid in e]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
