@@ -688,11 +688,33 @@ def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("multimodal_fake_resize")  # rows-only: striding math is UDF-internal
+@query(
+    "multimodal_fake_resize",
+    """
+    WITH r AS (
+      SELECT doc_id,
+             string_agg(substr(text,
+                CASE WHEN length(text) >= 1024
+                     THEN CAST(floor(i * (length(text) / 1024.0)) AS INTEGER)
+                     ELSE CAST(i % length(text) AS INTEGER) END + 1, 1),
+                '' ORDER BY i) AS resized
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(0, 1023)) AS i)
+      WHERE length(text) > 0
+      GROUP BY doc_id)
+    SELECT doc_id, 'image/fake-resized' AS content_type,
+           CAST(1024 AS INTEGER) AS n_bytes,
+           sha256(resized) AS sha256
+    FROM r
+    """,
+)
 def multimodal_fake_resize(spark: SparkSession, sf: str) -> DataFrame:
     """Binary→binary resize stage; metadata recomputed JVM-side on the new
-    payload. Verified in pytest against a pure-Python reference
-    (test_extensions.py); the driver records a rows-only check."""
+    payload. Full oracle: the stride/tile resampling is reproduced in SQL
+    over the ASCII payloads (identical IEEE div-then-multiply, so the
+    stride indices truncate identically) and the output digest compared
+    via sha256 — byte-exact parity for a UDF-stage operator. Also
+    verified in pytest against a pure-Python reference."""
     d = attach_binary_payload(table(spark, sf, "documents"))
     return binary_stats(fake_resize_images(d, 32, 32))
 
