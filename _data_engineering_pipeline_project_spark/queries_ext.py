@@ -540,8 +540,45 @@ def embedding_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.topk_cosine_ivf(emb, queries, k=5, num_centroids=8, nprobe=2)
 
 
-@query("embedding_topk_lsh")  # rows-only: approximate by design
+@query(
+    "embedding_topk_lsh",
+    """
+    WITH signs AS (
+      SELECT p, j,
+             CASE WHEN strpos('13579bdf',
+                    substr(md5('plane:' || p || ':dim:' || j), 15, 1)) > 0
+                  THEN -1.0 ELSE 1.0 END AS s
+      FROM generate_series(0, 3) tp(p), generate_series(0, 63) tj(j)),
+    vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dots AS (SELECT vec_id, p, sum(s * v[j + 1]) AS dot
+             FROM vecs, signs GROUP BY vec_id, p),
+    buckets AS (SELECT vec_id,
+                       CAST(sum(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END)
+                            AS INTEGER) AS bucket
+                FROM dots GROUP BY vec_id),
+    q AS (SELECT b.vec_id AS query_id, b.bucket, v.v AS qv
+          FROM buckets b JOIN vecs v USING (vec_id) WHERE b.vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(v.v, q.qv)
+                   / (sqrt(list_dot_product(v.v, v.v))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+      FROM buckets e
+      JOIN q ON e.bucket = q.bucket
+      JOIN vecs v ON v.vec_id = e.vec_id
+      WHERE e.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rnk FROM scored)
+    WHERE rnk <= 5
+    """,
+)
 def embedding_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate top-k via sign-pattern LSH — approximate in RECALL but
+    fully deterministic in computation: hyperplane signs derive from md5
+    parity (no RNG), so the oracle reproduces the exact bucket
+    assignment (same md5 bit math) and the exact within-bucket ranking.
+    A UDF-stage operator with full hash parity."""
     emb = table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return SIM.topk_cosine_lsh(emb, queries, dim=64, k=5, num_planes=4)
