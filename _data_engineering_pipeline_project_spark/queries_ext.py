@@ -868,11 +868,36 @@ def pack_training_sequences(spark: SparkSession, sf: str) -> DataFrame:
     return pack_sequences(docs, max_len=512)
 
 
-@query("embedding_topk_int8")  # rows-only: quantized ranks are approximation
+@query(
+    "embedding_topk_int8",
+    """
+    WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+    amax AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS a
+             FROM vecs),
+    qz AS (SELECT vec_id,
+                  list_transform(v, x -> round(x / a * 127)) AS qv
+           FROM vecs, amax),
+    q AS (SELECT vec_id AS query_id, qv AS qqv FROM qz WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(e.qv, q.qqv)
+                   / (sqrt(list_dot_product(e.qv, e.qv))
+                      * sqrt(list_dot_product(q.qqv, q.qqv))), 6) AS cosine
+      FROM qz e, q WHERE e.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rnk FROM scored)
+    WHERE rnk <= 5
+    """,
+)
 def embedding_topk_int8(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force top-k over int8-quantized embeddings: 4x less corpus
     IO with the same plan shape as the float path; recall vs exact is
-    pinned in pytest (>=0.8 @10). The quantized ordering is an
-    approximation, so the driver records rows-only."""
+    pinned in pytest (>=0.8 @10). Approximate in RECALL but exactly
+    reproducible: quantized components are small integers whose dot
+    products are exactly representable doubles (sum order irrelevant),
+    and both engines round halves away from zero — full oracle parity
+    for a quantized operator."""
     emb = table(spark, sf, "embeddings")
     return SIM.topk_cosine_quantized(emb, emb.filter("vec_id < 10"), k=5)
