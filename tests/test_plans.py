@@ -277,3 +277,42 @@ def test_table_statistics_inform_planning(spark):
     assert broadcast_join_count(j) >= 1
     spark.sql("DROP TABLE stats_dim")
     spark.sql("DROP TABLE stats_fact")
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE's runtime skew-join split is the engine's first line of
+    defense against hot keys at 100 TB (the salting toolkit in
+    operators/skew.py is the manual fallback for aggregations and
+    non-splittable cases). Thresholds are tuned down so the split fires
+    at test scale; the executed plan must mark the join skew=true."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 500000).selectExpr(
+            "CASE WHEN id % 10 < 9 THEN 0 ELSE id END AS k",
+            "id AS v",
+            "repeat('x', 40) AS pad",  # fatten rows so the hot partition trips the byte threshold
+        )
+        right = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS w")
+        j = left.join(right, "k").groupBy().count()
+        j.collect()  # AQE decides from RUNTIME shuffle stats — must execute
+        from _data_engineering_pipeline_project_spark.plans.audit import (
+            executed_plan_str,
+        )
+
+        plan = executed_plan_str(j)
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan  # AQEShuffleRead split the hot partition
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
