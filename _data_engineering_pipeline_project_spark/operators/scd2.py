@@ -239,3 +239,24 @@ class Scd2Table:
         return hist_part.unionByName(
             current_part.join(hist_part.select(*self.pk), on=self.pk, how="left_anti")
         )
+
+
+def vacuum_versions(table: "Scd2Table", keep_last: int = 2) -> list[str]:
+    """Retention maintenance: delete snapshot version directories older
+    than the last ``keep_last`` (time travel window). The versioned-dir
+    layout otherwise grows one full snapshot per batch — at scale this is
+    the VACUUM every table format needs (Delta/Iceberg expire-snapshots
+    collapses to the same operation on their logs). Never touches the
+    history table (audit trail is append-only and compact). Returns the
+    removed paths."""
+    import os
+    import shutil
+
+    removed: list[str] = []
+    last_kept = table._version - keep_last
+    for v in range(1, max(last_kept, 0) + 1):
+        path = f"{table.snapshot_dir}_v{v}"
+        if os.path.exists(path):
+            shutil.rmtree(path)
+            removed.append(path)
+    return removed

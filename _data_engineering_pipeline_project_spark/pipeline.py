@@ -109,3 +109,29 @@ class Pipeline:
 
     def history(self, name: str) -> DataFrame:
         return self._scd2_table(name).history()
+
+
+def observed_load(
+    df,
+    checks: dict[str, "Column"] | None = None,
+    name: str = "load_metrics",
+):
+    """Attach Spark's Observation API to a pipeline stage: named aggregate
+    metrics (row counts, null counts, sums) collected DURING the action
+    that materializes ``df`` — zero extra scans, unlike a separate
+    ``.count()``/agg pass (which at 100 TB means re-reading the input).
+
+    Returns (observed_df, observation); after any action on observed_df,
+    ``observation.get`` yields the metrics dict. This is the engine's
+    hook for per-batch data-quality telemetry on the write path (the
+    reference logs counts by re-scanning — dq:226-239 runs its own
+    pass)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    metrics = {"n_rows": F.count(F.lit(1))}
+    if checks:
+        metrics.update(checks)
+    obs = Observation(name)
+    observed = df.observe(obs, *[v.alias(k) for k, v in metrics.items()])
+    return observed, obs

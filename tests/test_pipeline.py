@@ -118,3 +118,23 @@ def test_asof_join_semantics(spark):
     assert out["l4"] == (100.0, t(2024, 1, 15).replace(day=10))
     assert out["l2"] == (200.0, t(2024, 1, 18))
     assert out["l3"] == (None, None)  # no right row at or before
+
+
+def test_observed_load_collects_metrics_without_extra_scan(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from _data_engineering_pipeline_project_spark.pipeline import observed_load
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, -1.0)], "id int, v double"
+    )
+    observed, obs = observed_load(
+        df,
+        checks={
+            "null_v": F.sum(F.col("v").isNull().cast("int")),
+            "neg_v": F.sum((F.col("v") < 0).cast("int")),
+        },
+    )
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    assert got == {"n_rows": 3, "null_v": 1, "neg_v": 1}

@@ -123,3 +123,29 @@ def test_stats_classification(spark):
     r2 = scd2_merge(b2, r1.snapshot, ["id"], T2)
     stats = {r["change_type"]: r["n"] for r in r2.stats.collect()}
     assert stats == {"unchanged": 1, "update": 1, "insert": 1, "delete": 1}
+
+
+def test_vacuum_versions_keeps_time_travel_window(spark, tmp_path):
+    from _data_engineering_pipeline_project_spark.operators.scd2 import (
+        Scd2Table,
+        vacuum_versions,
+    )
+
+    t = Scd2Table(spark, str(tmp_path / "t"), ["id"])
+    for i in range(4):  # 4 merges -> versions 1..4
+        batch = spark.createDataFrame(
+            [(1, f"v{i}"), (2, "stable")], "id int, val string"
+        )
+        t.merge(batch, datetime(2024, 1, i + 1))
+
+    removed = vacuum_versions(t, keep_last=2)
+    assert len(removed) == 2  # v1, v2 gone
+    # current + previous still readable (time travel window honored)
+    assert t.current().count() == 2
+    assert t.snapshot_as_of(3).count() == 2
+    import pytest
+
+    with pytest.raises(Exception):
+        t.snapshot_as_of(1).count()
+    # history untouched (append-only audit)
+    assert t.history().count() >= 3
