@@ -765,3 +765,90 @@ def value_histogram(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.max("value"), 6).alias("hi"),
         )
     )
+
+
+@query(
+    "nested_roundtrip_orders",
+    """
+    SELECT o_orderkey, o_custkey, l_linenumber, l_quantity, l_extendedprice,
+           CAST(n_lines AS BIGINT) AS n_lines
+    FROM (SELECT l_orderkey, count(*) OVER (PARTITION BY l_orderkey) AS n_lines,
+                 l_linenumber, l_quantity, l_extendedprice
+          FROM lineitem) l
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE o_orderkey % 100 = 0
+    """,
+)
+def nested_roundtrip_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Denormalize→renormalize round trip: order lines collected into an
+    array<struct> (the nested document shape data lakes store), then
+    exploded back to flat rows with the nest-level count attached —
+    proving the nesting is lossless. collect_list inside a groupBy is
+    one shuffle on the join key; inline() re-flattens in-stage. The
+    oracle never nests (DuckDB list-of-struct stringification differs):
+    it recomputes the same flat result with a window count."""
+    li = (
+        table(spark, sf, "lineitem")
+        .filter(F.col("l_orderkey") % 100 == 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+    nested = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct("l_linenumber", "l_quantity", "l_extendedprice")
+        ).alias("lines")
+    )
+    return (
+        nested.join(
+            table(spark, sf, "orders").select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.size("lines").cast("long").alias("n_lines"),
+            F.explode("lines").alias("line"),
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("line.l_linenumber").alias("l_linenumber"),
+            F.col("line.l_quantity").alias("l_quantity"),
+            F.col("line.l_extendedprice").alias("l_extendedprice"),
+            "n_lines",
+        )
+    )
+
+
+@query(
+    "fuzzy_part_name_pairs",
+    """
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_partkey < b.p_partkey
+     AND a.p_partkey % 20 = 0 AND b.p_partkey % 20 = 0
+    WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
+    """,
+)
+def fuzzy_part_name_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy matching / entity resolution: near-identical name pairs by
+    edit distance (levenshtein is built-in JVM-side in Spark and core in
+    DuckDB — same DP definition, exact integer parity). The quadratic
+    self-join is bounded to a keyed sample; at scale the real plan blocks
+    first (phonetic key, prefix bucket, or LSH) and edit-distance-verifies
+    within blocks — same shape as the MinHash verify stage."""
+    p = table(spark, sf, "part").filter(F.col("p_partkey") % 20 == 0)
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(b, F.col("a.p_partkey") < F.col("b.p_partkey"))
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist").between(1, 3))
+    )
