@@ -81,3 +81,82 @@ def test_fk_check_invariants(spark, child_fks, parent_pks):
         assert r["fk"] is None or r["fk"] in parent_pks
     for r in viol:
         assert r["fk"] is not None and r["fk"] not in parent_pks
+
+
+text_strategy = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=0,
+        max_size=600,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=text_strategy, chunk=st.integers(80, 200), overlap=st.integers(0, 60))
+def test_chunking_reconstructs_original(spark, texts, chunk, overlap):
+    """Invariant: dropping each chunk's leading `overlap` chars (except
+    chunk 0) and concatenating in index order reproduces the document."""
+    from _data_engineering_pipeline_project_spark.operators.curation import (
+        chunk_documents,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = {}
+    for r in chunk_documents(df, chunk_chars=chunk, overlap=overlap).collect():
+        out.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk"]))
+    for doc_id, text in enumerate(texts):
+        if not text:
+            assert doc_id not in out  # empty docs yield no chunks
+            continue
+        parts = [c for _, c in sorted(out[doc_id])]
+        rebuilt = parts[0] + "".join(p[overlap:] for p in parts[1:])
+        assert rebuilt == text, (doc_id, chunk, overlap)
+        # every chunk within size bound
+        assert all(len(p) <= chunk for p in parts)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(-100, 100), st.floats(allow_nan=False, width=32)),
+        min_size=0,
+        max_size=8,
+    )
+)
+def test_conform_is_idempotent(spark, rows):
+    """conform(conform(df)) == conform(df): once a batch matches the
+    target schema, a second pass is the identity with no actions."""
+    from pyspark.sql import types as T
+
+    from _data_engineering_pipeline_project_spark.operators.evolution import (
+        conform_to_schema,
+    )
+
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+            T.StructField("note", T.StringType()),
+        ]
+    )
+    src = (
+        spark.createDataFrame(rows, "id int, price float")
+        if rows
+        else spark.createDataFrame([], "id int, price float")
+    )
+    once, acts1 = conform_to_schema(src, target)
+    twice, acts2 = conform_to_schema(once, target)
+    assert acts1 and not acts2  # first pass acts, second is identity
+    assert once.schema == twice.schema == target
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
