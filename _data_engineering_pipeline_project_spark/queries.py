@@ -521,27 +521,35 @@ def revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
 )
 def top_customers_by_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """Top-k per global ranking, deterministic tie-break on key; ranking is
-    over the ROUNDED revenue so both engines rank identical values."""
+    over the ROUNDED revenue so both engines rank identical values.
+
+    Scale shape: lineitem pre-aggregates to per-order revenue BEFORE the
+    orders join — the join input shrinks ~4x and both the pre-agg and the
+    join hash on l_orderkey, so AQE co-partitions them (no extra
+    shuffle). The global top-10 runs as orderBy+limit → Spark's
+    TakeOrderedAndProject (per-partition heaps + driver merge of 10),
+    not a single-partition window sort of every customer; row_number
+    then ranks only the 10 survivors. Rounding at 4 decimals commutes
+    with the added aggregation level (4-decimal terms land exactly on
+    4-decimal sums under any partial-sum tree)."""
     from pyspark.sql import Window
 
     li = table(spark, sf, "lineitem")
-    o = table(spark, sf, "orders")
-    c = table(spark, sf, "customer")
-    rev = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "c_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
-        )
+    o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf, "customer").select("c_custkey", "c_name")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__r")
     )
+    rev = (
+        per_order.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("__r"), 4).alias("revenue"))
+    )
+    top = rev.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(10)
     w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
-    return (
-        rev.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 10)
-        .select("c_custkey", "c_name", "revenue", "rnk")
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "c_custkey", "c_name", "revenue", "rnk"
     )
 
 
