@@ -316,3 +316,21 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """The join-strategy control surface: hints force the physical
+    algorithm when the optimizer's default is wrong for a known workload
+    (e.g. a 'small' table whose stats lie, or avoiding a broadcast OOM)."""
+    import pyspark.sql.functions as F
+
+    from _data_engineering_pipeline_project_spark.plans.audit import explain_str
+
+    big = spark.range(10000).selectExpr("id AS k", "id AS v")
+    small = spark.range(100).selectExpr("id AS k", "id AS w")
+    merge = big.join(small.hint("merge"), "k")
+    assert "SortMergeJoin" in explain_str(merge)
+    shuffle_hash = big.join(small.hint("shuffle_hash"), "k")
+    assert "ShuffledHashJoin" in explain_str(shuffle_hash)
+    bcast = big.join(F.broadcast(small), "k")
+    assert "BroadcastHashJoin" in explain_str(bcast)

@@ -293,3 +293,33 @@ def test_stream_static_enrichment(spark, tmp_path):
     }
     # matched keys enriched; unmatched fact NOT dropped (left join)
     assert out == {1: "gold", 2: "silver", 9: None}
+
+
+def test_complete_mode_streaming_aggregation(spark, tmp_path):
+    """Complete output mode: the full aggregate state re-emits per batch
+    (leaderboard shape) — vs update (changed keys) and append (finalized
+    windows only), both covered elsewhere."""
+    src = str(tmp_path / "cm")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("a", 3.0)], schema
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.format("parquet").schema(schema).load(src)
+    import pyspark.sql.functions as F
+
+    agg = stream.groupBy("k").agg(F.sum("v").alias("total"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = {r["k"]: r["total"] for r in spark.table("t_complete").collect()}
+    assert out == {"a": 4.0, "b": 2.0}
