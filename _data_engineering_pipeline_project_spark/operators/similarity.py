@@ -170,6 +170,68 @@ def _nearest_centroid_scores(
     )
 
 
+def ivf_lloyd_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd iterations over the seed centroids: assign every vector to
+    its nearest centroid (broadcast cross-score + ``max_by`` — the same
+    one-row-per-vector shuffle as IVF assignment), then recompute each
+    centroid as the component-wise mean of its members via posexplode →
+    per-(centroid, dim) avg → re-collect in dim order. Per iteration:
+    one assignment pass + one mean aggregate whose shuffle is
+    |corpus|·dim rows of (cid, pos, x) — linear, no pairwise work.
+    Empty clusters keep their previous centroid (coalesce on the join
+    back). Centroid count stays tiny, so each refined table re-broadcasts."""
+    cur = centroids
+    for _ in range(iters):
+        assigned = (
+            _nearest_centroid_scores(corpus, cur, id_col, vec_col)
+            .groupBy(id_col)
+            .agg(
+                F.max_by(
+                    F.struct(
+                        F.col("centroid_id").alias("cid"),
+                        F.col(vec_col).alias("vec"),
+                    ),
+                    F.struct(
+                        F.col("__cos").alias("c"),
+                        (-F.col("centroid_id")).alias("n"),
+                    ),
+                ).alias("__best")
+            )
+            .select(
+                F.col("__best.cid").alias("centroid_id"),
+                F.col("__best.vec").alias(vec_col),
+            )
+        )
+        means = (
+            assigned.select(
+                "centroid_id", F.posexplode(vec_col).alias("pos", "x")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"].cast("float"),
+                ).alias("__new")
+            )
+        )
+        cur = (
+            cur.join(means, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce("__new", "__cvec").alias("__cvec"),
+            )
+        )
+    return cur
+
+
 def topk_cosine_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -179,6 +241,7 @@ def topk_cosine_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    refine_iters: int = 0,
 ) -> DataFrame:
     """Approximate top-k cosine via IVF (inverted-file) partitioning.
 
@@ -195,6 +258,12 @@ def topk_cosine_ivf(
     whose recall is only measured statistically.
     """
     centroids = ivf_seed_centroids(corpus, num_centroids, id_col, vec_col)
+    if refine_iters > 0:
+        # Lloyd-refined lists balance cluster sizes → tighter candidate
+        # volume per probe; refinement is iterative (rows-only check)
+        centroids = ivf_lloyd_refine(
+            corpus, centroids, refine_iters, id_col, vec_col
+        )
 
     # corpus → nearest list: argmax by (cosine, -centroid_id) struct order
     # == SQL row_number() ORDER BY cos DESC, centroid_id ASC

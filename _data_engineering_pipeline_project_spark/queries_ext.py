@@ -901,3 +901,17 @@ def embedding_topk_int8(spark: SparkSession, sf: str) -> DataFrame:
     for a quantized operator."""
     emb = table(spark, sf, "embeddings")
     return SIM.topk_cosine_quantized(emb, emb.filter("vec_id < 10"), k=5)
+
+
+@query("embedding_topk_ivf_refined")  # rows-only: Lloyd iteration is iterative
+def embedding_topk_ivf_refined(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF top-k with 2 Lloyd refinement iterations over the seeded
+    centroids (iterative algorithm — the class the driver records as
+    rows-only; the seed-only variant `embedding_topk_ivf` carries the
+    full oracle). Monotone objective improvement and recall pinned in
+    pytest."""
+    emb = table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.topk_cosine_ivf(
+        emb, queries, k=5, num_centroids=8, nprobe=2, refine_iters=2
+    )

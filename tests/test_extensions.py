@@ -392,3 +392,58 @@ def test_int8_quantized_topk_recall(spark):
     # int8 symmetric quantization preserves cosine order: recall@10 >= 0.8
     recalls = [len(e[qid] & q[qid]) / len(e[qid]) for qid in e]
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_ivf_lloyd_refinement_improves_clustering(spark):
+    import pyspark.sql.functions as F
+
+    from _data_engineering_pipeline_project_spark.catalog import table
+    from _data_engineering_pipeline_project_spark.operators.similarity import (
+        _nearest_centroid_scores,
+        ivf_lloyd_refine,
+        ivf_seed_centroids,
+        topk_cosine_bruteforce,
+        topk_cosine_ivf,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = table(spark, sf, "embeddings")
+    seeds = ivf_seed_centroids(emb, num_centroids=8)
+    refined = ivf_lloyd_refine(emb, seeds, iters=2)
+    assert refined.count() == 8
+
+    def objective(cents):
+        # Lloyd objective: mean best-centroid cosine over the corpus
+        return (
+            _nearest_centroid_scores(emb, cents, "vec_id", "embedding")
+            .groupBy("vec_id")
+            .agg(F.max("__cos").alias("best"))
+            .agg(F.avg("best"))
+            .collect()[0][0]
+        )
+
+    # refinement must improve (or at least not worsen) the k-means
+    # objective — this is Lloyd's monotonicity, modulo the 6-digit
+    # rounding inside the scorer
+    assert objective(refined) >= objective(seeds) - 1e-4
+
+    # end-to-end: refined IVF recall comparable to seeded IVF
+    queries = emb.filter("vec_id < 10")
+    exact = topk_cosine_bruteforce(emb, queries, k=5)
+    e = {}
+    for r in exact.collect():
+        e.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(len(e[q] & got.get(q, set())) / len(e[q]) for q in e) / len(e)
+
+    r_seed = recall(topk_cosine_ivf(emb, queries, k=5, num_centroids=8, nprobe=2))
+    r_ref = recall(
+        topk_cosine_ivf(
+            emb, queries, k=5, num_centroids=8, nprobe=2, refine_iters=2
+        )
+    )
+    assert r_ref >= r_seed - 0.15, (r_seed, r_ref)
