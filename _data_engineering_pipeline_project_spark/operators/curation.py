@@ -182,3 +182,45 @@ def pack_sequences(
         .withColumn("pid", F.spark_partition_id())
     )
     return prepped.groupBy("pid").applyInPandas(pack, schema=out_schema)
+
+
+def chunk_by_tokens(
+    df: DataFrame,
+    chunk_tokens: int = 50,
+    overlap_tokens: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-boundary chunking: fixed windows of whitespace tokens with
+    overlap — splits never land mid-word (the char-based
+    ``chunk_documents`` is the byte-budget variant). Same zero-shuffle
+    native plan: split → sequence → explode → slice → concat. For a real
+    BPE tokenizer, swap the ``split`` for an Arrow-batched tokenizer UDF
+    producing the token array; every downstream expression (windowing,
+    slicing, joining) is unchanged — the tokenizer is the only seam."""
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap_tokens must be < chunk_tokens")
+    stride = chunk_tokens - overlap_tokens
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_chunks = F.ceil(
+        F.greatest(F.size(words) - F.lit(overlap_tokens), F.lit(1)) / F.lit(stride)
+    ).cast("int")
+    return (
+        df.filter(F.length(text_col) > 0)
+        .select(
+            id_col,
+            words.alias("__w"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.concat_ws(
+                " ",
+                F.slice(F.col("__w"), F.col("chunk_idx") * stride + 1, chunk_tokens),
+            ).alias("chunk"),
+            F.least(
+                F.size("__w") - F.col("chunk_idx") * stride, F.lit(chunk_tokens)
+            ).alias("n_tokens"),
+        )
+    )

@@ -915,3 +915,29 @@ def embedding_topk_ivf_refined(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.topk_cosine_ivf(
         emb, queries, k=5, num_centroids=8, nprobe=2, refine_iters=2
     )
+
+
+@query(
+    "chunk_documents_by_tokens",
+    """
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+               FROM documents WHERE length(text) > 0)
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+           array_to_string(ws[i * 40 + 1 : i * 40 + 50], ' ') AS chunk,
+           CAST(least(len(ws) - i * 40, 50) AS INTEGER) AS n_tokens
+    FROM w, LATERAL (SELECT unnest(generate_series(0,
+               CAST(ceil(greatest(len(ws) - 10, 1) / 40.0) AS INTEGER) - 1)) AS i)
+    """,
+)
+def chunk_documents_by_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-boundary chunking (50-token windows, 10 overlap): splits
+    never cut words. Native slice/concat plan; DuckDB twin via list
+    slicing (note DuckDB slices are 1-based INCLUSIVE: [s : s+49] is 50
+    elements)."""
+    from _data_engineering_pipeline_project_spark.operators.curation import (
+        chunk_by_tokens,
+    )
+
+    return chunk_by_tokens(
+        table(spark, sf, "documents"), chunk_tokens=50, overlap_tokens=10
+    ).select("doc_id", "chunk_idx", "chunk", F.col("n_tokens").cast("int").alias("n_tokens"))
