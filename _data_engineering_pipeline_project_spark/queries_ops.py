@@ -852,3 +852,103 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("edit_dist").between(1, 3))
     )
+
+
+@query(
+    "table_health_summary",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(count(DISTINCT o_orderkey) / CAST(count(*) AS DOUBLE), 6)
+             AS pk_uniqueness,
+           round(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS custkey_null_ratio,
+           round(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS price_null_ratio,
+           max(o_orderdate) AS freshness_high_water,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS status_cardinality
+    FROM orders
+    """,
+)
+def table_health_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass table health profile (the quality dashboard every sink
+    table needs): volume, PK uniqueness ratio, per-column null ratios,
+    freshness high-water mark, enum cardinality. All from a single
+    aggregate — at 100 TB this is one scan, not one scan per metric
+    (the reference computes each check in its own pandas pass). Ratios
+    divide exact integers -> bit-identical."""
+    o = table(spark, sf, "orders")
+    n = F.count(F.lit(1))
+    return o.agg(
+        n.alias("n_rows"),
+        F.round(F.countDistinct("o_orderkey") / n.cast("double"), 6).alias(
+            "pk_uniqueness"
+        ),
+        F.round(
+            F.sum(F.col("o_custkey").isNull().cast("int")) / n.cast("double"), 6
+        ).alias("custkey_null_ratio"),
+        F.round(
+            F.sum(F.col("o_totalprice").isNull().cast("int")) / n.cast("double"), 6
+        ).alias("price_null_ratio"),
+        F.max("o_orderdate").alias("freshness_high_water"),
+        F.countDistinct("o_orderstatus").alias("status_cardinality"),
+    )
+
+
+@query(
+    "value_drift_psi",
+    """
+    WITH binned AS (
+      SELECT CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 'ref' ELSE 'cur' END
+               AS period,
+             CAST(least(greatest(floor(value / 10.0), -1), 10) AS BIGINT)
+               AS bucket
+      FROM events WHERE value IS NOT NULL),
+    dist AS (
+      SELECT bucket,
+             sum(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS n_ref,
+             sum(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS n_cur
+      FROM binned GROUP BY bucket),
+    tot AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM dist)
+    SELECT round(sum((greatest(n_cur / t_cur, 1e-6)
+                      - greatest(n_ref / t_ref, 1e-6))
+                     * ln(greatest(n_cur / t_cur, 1e-6)
+                          / greatest(n_ref / t_ref, 1e-6))), 6) AS psi,
+           CAST(count(*) AS BIGINT) AS n_buckets
+    FROM dist, tot
+    """,
+)
+def value_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    period of the value distribution — the standard drift alarm for
+    training-data pipelines (PSI > 0.2 ≈ actionable shift). One binned
+    aggregate produces BOTH period histograms (conditional counts), the
+    PSI fold runs over the tiny bucket table; floors at 1e-6 keep empty
+    buckets finite identically in both engines. Integer counts divide
+    exactly; ln of bit-identical doubles is bit-identical."""
+    ev = table(spark, sf, "events").filter(F.col("value").isNotNull())
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / 10.0), F.lit(-1)), F.lit(10)
+    ).cast("long")
+    period = F.when(
+        F.col("ts") < F.lit("2024-01-15").cast("timestamp"), "ref"
+    ).otherwise("cur")
+    dist = (
+        ev.select(period.alias("period"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("period") == "ref", 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(F.col("period") == "cur", 1).otherwise(0)).alias("n_cur"),
+        )
+    )
+    tot = dist.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p_cur = F.greatest(F.col("n_cur") / F.col("t_cur"), F.lit(1e-6))
+    p_ref = F.greatest(F.col("n_ref") / F.col("t_ref"), F.lit(1e-6))
+    return (
+        dist.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(F.sum((p_cur - p_ref) * F.log(p_cur / p_ref)), 6).alias("psi"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+    )
