@@ -952,3 +952,53 @@ def value_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_buckets"),
         )
     )
+
+
+@query(
+    "funnel_view_click_purchase",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS stage_view,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS stage_click,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                          AND t_purchase > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS stage_purchase
+    FROM firsts
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    """Funnel analysis (ordered event-sequence matching): users advancing
+    view → click → purchase with each stage's FIRST occurrence strictly
+    after the previous stage's. Spark-first shape: one conditional-min
+    aggregate per user collapses the event stream to a stage-timestamp
+    row (single shuffle on user_id, map-side partial mins), then the
+    ordering predicates are row-local — no self-joins per stage (the
+    naive funnel is an N-way self-join on user_id; this is the same
+    result with one pass). NULL stage timestamps fail the > predicates,
+    ANSI three-valued logic dropping incomplete funnels in both
+    engines."""
+    ev = table(spark, sf, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    reached_view = F.col("t_view").isNotNull()
+    reached_click = reached_view & (F.col("t_click") > F.col("t_view"))
+    reached_purchase = reached_click & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(reached_view.cast("int")).alias("stage_view"),
+        F.sum(reached_click.cast("int")).alias("stage_click"),
+        F.sum(reached_purchase.cast("int")).alias("stage_purchase"),
+    )
