@@ -1002,3 +1002,50 @@ def funnel_view_click_purchase(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(reached_click.cast("int")).alias("stage_click"),
         F.sum(reached_purchase.cast("int")).alias("stage_purchase"),
     )
+
+
+@query(
+    "weekly_cohort_retention",
+    """
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP)
+               AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP)
+               AS active_week
+      FROM events)
+    SELECT f.cohort_week,
+           CAST(floor(date_diff('day', f.cohort_week, a.active_week) / 7.0)
+                AS INTEGER) AS week_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users
+    FROM first_seen f JOIN activity a USING (user_id)
+    GROUP BY f.cohort_week, week_offset
+    """,
+)
+def weekly_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen week,
+    counted in each subsequent activity week — THE product-analytics
+    companion to the funnel. Two aggregates keyed by user_id (AQE
+    co-partitions them with the join); week offsets via day-difference
+    integer division, which is portable (both engines' datediff('week')
+    count boundary crossings differently — day/7 floor is unambiguous).
+    date_trunc('week') starts Monday in both engines."""
+    ev = table(spark, sf, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    return (
+        first_seen.join(activity, "user_id")
+        .withColumn(
+            "week_offset",
+            F.floor(
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7.0
+            ).cast("int"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
