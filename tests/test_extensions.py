@@ -447,3 +447,17 @@ def test_ivf_lloyd_refinement_improves_clustering(spark):
         )
     )
     assert r_ref >= r_seed - 0.15, (r_seed, r_ref)
+
+
+def test_curation_parameter_validation():
+    import pytest
+
+    from _data_engineering_pipeline_project_spark.operators.curation import (
+        chunk_by_tokens,
+        chunk_documents,
+    )
+
+    with pytest.raises(ValueError):
+        chunk_documents(None, chunk_chars=100, overlap=100)
+    with pytest.raises(ValueError):
+        chunk_by_tokens(None, chunk_tokens=10, overlap_tokens=12)

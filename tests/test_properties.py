@@ -160,3 +160,34 @@ def test_conform_is_idempotent(spark, rows):
     assert acts1 and not acts2  # first pass acts, second is identity
     assert once.schema == twice.schema == target
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    corpus=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=60), min_size=1, max_size=5
+    ),
+    bench=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=60), min_size=1, max_size=3
+    ),
+)
+def test_decontaminate_partitions_the_corpus(spark, corpus, bench):
+    """clean ∪ contaminated == corpus, disjointly — no doc lost or
+    double-counted regardless of generated text overlap."""
+    from _data_engineering_pipeline_project_spark.operators.curation import (
+        decontaminate,
+    )
+
+    cdf = spark.createDataFrame(list(enumerate(corpus)), "doc_id long, text string")
+    bdf = spark.createDataFrame(
+        [(i + 1000, t) for i, t in enumerate(bench)], "doc_id long, text string"
+    )
+    clean, contaminated = decontaminate(cdf, bdf, n=2)
+    clean_ids = {r["doc_id"] for r in clean.collect()}
+    cont_ids = {r["doc_id"] for r in contaminated.collect()}
+    assert clean_ids.isdisjoint(cont_ids)
+    assert clean_ids | cont_ids == set(range(len(corpus)))
