@@ -1049,3 +1049,21 @@ def weekly_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+@query("frequent_event_types")  # rows-only: lossy-counting sketch internals
+def frequent_event_types(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate heavy hitters via DataFrame.stat.freqItems (single-pass
+    lossy counting): every item with frequency > support is GUARANTEED
+    present (possible false positives — the sketch trade; the guarantee
+    direction is pytest-pinned). At 100 TB this answers 'which keys
+    dominate' in one scan with O(1/support) memory — the precursor to
+    targeted skew salting. Sketch contents are partition-layout
+    dependent -> rows-only."""
+    freq = (
+        table(spark, sf, "events")
+        .stat.freqItems(["event_type"], support=0.15)
+    )
+    return freq.select(
+        F.explode("event_type_freqItems").alias("event_type")
+    ).orderBy("event_type")

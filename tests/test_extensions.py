@@ -461,3 +461,15 @@ def test_curation_parameter_validation():
         chunk_documents(None, chunk_chars=100, overlap=100)
     with pytest.raises(ValueError):
         chunk_by_tokens(None, chunk_tokens=10, overlap_tokens=12)
+
+
+def test_freq_items_superset_guarantee(spark):
+    """freqItems must return every TRUE heavy hitter (items above the
+    support threshold); false positives are allowed, false negatives are
+    not — the useful direction of the lossy-counting guarantee."""
+    rows = [("hot",)] * 60 + [("warm",)] * 25 + [(f"cold{i}",) for i in range(15)]
+    df = spark.createDataFrame(rows, "k string")
+    found = set(
+        df.stat.freqItems(["k"], support=0.2).collect()[0]["k_freqItems"]
+    )
+    assert {"hot", "warm"} <= found  # 60% and 25% both above 20% support
