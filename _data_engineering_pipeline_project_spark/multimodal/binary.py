@@ -187,3 +187,37 @@ def sample_frames(
             )
 
     return df.select(id_col, "payload").mapInPandas(frames, schema=out_schema)
+
+
+def sliding_windows(
+    df: DataFrame,
+    window_bytes: int = 400,
+    hop_bytes: int = 160,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Audio-pipeline windowing shape: overlapping fixed-size windows over
+    the byte stream (window/hop = the 25 ms/10 ms framing every
+    spectrogram starts from; an FFT UDF over each window would complete
+    it). Unlike frame sampling (disjoint blocks -> mapInPandas), the
+    overlap structure is expressible NATIVELY: sequence() generates hop
+    offsets, explode fans out, substring slices the BINARY column —
+    whole-stage codegen, no Python, no shuffle. Only full windows are
+    emitted (trailing partial dropped, the usual STFT convention)."""
+    n_windows = F.floor(
+        (F.octet_length("payload") - F.lit(window_bytes)) / F.lit(hop_bytes)
+    ).cast("int") + 1
+    return (
+        df.filter(F.octet_length("payload") >= window_bytes)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), n_windows - 1)).alias("window_idx"),
+            "payload",
+        )
+        .select(
+            id_col,
+            "window_idx",
+            F.substring(
+                F.col("payload"), F.col("window_idx") * hop_bytes + 1, window_bytes
+            ).alias("window"),
+        )
+    )

@@ -941,3 +941,37 @@ def chunk_documents_by_tokens(spark: SparkSession, sf: str) -> DataFrame:
     return chunk_by_tokens(
         table(spark, sf, "documents"), chunk_tokens=50, overlap_tokens=10
     ).select("doc_id", "chunk_idx", "chunk", F.col("n_tokens").cast("int").alias("n_tokens"))
+
+
+@query(
+    "multimodal_audio_windows",
+    """
+    SELECT doc_id, CAST(w AS INTEGER) AS window_idx,
+           CAST(list_sum(list_transform(
+                 generate_series(w * 160 + 1, w * 160 + 400),
+                 i -> ascii(substr(text, i, 1)))) AS BIGINT) AS window_crc
+    FROM documents,
+         LATERAL (SELECT unnest(generate_series(0,
+                    CAST(floor((length(text) - 400) / 160.0) AS INTEGER))) AS w)
+    WHERE length(text) >= 400
+    """,
+)
+def multimodal_audio_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping byte windows (400-byte window, 160-byte hop — the STFT
+    framing shape) computed natively over the binary column; per-window
+    CRC oracled via char-ordinal sums (ASCII payloads). The overlap op
+    needs no Python at all — sequence/explode/substring on binary stay
+    in codegen."""
+    from _data_engineering_pipeline_project_spark.multimodal.binary import (
+        attach_binary_payload,
+        sliding_windows,
+    )
+
+    d = attach_binary_payload(table(spark, sf, "documents"))
+    w = sliding_windows(d, window_bytes=400, hop_bytes=160)
+    crc = F.expr(
+        "aggregate(transform(sequence(1, length(decode(window, 'UTF-8'))), "
+        "i -> ascii(substr(decode(window, 'UTF-8'), i, 1))), 0L, "
+        "(acc, x) -> acc + cast(x AS LONG))"
+    )
+    return w.select("doc_id", "window_idx", crc.alias("window_crc"))

@@ -473,3 +473,24 @@ def test_freq_items_superset_guarantee(spark):
         df.stat.freqItems(["k"], support=0.2).collect()[0]["k_freqItems"]
     )
     assert {"hot", "warm"} <= found  # 60% and 25% both above 20% support
+
+
+def test_sliding_windows_overlap_semantics(spark):
+    from _data_engineering_pipeline_project_spark.multimodal.binary import (
+        attach_binary_payload,
+        sliding_windows,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a" * 10), (2, "b" * 3)], "doc_id long, text string"
+    )
+    out = {}
+    for r in sliding_windows(
+        attach_binary_payload(df), window_bytes=4, hop_bytes=2
+    ).collect():
+        out.setdefault(r["doc_id"], []).append((r["window_idx"], bytes(r["window"])))
+    # doc1 len 10, window 4, hop 2 -> starts 0,2,4,6 (full windows only)
+    assert sorted(out[1]) == [
+        (0, b"aaaa"), (1, b"aaaa"), (2, b"aaaa"), (3, b"aaaa")
+    ]
+    assert 2 not in out  # shorter than one window -> no rows
