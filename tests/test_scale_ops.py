@@ -208,3 +208,63 @@ def test_zorder_write_localizes_both_dimensions(spark, tmp_path):
         # each of 16 files holds 1/16 of a 64x64 grid = a 16x16 z-block
         # (or two adjacent ones) — far below the 63 a 1-D sort gives
         assert x_span <= 32 and y_span <= 32, (f, x_span, y_span)
+
+
+def test_hilbert_write_locality(spark, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from _data_engineering_pipeline_project_spark.operators.sampling import (
+        hilbert_value,
+        write_hilbert,
+    )
+
+    # unit: vectorized transform matches the scalar reference (Wikipedia
+    # xy2d) on a small grid
+    def xy2d(n, x, y):
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    pts = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["h"]
+        for r in df.select("x", "y", hilbert_value("x", "y", order=3).alias("h")).collect()
+    }
+    assert got == {(x, y): xy2d(8, x, y) for x, y in pts}
+    # Hilbert property: consecutive distances are grid neighbors
+    by_d = sorted(pts, key=lambda p: got[p])
+    assert all(
+        abs(a[0] - b[0]) + abs(a[1] - b[1]) == 1 for a, b in zip(by_d, by_d[1:])
+    )
+
+    # layout: 64x64 grid into 16 Hilbert-clustered files -> narrow spans
+    # in BOTH dimensions (same bound as the Morton test)
+    grid = spark.range(64 * 64).selectExpr(
+        "id % 64 as x", "cast(id / 64 as long) as y", "id as payload"
+    )
+    dest = str(tmp_path / "h")
+    write_hilbert(grid, dest, "x", "y", n_files=16, order=6)
+    for f in os.listdir(dest):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(dest, f)).metadata
+        cols = {
+            md.row_group(0).column(i).path_in_schema: md.row_group(0)
+            .column(i)
+            .statistics
+            for i in range(md.row_group(0).num_columns)
+        }
+        assert cols["x"].max - cols["x"].min <= 32
+        assert cols["y"].max - cols["y"].min <= 32
