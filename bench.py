@@ -30,6 +30,11 @@ EXTENSION_QUERIES = [
     "range_join_events_pairs",
     "corpus_curation_pipeline",
     "token_counts_documents",
+    "chunk_documents_overlap",
+    "repetition_ratio_documents",
+    "decontaminate_corpus",
+    "funnel_view_click_purchase",
+    "weekly_cohort_retention",
 ]
 
 BENCH_QUERIES = [
