@@ -191,3 +191,28 @@ def test_decontaminate_partitions_the_corpus(spark, corpus, bench):
     cont_ids = {r["doc_id"] for r in contaminated.collect()}
     assert clean_ids.isdisjoint(cont_ids)
     assert clean_ids | cont_ids == set(range(len(corpus)))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="xy z", min_size=1, max_size=80), min_size=1, max_size=4
+    )
+)
+def test_repetition_ratio_bounds(spark, texts):
+    """0 <= repeat_ratio < 1 always; all-distinct n-grams give exactly 0;
+    total >= distinct by construction."""
+    from _data_engineering_pipeline_project_spark.operators.curation import (
+        repeated_ngram_ratio,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    for r in repeated_ngram_ratio(df, n=2).collect():
+        assert 0 <= r["repeat_ratio"] < 1
+        assert r["total_ngrams"] >= r["distinct_ngrams"] >= 1
+        if r["total_ngrams"] == r["distinct_ngrams"]:
+            assert r["repeat_ratio"] == 0.0
