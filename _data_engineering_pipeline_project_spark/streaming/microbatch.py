@@ -278,3 +278,60 @@ def run_stream_static_enrichment(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+class BatchMetricsListener:
+    """Streaming observability: collects per-micro-batch progress
+    (rows, processing time, sink description) from Spark's
+    StreamingQueryListener bus — the streaming twin of the batch
+    Observation metrics (pipeline.observed_load). At scale this is what
+    feeds lag/throughput dashboards and backpressure alerts; locally the
+    test asserts the engine actually surfaces per-batch row counts.
+
+    Use: ``with BatchMetricsListener.attach(spark) as m: ...run query...``
+    then read ``m.progress`` (list of dicts)."""
+
+    def __init__(self, spark: SparkSession):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        self.progress: list[dict] = []
+        outer = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                p = event.progress
+                outer.progress.append(
+                    {
+                        "batch_id": p.batchId,
+                        "num_input_rows": p.numInputRows,
+                        "duration_ms": p.durationMs.get("triggerExecution"),
+                        "sink": p.sink.description,
+                    }
+                )
+
+            def onQueryTerminated(self, event):
+                pass
+
+            def onQueryIdle(self, event):
+                pass
+
+        self._listener = _L()
+        self._spark = spark
+
+    @classmethod
+    def attach(cls, spark: SparkSession) -> "BatchMetricsListener":
+        m = cls(spark)
+        spark.streams.addListener(m._listener)
+        return m
+
+    def detach(self) -> None:
+        self._spark.streams.removeListener(self._listener)
+
+    def __enter__(self) -> "BatchMetricsListener":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.detach()

@@ -323,3 +323,36 @@ def test_complete_mode_streaming_aggregation(spark, tmp_path):
     q.awaitTermination()
     out = {r["k"]: r["total"] for r in spark.table("t_complete").collect()}
     assert out == {"a": 4.0, "b": 2.0}
+
+
+def test_streaming_query_listener_collects_batch_metrics(spark, tmp_path):
+    import time
+
+    from _data_engineering_pipeline_project_spark.streaming.microbatch import (
+        BatchMetricsListener,
+    )
+
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.DoubleType())]
+    )
+    src = str(tmp_path / "lm")
+    spark.createDataFrame([("a", 1.0), ("b", 2.0)], schema).coalesce(
+        1
+    ).write.parquet(src)
+
+    with BatchMetricsListener.attach(spark) as m:
+        stream = spark.readStream.format("parquet").schema(schema).load(src)
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("t_listener")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # listener bus delivers asynchronously — poll briefly
+        for _ in range(40):
+            if any(p["num_input_rows"] == 2 for p in m.progress):
+                break
+            time.sleep(0.25)
+    assert any(p["num_input_rows"] == 2 for p in m.progress), m.progress
+    assert all("batch_id" in p for p in m.progress)
