@@ -903,12 +903,73 @@ def embedding_topk_int8(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.topk_cosine_quantized(emb, emb.filter("vec_id < 10"), k=5)
 
 
-@query("embedding_topk_ivf_refined")  # rows-only: Lloyd iteration is iterative
+_COS = (
+    "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+    "* sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+def _ivf_assign_sql(src: str, cents: str) -> str:
+    """Nearest-centroid assignment CTE body vs a centroid table."""
+    cos = _COS.format(a="v", b="c")
+    return (
+        f"SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id "
+        f"ORDER BY {cos} DESC, cid) AS rn FROM {src}, {cents}"
+    )
+
+
+def _ivf_mean_sql(assign: str) -> str:
+    """Per-centroid float32-quantized mean CTE body (empty clusters are
+    handled by the caller's coalesce join)."""
+    return (
+        f"SELECT cid, list_transform(list(m ORDER BY pos), "
+        f"x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS c_new FROM ("
+        f"SELECT cid, pos, avg(v[pos]) AS m "
+        f"FROM (SELECT cid, v FROM {assign} WHERE rn = 1), "
+        f"LATERAL (SELECT unnest(generate_series(1, 64)) AS pos) "
+        f"GROUP BY cid, pos) GROUP BY cid"
+    )
+
+
+@query(
+    "embedding_topk_ivf_refined",
+    f"""
+    WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+    seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                     vec_id) AS INTEGER) AS cid, v AS c
+      FROM vecs ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+    s0 AS ({_ivf_assign_sql("vecs", "seeds")}),
+    c1 AS (SELECT s.cid, coalesce(m.c_new, s.c) AS c
+           FROM seeds s LEFT JOIN ({_ivf_mean_sql("s0")}) m USING (cid)),
+    s1 AS ({_ivf_assign_sql("vecs", "c1")}),
+    c2 AS (SELECT s.cid, coalesce(m.c_new, s.c) AS c
+           FROM c1 s LEFT JOIN ({_ivf_mean_sql("s1")}) m USING (cid)),
+    assigned AS (SELECT vec_id, v, cid
+                 FROM ({_ivf_assign_sql("vecs", "c2")}) WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, v AS qv, cid
+               FROM ({_ivf_assign_sql("(SELECT * FROM vecs WHERE vec_id < 10)",
+                                      "c2")})
+               WHERE rn <= 2),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {_COS.format(a="a.v", b="p.qv")} AS cosine
+      FROM assigned a JOIN probes p USING (cid)
+      WHERE a.vec_id <> p.query_id)
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rnk FROM scored)
+    WHERE rnk <= 5
+    """,
+)
 def embedding_topk_ivf_refined(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF top-k with 2 Lloyd refinement iterations over the seeded
-    centroids (iterative algorithm — the class the driver records as
-    rows-only; the seed-only variant `embedding_topk_ivf` carries the
-    full oracle). Monotone objective improvement and recall pinned in
+    """IVF top-k with 2 Lloyd refinement iterations, FULL oracle parity:
+    the iterations unroll into SQL CTEs (assign -> float32-quantized
+    per-dim means -> reassign). The float32 cast on refined centroids is
+    what makes cross-engine parity robust — it quantizes away the
+    last-ulp summation-order drift in the double means before the next
+    cosine round. Monotone objective improvement and recall pinned in
     pytest."""
     emb = table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
