@@ -149,14 +149,29 @@ def scd2_merge(
 
 
 class Scd2Table:
-    """Parquet-backed SCD2 table: snapshot overwrite + history append.
+    """Parquet-backed SCD2 table with an atomic commit protocol.
 
     The storage pattern for engines without a transactional table format on
     the classpath (Delta/Iceberg would replace this with ``MERGE INTO``;
     see streaming/microbatch.py for the trigger side). Each ``merge``
-    writes the next snapshot to a new versioned directory and appends the
-    history delta — both are set-level parquet writes, partition-parallel.
+    writes the next snapshot AND the history delta to new versioned
+    directories, then commits by atomically swapping a ``_CURRENT``
+    pointer file (``os.replace`` — atomic on POSIX). A reader that opens
+    the table mid-write resolves the pointer to the previous version and
+    never sees a half-written snapshot; a writer that crashes mid-write
+    leaves orphan ``*_v{n+1}`` directories that the retried merge simply
+    overwrites. History is per-version delta directories (not a single
+    append dir) so an uncommitted delta is invisible too — ``history()``
+    reads only deltas at or below the committed version.
+
+    The committed version is durable: a fresh ``Scd2Table`` over an
+    existing ``base_dir`` resumes from the pointer file (fallback: scan
+    for the highest ``snapshot_v*`` directory bearing Spark's ``_SUCCESS``
+    marker), so a cron-style "one driver invocation per cycle" deployment
+    restarts safely instead of silently re-initial-loading.
     """
+
+    _POINTER = "_CURRENT"
 
     def __init__(self, spark, base_dir: str, pk: list[str]):
         import os
@@ -165,34 +180,95 @@ class Scd2Table:
         self.base_dir = base_dir
         self.pk = pk
         self.snapshot_dir = os.path.join(base_dir, "snapshot")
-        self.history_dir = os.path.join(base_dir, "history")
-        self._version = 0
+        self.history_delta_dir = os.path.join(base_dir, "history_delta")
+        self._version = self._recover_version()
+
+    # --- commit protocol ---------------------------------------------------
+
+    def _pointer_path(self) -> str:
+        import os
+
+        return os.path.join(self.base_dir, self._POINTER)
+
+    def _recover_version(self) -> int:
+        """Committed version on disk: the pointer file is authoritative;
+        if it is missing (pre-pointer layout, or deleted) fall back to the
+        highest snapshot directory that finished writing (``_SUCCESS``)."""
+        import json
+        import os
+        import re
+
+        ptr = self._pointer_path()
+        if os.path.exists(ptr):
+            with open(ptr) as f:
+                return int(json.load(f)["version"])
+        best = 0
+        if os.path.isdir(self.base_dir):
+            pat = re.compile(r"^snapshot_v(\d+)$")
+            for name in os.listdir(self.base_dir):
+                m = pat.match(name)
+                if m and os.path.exists(
+                    os.path.join(self.base_dir, name, "_SUCCESS")
+                ):
+                    best = max(best, int(m.group(1)))
+        return best
+
+    def _commit(self, version: int) -> None:
+        """Atomically advance the pointer: write-temp + ``os.replace``."""
+        import json
+        import os
+
+        os.makedirs(self.base_dir, exist_ok=True)
+        tmp = self._pointer_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": version}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._pointer_path())
+
+    @property
+    def version(self) -> int:
+        """Committed version (1-based merge count; 0 = empty table)."""
+        return self._version
+
+    # --- reads/writes ------------------------------------------------------
 
     def current(self) -> DataFrame | None:
         import os
 
+        if self._version == 0:
+            return None
         path = f"{self.snapshot_dir}_v{self._version}"
         if not os.path.exists(path):
             return None
         return self.spark.read.parquet(path)
 
     def merge(self, incoming: DataFrame, batch_ts: datetime) -> DataFrame:
-        import os
-
         res = scd2_merge(incoming, self.current(), self.pk, batch_ts)
-        next_path = f"{self.snapshot_dir}_v{self._version + 1}"
-        res.snapshot.write.mode("overwrite").parquet(next_path)
-        if not os.path.exists(self.history_dir):
-            res.history.write.mode("overwrite").parquet(self.history_dir)
-        else:
-            res.history.write.mode("append").parquet(self.history_dir)
-        self._version += 1
-        stats = res.stats.collect()
+        nxt = self._version + 1
+        # overwrite mode: a crashed previous attempt at this version is
+        # clobbered, never appended to
+        res.snapshot.write.mode("overwrite").parquet(f"{self.snapshot_dir}_v{nxt}")
+        res.history.write.mode("overwrite").parquet(
+            f"{self.history_delta_dir}_v{nxt}"
+        )
+        stats = res.stats.collect()  # materialize BEFORE commit
+        self._commit(nxt)  # the atomic point: readers now see version nxt
+        self._version = nxt
         res.release()
         return self.spark.createDataFrame(stats, res.stats.schema)
 
     def history(self) -> DataFrame:
-        return self.spark.read.parquet(self.history_dir)
+        import os
+
+        paths = [
+            f"{self.history_delta_dir}_v{v}"
+            for v in range(1, self._version + 1)
+            if os.path.exists(f"{self.history_delta_dir}_v{v}")
+        ]
+        if not paths:
+            raise FileNotFoundError("table has no committed history yet")
+        return self.spark.read.parquet(*paths)
 
     def snapshot_as_of(self, version: int) -> DataFrame:
         """Time travel: read an earlier snapshot version (versions are
@@ -253,7 +329,7 @@ def vacuum_versions(table: "Scd2Table", keep_last: int = 2) -> list[str]:
     import shutil
 
     removed: list[str] = []
-    last_kept = table._version - keep_last
+    last_kept = table.version - keep_last
     for v in range(1, max(last_kept, 0) + 1):
         path = f"{table.snapshot_dir}_v{v}"
         if os.path.exists(path):

@@ -56,12 +56,14 @@ def merge_rollup(
         F.col("vmin").alias("_vmin"),
         F.col("vmax").alias("_vmax"),
     )
+    # zero literal cast to the column's OWN type: an integral sum stays
+    # long (exact past 2^53) and the rollup schema never drifts from the
+    # batch partial's schema — the monoid identity, not a double
+    zero = F.lit(0).cast(part.schema["total"].dataType)
     return part.join(c, key_cols, "full_outer").select(
         *key_cols,
         (F.coalesce("n", F.lit(0)) + F.coalesce("_n", F.lit(0))).alias("n"),
-        (F.coalesce("total", F.lit(0.0)) + F.coalesce("_total", F.lit(0.0))).alias(
-            "total"
-        ),
+        (F.coalesce("total", zero) + F.coalesce("_total", zero)).alias("total"),
         F.least("vmin", "_vmin").alias("vmin"),
         F.greatest("vmax", "_vmax").alias("vmax"),
     )
@@ -69,7 +71,15 @@ def merge_rollup(
 
 class AggMaintainer:
     """Maintain ``key_cols -> (n, total, vmin, vmax)`` over ``value_col``
-    incrementally across micro-batches."""
+    incrementally across micro-batches.
+
+    Restart-safe: the committed rollup version persists in a ``_CURRENT``
+    pointer file (atomic ``os.replace`` swap, same protocol as
+    ``Scd2Table``), so a fresh AggMaintainer over an existing ``base_dir``
+    resumes the rollup instead of silently resetting it to the next batch.
+    """
+
+    _POINTER = "_CURRENT"
 
     def __init__(
         self,
@@ -83,8 +93,40 @@ class AggMaintainer:
         self.key_cols = key_cols
         self.value_col = value_col
         self.rollup_dir = os.path.join(base_dir, "rollup")
-        self._version = 0
         os.makedirs(base_dir, exist_ok=True)
+        self._version = self._recover_version()
+
+    def _pointer_path(self) -> str:
+        return os.path.join(self.base_dir, self._POINTER)
+
+    def _recover_version(self) -> int:
+        import json
+        import re
+
+        if os.path.exists(self._pointer_path()):
+            with open(self._pointer_path()) as f:
+                return int(json.load(f)["version"])
+        best = 0
+        pat = re.compile(r"^rollup_v(\d+)$")
+        for name in os.listdir(self.base_dir):
+            m = pat.match(name)
+            if m and os.path.exists(os.path.join(self.base_dir, name, "_SUCCESS")):
+                best = max(best, int(m.group(1)))
+        return best
+
+    def _commit(self, version: int) -> None:
+        import json
+
+        tmp = self._pointer_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": version}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._pointer_path())
+
+    @property
+    def version(self) -> int:
+        return self._version
 
     def current(self) -> DataFrame | None:
         if self._version == 0:
@@ -105,9 +147,10 @@ class AggMaintainer:
         magnitude smaller than the fact history it summarizes."""
         part = partial_agg(batch_df, self.key_cols, self.value_col)
         merged = merge_rollup(part, self.current(), self.key_cols)
-        next_path = f"{self.rollup_dir}_v{self._version + 1}"
-        merged.write.mode("overwrite").parquet(next_path)
-        self._version += 1
+        nxt = self._version + 1
+        merged.write.mode("overwrite").parquet(f"{self.rollup_dir}_v{nxt}")
+        self._commit(nxt)
+        self._version = nxt
 
     def run_available_now(
         self,

@@ -149,3 +149,78 @@ def test_vacuum_versions_keeps_time_travel_window(spark, tmp_path):
         t.snapshot_as_of(1).count()
     # history untouched (append-only audit)
     assert t.history().count() >= 3
+
+
+def test_restart_recovers_committed_version(spark, tmp_path):
+    """A fresh Scd2Table over an existing base_dir resumes from the
+    _CURRENT pointer — batch 3 merges as an incremental update, never as
+    a re-initial full load (the restart-unsafety ADVICE flagged)."""
+    d = str(tmp_path / "t")
+    t1 = Scd2Table(spark, d, ["id"])
+    t1.merge(spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], SCHEMA), T1)
+    t1.merge(spark.createDataFrame([(1, "a", 9.0), (2, "b", 2.0)], SCHEMA), T2)
+
+    t2 = Scd2Table(spark, d, ["id"])  # simulated driver restart
+    assert t2.version == 2
+    assert snap(t2.current()) == snap(t1.current())
+
+    # next cycle after restart: id=2 deleted → must be a tombstone merge,
+    # not an initial load that forgets id=2 ever existed
+    t2.merge(spark.createDataFrame([(1, "a", 9.0)], SCHEMA), T3)
+    s = snap(t2.current())
+    assert s[2][2] is True  # soft-deleted, not lost
+    assert t2.history().count() == 2  # old v of id=1 + tombstone of id=2
+
+
+def test_restart_recovery_scan_fallback(spark, tmp_path):
+    """Pointer file deleted (pre-pointer layout / operator error): recovery
+    scans for the highest snapshot dir bearing _SUCCESS."""
+    import os
+
+    d = str(tmp_path / "t")
+    t1 = Scd2Table(spark, d, ["id"])
+    t1.merge(spark.createDataFrame([(1, "a", 1.0)], SCHEMA), T1)
+    t1.merge(spark.createDataFrame([(1, "a", 2.0)], SCHEMA), T2)
+    os.remove(os.path.join(d, "_CURRENT"))
+
+    # a half-written v3 (no _SUCCESS) must NOT be picked up
+    os.makedirs(os.path.join(d, "snapshot_v3"))
+    with open(os.path.join(d, "snapshot_v3", "part-junk.parquet"), "wb") as f:
+        f.write(b"\x00not parquet")
+
+    t2 = Scd2Table(spark, d, ["id"])
+    assert t2.version == 2
+    assert snap(t2.current())[1][1] == 2.0
+
+
+def test_crash_mid_write_reader_sees_previous_version(spark, tmp_path):
+    """Crash injection: uncommitted v2 artifacts on disk (snapshot AND
+    history delta written, pointer swap never happened). A reader opens
+    the table and sees the v1 state exactly; a retried merge then commits
+    v2 cleanly over the orphans."""
+    d = str(tmp_path / "t")
+    w = Scd2Table(spark, d, ["id"])
+    w.merge(spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], SCHEMA), T1)
+
+    # simulate the crashed writer: do everything merge() does EXCEPT commit
+    res = scd2_merge(
+        spark.createDataFrame([(1, "a", 9.0), (2, "b", 2.0)], SCHEMA),
+        w.current(),
+        ["id"],
+        T2,
+    )
+    res.snapshot.write.mode("overwrite").parquet(f"{w.snapshot_dir}_v2")
+    res.history.write.mode("overwrite").parquet(f"{w.history_delta_dir}_v2")
+    res.release()
+
+    r = Scd2Table(spark, d, ["id"])  # reader after the crash
+    assert r.version == 1
+    assert snap(r.current())[1][1] == 1.0  # pre-crash value
+    assert r.history().count() == 0  # orphan delta invisible
+
+    # retry the merge: overwrites the orphans, commits atomically
+    w2 = Scd2Table(spark, d, ["id"])
+    w2.merge(spark.createDataFrame([(1, "a", 9.0), (2, "b", 2.0)], SCHEMA), T2)
+    assert w2.version == 2
+    assert snap(w2.current())[1][1] == 9.0
+    assert w2.history().count() == 1

@@ -47,7 +47,9 @@ def test_incremental_loader_scd2(spark, tmp_path):
     loader2 = IncrementalLoader(
         spark, src + "/*/", SCHEMA, str(tmp_path / "table"), ["id"]
     )
-    loader2.table._version = loader.table._version  # resume table state
+    # no manual state patch: Scd2Table recovers its committed version from
+    # the _CURRENT pointer on disk — the restart path under test
+    assert loader2.table.version == loader.table.version
     loader2.run_available_now(ckpt)  # checkpoint skips snap1
 
     cur = {r["id"]: (r["price"], r["is_deleted"]) for r in loader2.current().collect()}
@@ -356,3 +358,40 @@ def test_streaming_query_listener_collects_batch_metrics(spark, tmp_path):
             time.sleep(0.25)
     assert any(p["num_input_rows"] == 2 for p in m.progress), m.progress
     assert all("batch_id" in p for p in m.progress)
+
+
+def test_aggmaint_restart_recovers_rollup(spark, tmp_path):
+    """A fresh AggMaintainer over an existing base_dir resumes the stored
+    rollup from the _CURRENT pointer instead of resetting to the next
+    batch (the ADVICE-flagged silent reset)."""
+    from _data_engineering_pipeline_project_spark.streaming.aggmaint import (
+        AggMaintainer,
+    )
+
+    d = str(tmp_path / "rollup_restart")
+    m1 = AggMaintainer(spark, d, ["k"], "v")
+    m1.merge_batch(spark.createDataFrame([("a", 1.0), ("a", 2.0)], "k string, v double"), 0)
+
+    m2 = AggMaintainer(spark, d, ["k"], "v")  # driver restart
+    assert m2.version == 1
+    m2.merge_batch(spark.createDataFrame([("a", 4.0)], "k string, v double"), 1)
+    row = m2.result().collect()[0]
+    assert (row["n"], row["total"], row["vmin"], row["vmax"]) == (3, 7.0, 1.0, 4.0)
+
+
+def test_merge_rollup_integral_sum_stays_long(spark):
+    """Typed monoid identity: merging long-typed partials keeps `total`
+    a long (exact past 2^53), no silent double promotion."""
+    from _data_engineering_pipeline_project_spark.streaming.aggmaint import (
+        merge_rollup,
+        partial_agg,
+    )
+
+    big = (1 << 53) + 1  # not representable as double
+    df1 = spark.createDataFrame([("a", big)], "k string, v long")
+    df2 = spark.createDataFrame([("a", 1)], "k string, v long")
+    p1 = partial_agg(df1, ["k"], "v")
+    p2 = partial_agg(df2, ["k"], "v")
+    merged = merge_rollup(p2, p1, ["k"])
+    assert merged.schema["total"].dataType.simpleString() == "bigint"
+    assert merged.collect()[0]["total"] == big + 1
