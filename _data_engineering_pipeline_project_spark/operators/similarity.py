@@ -68,8 +68,9 @@ def cosine_dup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding near-duplicate pairs: all (a<b) with cosine ≥ threshold.
-    Brute-force verification form — the LSH-bucketed variant below is the
-    scale path (bucket first, compare within buckets only)."""
+    Brute-force O(n²) verification form — NOT registered as a query; it
+    exists as the exact reference that ``lsh_dup_pairs`` (the registered,
+    bucketed scale path) measures its recall against in pytest."""
     a = emb.alias("a")
     b = emb.alias("b")
     return (
@@ -123,6 +124,88 @@ def lsh_bucket(vec_col, dim: int, num_planes: int = 8):
         return pd.Series(((dots >= 0) @ weights).astype(np.int32))
 
     return _bucket(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
+
+
+def lsh_band_buckets(vec_col, dim: int, num_bands: int, planes_per_band: int):
+    """Per-band sign-pattern bucket ids: array<int> of length ``num_bands``.
+
+    One Arrow-batched matmul computes ALL ``num_bands × planes_per_band``
+    hyperplane dots, then packs each band's sign bits into its bucket id.
+    Plane ``band*planes_per_band + j`` uses the same md5-parity sign
+    scheme as ``hyperplanes`` — reproducible on any engine, incl. the SQL
+    oracle."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    total = num_bands * planes_per_band
+    planes = hyperplanes(dim, total)  # (total, dim)
+    weights = (1 << np.arange(planes_per_band)).astype(np.int64)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        if mat.size == 0:
+            return pd.Series([], dtype=object)
+        bits = (mat @ planes.T >= 0).reshape(-1, num_bands, planes_per_band)
+        buckets = (bits @ weights).astype(np.int32)  # (n, num_bands)
+        return pd.Series(list(buckets))
+
+    return _buckets(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
+
+
+def lsh_dup_pairs(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.4,
+    num_bands: int = 8,
+    planes_per_band: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs, LSH-bucketed — the 100 TB path.
+
+    Banded OR-construction (same shape as MinHash LSH in operators/
+    dedup.py): candidates are pairs sharing ANY band's sign-pattern
+    bucket — a (band, bucket) EQUI-join, never a theta join — deduped
+    once, then exact-cosine verified. Per band the pairwise work is
+    quadratic only in bucket width (~n/2^planes_per_band), and the
+    verify stage touches each candidate pair exactly once. Candidate
+    recall is 1-(1-p^r)^B with p = 1-θ/π; same output contract as
+    ``cosine_dup_pairs`` (the brute-force form, kept as the pytest
+    recall reference)."""
+    b = emb.select(
+        F.col(id_col),
+        F.posexplode(
+            lsh_band_buckets(vec_col, dim, num_bands, planes_per_band)
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        b.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+        )
+        .distinct()  # a pair sharing k bands is verified ONCE
+    )
+    va = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__va"))
+    vb = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("__vb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
 
 
 def ivf_seed_centroids(

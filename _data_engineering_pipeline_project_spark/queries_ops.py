@@ -822,27 +822,49 @@ def nested_roundtrip_orders(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "fuzzy_part_name_pairs",
     """
+    WITH p AS (
+        SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk
+        FROM part
+    )
     SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
            a.p_name AS name_a, b.p_name AS name_b,
            CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
-    FROM part a JOIN part b
-      ON a.p_partkey < b.p_partkey
-     AND a.p_partkey % 20 = 0 AND b.p_partkey % 20 = 0
+    FROM p a JOIN p b
+      ON a.blk = b.blk
+     AND a.p_partkey < b.p_partkey
+     AND abs(length(a.p_name) - length(b.p_name)) <= 3
     WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
     """,
 )
 def fuzzy_part_name_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """Fuzzy matching / entity resolution: near-identical name pairs by
-    edit distance (levenshtein is built-in JVM-side in Spark and core in
-    DuckDB — same DP definition, exact integer parity). The quadratic
-    self-join is bounded to a keyed sample; at scale the real plan blocks
-    first (phonetic key, prefix bucket, or LSH) and edit-distance-verifies
-    within blocks — same shape as the MinHash verify stage."""
-    p = table(spark, sf, "part").filter(F.col("p_partkey") % 20 == 0)
+    """Fuzzy matching / entity resolution over the FULL table: blocked
+    candidate generation + edit-distance verify, the standard two-stage
+    shape (same as the MinHash verify stage). The block key is the first
+    name token (a shuffle-friendly equi-join key — Catalyst picks
+    sort-merge/shuffled-hash, never a theta join), with the length
+    necessary-condition |len(a)-len(b)| <= 3 pruning candidates before
+    the DP runs; within-block work is quadratic only in the block width,
+    not the table. levenshtein is built-in JVM-side in Spark and core in
+    DuckDB — same DP definition, exact integer parity. Candidate recall
+    is defined by the block: pairs whose FIRST token itself drifted are
+    out of contract (multi-key blocking — add last-token or phonetic
+    blocks and union — widens recall at one extra equi-join each)."""
+    p = table(spark, sf, "part").select(
+        "p_partkey",
+        "p_name",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk"),
+    )
     a, b = p.alias("a"), p.alias("b")
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
     return (
-        a.join(b, F.col("a.p_partkey") < F.col("b.p_partkey"))
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & (
+                F.abs(F.length("a.p_name") - F.length("b.p_name")) <= 3
+            ),
+        )
         .select(
             F.col("a.p_partkey").alias("key_a"),
             F.col("b.p_partkey").alias("key_b"),

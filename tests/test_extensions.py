@@ -494,3 +494,116 @@ def test_sliding_windows_overlap_semantics(spark):
         (0, b"aaaa"), (1, b"aaaa"), (2, b"aaaa"), (3, b"aaaa")
     ]
     assert 2 not in out  # shorter than one window -> no rows
+
+
+def test_lsh_dup_pairs_recall_vs_bruteforce(spark):
+    """The registered bucketed dup-pairs form vs the brute-force recall
+    reference: every emitted pair must be a TRUE pair (precision 1.0 —
+    the verify stage computes exact cosine), and banded OR-construction
+    recall stays useful. Deterministic data -> stable recall."""
+    emb = _fake_embeddings(spark, n=120, dim=16)
+    brute = {
+        (r["vec_a"], r["vec_b"])
+        for r in SIM.cosine_dup_pairs(emb, threshold=0.8).collect()
+    }
+    assert brute  # the sin-lattice corpus has high-cos pairs
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in SIM.lsh_dup_pairs(
+            emb, dim=16, threshold=0.8, num_bands=8, planes_per_band=4
+        ).collect()
+    }
+    assert got <= brute  # no false positives, ever (exact verify)
+    recall = len(got & brute) / len(brute)
+    assert recall >= 0.6, f"banded LSH recall too low: {recall}"
+
+
+def test_lsh_dup_pairs_verifies_each_candidate_once(spark):
+    """A pair colliding in SEVERAL bands must still appear exactly once
+    (the distinct() between candidate generation and verify)."""
+    # identical vectors collide in every band
+    rows = [(1, [1.0] * 8), (2, [1.0] * 8), (3, [-1.0] * 8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = SIM.lsh_dup_pairs(
+        emb, dim=8, threshold=0.9, num_bands=4, planes_per_band=2
+    ).collect()
+    assert [(r["vec_a"], r["vec_b"], r["cosine"]) for r in out] == [(1, 2, 1.0)]
+
+
+def test_connected_components_long_path_converges(spark):
+    """Diameter ≫ max_iters/2: plain min-label propagation moves one hop
+    per round and would NOT converge in 20 iterations on a 64-node path;
+    pointer jumping must. Also pins the lineage bound: localCheckpoint
+    every 3 rounds keeps the final plan from compounding 2 joins/round."""
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    labels = D.connected_components(pairs, max_iters=20)
+    got = {r["id"]: r["cluster"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}  # one component, min id 0
+    # bounded plan depth: a 20-round un-checkpointed loop compounds ~40
+    # joins into the final plan; with localCheckpoint every 3 rounds the
+    # lineage bottoms out at a materialized RDD scan within <=3 rounds
+    plan = labels._jdf.queryExecution().optimizedPlan().toString()
+    assert "ExistingRDD" in plan  # checkpoint truncation happened
+    # <=3 un-checkpointed rounds × 3 joins each (duplicated inside cached
+    # plan printouts) stays ~20; an unbounded 20-round lineage exceeds 100
+    n_joins = plan.count("Join")
+    assert n_joins <= 40, f"lineage not truncated: {n_joins} joins in final plan"
+
+
+def test_connected_components_forest_and_reuse(spark):
+    """Multiple components + repeated edges + self-contained convergence:
+    two clusters and an isolated pair keep distinct min labels."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (2, 3), (10, 11), (20, 21), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["id"]: r["cluster"] for r in D.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_shingle_df_cap_bounds_hot_buckets(spark):
+    """Adversarial corpus: every doc shares one stopword-ish shingle
+    ('the end of'), which uncapped connects ALL docs pairwise (quadratic
+    hot bucket). With the cap, the hot shingle is dropped: only the
+    genuinely-similar planted pair survives, and the join-side shingle
+    table provably contains no shingle wider than the cap."""
+    n = 40
+    rows = [(i, f"unique{i} words{i} here{i} the end of") for i in range(n)]
+    rows.append((n, "alpha beta gamma delta epsilon zeta"))
+    rows.append((n + 1, "alpha beta gamma delta epsilon eta"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = D.ngram_jaccard_pairs(df, threshold=0.01)
+    assert uncapped.count() > n * (n - 1) / 2  # the blowup being guarded
+
+    capped = D.ngram_jaccard_pairs(df, threshold=0.01, max_shingle_df=5)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert got == {(n, n + 1)}  # planted near-dup pair only
+
+    # bucket-width invariant on the filtered shingle table itself
+    from _data_engineering_pipeline_project_spark.operators.dedup import (
+        _shingle_table,
+        drop_hot_shingles,
+    )
+
+    sh = drop_hot_shingles(_shingle_table(df, "doc_id", "text", 3), 5)
+    widest = (
+        sh.groupBy("shingle").count().agg(F.max("count").alias("m")).collect()[0]["m"]
+    )
+    assert widest <= 5
+
+
+def test_minhash_df_cap_keeps_planted_pair(spark, docs):
+    """The capped MinHash pipeline still finds the planted near-dup pair
+    through its rare shingles (hot-shingle removal must not disconnect
+    true dups)."""
+    found = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_near_dup_pairs(
+            docs, threshold=0.3, max_shingle_df=50
+        ).collect()
+    }
+    assert (1, 2) in found
