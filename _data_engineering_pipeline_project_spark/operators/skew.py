@@ -22,6 +22,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+_SALT_SAFE_HOW = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,
@@ -30,7 +33,18 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join with a salted key. Deterministic salt (hash of all left
-    columns) keeps re-runs reproducible — rand() would not be."""
+    columns) keeps re-runs reproducible — rand() would not be.
+
+    Only left-preserving joins are allowed: the right side is exploded
+    into ``buckets`` copies, so any join that can emit UNMATCHED right
+    rows (right/full outer) would emit each of them ``buckets`` times.
+    For inner/left/semi/anti the replication is invisible — every left
+    row meets exactly one copy of each matching right row."""
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in _SALT_SAFE_HOW}:
+        raise ValueError(
+            f"salted_join supports left-preserving joins only, got how={how!r}: "
+            "the exploded right side would duplicate unmatched right rows"
+        )
     salt = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(buckets))
     l_salted = left.withColumn("__salt", salt)
     r_salted = right.withColumn(

@@ -66,14 +66,36 @@ def read_csv_table(
     return df
 
 
+class CorruptCaptureResult:
+    """``(clean, corrupt)`` pair plus a ``release()`` handle for the
+    cache the read requires (same pattern as ``Scd2Result.release`` —
+    without it, repeated ingestion calls accumulate cached partitions
+    for the life of the session). Iterable, so existing
+    ``clean, corrupt = read_csv_with_corrupt_capture(...)`` unpacking
+    keeps working; callers should ``release()`` once both outputs are
+    materialized."""
+
+    def __init__(self, clean: DataFrame, corrupt: DataFrame, cached: DataFrame):
+        self.clean = clean
+        self.corrupt = corrupt
+        self._cached = cached
+
+    def release(self) -> None:
+        self._cached.unpersist()
+
+    def __iter__(self):
+        return iter((self.clean, self.corrupt))
+
+
 def read_csv_with_corrupt_capture(
     spark: SparkSession,
     path: str,
     schema: T.StructType,
     null_tokens: tuple[str, ...] = ("nan", "?"),
-) -> tuple[DataFrame, DataFrame]:
+) -> CorruptCaptureResult:
     """Schema'd CSV read that ROUTES malformed rows instead of silently
-    nulling them: returns ``(clean, corrupt)`` where ``corrupt`` carries
+    nulling them: returns ``(clean, corrupt)`` (a ``CorruptCaptureResult``
+    — call ``.release()`` when done) where ``corrupt`` carries
     the raw offending line. The reference has no malformed-row path at
     all (a bad CSV line just produces NaNs that later checks may or may
     not catch); the engine treats parse failure itself as a first-class
@@ -104,7 +126,7 @@ def read_csv_with_corrupt_capture(
     corrupt = df.filter(F.col("_corrupt_record").isNotNull()).select(
         F.col("_corrupt_record").alias("raw_line")
     )
-    return clean, corrupt
+    return CorruptCaptureResult(clean, corrupt, df)
 
 
 def read_csv_dir(

@@ -53,9 +53,54 @@ def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).parquet(path)
 
 
-def read_jdbc(spark, url: str, table: str, **options) -> DataFrame:
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def derby_url(db_dir: str, create: bool = True) -> str:
+    """Embedded-Derby JDBC URL (Derby ships in Spark's own jars — the
+    in-JVM stand-in for the reference's SQL Server sink). Single-JVM
+    access only; a real deployment points the same code at any
+    server-mode JDBC URL + driver."""
+    return f"jdbc:derby:{db_dir}" + (";create=true" if create else "")
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    driver: str = DERBY_DRIVER,
+    batchsize: int = 10_000,
+    **options,
+) -> None:
+    """S6/S7 over JDBC — the reference's ``to_sql`` chunked append
+    (reference project/etl2.py:262-267,301) as a partition-parallel
+    Spark JDBC write: each partition opens one connection and inserts in
+    ``batchsize`` batches, so a 1000-executor cluster loads in parallel
+    instead of the reference's single pandas connection."""
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", driver)
+        .option("batchsize", str(batchsize))
+        .options(**options)
+        .mode(mode)
+        .save()
+    )
+
+
+def read_jdbc(spark, url: str, table: str, driver: str = DERBY_DRIVER, **options) -> DataFrame:
     """S5 — JDBC read (reference reads the whole sink table back for
-    diffing, etl2:311). Gated: no JDBC driver ships in this environment."""
-    return spark.read.format("jdbc").option("url", url).option("dbtable", table).options(
-        **options
-    ).load()
+    diffing, etl2:311). Tested end-to-end against embedded Derby; for a
+    partitioned parallel read pass ``partitionColumn``/``lowerBound``/
+    ``upperBound``/``numPartitions`` so each executor reads a key range
+    (a single unpartitioned JDBC read is a one-task bottleneck at scale)."""
+    return (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", driver)
+        .options(**options)
+        .load()
+    )

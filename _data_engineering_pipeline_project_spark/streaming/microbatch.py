@@ -260,11 +260,16 @@ def run_stream_static_enrichment(
     static dimension (broadcast — no state store involved, unlike
     stream-stream joins). The canonical shape for attaching slowly-
     changing reference data (user profiles, product catalogs) to a fact
-    stream; the static side is re-resolved per micro-batch, so swapping
-    the files under ``dim``'s path between triggers picks up dimension
-    updates without restarting the query. Left join keeps facts whose
-    key has no dimension row yet (late-arriving dims must not drop
-    facts)."""
+    stream. Left join keeps facts whose key has no dimension row yet
+    (late-arriving dims must not drop facts).
+
+    NOTE (file-index caching): for a file-backed ``dim``, Spark captures
+    the FILE LISTING in the DataFrame's InMemoryFileIndex at creation —
+    per-batch re-evaluation re-reads file *contents*, but files
+    added/removed under the path after creation are invisible (or raise
+    FileNotFoundException if overwritten in place). To pick up dimension
+    swaps across triggers, use ``run_stream_refreshed_enrichment``,
+    which re-creates the dim frame inside foreachBatch."""
     stream = (
         spark.readStream.format("parquet").schema(stream_schema).load(stream_dir)
     )
@@ -278,6 +283,46 @@ def run_stream_static_enrichment(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def run_stream_refreshed_enrichment(
+    spark: SparkSession,
+    stream_dir: str,
+    stream_schema: T.StructType,
+    dim_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    key: str = "user_id",
+) -> DataFrame:
+    """Stream-static enrichment that REFRESHES the dimension every
+    micro-batch: the dim DataFrame is re-created from ``dim_path`` inside
+    ``foreachBatch``, so each trigger gets a fresh file listing and
+    dimension swaps between triggers are picked up without restarting
+    the query (the InMemoryFileIndex staleness the fixed-plan variant
+    documents). Enriched batches append to ``out_dir``; the checkpoint
+    makes stream-side file discovery exactly-once across invocations —
+    this is the cron-style "one invocation per cycle" deployment shape.
+    Returns the accumulated output."""
+
+    def _enrich(batch_df: DataFrame, batch_id: int) -> None:
+        dim = spark.read.parquet(dim_path)  # fresh listing per batch
+        (
+            batch_df.join(F.broadcast(dim), on=key, how="left")
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    stream = (
+        spark.readStream.format("parquet").schema(stream_schema).load(stream_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_enrich)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
 
 
 class BatchMetricsListener:

@@ -69,3 +69,47 @@ def test_json_read_uses_registry_schema_not_inference(spark, tmp_path):
     back = read_json(spark, path, SCHEMA + ", missing_col int")
     assert back.schema["missing_col"].dataType.typeName() == "integer"
     assert back.filter(F.col("missing_col").isNotNull()).count() == 0
+
+
+def test_jdbc_roundtrip_scd2_diff(spark, tmp_path):
+    """S5 ungated (VERDICT r1 'Next' #4): a real JDBC round-trip against
+    embedded Derby (bundled in Spark's jars), mirroring the reference's
+    read_sql_table diff loop (reference project/etl2.py:262-267,311):
+    write the sink table over JDBC, read it back over JDBC, snapshot-diff
+    a changed source against the read-back state."""
+    from _data_engineering_pipeline_project_spark.operators.joins import (
+        snapshot_diff,
+    )
+    from _data_engineering_pipeline_project_spark.sources.sinks import (
+        derby_url,
+        read_jdbc,
+        write_jdbc,
+    )
+
+    url = derby_url(str(tmp_path / "derbydb"))
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+        "id int, name string, price double",
+    )
+    write_jdbc(base, url, "customers")
+
+    back = read_jdbc(spark, url, "customers")
+    assert back.count() == 3
+    assert {f.name for f in back.schema.fields} == {"ID", "NAME", "PRICE"} or {
+        f.name for f in back.schema.fields
+    } == {"id", "name", "price"}
+    back = back.toDF(*[c.lower() for c in back.columns])
+
+    incoming = spark.createDataFrame(
+        [(1, "a", 9.0), (2, "b", 2.0), (4, "d", 4.0)],
+        "id int, name string, price double",
+    )
+    diff = {
+        r["id"]: r["change_type"]
+        for r in snapshot_diff(incoming, back, ["id"]).collect()
+    }
+    assert diff == {1: "update", 2: "unchanged", 3: "delete", 4: "insert"}
+
+    # append mode (the reference's chunked to_sql append, etl2:301)
+    write_jdbc(incoming.filter("id = 4"), url, "customers", mode="append")
+    assert read_jdbc(spark, url, "customers").count() == 4

@@ -136,13 +136,18 @@ def test_csv_corrupt_record_capture(spark, tmp_path):
             T.StructField("price", T.DoubleType()),
         ]
     )
-    clean, corrupt = read_csv_with_corrupt_capture(spark, str(p), schema)
+    res = read_csv_with_corrupt_capture(spark, str(p), schema)
+    clean, corrupt = res  # tuple-unpack compatibility
     assert sorted(r["id"] for r in clean.collect()) == [1, 3]
     bad = sorted(r["raw_line"] for r in corrupt.collect())
     assert len(bad) == 2
     assert any("not_a_number" in b for b in bad)
     # clean rows parsed with the declared types
     assert clean.schema["qty"].dataType.typeName() == "long"
+    # release the SPARK-21610 cache: repeated ingestion must not leak
+    assert res._cached.storageLevel.useMemory
+    res.release()
+    assert not res._cached.storageLevel.useMemory
 
 
 def test_conform_to_schema_evolution(spark):

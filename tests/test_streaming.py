@@ -395,3 +395,58 @@ def test_merge_rollup_integral_sum_stays_long(spark):
     merged = merge_rollup(p2, p1, ["k"])
     assert merged.schema["total"].dataType.simpleString() == "bigint"
     assert merged.collect()[0]["total"] == big + 1
+
+
+def test_refreshed_enrichment_sees_dim_swap(spark, tmp_path):
+    """Dimension files swapped BETWEEN triggers are picked up: the
+    foreachBatch variant re-creates the dim frame (fresh file listing)
+    per micro-batch, where the fixed-plan variant's InMemoryFileIndex
+    would serve the stale listing."""
+    from _data_engineering_pipeline_project_spark.streaming.microbatch import (
+        run_stream_refreshed_enrichment,
+    )
+
+    src = str(tmp_path / "facts")
+    dimp = str(tmp_path / "dim")
+    out = str(tmp_path / "enriched_out")
+    ckpt = str(tmp_path / "enr_ckpt")
+    os.makedirs(src)
+
+    sschema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    spark.createDataFrame([(1, 10.0)], sschema).coalesce(1).write.parquet(
+        os.path.join(src, "b1")
+    )
+    spark.createDataFrame([(1, "alice")], "user_id long, name string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(dimp)
+    run_stream_refreshed_enrichment(spark, src + "/*/", sschema, dimp, out, ckpt)
+
+    # swap the dimension (new files, new listing) + a second fact batch
+    spark.createDataFrame(
+        [(1, "alicia"), (2, "bob")], "user_id long, name string"
+    ).coalesce(1).write.mode("overwrite").parquet(dimp)
+    spark.createDataFrame([(2, 20.0)], sschema).coalesce(1).write.parquet(
+        os.path.join(src, "b2")
+    )
+    got = run_stream_refreshed_enrichment(
+        spark, src + "/*/", sschema, dimp, out, ckpt
+    )
+    rows = {r["user_id"]: r["name"] for r in got.collect()}
+    assert rows == {1: "alice", 2: "bob"}  # batch1 used v1, batch2 used v2
+
+
+def test_salted_join_rejects_right_preserving(spark):
+    from _data_engineering_pipeline_project_spark.operators.skew import salted_join
+
+    l = spark.createDataFrame([(1, "x")], "k long, a string")
+    r = spark.createDataFrame([(1, "y"), (2, "z")], "k long, b string")
+    import pytest
+
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError):
+            salted_join(l, r, ["k"], buckets=4, how=how)
+    # left-preserving joins still work and preserve multiplicity
+    assert salted_join(l, r, ["k"], buckets=4, how="left").count() == 1
+    assert salted_join(l, r, ["k"], buckets=4, how="left_anti").count() == 0
