@@ -224,3 +224,57 @@ def chunk_by_tokens(
             ).alias("n_tokens"),
         )
     )
+
+
+def chunk_by_bpe_tokens(
+    df: DataFrame,
+    merges: list[tuple[bytes, bytes]],
+    chunk_tokens: int = 50,
+    overlap_tokens: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """TOKENIZER-exact chunking: fixed windows of real BPE tokens with
+    overlap — the production form of ``chunk_by_tokens``'s documented
+    seam (functions/bpe.py). Two Arrow-batched UDF hops bracket a fully
+    JVM-side windowing core:
+
+      encode (text → array<int>, one UDF pass over each doc)
+        → sequence/explode/slice windows (codegen, zero shuffle)
+        → decode (id slice → chunk text, one UDF pass per chunk)
+
+    Chunk boundaries are exact in token space (a chunk holds exactly
+    ``chunk_tokens`` ids except the tail), and decoding merges byte-level
+    tokens back losslessly, so ``concat(chunks)`` minus overlaps
+    reconstructs the document byte-for-byte."""
+    from _data_engineering_pipeline_project_spark.functions.bpe import (
+        bpe_decode,
+        bpe_token_ids,
+    )
+
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap_tokens must be < chunk_tokens")
+    stride = chunk_tokens - overlap_tokens
+    ids = df.filter(F.length(text_col) > 0).select(
+        id_col, bpe_token_ids(text_col, merges).alias("__ids")
+    )
+    n_chunks = F.ceil(
+        F.greatest(F.size("__ids") - F.lit(overlap_tokens), F.lit(1)) / F.lit(stride)
+    ).cast("int")
+    sliced = ids.select(
+        id_col,
+        F.col("__ids"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.slice(
+            F.col("__ids"), F.col("chunk_idx") * stride + 1, chunk_tokens
+        ).alias("__chunk_ids"),
+    )
+    return sliced.select(
+        id_col,
+        "chunk_idx",
+        bpe_decode("__chunk_ids", merges).alias("chunk"),
+        F.size("__chunk_ids").alias("n_tokens"),
+    )

@@ -857,6 +857,71 @@ def chunk_documents_overlap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# BPE vocabulary trained once per (session, sf) on a deterministic
+# 50-doc sample and shared by every BPE query (functions/bpe.py) — the
+# same memo shape as the MinHash pair frame above
+_BPE_MERGES_CACHE: dict = {}
+
+
+def _bpe_merges_shared(spark: SparkSession, sf: str):
+    from _data_engineering_pipeline_project_spark.functions.bpe import (
+        train_bpe_on_documents,
+    )
+
+    key = (id(spark), sf)
+    got = _BPE_MERGES_CACHE.get(key)
+    if got is None:
+        got = train_bpe_on_documents(
+            table(spark, sf, "documents"), sample_docs=50, num_merges=200
+        )
+        _BPE_MERGES_CACHE[key] = got
+    return got
+
+
+@query("bpe_token_counts_documents")  # rows-only: BPE is not SQL-expressible
+def bpe_token_counts_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL byte-pair-encoding token counts (trained vocab, rank-greedy
+    encode) next to the whitespace and regex proxies — the production
+    fill for the tokenizer seam textstats.bpe_ish_token_count documents.
+    Arrow-batched encoder UDF; compression_ratio = bytes per BPE token
+    (the quality signal tokenizer-aware filters cut on). No SQL oracle:
+    the iterative merge loop is the class of operator the driver records
+    rows-only; cross-engine determinism is instead pinned by the pytest
+    parity suite (UDF == pure-Python reference, decode∘encode == id)."""
+    from _data_engineering_pipeline_project_spark.functions.bpe import (
+        bpe_token_count,
+    )
+
+    merges = _bpe_merges_shared(spark, sf)
+    d = table(spark, sf, "documents")
+    return d.filter(F.length("text") > 0).select(
+        "doc_id",
+        bpe_token_count("text", merges).alias("n_bpe_tokens"),
+        TS.token_count("text").alias("n_ws_tokens"),
+        F.round(
+            F.octet_length("text") / bpe_token_count("text", merges), 4
+        ).alias("bytes_per_token"),
+    )
+
+
+@query("chunk_documents_bpe")  # rows-only: tokenizer-exact chunking
+def chunk_documents_bpe(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-exact chunking over real BPE ids: encode UDF → JVM
+    sequence/explode/slice windows → decode UDF. Every chunk is exactly
+    40 tokens (8 overlapping) except tails; reconstruction is
+    byte-lossless (pytest-pinned)."""
+    from _data_engineering_pipeline_project_spark.operators.curation import (
+        chunk_by_bpe_tokens,
+    )
+
+    return chunk_by_bpe_tokens(
+        table(spark, sf, "documents"),
+        _bpe_merges_shared(spark, sf),
+        chunk_tokens=40,
+        overlap_tokens=8,
+    )
+
+
 @query(
     "repetition_ratio_documents",
     """

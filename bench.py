@@ -26,11 +26,16 @@ EXTENSION_QUERIES = [
     "embedding_topk_bruteforce",
     "embedding_topk_lsh",
     "embedding_topk_ivf",
+    "embedding_lsh_dup_pairs",
     "asof_join_events",
     "range_join_events_pairs",
     "corpus_curation_pipeline",
     "token_counts_documents",
     "chunk_documents_overlap",
+    "chunk_documents_bpe",
+    "bpe_token_counts_documents",
+    "fuzzy_part_name_pairs",
+    "ngram_jaccard_pairs_df_capped",
     "repetition_ratio_documents",
     "decontaminate_corpus",
     "funnel_view_click_purchase",
