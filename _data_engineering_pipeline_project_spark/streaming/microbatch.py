@@ -81,6 +81,45 @@ class IncrementalLoader:
         )
         q.awaitTermination()
 
+    def run_processing_time(
+        self,
+        checkpoint_dir: str,
+        poll: str = "1 second",
+        until_batches: int = 1,
+        timeout_sec: float = 120.0,
+    ) -> None:
+        """The reference's wall-clock polling scheduler (reference
+        project/etl2.py:462-467: ``schedule.every(8).minutes`` + a sleep
+        loop) as a long-running ``processingTime`` trigger: the SAME
+        query keeps polling the source directory on the wall clock and
+        merges whatever arrived — files dropped while the query runs are
+        picked up WITHOUT restarting it (AvailableNow, by contrast, is
+        the drain-and-exit cron shape). Runs until ``until_batches``
+        non-empty merges have committed (or ``timeout_sec``), then stops
+        the query gracefully — the bounded-soak harness for tests; a
+        production deployment simply never stops it."""
+        import time
+
+        reader = (
+            self.spark.readStream.format(self.source_format)
+            .schema(self.schema)
+            .option("maxFilesPerTrigger", 1)
+        )
+        stream = reader.load(self.source_dir)
+        q = (
+            stream.writeStream.foreachBatch(self._merge_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(processingTime=poll)
+            .start()
+        )
+        try:
+            deadline = time.time() + timeout_sec
+            while time.time() < deadline and len(self.batches_seen) < until_batches:
+                time.sleep(0.2)
+        finally:
+            q.stop()
+            q.awaitTermination()
+
     def current(self) -> DataFrame | None:
         return self.table.current()
 

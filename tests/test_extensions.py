@@ -698,3 +698,102 @@ def test_bpe_chunking_reconstructs_document(spark):
     for r in chunks[1:]:
         ids += tok.encode(r["chunk"])[3:]
     assert tok.decode(ids) == text  # byte-lossless reconstruction
+
+
+# --------------------------------------------------------------------------
+# Real image codecs (multimodal/codecs.py)
+# --------------------------------------------------------------------------
+def _bmp24(img):
+    """Hand-rolled 24-bit BMP encoder (test-side only): bottom-up BGR
+    rows padded to 4 bytes, per the public format spec."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = img.shape
+    row = w * 3
+    pad = (-row) % 4
+    body = b"".join(
+        img[y, :, ::-1].tobytes() + b"\x00" * pad for y in range(h - 1, -1, -1)
+    )
+    pixel_off = 14 + 40
+    return (
+        b"BM"
+        + struct.pack("<IHHI", pixel_off + len(body), 0, 0, pixel_off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+        + body
+    )
+
+
+def _gradient(h, w):
+    import numpy as np
+
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(x * 7) % 256, (y * 5) % 256, (x + y) % 256], axis=-1
+    ).astype(np.uint8)
+
+
+def test_codecs_roundtrip_and_bmp_parity():
+    import numpy as np
+
+    from _data_engineering_pipeline_project_spark.multimodal import codecs as C
+
+    img = _gradient(13, 17)  # odd width: exercises BMP row padding
+    assert np.array_equal(C.decode_ppm(C.encode_ppm(img)), img)
+    assert np.array_equal(C.decode_bmp(_bmp24(img)), img)
+    # header comments + arbitrary whitespace are legal PPM
+    with_comment = b"P6\n# a comment\n17 13\n255\n" + img.tobytes()
+    assert np.array_equal(C.decode_ppm(with_comment), img)
+
+
+def test_decode_images_distributed_real_pixels(spark):
+    import numpy as np
+
+    from _data_engineering_pipeline_project_spark.multimodal import codecs as C
+
+    imgs = {1: _gradient(8, 12), 2: _gradient(20, 6)}
+    rows = [(1, bytearray(C.encode_ppm(imgs[1]))), (2, bytearray(_bmp24(imgs[2])))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in C.decode_images(df).collect()}
+    for i, img in imgs.items():
+        assert (got[i]["width"], got[i]["height"], got[i]["channels"]) == (
+            img.shape[1],
+            img.shape[0],
+            3,
+        )
+        r, g, b = (img[..., k].astype(np.float64) for k in range(3))
+        assert got[i]["mean_luma"] == pytest.approx(
+            float((0.299 * r + 0.587 * g + 0.114 * b).mean())
+        )
+
+
+def test_resize_images_matches_numpy_reference(spark):
+    import numpy as np
+
+    from _data_engineering_pipeline_project_spark.multimodal import codecs as C
+
+    img = _gradient(16, 16)
+    df = spark.createDataFrame(
+        [(1, bytearray(C.encode_ppm(img)))], "doc_id long, payload binary"
+    )
+    out = C.resize_images(df, 4, 4).collect()[0]["payload"]
+    assert np.array_equal(
+        C.decode_ppm(bytes(out)), C.resize_nearest(img, 4, 4)
+    )
+    # upscale too (index map must clip, not wrap)
+    up = C.resize_images(df, 32, 32).collect()[0]["payload"]
+    assert C.decode_ppm(bytes(up)).shape == (32, 32, 3)
+
+
+def test_decode_image_seam_ungated_for_ppm_bmp():
+    from _data_engineering_pipeline_project_spark.multimodal import codecs as C
+    from _data_engineering_pipeline_project_spark.multimodal.binary import (
+        decode_image,
+    )
+
+    img = _gradient(5, 9)
+    assert decode_image(C.encode_ppm(img)) == (9, 5)
+    assert decode_image(_bmp24(img)) == (9, 5)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n garbage")
