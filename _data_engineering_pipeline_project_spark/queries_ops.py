@@ -854,25 +854,40 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf: str) -> DataFrame:
         "p_name",
         F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk"),
     )
-    a, b = p.alias("a"), p.alias("b")
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
-    return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
-            & (
-                F.abs(F.length("a.p_name") - F.length("b.p_name")) <= 3
-            ),
+    # ER classic: run the expensive comparator over DISTINCT values, not
+    # rows — with heavy name duplication (sf0.1: 20k parts, ~50 distinct
+    # names) this cuts levenshtein evals from millions of row pairs to
+    # thousands of name pairs; the cheap hash-join expansion back to key
+    # pairs then just materializes the (inherently quadratic-in-group-
+    # size) output the contract asks for. Identical result set, so the
+    # oracle keeps the row-level formulation.
+    names = p.select("p_name", "blk").distinct()
+    na, nb = names.alias("na"), names.alias("nb")
+    # bounded-DP levenshtein: O(len·k) per pair instead of O(len²);
+    # returns -1 past the bound, which the 1..3 filter already excludes,
+    # so results match the oracle's unbounded form exactly
+    ndist = F.levenshtein(F.col("na.p_name"), F.col("nb.p_name"), threshold=3)
+    name_pairs = (
+        na.join(
+            nb,
+            (F.col("na.blk") == F.col("nb.blk"))
+            & (F.col("na.p_name") != F.col("nb.p_name"))
+            & (F.abs(F.length("na.p_name") - F.length("nb.p_name")) <= 3),
         )
         .select(
-            F.col("a.p_partkey").alias("key_a"),
-            F.col("b.p_partkey").alias("key_b"),
-            F.col("a.p_name").alias("name_a"),
-            F.col("b.p_name").alias("name_b"),
-            dist.alias("edit_dist"),
+            F.col("na.p_name").alias("name_a"),
+            F.col("nb.p_name").alias("name_b"),
+            ndist.alias("edit_dist"),
         )
         .filter(F.col("edit_dist").between(1, 3))
+    )
+    ka = p.select(F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"))
+    kb = p.select(F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"))
+    return (
+        name_pairs.join(ka, "name_a")
+        .join(kb, "name_b")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
     )
 
 

@@ -91,3 +91,59 @@ def test_fold_alerts_pure_semantics():
     # landing exactly ON a multiple counts as crossed
     _, _, alerts = fold_alerts(5.0, 0, [5.0], 10.0)
     assert alerts == [(1, 10.0)]
+
+
+def test_streaming_topk_heavy_hitters(spark, tmp_path):
+    """Weighted Misra-Gries top-k across micro-batches: bounded state,
+    heavy items guaranteed present, estimates within W/capacity of truth,
+    final answer = latest state version per group."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from _data_engineering_pipeline_project_spark.streaming.stateful import (
+        streaming_topk,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "topk_src")
+    os.makedirs(src)
+    # group 'click': user 1 dominates (weight 100 over two batches),
+    # user 2 second (40); a tail of 20 one-weight users forces evictions
+    # at capacity 8. Batch split checks cross-batch merging.
+    b1 = [("click", 1, 60.0), ("click", 2, 15.0)] + [
+        ("click", 100 + i, 1.0) for i in range(10)
+    ]
+    b2 = [("click", 1, 40.0), ("click", 2, 25.0)] + [
+        ("click", 200 + i, 1.0) for i in range(10)
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        os.path.join(src, "b1")
+    )
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+        os.path.join(src, "b2")
+    )
+
+    out = streaming_topk(
+        spark,
+        src + "/*/",
+        schema,
+        group_col="event_type",
+        item_col="user_id",
+        weight_col="value",
+        k=2,
+        capacity=8,
+        query_name="topk_t",
+    ).collect()
+    got = {r["rank"]: (r["item"], r["est_weight"]) for r in out}
+    assert got[1][0] == 1 and got[2][0] == 2  # true heavy hitters, in order
+    W = 60 + 15 + 10 + 40 + 25 + 10  # total stream weight = 160
+    for rank, truth in ((1, 100.0), (2, 40.0)):
+        est = got[rank][1]
+        assert truth - W / 8 <= est <= truth  # MG underestimate bound
