@@ -181,7 +181,11 @@ class Scd2Table:
         self.pk = pk
         self.snapshot_dir = os.path.join(base_dir, "snapshot")
         self.history_delta_dir = os.path.join(base_dir, "history_delta")
-        self._version = self._recover_version()
+        self.history_base_dir = os.path.join(base_dir, "history_base")
+        # pre-pointer layout (single append-only 'history' dir) — read-only
+        # compatibility: history() unions it in when present
+        self.legacy_history_dir = os.path.join(base_dir, "history")
+        self._version, self._history_base = self._recover_version()
 
     # --- commit protocol ---------------------------------------------------
 
@@ -190,10 +194,13 @@ class Scd2Table:
 
         return os.path.join(self.base_dir, self._POINTER)
 
-    def _recover_version(self) -> int:
-        """Committed version on disk: the pointer file is authoritative;
-        if it is missing (pre-pointer layout, or deleted) fall back to the
-        highest snapshot directory that finished writing (``_SUCCESS``)."""
+    def _recover_version(self) -> tuple[int, int]:
+        """Committed (version, history_base) on disk: the pointer file is
+        authoritative; if it is missing (pre-pointer layout, or deleted)
+        fall back to the highest snapshot directory that finished writing
+        (``_SUCCESS``). ``history_base`` is the highest delta version that
+        vacuum has folded into the compacted ``history_base_v*`` dir
+        (0 = no compaction yet; older pointer files lack the field)."""
         import json
         import os
         import re
@@ -201,7 +208,8 @@ class Scd2Table:
         ptr = self._pointer_path()
         if os.path.exists(ptr):
             with open(ptr) as f:
-                return int(json.load(f)["version"])
+                meta = json.load(f)
+            return int(meta["version"]), int(meta.get("history_base", 0))
         best = 0
         if os.path.isdir(self.base_dir):
             pat = re.compile(r"^snapshot_v(\d+)$")
@@ -211,9 +219,9 @@ class Scd2Table:
                     os.path.join(self.base_dir, name, "_SUCCESS")
                 ):
                     best = max(best, int(m.group(1)))
-        return best
+        return best, 0
 
-    def _commit(self, version: int) -> None:
+    def _commit(self, version: int, history_base: int | None = None) -> None:
         """Atomically advance the pointer: write-temp + ``os.replace``."""
         import json
         import os
@@ -221,7 +229,17 @@ class Scd2Table:
         os.makedirs(self.base_dir, exist_ok=True)
         tmp = self._pointer_path() + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"version": version}, f)
+            json.dump(
+                {
+                    "version": version,
+                    "history_base": (
+                        self._history_base
+                        if history_base is None
+                        else history_base
+                    ),
+                },
+                f,
+            )
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self._pointer_path())
@@ -259,13 +277,39 @@ class Scd2Table:
         return self.spark.createDataFrame(stats, res.stats.schema)
 
     def history(self) -> DataFrame:
+        """Full audit history: compacted base (if vacuum ever ran) + every
+        per-version delta above it + the pre-pointer single append dir when
+        present. A delta missing from the committed range raises instead of
+        silently shrinking the audit trail (ADVICE r2) — manual deletion of
+        deltas must go through ``vacuum_versions`` so the pointer records
+        the compaction."""
         import os
 
-        paths = [
+        paths: list[str] = []
+        if os.path.isdir(self.legacy_history_dir):
+            paths.append(self.legacy_history_dir)
+        if self._history_base > 0:
+            base = f"{self.history_base_dir}_v{self._history_base}"
+            if not os.path.exists(base):
+                raise FileNotFoundError(
+                    f"committed history base {base} is missing — "
+                    "the audit trail was externally deleted"
+                )
+            paths.append(base)
+        missing = [
             f"{self.history_delta_dir}_v{v}"
-            for v in range(1, self._version + 1)
-            if os.path.exists(f"{self.history_delta_dir}_v{v}")
+            for v in range(self._history_base + 1, self._version + 1)
+            if not os.path.exists(f"{self.history_delta_dir}_v{v}")
         ]
+        if missing:
+            raise FileNotFoundError(
+                "committed history deltas are missing (externally deleted? "
+                f"use vacuum_versions for retention): {missing}"
+            )
+        paths.extend(
+            f"{self.history_delta_dir}_v{v}"
+            for v in range(self._history_base + 1, self._version + 1)
+        )
         if not paths:
             raise FileNotFoundError("table has no committed history yet")
         return self.spark.read.parquet(*paths)
@@ -319,18 +363,45 @@ class Scd2Table:
 
 def vacuum_versions(table: "Scd2Table", keep_last: int = 2) -> list[str]:
     """Retention maintenance: delete snapshot version directories older
-    than the last ``keep_last`` (time travel window). The versioned-dir
-    layout otherwise grows one full snapshot per batch — at scale this is
-    the VACUUM every table format needs (Delta/Iceberg expire-snapshots
-    collapses to the same operation on their logs). Never touches the
-    history table (audit trail is append-only and compact). Returns the
-    removed paths."""
+    than the last ``keep_last`` (time travel window) AND compact the
+    corresponding history deltas into a single ``history_base_v{cut}``
+    dir so per-version delta dirs don't accumulate forever (ADVICE r2).
+    The audit CONTENT is never lost — compaction merges, it does not
+    drop rows (Delta/Iceberg expire-snapshots + log compaction collapse
+    to the same operation on their logs). The new base is committed into
+    the pointer before any old artifact is deleted, so a crash mid-vacuum
+    leaves a readable table at every point. Returns the removed paths."""
     import os
     import shutil
 
     removed: list[str] = []
-    last_kept = table.version - keep_last
-    for v in range(1, max(last_kept, 0) + 1):
+    cut = max(table.version - keep_last, 0)
+    # 1) compact history deltas (base..cut] into a new base dir, commit it
+    if cut > table._history_base:
+        old_base = (
+            f"{table.history_base_dir}_v{table._history_base}"
+            if table._history_base > 0
+            else None
+        )
+        src = [
+            f"{table.history_delta_dir}_v{v}"
+            for v in range(table._history_base + 1, cut + 1)
+            if os.path.exists(f"{table.history_delta_dir}_v{v}")
+        ]
+        if old_base and os.path.exists(old_base):
+            src.insert(0, old_base)
+        if src:
+            new_base = f"{table.history_base_dir}_v{cut}"
+            table.spark.read.parquet(*src).write.mode("overwrite").parquet(
+                new_base
+            )
+            table._commit(table.version, history_base=cut)
+            table._history_base = cut
+            for path in src:  # superseded: folded into the new base
+                shutil.rmtree(path)
+                removed.append(path)
+    # 2) drop snapshots outside the time-travel window
+    for v in range(1, cut + 1):
         path = f"{table.snapshot_dir}_v{v}"
         if os.path.exists(path):
             shutil.rmtree(path)

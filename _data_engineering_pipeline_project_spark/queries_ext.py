@@ -302,12 +302,31 @@ def minhash_lsh_near_dup_documents(spark: SparkSession, sf: str) -> DataFrame:
 # and corpus_curation_pipeline; memoize the cached frame per (session, sf) so
 # a run that executes both pays for signatures + banding + verify ONCE
 # (VERDICT r1 'Next' #7 — the composite previously recomputed the whole
-# MinHash stage)
+# MinHash stage). Keyed on applicationId, not id(spark): CPython reuses
+# object addresses, so an id() key can alias a dead session's cache entry
+# (ADVICE r2). applicationId is unique per SparkSession lifetime.
 _MINHASH_PAIRS_CACHE: dict = {}
 
 
+def _session_key(spark: SparkSession, sf: str) -> tuple:
+    return (spark.sparkContext.applicationId, sf)
+
+
+def clear_query_caches() -> None:
+    """Eviction hook for the per-session memo caches: unpersist every
+    cached pair frame (best-effort — the owning session may already be
+    stopped) and drop all entries, including BPE vocabularies."""
+    for df in _MINHASH_PAIRS_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _MINHASH_PAIRS_CACHE.clear()
+    _BPE_MERGES_CACHE.clear()
+
+
 def _minhash_pairs_shared(spark: SparkSession, sf: str) -> DataFrame:
-    key = (id(spark), sf)
+    key = _session_key(spark, sf)
     got = _MINHASH_PAIRS_CACHE.get(key)
     if got is None:
         got = D.minhash_near_dup_pairs(
@@ -868,7 +887,7 @@ def _bpe_merges_shared(spark: SparkSession, sf: str):
         train_bpe_on_documents,
     )
 
-    key = (id(spark), sf)
+    key = _session_key(spark, sf)
     got = _BPE_MERGES_CACHE.get(key)
     if got is None:
         got = train_bpe_on_documents(
@@ -894,13 +913,27 @@ def bpe_token_counts_documents(spark: SparkSession, sf: str) -> DataFrame:
 
     merges = _bpe_merges_shared(spark, sf)
     d = table(spark, sf, "documents")
-    return d.filter(F.length("text") > 0).select(
-        "doc_id",
-        bpe_token_count("text", merges).alias("n_bpe_tokens"),
-        TS.token_count("text").alias("n_ws_tokens"),
-        F.round(
-            F.octet_length("text") / bpe_token_count("text", merges), 4
-        ).alias("bytes_per_token"),
+    # single encoder-UDF invocation (ADVICE r2): bytes_per_token is derived
+    # from the materialized count column in a second projection, not from a
+    # second independent UDF that would rebuild the tokenizer and re-encode
+    # every document. Python UDFs are non-cheap, so CollapseProject does not
+    # inline-duplicate the expression across the projections.
+    return (
+        d.filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.col("text"),
+            bpe_token_count("text", merges).alias("n_bpe_tokens"),
+            TS.token_count("text").alias("n_ws_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_bpe_tokens",
+            "n_ws_tokens",
+            F.round(
+                F.octet_length("text") / F.col("n_bpe_tokens"), 4
+            ).alias("bytes_per_token"),
+        )
     )
 
 

@@ -338,17 +338,22 @@ def run_stream_refreshed_enrichment(
     ``foreachBatch``, so each trigger gets a fresh file listing and
     dimension swaps between triggers are picked up without restarting
     the query (the InMemoryFileIndex staleness the fixed-plan variant
-    documents). Enriched batches append to ``out_dir``; the checkpoint
-    makes stream-side file discovery exactly-once across invocations —
-    this is the cron-style "one invocation per cycle" deployment shape.
-    Returns the accumulated output."""
+    documents). foreachBatch is at-least-once, so each batch writes to its
+    own ``out_dir/batch-<id>`` subdir with mode=overwrite — a retried
+    micro-batch clobbers its own previous (possibly partial) output
+    instead of double-appending, which together with the checkpoint's
+    exactly-once file discovery makes the END-TO-END output exactly-once
+    (ADVICE r2). This is the cron-style "one invocation per cycle"
+    deployment shape. Returns the accumulated output (empty frame with
+    the enriched schema if no batch ever fired)."""
+    import os
 
     def _enrich(batch_df: DataFrame, batch_id: int) -> None:
         dim = spark.read.parquet(dim_path)  # fresh listing per batch
         (
             batch_df.join(F.broadcast(dim), on=key, how="left")
-            .write.mode("append")
-            .parquet(out_dir)
+            .write.mode("overwrite")  # idempotent per-batch commit
+            .parquet(os.path.join(out_dir, f"batch-{batch_id:09d}"))
         )
 
     stream = (
@@ -361,7 +366,18 @@ def run_stream_refreshed_enrichment(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    wrote_any = os.path.isdir(out_dir) and any(
+        name.startswith("batch-") for name in os.listdir(out_dir)
+    )
+    if not wrote_any:
+        dim = spark.read.parquet(dim_path)
+        empty = spark.createDataFrame([], stream_schema)
+        return empty.join(F.broadcast(dim), on=key, how="left").limit(0)
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(out_dir)
+    )
 
 
 class BatchMetricsListener:

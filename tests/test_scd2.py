@@ -139,7 +139,11 @@ def test_vacuum_versions_keeps_time_travel_window(spark, tmp_path):
         t.merge(batch, datetime(2024, 1, i + 1))
 
     removed = vacuum_versions(t, keep_last=2)
-    assert len(removed) == 2  # v1, v2 gone
+    # snapshots v1, v2 gone AND their history deltas compacted into a base
+    snap_removed = [p for p in removed if "snapshot_v" in p]
+    delta_removed = [p for p in removed if "history_delta_v" in p]
+    assert len(snap_removed) == 2
+    assert len(delta_removed) == 2  # v1, v2 deltas folded into base
     # current + previous still readable (time travel window honored)
     assert t.current().count() == 2
     assert t.snapshot_as_of(3).count() == 2
@@ -147,8 +151,20 @@ def test_vacuum_versions_keeps_time_travel_window(spark, tmp_path):
 
     with pytest.raises(Exception):
         t.snapshot_as_of(1).count()
-    # history untouched (append-only audit)
-    assert t.history().count() >= 3
+    # audit CONTENT untouched: compaction merges rows, never drops them
+    hist = t.history().count()
+    assert hist >= 3
+
+    # second vacuum round: deltas above the base compact again, history
+    # row count is stable, and a reopened table reads the same audit trail
+    batch = spark.createDataFrame(
+        [(1, "v5"), (2, "stable")], "id int, val string"
+    )
+    t.merge(batch, datetime(2024, 1, 9))
+    vacuum_versions(t, keep_last=2)
+    assert t.history().count() == hist + 1  # old row of the updated id=1
+    t2 = Scd2Table(spark, str(tmp_path / "t"), ["id"])
+    assert t2.history().count() == hist + 1
 
 
 def test_restart_recovers_committed_version(spark, tmp_path):
