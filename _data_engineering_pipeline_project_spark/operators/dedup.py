@@ -172,6 +172,54 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.4,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle containment |A∩B| / |A| — the near-SUBSET
+    detector Jaccard misses: a short document fully embedded in a long
+    one has low Jaccard (union is large) but containment ≈ 1, the
+    standard signal for quote/excerpt/boilerplate relations in training
+    corpora.
+
+    Same blocked plan as ``ngram_jaccard_pairs`` (docs only meet through
+    a shared shingle; ``max_shingle_df`` bounds bucket width), but pairs
+    are DIRECTED (a contained-in b ≠ b contained-in a), so the self-join
+    keeps both orientations and normalizes by the LEFT side's shingle
+    count. The ratio is an exact int/int division — bit-identical across
+    engines."""
+    sh = _shingle_table(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        sh = drop_hot_shingles(sh, max_shingle_df)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_a"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "a_id"), "a_id")
+        .withColumn(
+            "containment", F.round(F.col("common") / F.col("n_a"), 6)
+        )
+        .filter(F.col("common") / F.col("n_a") >= threshold)
+        .select("a_id", "b_id", "common", "n_a", "containment")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -86,6 +86,56 @@ def cosine_dup_pairs(
     )
 
 
+def knn_label_vote(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-nearest-neighbor majority-vote classification over an embedding
+    column — the label-propagation / weak-annotation primitive a corpus
+    pipeline uses to extend a small labeled seed set.
+
+    Composes ``topk_cosine_bruteforce`` (broadcast query set, linear
+    corpus scan — swap in the IVF/LSH variant for huge corpora; the vote
+    stage is identical) with a neighbor-label join and a per-query
+    majority window. Ties break to the smallest label; the k-th-rank tie
+    is already pinned by the rounded-cosine/neighbor-id ordering inside
+    the top-k. Vote counts are exact ints — cross-engine exact given the
+    top-k sets match."""
+    knn = topk_cosine_bruteforce(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col
+    )
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col)
+    )
+    truth = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("true_label"),
+    )
+    votes = (
+        knn.join(labels, "neighbor_id")
+        .groupBy("query_id", label_col)
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col(label_col)
+    )
+    return (
+        votes.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .join(truth, "query_id")
+        .select(
+            "query_id",
+            "true_label",
+            F.col(label_col).alias("predicted_label"),
+            "n_votes",
+        )
+    )
+
+
 def hyperplanes(dim: int, num_planes: int):
     """Deterministic ±1 hyperplane matrix from md5 of (plane, dim) —
     reproducible on any engine/cluster with no RNG state."""

@@ -1,0 +1,110 @@
+"""Unit tests for ranking (TF-IDF / BM25 / vocab coverage), containment
+pairs, and kNN label voting — hand-computed expectations on tiny frames
+(the DuckDB oracle twins cover the sf-scale parity; these pin the math)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from _data_engineering_pipeline_project_spark.operators import ranking as R
+from _data_engineering_pipeline_project_spark.operators.dedup import (
+    containment_pairs,
+)
+from _data_engineering_pipeline_project_spark.operators.similarity import (
+    knn_label_vote,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_tfidf_top_terms(docs):
+    rows = R.tfidf_top_terms(docs, top_n=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: apple tf=2 df=1 idf=ln(4/2)+1; banana tf=1 df=2 idf=ln(4/3)+1
+    top = by_doc[1][0]
+    assert top.term == "apple" and top.rnk == 1
+    assert top.tfidf == pytest.approx(2 * (math.log(4 / 2) + 1), abs=1e-6)
+    # every doc has <= 2 ranked terms, ranks contiguous from 1
+    for doc_rows in by_doc.values():
+        assert sorted(r.rnk for r in doc_rows) == list(
+            range(1, len(doc_rows) + 1)
+        )
+
+
+def test_bm25_postings_only_query_terms(docs):
+    per = R.bm25_per_term_contrib(docs, ["cherry", "zzz"]).collect()
+    assert {r.term for r in per} == {"cherry"}  # absent term: no postings
+    assert {r.doc_id for r in per} == {2, 3}
+    # doc 3 has tf=3 of 'cherry' → bigger contribution than doc 2's tf=1
+    c = {r.doc_id: r.contrib for r in per}
+    assert c[3] > c[2] > 0
+
+
+def test_bm25_scores_formula(docs):
+    out = {r.doc_id: r.bm25 for r in R.bm25_scores(docs, ["banana"]).collect()}
+    # N=3, df=2, idf=ln(1 + 1.5/2.5); doc1: tf=1, dl=3, avgdl=3
+    idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    expect1 = idf * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 3 / 3))
+    assert out[1] == pytest.approx(expect1, abs=1e-4)
+    assert set(out) == {1, 2}
+
+
+def test_vocab_coverage_monotone(docs):
+    rows = sorted(R.vocab_coverage(docs, top_n=3).collect(), key=lambda r: r.rnk)
+    assert [r.term for r in rows] == ["cherry", "apple", "banana"]
+    # shares sum to cum_share; cumulative is monotone, ends < 1 (durian cut)
+    assert rows[0].cum_share == rows[0].share
+    assert rows[-1].cum_share < 1.0
+    assert all(
+        a.cum_share < b.cum_share for a, b in zip(rows, rows[1:])
+    )
+
+
+def test_containment_asymmetric(spark):
+    # b embeds a's entire shingle set; a is 100% contained, b is not
+    a_text = "one two three four five"
+    b_text = a_text + " six seven eight nine ten eleven twelve"
+    df = spark.createDataFrame(
+        [(1, a_text), (2, b_text)], "doc_id long, text string"
+    )
+    rows = {
+        (r.a_id, r.b_id): r.containment
+        for r in containment_pairs(df, threshold=0.0).collect()
+    }
+    assert rows[(1, 2)] == 1.0
+    assert rows[(2, 1)] < 1.0
+
+
+def test_knn_label_vote_majority(spark):
+    # 1-D embeddings: two tight clusters; query vec sits in cluster 0
+    vecs = [
+        (0, [1.0, 0.0], 7),  # query
+        (1, [0.9, 0.1], 0),
+        (2, [0.8, 0.2], 0),
+        (3, [0.95, 0.05], 1),
+        (4, [-1.0, 0.0], 1),
+        (5, [-0.9, -0.1], 1),
+    ]
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, label int"
+    )
+    out = knn_label_vote(emb, emb.filter("vec_id = 0"), k=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    # 3 nearest to [1,0] are vecs 1,2,3 → labels {0,0,1} → majority 0
+    assert r.query_id == 0 and r.true_label == 7
+    assert r.predicted_label == 0 and r.n_votes == 2
