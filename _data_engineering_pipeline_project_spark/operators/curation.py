@@ -56,6 +56,18 @@ def chunk_documents(
     )
 
 
+def _word_ngrams(ws: Column, k: int) -> Column:
+    """Word k-grams of a MATERIALIZED token-array column. ``ws`` must be
+    a plain column attribute, not the split expression itself — Catalyst
+    does not CSE inside lambda bodies, so an inline split would re-run
+    per element access (O(tokens²) per row; same pitfall
+    dedup._shingle_table documents)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(ws) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(ws, i + 1, k)),
+    )
+
+
 def repeated_ngram_ratio(
     df: DataFrame,
     n: int = 2,
@@ -67,24 +79,33 @@ def repeated_ngram_ratio(
     document (0 = all distinct, →1 = the doc loops). High values flag
     boilerplate/spam/generation loops for corpus filtering.
 
-    Plan: split→n-gram explode→per-(doc, gram) counts→per-doc ratio —
-    two groupBys keyed by doc (AQE co-partitions them), all expressions
-    JVM-side. ratio = 1 - distinct/total as exact int division."""
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    Plan: ZERO shuffles — repetition is a per-document property, so
+    total and distinct gram counts are array expressions
+    (size / size∘array_distinct) inside whole-stage codegen; the
+    explode→groupBy(doc, gram)→groupBy(doc) formulation this replaces
+    shuffled every gram occurrence twice for a result each row already
+    contains. Staged projections keep split → grams → sizes as separate
+    non-collapsed projects (CollapseProject won't duplicate non-cheap
+    expressions), so tokenization and gram-building each run once per
+    row. ratio = 1 - distinct/total as exact int division."""
+    toked = df.filter(F.length(text_col) > 0).select(
+        id_col, F.split(F.trim(F.col(text_col)), r"\s+").alias("__ws")
     )
-    exploded = df.filter(F.length(text_col) > 0).select(
-        id_col, F.explode(grams).alias("gram")
+    gramd = toked.select(
+        id_col, _word_ngrams(F.col("__ws"), n).alias("__g")
     )
-    per_gram = exploded.groupBy(id_col, "gram").agg(
-        F.count(F.lit(1)).alias("occ")
+    sized = gramd.select(
+        id_col,
+        F.size("__g").cast("long").alias("total_ngrams"),
+        F.size(F.array_distinct("__g")).cast("long").alias("distinct_ngrams"),
     )
-    return per_gram.groupBy(id_col).agg(
-        F.sum("occ").alias("total_ngrams"),
-        F.count(F.lit(1)).alias("distinct_ngrams"),
-        F.round(1 - F.count(F.lit(1)) / F.sum("occ"), 6).alias("repeat_ratio"),
+    return sized.select(
+        id_col,
+        "total_ngrams",
+        "distinct_ngrams",
+        F.round(
+            1 - F.col("distinct_ngrams") / F.col("total_ngrams"), 6
+        ).alias("repeat_ratio"),
     )
 
 
@@ -103,22 +124,25 @@ def decontaminate(
 
     Plan: benchmark n-grams (small) are distinct-collected and BROADCAST;
     the corpus side explodes its n-grams once and semi-joins the
-    broadcast set — the 100 TB corpus never shuffles. Returns
+    broadcast set — the 100 TB corpus never shuffles. Token arrays are
+    materialized in their own projection before gram-building (see
+    ``_word_ngrams``'s no-CSE-in-lambdas note). Returns
     (clean, contaminated) where contaminated carries the hit count."""
-    def grams(col: str, k: int) -> Column:
-        words = F.split(F.trim(F.col(col)), r"\s+")
-        return F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
-        )
-
     bench_grams = (
         benchmark.filter(F.length(bench_text_col) > 0)
-        .select(F.explode(grams(bench_text_col, n)).alias("gram"))
+        .select(F.split(F.trim(F.col(bench_text_col)), r"\s+").alias("__ws"))
+        .select(F.explode(_word_ngrams(F.col("__ws"), n)).alias("gram"))
         .distinct()
     )
-    corpus_grams = corpus.filter(F.length(text_col) > 0).select(
-        id_col, F.explode_outer(F.array_distinct(grams(text_col, n))).alias("gram")
+    corpus_grams = (
+        corpus.filter(F.length(text_col) > 0)
+        .select(id_col, F.split(F.trim(F.col(text_col)), r"\s+").alias("__ws"))
+        .select(
+            id_col,
+            F.explode_outer(
+                F.array_distinct(_word_ngrams(F.col("__ws"), n))
+            ).alias("gram"),
+        )
     )
     hits = (
         corpus_grams.join(F.broadcast(bench_grams), "gram", "left_semi")

@@ -227,7 +227,7 @@ def lsh_dup_pairs(
         F.posexplode(
             lsh_band_buckets(vec_col, dim, num_bands, planes_per_band)
         ).alias("band", "bucket"),
-    )
+    ).cache()  # both self-join sides read it — bucket UDF runs ONCE
     cand = (
         b.alias("a")
         .join(
