@@ -40,6 +40,13 @@ EXTENSION_QUERIES = [
     "decontaminate_corpus",
     "funnel_view_click_purchase",
     "weekly_cohort_retention",
+    "tfidf_top_terms_documents",
+    "bm25_search_documents",
+    "containment_pairs_documents",
+    "cross_dedup_new_vs_corpus",
+    "knn_label_vote_embeddings",
+    "event_type_cooccurrence",
+    "rolling_user_value_6h",
 ]
 
 BENCH_QUERIES = [
