@@ -412,3 +412,186 @@ def rolling_user_value_6h(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_win"),
         F.round(F.sum("value").over(w), 2).alias("sum_win"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sketches / statistics
+# --------------------------------------------------------------------------
+@query(
+    "kmv_distinct_users_per_type",
+    """
+    WITH h AS (SELECT DISTINCT event_type AS g,
+                      CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                          1, 15) AS BIGINT) AS hh
+               FROM events
+               WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+    topk AS (SELECT g, hh FROM (
+               SELECT g, hh, row_number() OVER (PARTITION BY g
+                              ORDER BY hh) AS rn FROM h)
+             WHERE rn <= 64),
+    ex AS (SELECT event_type AS g, count(DISTINCT user_id) AS exact_distinct
+           FROM events
+           WHERE user_id IS NOT NULL AND event_type IS NOT NULL GROUP BY 1)
+    SELECT t.g AS event_type, count(*) AS n_kmv,
+           round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                      ELSE 63 * 1152921504606846976.0
+                           / CAST(max(t.hh) AS DOUBLE) END, 4)
+             AS est_distinct,
+           ex.exact_distinct
+    FROM topk t JOIN ex ON ex.g = t.g
+    GROUP BY t.g, ex.exact_distinct
+    """,
+)
+def kmv_distinct_users_per_type(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV distinct-user sketch per event type, alongside the exact
+    count. Unlike HLL (approx_count_distinct — engine-specific bias
+    tables, only rows-only-checkable), the KMV estimate is a pure
+    function of the data, so the DuckDB twin reproduces it bit-for-bit;
+    and the per-partition partial pass shuffles O(k·partitions·groups)
+    rows instead of every distinct value — the mergeable-sketch shape
+    that survives 100 TB."""
+    from _data_engineering_pipeline_project_spark.operators.sketches import (
+        kmv_distinct,
+    )
+
+    ev = table(spark, sf, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    est = kmv_distinct(ev, "event_type", "user_id", k=64)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "n_kmv", "est_distinct", "exact_distinct"
+    )
+
+
+# log10(1 + 1/d) for d = 1..9, as shared literals: both engines parse the
+# same decimal string to the same IEEE double, so no cross-engine
+# transcendental-function ulp risk
+_BENFORD = (
+    0.3010299956639812,
+    0.17609125905568124,
+    0.12493873660829992,
+    0.09691001300805642,
+    0.07918124604762482,
+    0.06694678963061322,
+    0.05799194697768673,
+    0.05115252244738129,
+    0.04575749056067514,
+)
+# CAST in the VALUES: DuckDB parses bare decimal literals as DECIMAL,
+# which would turn the whole chi-square pipeline into decimal arithmetic
+_BENFORD_SQL = "VALUES " + ", ".join(
+    f"({d + 1}, CAST({v!r} AS DOUBLE))" for d, v in enumerate(_BENFORD)
+)
+
+
+@query(
+    "benford_first_digit_orders",
+    f"""
+    WITH exp(digit, expected) AS ({_BENFORD_SQL}),
+    d AS (SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18, 2))
+                             AS VARCHAR), 1, 1) AS INTEGER) AS digit
+          FROM orders WHERE o_totalprice > 0),
+    c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+    SELECT c.digit, c.n,
+           round(c.n / CAST(t.total AS DOUBLE), 6) AS observed,
+           round(e.expected, 6) AS expected,
+           round(pow(c.n / CAST(t.total AS DOUBLE) - e.expected, 2)
+                 / e.expected, 8) AS chi2_term
+    FROM c JOIN exp e ON e.digit = c.digit, t
+    """,
+)
+def benford_first_digit_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford's-law audit of order totals: observed vs expected
+    first-significant-digit frequencies with per-digit chi-square terms
+    (a fraud/corruption screen for numeric columns). The digit is read
+    from the DECIMAL(18,2) string form — identical in both engines,
+    where float log10 tricks would carry boundary risk. One groupBy on
+    a 9-value key; expected frequencies are broadcast literals."""
+    o = table(spark, sf, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.substring(
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    exp = spark.createDataFrame(
+        [(i + 1, v) for i, v in enumerate(_BENFORD)], "digit int, expected double"
+    )
+    obs = F.col("n") / F.col("total").cast("double")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .join(F.broadcast(exp), "digit")
+        .select(
+            "digit",
+            "n",
+            F.round(obs, 6).alias("observed"),
+            F.round(F.col("expected"), 6).alias("expected"),
+            F.round(
+                F.pow(obs - F.col("expected"), 2) / F.col("expected"), 8
+            ).alias("chi2_term"),
+        )
+    )
+
+
+@query(
+    "corr_quantity_price_lineitem",
+    """
+    WITH s AS (SELECT count(*) AS n,
+                      CAST(sum(CAST(l_quantity AS DECIMAL(18, 2)))
+                           AS DOUBLE) AS sx,
+                      CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2)))
+                           AS DOUBLE) AS sy,
+                      CAST(sum(CAST(l_quantity AS DECIMAL(18, 2))
+                               * CAST(l_quantity AS DECIMAL(18, 2)))
+                           AS DOUBLE) AS sxx,
+                      CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))
+                               * CAST(l_extendedprice AS DECIMAL(18, 2)))
+                           AS DOUBLE) AS syy,
+                      CAST(sum(CAST(l_quantity AS DECIMAL(18, 2))
+                               * CAST(l_extendedprice AS DECIMAL(18, 2)))
+                           AS DOUBLE) AS sxy
+               FROM lineitem
+               WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL)
+    SELECT n,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                 6) AS corr_qty_price
+    FROM s
+    """,
+)
+def corr_quantity_price_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Pearson correlation computed from EXACT decimal power sums —
+    unlike F.corr/corr() (streaming covariance, accumulation-order-
+    dependent across engines and partitionings), decimal sums are exact
+    and associative, so the final double formula is a fixed IEEE
+    sequence on identical inputs: bit-reproducible on any cluster
+    layout. One single-pass aggregate over the fact table (map-side
+    partials, 1-row shuffle). Decimal(38,4) headroom bounds n·x² to
+    ~1e34 — fine through petabyte row counts at these magnitudes."""
+    li = table(spark, sf, "lineitem").filter(
+        F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
+    )
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(p).cast("double").alias("sy"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(p * p).cast("double").alias("syy"),
+        F.sum(q * p).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select("n", F.round(num / den, 6).alias("corr_qty_price"))

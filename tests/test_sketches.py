@@ -1,0 +1,51 @@
+"""KMV sketch: partition-layout invariance (exact mergeability) and
+estimate accuracy."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from _data_engineering_pipeline_project_spark.operators.sketches import (
+    kmv_distinct,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.createDataFrame(
+        [("a", i % 10) for i in range(100)], "g string, v int"
+    )
+    out = kmv_distinct(df, "g", "v", k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    # 10 < k distinct values → sketch is lossless: exact count
+    assert r.n_kmv == 10 and r.est_distinct == 10.0
+
+
+def test_kmv_partition_invariant_and_accurate(spark):
+    # 2000 distinct values in one group, k=64 → estimate within ~25%
+    base = spark.range(2000).select(
+        F.lit("g1").alias("g"), F.col("id").alias("v")
+    )
+    one = kmv_distinct(base.coalesce(1), "g", "v", k=64)
+    many = kmv_distinct(base.repartition(13), "g", "v", k=64)
+    direct = kmv_distinct(base, "g", "v", k=64, partial_per_partition=False)
+    r1, r2, r3 = _rows(one), _rows(many), _rows(direct)
+    # k-smallest is exactly mergeable: any partitioning, with or without
+    # the partial pass, produces the identical sketch and estimate
+    assert r1 == r2 == r3
+    est = r1[0][2]
+    assert 1500 < est < 2500
+
+
+def test_kmv_multiple_groups_independent(spark):
+    df = spark.createDataFrame(
+        [("a", i) for i in range(500)] + [("b", i) for i in range(30)],
+        "g string, v int",
+    )
+    out = {r.g: r for r in kmv_distinct(df, "g", "v", k=64).collect()}
+    assert out["b"].est_distinct == 30.0  # below k → exact
+    assert 300 < out["a"].est_distinct < 800
