@@ -200,3 +200,36 @@ def write_hilbert(
         .write.mode("overwrite")
         .parquet(dest_dir)
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int = 50,
+    id_col: str = "doc_id",
+    round_digits: int = 12,
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis,
+    IPL 2006): each row draws key = u^(1/w) with u uniform in (0,1);
+    the k largest keys are a weight-proportional sample. The uniform is
+    md5-derived (seedless, engine-portable — the same construction as
+    ``hash_sample``), so the sample is DETERMINISTIC and reproducible by
+    the SQL oracle; the top-k cut is ``orderBy().limit()`` (TakeOrdered:
+    per-partition heaps, one tiny merge — no global sort or window of
+    the full table). Keys are rounded before ranking (pow() may differ
+    in the last ulp across engines) with the id as tiebreak.
+
+    Rows with NULL or non-positive weight are excluded (their inclusion
+    probability is undefined)."""
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(float((1 << 60) + 1))  # (0, 1]
+    w = F.col(weight_col).cast("double")
+    key = F.round(F.pow(u, F.lit(1.0) / w), round_digits)
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .select(F.col(id_col), F.col(weight_col), key.alias("sample_key"))
+        .orderBy(F.col("sample_key").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -595,3 +595,31 @@ def corr_quantity_price_lineitem(spark: SparkSession, sf: str) -> DataFrame:
         * (n * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     return s.select("n", F.round(num / den, 6).alias("corr_qty_price"))
+
+
+@query(
+    "weighted_sample_documents",
+    """
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             round(pow((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 15) AS BIGINT) + 1.0)
+                       / 1152921504606846977.0,
+                       1.0 / CAST(n_chars AS DOUBLE)), 12) AS sample_key
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0)
+    SELECT doc_id, n_chars, sample_key
+    FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 50
+    """,
+)
+def weighted_sample_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Length-weighted deterministic sample of 50 documents
+    (Efraimidis–Spirakis keys from portable md5 randomness; TakeOrdered
+    top-k, no global sort)."""
+    from _data_engineering_pipeline_project_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    return weighted_sample(
+        table(spark, sf, "documents"), weight_col="n_chars", k=50
+    )

@@ -334,3 +334,78 @@ def test_join_strategy_hints_are_honored(spark):
     assert "ShuffledHashJoin" in explain_str(shuffle_hash)
     bcast = big.join(F.broadcast(small), "k")
     assert "BroadcastHashJoin" in explain_str(bcast)
+
+
+# --------------------------------------------------------------------------
+# Round-3 operators: pinned scale shapes
+# --------------------------------------------------------------------------
+def test_repetition_ratio_zero_shuffles(spark):
+    """Repetition is a per-document property — the plan must contain NO
+    shuffle exchange at all (pure projection pipeline in codegen)."""
+    from _data_engineering_pipeline_project_spark.plans.audit import exchange_count
+    from _data_engineering_pipeline_project_spark.queries_ext import (
+        repetition_ratio_documents,
+    )
+
+    assert exchange_count(repetition_ratio_documents(spark, SF)) == 0
+
+
+def test_zscore_outliers_broadcasts_stats(spark):
+    """The per-type moments frame joins back by broadcast; the events
+    fact table is never shuffled for the join."""
+    from _data_engineering_pipeline_project_spark.queries_ext2 import (
+        zscore_outliers_events,
+    )
+
+    assert broadcast_join_count(zscore_outliers_events(spark, SF)) >= 1
+
+
+def test_bm25_prunes_to_id_and_text(spark):
+    """BM25 reads only (doc_id, text) from the documents scan."""
+    from _data_engineering_pipeline_project_spark.queries_ext2 import (
+        bm25_search_documents,
+    )
+
+    schemas = read_schemas(bm25_search_documents(spark, SF))
+    assert schemas, "no parquet scan found"
+    for s in schemas:
+        assert "lang" not in s and "source" not in s
+
+
+def test_vocab_coverage_uses_take_ordered(spark):
+    """The top-N cut must be TakeOrdered (per-partition heaps), not a
+    single-partition global window over the full vocabulary."""
+    from _data_engineering_pipeline_project_spark.plans.audit import explain_str
+    from _data_engineering_pipeline_project_spark.queries_ext2 import (
+        vocab_coverage_top30,
+    )
+
+    assert "TakeOrderedAndProject" in explain_str(
+        vocab_coverage_top30(spark, SF)
+    )
+
+
+def test_weighted_sample_uses_take_ordered(spark):
+    from _data_engineering_pipeline_project_spark.plans.audit import explain_str
+    from _data_engineering_pipeline_project_spark.queries_ext2 import (
+        weighted_sample_documents,
+    )
+
+    plan = explain_str(weighted_sample_documents(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort node
+
+
+def test_cross_dedup_preaggregates_corpus(spark):
+    """The corpus side reduces to one row per fingerprint BEFORE the
+    join (HashAggregate below the join), and only (doc_id, source, text)
+    are read."""
+    from _data_engineering_pipeline_project_spark.plans.audit import explain_str
+    from _data_engineering_pipeline_project_spark.queries_ext2 import (
+        cross_dedup_new_vs_corpus,
+    )
+
+    plan = explain_str(cross_dedup_new_vs_corpus(spark, SF))
+    assert "HashAggregate" in plan
+    for s in read_schemas(cross_dedup_new_vs_corpus(spark, SF)):
+        assert "n_chars" not in s and "lang" not in s
