@@ -365,6 +365,82 @@ def ivf_lloyd_refine(
     return cur
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus → nearest centroid list: broadcast cross-score +
+    ``max_by`` hash aggregate — partial aggregation combines
+    per-partition, so the shuffle moves ONE row per corpus vector,
+    never the corpus×centroids product. The argmax struct order
+    (cosine, -centroid_id) equals SQL's row_number() ORDER BY cos DESC,
+    centroid_id ASC. Returns (id, centroid_id, vec)."""
+    return (
+        _nearest_centroid_scores(corpus, centroids, id_col, vec_col)
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col("centroid_id").alias("cid"),
+                    F.col(vec_col).alias("vec"),
+                ),
+                F.struct(
+                    F.col("__cos").alias("c"),
+                    (-F.col("centroid_id")).alias("n"),
+                ),
+            ).alias("__best")
+        )
+        .select(
+            F.col(id_col),
+            F.col("__best.cid").alias("centroid_id"),
+            F.col("__best.vec").alias(vec_col),
+        )
+    )
+
+
+def semantic_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.5,
+    num_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: cluster the corpus
+    by nearest IVF centroid, then compute exact cosine only WITHIN each
+    cluster (Abbas et al. 2023 — semantic dedup prunes the pair space by
+    clustering first; cross-cluster pairs are by construction far).
+
+    The within-cluster self-join is an equi-join on centroid_id, so the
+    quadratic stage is bounded per cluster (~|corpus|/C wide on
+    balanced lists); scale C with the corpus (C ≈ √n keeps per-cluster
+    work flat) and feed ``ivf_lloyd_refine``-ed centroids when list
+    skew matters. Fully deterministic (seeded centroids, rounded
+    cosines) → exact SQL-oracle parity."""
+    centroids = ivf_seed_centroids(emb, num_centroids, id_col, vec_col)
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col("a.centroid_id").alias("centroid_id"),
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            F.round(
+                cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def topk_cosine_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -398,29 +474,7 @@ def topk_cosine_ivf(
             corpus, centroids, refine_iters, id_col, vec_col
         )
 
-    # corpus → nearest list: argmax by (cosine, -centroid_id) struct order
-    # == SQL row_number() ORDER BY cos DESC, centroid_id ASC
-    assigned = (
-        _nearest_centroid_scores(corpus, centroids, id_col, vec_col)
-        .groupBy(id_col)
-        .agg(
-            F.max_by(
-                F.struct(
-                    F.col("centroid_id").alias("cid"),
-                    F.col(vec_col).alias("vec"),
-                ),
-                F.struct(
-                    F.col("__cos").alias("c"),
-                    (-F.col("centroid_id")).alias("n"),
-                ),
-            ).alias("__best")
-        )
-        .select(
-            F.col(id_col),
-            F.col("__best.cid").alias("centroid_id"),
-            F.col("__best.vec").alias(vec_col),
-        )
-    )
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
 
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")

@@ -623,3 +623,49 @@ def weighted_sample_documents(spark: SparkSession, sf: str) -> DataFrame:
     return weighted_sample(
         table(spark, sf, "documents"), weight_col="n_chars", k=50
     )
+
+
+@query(
+    "semantic_dup_pairs_embeddings",
+    """
+    WITH seeds AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cvec,
+             md5(CAST(vec_id AS VARCHAR)) AS h
+      FROM embeddings ORDER BY h, vec_id LIMIT 8
+    ),
+    cent AS (
+      SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER)
+               AS centroid_id, cvec
+      FROM seeds
+    ),
+    cscore AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS vec, c.centroid_id,
+             round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS cos
+      FROM embeddings e, cent c
+    ),
+    assigned AS (
+      SELECT vec_id, vec, centroid_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cos DESC, centroid_id) AS arnk
+        FROM cscore) WHERE arnk = 1
+    )
+    SELECT a.centroid_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.vec, b.vec)
+                 / (sqrt(list_dot_product(a.vec, a.vec))
+                    * sqrt(list_dot_product(b.vec, b.vec))), 6) AS cosine
+    FROM assigned a JOIN assigned b
+      ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.vec, b.vec)
+                / (sqrt(list_dot_product(a.vec, a.vec))
+                   * sqrt(list_dot_product(b.vec, b.vec))), 6) >= 0.4
+    """,
+)
+def semantic_dup_pairs_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: IVF-cluster first, exact
+    cosine only within clusters (quadratic stage bounded per cluster)."""
+    return SIM.semantic_dup_pairs(
+        table(spark, sf, "embeddings"), threshold=0.4, num_centroids=8
+    )

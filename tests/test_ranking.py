@@ -108,3 +108,33 @@ def test_knn_label_vote_majority(spark):
     # 3 nearest to [1,0] are vecs 1,2,3 → labels {0,0,1} → majority 0
     assert r.query_id == 0 and r.true_label == 7
     assert r.predicted_label == 0 and r.n_votes == 2
+
+
+def test_semantic_dup_pairs_subset_of_bruteforce(spark):
+    """Every semantic pair is a true pair (precision 1 — exact cosine
+    verify), and recall against brute force is the within-cluster
+    fraction (both vectors must land in one list)."""
+    import math
+
+    from _data_engineering_pipeline_project_spark.operators.similarity import (
+        cosine_dup_pairs,
+        semantic_dup_pairs,
+    )
+
+    vecs = [
+        (i, [math.cos(i * 0.1), math.sin(i * 0.1)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    sem = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in semantic_dup_pairs(emb, threshold=0.95, num_centroids=4).collect()
+    }
+    brute = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in cosine_dup_pairs(emb, threshold=0.95).collect()
+    }
+    assert sem  # non-trivial
+    assert set(sem) <= set(brute)  # precision 1
+    for k, v in sem.items():
+        assert brute[k] == v  # identical exact cosines
+    assert len(sem) / len(brute) > 0.5  # reasonable recall on smooth data
