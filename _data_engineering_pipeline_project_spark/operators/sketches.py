@@ -108,3 +108,104 @@ def kmv_distinct(
             4,
         ).alias("est_distinct"),
     ).select(F.col("g").alias(group_col), "n_kmv", "est_distinct")
+
+
+def binned_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: tuple = (0.5, 0.9, 0.99),
+    bins: int = 256,
+) -> DataFrame:
+    """Mergeable approximate quantiles via fixed equi-width binning —
+    the histogram-sketch answer to "p99 per group over 100 TB".
+
+    Spark's ``percentile_approx`` (KLL-ish) and exact sort-based
+    percentiles are either engine-specific or need a per-group sort;
+    a fixed binning is the simplest mergeable quantile sketch: bin
+    counts add associatively across partitions/nodes/days, error is
+    bounded by (max-min)/bins, and the estimate is a pure function of
+    the data — reproducible by the SQL oracle bit-for-bit.
+
+    Plan: one (min, max, n) aggregate per group (broadcast back), one
+    (group, bin) count aggregate, a per-group running sum over ≤
+    ``bins`` rows, then linear interpolation inside the target bin at
+    rank p·n. Two shuffles total, both keyed by group(+bin) — no sort
+    of the values themselves. Constant groups (width 0) report the
+    constant for every p.
+    """
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v")
+    )
+    stats = vals.groupBy("g").agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(bins))
+    binned = (
+        vals.join(F.broadcast(stats), "g")
+        .select(
+            "g",
+            F.when(F.col("hi") == F.col("lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.floor((F.col("v") - F.col("lo")) / width),
+                    F.lit(bins - 1),
+                )
+            )
+            .cast("int")
+            .alias("bin"),
+        )
+        .groupBy("g", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("g").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = binned.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "cum_below", F.col("cum") - F.col("cnt")
+    )
+    pr = F.array(*[F.lit(float(p)) for p in probs])
+    targets = stats.select(
+        "g", "lo", "hi", "n", F.explode(pr).alias("p")
+    ).withColumn("target", F.col("p") * F.col("n"))
+    # smallest bin whose cumulative count reaches the target rank
+    hit = (
+        targets.join(cum, "g")
+        .filter(F.col("cum") >= F.col("target"))
+        .groupBy("g", "p", "lo", "hi", "target")
+        .agg(
+            F.min_by(
+                F.struct(F.col("bin"), F.col("cnt"), F.col("cum_below")),
+                F.col("bin"),
+            ).alias("b")
+        )
+        .select(
+            "g",
+            "p",
+            "lo",
+            "hi",
+            "target",
+            F.col("b.bin").alias("bin"),
+            F.col("b.cnt").cast("double").alias("cnt_d"),
+            F.col("b.cum_below").cast("double").alias("cum_below_d"),
+        )
+    )
+    width2 = (F.col("hi") - F.col("lo")) / F.lit(float(bins))
+    est = F.when(F.col("hi") == F.col("lo"), F.col("lo")).otherwise(
+        F.col("lo")
+        + width2
+        * (
+            F.col("bin")
+            + F.greatest(
+                (F.col("target") - F.col("cum_below_d")) / F.col("cnt_d"),
+                F.lit(0.0),
+            )
+        )
+    )
+    return hit.select(
+        F.col("g").alias(group_col),
+        F.col("p"),
+        F.round(est, 6).alias("quantile_est"),
+    )

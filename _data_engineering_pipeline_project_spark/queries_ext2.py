@@ -669,3 +669,60 @@ def semantic_dup_pairs_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.semantic_dup_pairs(
         table(spark, sf, "embeddings"), threshold=0.4, num_centroids=8
     )
+
+
+@query(
+    "binned_quantiles_events_value",
+    """
+    WITH vals AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+                  FROM events WHERE value IS NOT NULL),
+    stats AS (SELECT g, min(v) AS lo, max(v) AS hi, count(*) AS n
+              FROM vals GROUP BY 1),
+    binned AS (
+      SELECT v.g,
+             CAST(CASE WHEN s.hi = s.lo THEN 0
+                  ELSE least(floor((v.v - s.lo) / ((s.hi - s.lo) / 256.0)),
+                             255) END AS INTEGER) AS bin,
+             count(*) AS cnt
+      FROM vals v JOIN stats s ON s.g = v.g
+      GROUP BY 1, 2),
+    cum AS (SELECT g, bin, cnt,
+                   sum(cnt) OVER (PARTITION BY g ORDER BY bin
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(cnt) OVER (PARTITION BY g ORDER BY bin
+                       ROWS UNBOUNDED PRECEDING) - cnt AS cum_below
+            FROM binned),
+    targets AS (SELECT g, lo, hi, n, p.p, p.p * n AS target
+                FROM stats, (VALUES (CAST(0.5 AS DOUBLE)),
+                                    (CAST(0.9 AS DOUBLE)),
+                                    (CAST(0.99 AS DOUBLE))) p(p)),
+    hit AS (
+      SELECT g, p, lo, hi, target, bin, cnt_d, cum_below_d FROM (
+        SELECT t.g, t.p, t.lo, t.hi, t.target, c.bin,
+               CAST(c.cnt AS DOUBLE) AS cnt_d,
+               CAST(c.cum_below AS DOUBLE) AS cum_below_d,
+               row_number() OVER (PARTITION BY t.g, t.p
+                                  ORDER BY c.bin) AS rn
+        FROM targets t JOIN cum c ON c.g = t.g
+        WHERE c.cum >= t.target)
+      WHERE rn = 1)
+    SELECT g AS event_type, p,
+           round(CASE WHEN hi = lo THEN lo
+                 ELSE lo + ((hi - lo) / 256.0)
+                      * (bin + greatest((target - cum_below_d) / cnt_d,
+                                        0.0)) END, 6) AS quantile_est
+    FROM hit
+    """,
+)
+def binned_quantiles_events_value(spark: SparkSession, sf: str) -> DataFrame:
+    """p50/p90/p99 of event value per type via the mergeable fixed-bin
+    histogram sketch (bin counts add associatively across partitions;
+    error bounded by range/256; no per-group sort of the values)."""
+    from _data_engineering_pipeline_project_spark.operators.sketches import (
+        binned_quantiles,
+    )
+
+    return binned_quantiles(
+        table(spark, sf, "events"), "event_type", "value",
+        probs=(0.5, 0.9, 0.99), bins=256,
+    )

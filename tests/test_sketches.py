@@ -49,3 +49,31 @@ def test_kmv_multiple_groups_independent(spark):
     out = {r.g: r for r in kmv_distinct(df, "g", "v", k=64).collect()}
     assert out["b"].est_distinct == 30.0  # below k → exact
     assert 300 < out["a"].est_distinct < 800
+
+
+def test_binned_quantiles_accuracy_and_layout_invariance(spark):
+    from _data_engineering_pipeline_project_spark.operators.sketches import (
+        binned_quantiles,
+    )
+
+    # uniform 0..9999 → p50 ≈ 5000, p99 ≈ 9900; bin width = 9999/256 ≈ 39
+    base = spark.range(10_000).select(
+        F.lit("u").alias("g"), F.col("id").cast("double").alias("v")
+    )
+    est1 = _rows(binned_quantiles(base.coalesce(1), "g", "v"))
+    est2 = _rows(binned_quantiles(base.repartition(17), "g", "v"))
+    # bin counts are associative: identical output under any layout
+    assert est1 == est2
+    by_p = {r[1]: r[2] for r in est1}
+    assert abs(by_p[0.5] - 5000) < 80  # within ~2 bin widths
+    assert abs(by_p[0.99] - 9900) < 80
+
+
+def test_binned_quantiles_constant_group(spark):
+    from _data_engineering_pipeline_project_spark.operators.sketches import (
+        binned_quantiles,
+    )
+
+    df = spark.createDataFrame([("c", 42.0)] * 5, "g string, v double")
+    rows = binned_quantiles(df, "g", "v").collect()
+    assert len(rows) == 3 and all(r.quantile_est == 42.0 for r in rows)
