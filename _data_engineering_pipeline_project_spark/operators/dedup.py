@@ -281,6 +281,110 @@ def minhash_wide_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def _band_frame(
+    wide: DataFrame, id_col: str, num_hashes: int, rows_per_band: int
+) -> DataFrame:
+    """(id, band, sig) from the wide signature frame — banding as a
+    codegen'd string-concat projection + one explode (see
+    ``lsh_candidate_pairs_wide``'s plan notes)."""
+    n_bands = num_hashes // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "-",
+                    *[
+                        F.col(f"h{b * rows_per_band + j}").cast("string")
+                        for j in range(rows_per_band)
+                    ],
+                ).alias("sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return wide.select(id_col, F.explode(bands).alias("bs")).select(
+        id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+
+
+def cross_minhash_near_dup(
+    df: DataFrame,
+    is_new: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    rows_per_band: int = 2,
+    threshold: float = 0.3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Incremental-ingest NEAR-dup detection: each new-batch document
+    against the standing corpus (``is_new`` marks the batch rows), via
+    the same MinHash banding as ``minhash_near_dup_pairs`` but with the
+    candidate join RESTRICTED to new×corpus — new-new and corpus-corpus
+    band collisions never materialize, so per-cycle cost scales with
+    the batch, not the corpus² (the corpus side's signatures would be
+    precomputed and stored in a real deployment; here they share one
+    signature pass with the batch for the oracle's benefit).
+
+    Verification is exact Jaccard over the shared shingle table,
+    candidates only. Returns (new_doc, corpus_doc, jaccard ≥ threshold).
+    """
+    flags = df.select(F.col(id_col), is_new.alias("__new"))
+    sh = _shingle_table(df, id_col, text_col, shingle_n)
+    if max_shingle_df is not None:
+        sh = drop_hot_shingles(sh, max_shingle_df)
+    sh = sh.cache()
+    banded = _band_frame(
+        minhash_wide_signatures(sh, id_col, num_hashes),
+        id_col,
+        num_hashes,
+        rows_per_band,
+    ).join(flags, id_col)
+    new_b = banded.filter(F.col("__new")).select(
+        F.col(id_col).alias("new_doc"), "band", "sig"
+    )
+    corp_b = banded.filter(~F.col("__new")).select(
+        F.col(id_col).alias("corpus_doc"), "band", "sig"
+    )
+    cands = (
+        new_b.join(corp_b, ["band", "sig"])
+        .select("new_doc", "corpus_doc")
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        cands.join(
+            sh.select(F.col(id_col).alias("new_doc"), "shingle"), "new_doc"
+        )
+        .join(
+            sh.select(F.col(id_col).alias("corpus_doc"), "shingle"),
+            ["corpus_doc", "shingle"],
+        )
+        .groupBy("new_doc", "corpus_doc")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(
+            sizes.select(F.col(id_col).alias("new_doc"), F.col("n_sh").alias("n_a")),
+            "new_doc",
+        )
+        .join(
+            sizes.select(
+                F.col(id_col).alias("corpus_doc"), F.col("n_sh").alias("n_b")
+            ),
+            "corpus_doc",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_doc", "corpus_doc", "jaccard")
+    )
+
+
 def lsh_candidate_pairs_wide(
     wide: DataFrame,
     id_col: str = "doc_id",
@@ -298,25 +402,7 @@ def lsh_candidate_pairs_wide(
     the signature agg. Band sig strings are identical to the narrow
     path's (same order, same separator), so candidates are
     bit-identical."""
-    n_bands = num_hashes // rows_per_band
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "-",
-                    *[
-                        F.col(f"h{b * rows_per_band + j}").cast("string")
-                        for j in range(rows_per_band)
-                    ],
-                ).alias("sig"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    banded = wide.select(id_col, F.explode(bands).alias("bs")).select(
-        id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
-    )
+    banded = _band_frame(wide, id_col, num_hashes, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

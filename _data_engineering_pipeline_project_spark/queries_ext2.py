@@ -726,3 +726,68 @@ def binned_quantiles_events_value(spark: SparkSession, sf: str) -> DataFrame:
         table(spark, sf, "events"), "event_type", "value",
         probs=(0.5, 0.9, 0.99), bins=256,
     )
+
+
+_TOKS_X = r"string_split_regex(trim(lower(text)), '\s+')"
+_SHINGLES_X = (
+    "list_distinct(CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(generate_series(1, len(toks)-2), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) "
+    "ELSE [] END)"
+)
+
+
+@query(
+    "cross_near_dup_new_vs_corpus",
+    rf"""
+    WITH doc AS (SELECT doc_id, text,
+                        CAST(regexp_extract(source, '(\d+)$', 1) AS INTEGER)
+                          >= 10 AS is_new
+                 FROM documents),
+    tokx AS (SELECT doc_id, is_new, {_TOKS_X} AS toks FROM doc),
+    shx AS (SELECT doc_id, is_new, unnest({_SHINGLES_X}) AS shingle
+            FROM tokx),
+    hxx AS (SELECT doc_id, is_new,
+                   CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)
+                     % 2147483647 AS x
+            FROM shx),
+    mhx AS (SELECT doc_id, t.i AS i,
+                   min(((2 * t.i + 1) * x + (11 * t.i + 7)) % 2147483647)
+                     AS h
+            FROM hxx, unnest(generate_series(0, 31)) AS t(i)
+            GROUP BY doc_id, t.i),
+    bandsx AS (SELECT doc_id, i // 2 AS band,
+                      string_agg(CAST(h AS VARCHAR), '-' ORDER BY i) AS sig
+               FROM mhx GROUP BY doc_id, i // 2),
+    flagged AS (SELECT b.doc_id, b.band, b.sig, d.is_new
+                FROM bandsx b JOIN doc d USING (doc_id)),
+    cand AS (SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS corpus_doc
+             FROM flagged a JOIN flagged b
+               ON a.band = b.band AND a.sig = b.sig
+              AND a.is_new AND NOT b.is_new),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY doc_id),
+    inter AS (SELECT c.new_doc, c.corpus_doc, count(*) AS common
+              FROM cand c
+              JOIN shx x ON x.doc_id = c.new_doc
+              JOIN shx y ON y.doc_id = c.corpus_doc
+                        AND y.shingle = x.shingle
+              GROUP BY 1, 2)
+    SELECT i.new_doc, i.corpus_doc,
+           CAST(i.common AS DOUBLE) / (sa.n + sb.n - i.common) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.new_doc
+    JOIN sizes sb ON sb.doc_id = i.corpus_doc
+    WHERE CAST(i.common AS DOUBLE) / (sa.n + sb.n - i.common) >= 0.3
+    """,
+)
+def cross_near_dup_new_vs_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental-ingest MinHash near-dup: new-batch documents
+    (sources src10+) banded against the standing corpus only — new×new
+    and corpus×corpus collisions never materialize, so per-cycle cost
+    scales with the batch."""
+    d = table(spark, sf, "documents")
+    return D.cross_minhash_near_dup(
+        d,
+        F.regexp_extract("source", r"(\d+)$", 1).cast("int") >= 10,
+        threshold=0.3,
+    )
