@@ -791,3 +791,168 @@ def cross_near_dup_new_vs_corpus(spark: SparkSession, sf: str) -> DataFrame:
         F.regexp_extract("source", r"(\d+)$", 1).cast("int") >= 10,
         threshold=0.3,
     )
+
+
+# --------------------------------------------------------------------------
+# Event-sequence analytics
+# --------------------------------------------------------------------------
+@query(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev_type
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        AND ts IS NOT NULL),
+    c AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+          FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT prev_type, sum(n) AS total FROM c GROUP BY 1)
+    SELECT c.prev_type, c.next_type, c.n,
+           round(c.n / CAST(t.total AS DOUBLE), 6) AS prob
+    FROM c JOIN t USING (prev_type)
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition counts + probabilities between
+    consecutive event types per user (funnel/journey modeling). One
+    window shuffle on user_id for the lag, then two tiny aggregates on
+    the (types²)-cardinality key — the per-user sequence never leaves
+    its partition. Deterministic ordering via (ts, event_id)."""
+    ev = table(spark, sf, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    c = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = c.groupBy("prev_type").agg(F.sum("n").alias("total"))
+    return c.join(t, "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.col("total").cast("double"), 6).alias("prob"),
+    )
+
+
+@query(
+    "attribution_last_touch_events",
+    """
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+               FROM events
+               WHERE event_type = 'purchase' AND user_id IS NOT NULL
+                 AND ts IS NOT NULL),
+    touch AS (SELECT event_id AS touch_id, user_id, ts AS t_ts, event_type
+              FROM events
+              WHERE event_type IN ('view', 'click') AND user_id IS NOT NULL
+                AND ts IS NOT NULL)
+    SELECT purchase_id, touch_id, touch_type,
+           CAST(gap_s AS BIGINT) AS gap_s
+    FROM (SELECT p.purchase_id, t.touch_id, t.event_type AS touch_type,
+                 epoch_us(p.p_ts) // 1000000
+                   - epoch_us(t.t_ts) // 1000000 AS gap_s,
+                 row_number() OVER (PARTITION BY p.purchase_id
+                     ORDER BY t.t_ts DESC, t.touch_id DESC) AS rn
+          FROM p JOIN touch t
+            ON t.user_id = p.user_id
+           AND t.t_ts <= p.p_ts
+           AND t.t_ts >= p.p_ts - INTERVAL 1 HOUR)
+    WHERE rn = 1
+    """,
+)
+def attribution_last_touch_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the most recent
+    view/click by the same user within the preceding hour — the
+    point-in-interval join every marketing/conversion pipeline runs.
+    The join is user-keyed (co-partitioned fact-fact), the interval
+    predicate prunes inside each user's partition, and the per-purchase
+    winner is a window over the few in-window touches. Gap reported in
+    whole seconds (integer epoch math, exact cross-engine)."""
+    ev = table(spark, sf, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    micros = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        micros.alias("p_us"),
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("touch_id"),
+        F.col("user_id"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("t_ts"),
+        micros.alias("t_us"),
+    )
+    joined = p.join(t, "user_id").filter(
+        (F.col("t_us") <= F.col("p_us"))
+        & (F.col("t_us") >= F.col("p_us") - F.lit(3_600_000_000))
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("t_ts").desc(), F.col("touch_id").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            "touch_id",
+            "touch_type",
+            # floor-divide EACH side to whole seconds before differencing,
+            # matching the oracle's epoch_us(x) // 1000000 per-operand floor
+            F.expr("(p_us div 1000000) - (t_us div 1000000)").alias("gap_s"),
+        )
+    )
+
+
+@query(
+    "weekly_value_wow_change",
+    """
+    WITH wk AS (SELECT event_type,
+                       CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+                       round(sum(value), 2) AS total
+                FROM events
+                WHERE ts IS NOT NULL AND value IS NOT NULL
+                  AND event_type IS NOT NULL
+                GROUP BY 1, 2)
+    SELECT event_type, week, total,
+           round(CASE WHEN prev IS NULL OR prev = 0 THEN NULL
+                 ELSE (total - prev) / prev END, 6) AS wow_change
+    FROM (SELECT *, lag(total) OVER (PARTITION BY event_type
+                     ORDER BY week) AS prev
+          FROM wk)
+    """,
+)
+def weekly_value_wow_change(spark: SparkSession, sf: str) -> DataFrame:
+    """Week-over-week change of total value per event type: weekly
+    rollup (one shuffle on a bounded key) then a lag window over the
+    tiny weekly frame. Totals rounded to cents BEFORE the ratio so both
+    engines difference identical values."""
+    ev = table(spark, sf, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    wk = ev.groupBy(
+        "event_type", F.date_trunc("week", F.col("ts")).alias("week")
+    ).agg(F.round(F.sum("value"), 2).alias("total"))
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("total").over(w)
+    return wk.withColumn(
+        "wow_change",
+        F.round(
+            F.when(
+                prev.isNull() | (prev == 0), F.lit(None).cast("double")
+            ).otherwise((F.col("total") - prev) / prev),
+            6,
+        ),
+    )
