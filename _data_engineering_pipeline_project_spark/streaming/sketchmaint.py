@@ -1,0 +1,176 @@
+"""Incremental sketch maintenance: a KMV distinct-count sketch merged
+across micro-batches.
+
+AggMaintainer (aggmaint.py) keeps count/sum/min/max rollups incremental
+because they are monoids; it deliberately excludes distinct counts,
+whose exact form is not decomposable. This module closes that gap with
+the KMV sketch (operators/sketches.py): the k smallest distinct hashes
+are ALSO a monoid (merge = k smallest of the union), so a distinct-user
+rollup over an unbounded stream costs O(batch) per cycle and
+O(k · groups) state — never a rescan of history — and, because
+k-smallest merging is EXACT, the maintained sketch equals the one-shot
+sketch over all data ever seen (pinned in tests: time-mergeability is
+the same property as the partition-mergeability the batch operator
+pins).
+
+Storage follows the AggMaintainer/Scd2Table versioned-dir + atomic
+pointer protocol; with Delta/Iceberg this is a MERGE INTO on the state
+table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from _data_engineering_pipeline_project_spark.operators.sketches import (
+    _HASH_SPACE,
+    _hash60,
+)
+
+
+class KmvMaintainer:
+    """Maintain a per-group KMV distinct sketch of ``value_col`` across
+    micro-batches."""
+
+    _POINTER = "_CURRENT"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        group_col: str,
+        value_col: str,
+        k: int = 64,
+    ):
+        self.spark = spark
+        self.base_dir = base_dir
+        self.group_col = group_col
+        self.value_col = value_col
+        self.k = k
+        self.state_dir = os.path.join(base_dir, "kmv")
+        os.makedirs(base_dir, exist_ok=True)
+        self._version = self._recover_version()
+
+    # --- versioned-state plumbing (Scd2Table protocol) -------------------
+
+    def _pointer_path(self) -> str:
+        return os.path.join(self.base_dir, self._POINTER)
+
+    def _recover_version(self) -> int:
+        if os.path.exists(self._pointer_path()):
+            with open(self._pointer_path()) as f:
+                return int(json.load(f)["version"])
+        best = 0
+        pat = re.compile(r"^kmv_v(\d+)$")
+        for name in os.listdir(self.base_dir):
+            m = pat.match(name)
+            if m and os.path.exists(
+                os.path.join(self.base_dir, name, "_SUCCESS")
+            ):
+                best = max(best, int(m.group(1)))
+        return best
+
+    def _commit(self, version: int) -> None:
+        tmp = self._pointer_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": version}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._pointer_path())
+
+    @property
+    def version(self) -> int:
+        return self._version
+
+    def current(self) -> DataFrame | None:
+        if self._version == 0:
+            return None
+        return self.spark.read.parquet(f"{self.state_dir}_v{self._version}")
+
+    # --- sketch maintenance ----------------------------------------------
+
+    def _batch_sketch(self, batch_df: DataFrame) -> DataFrame:
+        """One batch's partial sketch: k smallest distinct hashes per
+        group — one distinct + one group-keyed window over the BATCH."""
+        hashed = batch_df.select(
+            F.col(self.group_col).cast("string").alias("g"),
+            _hash60(F.col(self.value_col)).alias("h"),
+        ).distinct()
+        w = Window.partitionBy("g").orderBy("h")
+        return (
+            hashed.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= self.k)
+            .select("g", "h")
+        )
+
+    def merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch hook: sketch the batch, monoid-merge with the
+        stored sketch (k smallest of the union — exact, so batch
+        boundaries are invisible in the result)."""
+        part = self._batch_sketch(batch_df)
+        cur = self.current()
+        merged = part if cur is None else part.unionByName(cur).distinct()
+        w = Window.partitionBy("g").orderBy("h")
+        topk = (
+            merged.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= self.k)
+            .select("g", "h")
+        )
+        nxt = self._version + 1
+        topk.write.mode("overwrite").parquet(f"{self.state_dir}_v{nxt}")
+        self._commit(nxt)
+        self._version = nxt
+
+    def estimates(self) -> DataFrame:
+        """(group, n_kmv, est_distinct) from the maintained state — the
+        same estimator as the batch operator."""
+        cur = self.current()
+        if cur is None:
+            raise ValueError("no batches merged yet")
+        return (
+            cur.groupBy("g")
+            .agg(
+                F.count(F.lit(1)).alias("n_kmv"),
+                F.round(
+                    F.when(
+                        F.count(F.lit(1)) < self.k,
+                        F.count(F.lit(1)).cast("double"),
+                    ).otherwise(
+                        (F.lit(self.k - 1) * _HASH_SPACE)
+                        / F.max("h").cast("double")
+                    ),
+                    4,
+                ).alias("est_distinct"),
+            )
+            .select(
+                F.col("g").alias(self.group_col), "n_kmv", "est_distinct"
+            )
+        )
+
+    def run_available_now(
+        self,
+        source_dir: str,
+        schema: T.StructType,
+        checkpoint_dir: str,
+        source_format: str = "parquet",
+    ) -> None:
+        """Drain new files from ``source_dir``, maintaining the sketch;
+        the checkpoint makes file discovery exactly-once per batch."""
+        stream = (
+            self.spark.readStream.format(source_format)
+            .schema(schema)
+            .load(source_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(self.merge_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

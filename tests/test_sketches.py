@@ -77,3 +77,59 @@ def test_binned_quantiles_constant_group(spark):
     df = spark.createDataFrame([("c", 42.0)] * 5, "g string, v double")
     rows = binned_quantiles(df, "g", "v").collect()
     assert len(rows) == 3 and all(r.quantile_est == 42.0 for r in rows)
+
+
+def test_kmv_maintainer_time_merge_equals_oneshot(spark, tmp_path):
+    """Streaming maintenance across micro-batches produces EXACTLY the
+    one-shot sketch over the union — batch boundaries are invisible
+    (k-smallest is a monoid in time as well as space). Also restart-safe:
+    a reopened maintainer resumes the committed state."""
+    from _data_engineering_pipeline_project_spark.streaming.sketchmaint import (
+        KmvMaintainer,
+    )
+
+    b1 = spark.createDataFrame(
+        [("t", i) for i in range(300)], "g string, v long"
+    )
+    b2 = spark.createDataFrame(
+        [("t", i) for i in range(200, 600)] + [("u", 1), ("u", 2)],
+        "g string, v long",
+    )
+    m = KmvMaintainer(spark, str(tmp_path / "kmv"), "g", "v", k=64)
+    m.merge_batch(b1, 0)
+    m.merge_batch(b2, 1)
+    maintained = _rows(m.estimates())
+
+    oneshot = _rows(kmv_distinct(b1.unionByName(b2), "g", "v", k=64))
+    assert maintained == oneshot
+
+    # restart: fresh maintainer over the same dir sees the same state
+    m2 = KmvMaintainer(spark, str(tmp_path / "kmv"), "g", "v", k=64)
+    assert m2.version == 2
+    assert _rows(m2.estimates()) == maintained
+
+
+def test_kmv_maintainer_streaming_available_now(spark, tmp_path):
+    """End-to-end through a real file stream: two parquet drops, two
+    run_available_now invocations (cron-style), state accumulates."""
+    from _data_engineering_pipeline_project_spark.streaming.sketchmaint import (
+        KmvMaintainer,
+    )
+
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [("a", i) for i in range(100)], "g string, v long"
+    ).write.mode("append").parquet(str(src))
+
+    m = KmvMaintainer(spark, str(tmp_path / "state"), "g", "v", k=32)
+    schema = spark.read.parquet(str(src)).schema
+    m.run_available_now(str(src), schema, str(tmp_path / "ckpt"))
+    first = {r.g: r.est_distinct for r in m.estimates().collect()}
+    assert 50 < first["a"] < 200
+
+    spark.createDataFrame(
+        [("a", i) for i in range(100, 150)], "g string, v long"
+    ).write.mode("append").parquet(str(src))
+    m.run_available_now(str(src), schema, str(tmp_path / "ckpt"))
+    final = {r.g: r.est_distinct for r in m.estimates().collect()}
+    assert final["a"] > first["a"] * 1.1  # new distincts reflected
