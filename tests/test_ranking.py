@@ -138,3 +138,40 @@ def test_semantic_dup_pairs_subset_of_bruteforce(spark):
     for k, v in sem.items():
         assert brute[k] == v  # identical exact cosines
     assert len(sem) / len(brute) > 0.5  # reasonable recall on smooth data
+
+
+def test_bm25_no_matching_terms_empty(docs):
+    assert R.bm25_scores(docs, ["zzz", "qqq"]).count() == 0
+
+
+def test_tfidf_empty_corpus(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert R.tfidf_top_terms(empty).count() == 0
+
+
+def test_vocab_coverage_fewer_terms_than_topn(docs):
+    rows = R.vocab_coverage(docs, top_n=100).collect()
+    assert len(rows) == 4  # only 4 distinct terms exist
+    assert max(r.cum_share for r in rows) == 1.0
+
+
+def test_containment_empty_and_short_docs(spark):
+    # docs below shingle length produce no shingles → no pairs, no crash
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, ""), (3, "a b c d e")],
+        "doc_id long, text string",
+    )
+    assert containment_pairs(df, threshold=0.0).count() == 0
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from _data_engineering_pipeline_project_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 0), (3, -5), (4, None), (5, 3)],
+        "doc_id long, w int",
+    )
+    rows = weighted_sample(df, "w", k=10, id_col="doc_id").collect()
+    assert {r.doc_id for r in rows} == {1, 5}
