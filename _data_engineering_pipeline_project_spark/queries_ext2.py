@@ -956,3 +956,35 @@ def weekly_value_wow_change(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ),
     )
+
+
+def _redact_sql() -> str:
+    expr = "text"
+    for pat, tag in TS.PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{tag}', 'g')"
+    return expr
+
+
+@query(
+    "pii_redacted_documents",
+    f"""
+    SELECT doc_id,
+           md5({_redact_sql()}) AS redacted_fp,
+           (text <> {_redact_sql()}) AS was_redacted
+    FROM documents
+    """,
+)
+def pii_redacted_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """The redaction pass itself as a first-class query: emails, phone
+    numbers, SSNs and card numbers replaced by typed tags in pattern
+    order (longest-first so partial matches don't shadow). The oracle
+    compares md5 of the redacted text — the full string round-trips
+    through the hash, so any divergence in ANY document fails the gate.
+    Pure regexp_replace chain inside codegen; shuffle-free."""
+    d = table(spark, sf, "documents")
+    red = TS.redact_pii("text")
+    return d.select(
+        "doc_id",
+        F.md5(red).alias("redacted_fp"),
+        (F.col("text") != red).alias("was_redacted"),
+    )
