@@ -419,7 +419,9 @@ def semantic_dup_pairs(
     skew matters. Fully deterministic (seeded centroids, rounded
     cosines) → exact SQL-oracle parity."""
     centroids = ivf_seed_centroids(emb, num_centroids, id_col, vec_col)
-    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    # cached: both self-join sides read it — without this the cross-score
+    # + max_by assignment runs twice (verified: 8 scans, no ReusedExchange)
+    assigned = ivf_assign(emb, centroids, id_col, vec_col).cache()
     a = assigned.alias("a")
     b = assigned.alias("b")
     return (

@@ -59,8 +59,11 @@ def kmv_distinct(
     (the sketch is lossless below k). Returns
     (group, n_kmv, est_distinct) with est = (k-1)/u_k rounded to 4.
     """
+    # group cast to string so the Arrow partial's declared schema
+    # ("g string") holds for non-string group columns too
     hashed = df.select(
-        F.col(group_col).alias("g"), _hash60(F.col(value_col)).alias("h")
+        F.col(group_col).cast("string").alias("g"),
+        _hash60(F.col(value_col)).alias("h"),
     )
 
     if partial_per_partition:
