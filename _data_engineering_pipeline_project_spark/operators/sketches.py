@@ -212,3 +212,74 @@ def binned_quantiles(
         F.col("p"),
         F.round(est, 6).alias("quantile_est"),
     )
+
+
+def cm_sketch_counters(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-Min sketch counter table (j, bucket, cnt): ``depth``
+    independent md5-derived hash rows of ``width`` buckets each. The
+    counters are plain additive group-by counts — mergeable across
+    partitions, nodes, and days like every counter matrix — and the
+    whole sketch is depth×width rows regardless of input size.
+    """
+    rows = df.filter(F.col(item_col).isNotNull()).select(
+        F.col(item_col).cast("string").alias("item")
+    )
+    j = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("j")
+    keyed = rows.select("item", j).select(
+        "j",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("j"), F.col("item"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % width
+        ).alias("bucket"),
+    )
+    return keyed.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cm_estimate(
+    items: DataFrame,
+    counters: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query the Count-Min counters: est(item) = min over the
+    ``depth`` rows of the counter its hashes land in (CM never
+    underestimates; collisions only inflate). The counter table is
+    depth×width rows — broadcast to the probe side."""
+    j = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("j")
+    probes = items.select(
+        F.col(item_col), F.col(item_col).cast("string").alias("__s")
+    ).select(
+        item_col,
+        j,
+        F.col("__s").alias("__s"),
+    ).select(
+        item_col,
+        "j",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("j"), F.col("__s"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % width
+        ).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(counters), ["j", "bucket"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cm_est"))
+    )

@@ -988,3 +988,51 @@ def pii_redacted_documents(spark: SparkSession, sf: str) -> DataFrame:
         F.md5(red).alias("redacted_fp"),
         (F.col("text") != red).alias("was_redacted"),
     )
+
+
+@query(
+    "cm_frequency_top_users_events",
+    """
+    WITH rows_ AS (SELECT CAST(user_id AS VARCHAR) AS item
+                   FROM events WHERE user_id IS NOT NULL),
+    keyed AS (SELECT j.j,
+                     CAST('0x' || substr(md5(j.j || ':' || item), 1, 15)
+                          AS BIGINT) % 256 AS bucket
+              FROM rows_, (VALUES (0), (1), (2), (3)) j(j)),
+    counters AS (SELECT j, bucket, count(*) AS cnt
+                 FROM keyed GROUP BY 1, 2),
+    exact AS (SELECT user_id, count(*) AS exact_n
+              FROM events WHERE user_id IS NOT NULL GROUP BY 1
+              ORDER BY exact_n DESC, user_id LIMIT 20),
+    probes AS (SELECT e.user_id, e.exact_n, j.j,
+                      CAST('0x' || substr(md5(j.j || ':'
+                           || CAST(e.user_id AS VARCHAR)), 1, 15)
+                           AS BIGINT) % 256 AS bucket
+               FROM exact e, (VALUES (0), (1), (2), (3)) j(j))
+    SELECT p.user_id, p.exact_n, min(coalesce(c.cnt, 0)) AS cm_est
+    FROM probes p LEFT JOIN counters c
+      ON c.j = p.j AND c.bucket = p.bucket
+    GROUP BY 1, 2
+    """,
+)
+def cm_frequency_top_users_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min frequency estimates vs exact counts for the 20
+    heaviest users. The counter matrix is 4×256 rows whatever the input
+    size (mergeable across partitions/days); estimates never
+    underestimate — the oracle checks the exact inflation the hash
+    collisions produce, bit-for-bit."""
+    from _data_engineering_pipeline_project_spark.operators.sketches import (
+        cm_estimate,
+        cm_sketch_counters,
+    )
+
+    ev = table(spark, sf, "events").filter(F.col("user_id").isNotNull())
+    counters = cm_sketch_counters(ev, "user_id", depth=4, width=256)
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+        .limit(20)
+    )
+    est = cm_estimate(exact, counters, "user_id", depth=4, width=256)
+    return exact.join(est, "user_id").select("user_id", "exact_n", "cm_est")

@@ -133,3 +133,40 @@ def test_kmv_maintainer_streaming_available_now(spark, tmp_path):
     m.run_available_now(str(src), schema, str(tmp_path / "ckpt"))
     final = {r.g: r.est_distinct for r in m.estimates().collect()}
     assert final["a"] > first["a"] * 1.1  # new distincts reflected
+
+
+def test_cm_sketch_merge_and_overestimate(spark):
+    from _data_engineering_pipeline_project_spark.operators.sketches import (
+        cm_estimate,
+        cm_sketch_counters,
+    )
+
+    rows = [(i % 7,) for i in range(700)] + [(99,)] * 50
+    df = spark.createDataFrame(rows, "v long")
+    counters = cm_sketch_counters(df, "v", depth=4, width=64)
+    # counter matrix is bounded: at most depth*width rows
+    assert counters.count() <= 4 * 64
+    # counters are additive: two halves merge to the whole
+    h1 = cm_sketch_counters(
+        spark.createDataFrame(rows[:300], "v long"), "v", depth=4, width=64
+    )
+    h2 = cm_sketch_counters(
+        spark.createDataFrame(rows[300:], "v long"), "v", depth=4, width=64
+    )
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("j", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    full = {(r.j, r.bucket): r.cnt for r in counters.collect()}
+    assert {(r.j, r.bucket): r.cnt for r in merged.collect()} == full
+
+    items = df.select("v").distinct()
+    est = {
+        r.v: r.cm_est
+        for r in cm_estimate(items, counters, "v", depth=4, width=64).collect()
+    }
+    # CM never underestimates
+    exact = {r.v: r.n for r in df.groupBy("v").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for v, n in exact.items():
+        assert est[v] >= n
