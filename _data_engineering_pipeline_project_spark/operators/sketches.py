@@ -1,19 +1,21 @@
-"""Deterministic mergeable sketches: KMV (k-minimum-values) distinct
-counting.
+"""Deterministic mergeable sketches — one per classic estimation
+problem: KMV (distinct counts), fixed-bin histograms (quantiles),
+Count-Min (frequencies).
 
-Spark's built-in ``approx_count_distinct`` is HyperLogLog++ — fast but
-its estimate is engine-specific (register layout + bias tables), so it
-can only be rows-only-checked. KMV is the sketch whose estimate is a
-pure function of the data: keep the k smallest distinct hash values;
-estimate = (k-1) / u_k with u_k the k-th smallest hash mapped into
-[0, 1). Any engine hashing with the same function produces the SAME
-estimate — which makes it DuckDB-oracle-able, and (like all
-order-statistic sketches) exactly mergeable: the k smallest of a union
-is computable from the k smallest of each part, so partial sketches
-combine associatively across partitions/nodes/days.
+Spark's built-ins (``approx_count_distinct`` = HyperLogLog++,
+``percentile_approx`` = KLL-ish) are engine-specific, so their
+estimates can only be rows-only-checked. Each sketch here is instead a
+PURE FUNCTION of the data (md5-derived hashing, no RNG, no bias
+tables): any engine reproduces the exact estimate — which makes them
+DuckDB-oracle-able — and each merges exactly (k-smallest of a union
+from k-smallest of parts; bin counts add; CM counters add), so partial
+sketches combine associatively across partitions, nodes, and days
+(time-merge is what streaming/sketchmaint.py builds on).
 
-Beyer et al., "On Synopses for Distinct-Value Estimation Under Multiset
-Operations" (SIGMOD'07) is the public reference for the estimator.
+Public references: Beyer et al., "On Synopses for Distinct-Value
+Estimation Under Multiset Operations" (SIGMOD'07) for KMV; Cormode &
+Muthukrishnan, "An Improved Data Stream Summary: The Count-Min Sketch
+and its Applications" (J. Algorithms 2005).
 """
 
 from __future__ import annotations
