@@ -113,3 +113,25 @@ def test_jdbc_roundtrip_scd2_diff(spark, tmp_path):
     # append mode (the reference's chunked to_sql append, etl2:301)
     write_jdbc(incoming.filter("id = 4"), url, "customers", mode="append")
     assert read_jdbc(spark, url, "customers").count() == 4
+
+
+def test_parquet_file_stats_reflect_clustering(spark, tmp_path):
+    """Footer stats over a range-clustered write show disjoint per-file
+    key spans (the property data skipping relies on), and total rows
+    reconcile."""
+    from _data_engineering_pipeline_project_spark.operators.sampling import (
+        write_clustered,
+    )
+    from _data_engineering_pipeline_project_spark.sources.formats import (
+        parquet_file_stats,
+    )
+
+    df = spark.range(10_000).selectExpr("id", "id % 97 as v")
+    dest = tmp_path / "clustered"
+    write_clustered(df, str(dest), ["id"], n_files=8)
+
+    stats = parquet_file_stats(spark, str(dest), "id").collect()
+    assert sum(r.n_rows for r in stats) == 10_000
+    spans = sorted((int(r.cmin), int(r.cmax)) for r in stats)
+    for (alo, ahi), (blo, bhi) in zip(spans, spans[1:]):
+        assert ahi < blo  # disjoint: each file owns a compact key slice
