@@ -170,3 +170,38 @@ def test_cm_sketch_merge_and_overestimate(spark):
     exact = {r.v: r.n for r in df.groupBy("v").agg(F.count(F.lit(1)).alias("n")).collect()}
     for v, n in exact.items():
         assert est[v] >= n
+
+
+def test_binned_quantiles_error_bound_property(spark):
+    """For arbitrary value sets, the estimate is within one bin width of
+    an exact rank statistic (the sketch's documented error bound)."""
+    from hypothesis import given, settings, strategies as st
+
+    from _data_engineering_pipeline_project_spark.operators.sketches import (
+        binned_quantiles,
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+            min_size=2,
+            max_size=200,
+        )
+    )
+    def check(vals):
+        df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+        est = {
+            r.p: r.quantile_est
+            for r in binned_quantiles(df, "g", "v", probs=(0.5, 0.9)).collect()
+        }
+        s = sorted(vals)
+        width = (s[-1] - s[0]) / 256.0
+        for p, e in est.items():
+            # exact rank-p value (ceil rank, 1-indexed)
+            import math
+
+            exact = s[max(0, math.ceil(p * len(s)) - 1)]
+            assert abs(e - exact) <= max(width * 1.5, 1e-9), (p, e, exact)
+
+    check()
