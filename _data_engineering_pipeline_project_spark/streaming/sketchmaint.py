@@ -1,5 +1,5 @@
-"""Incremental sketch maintenance: a KMV distinct-count sketch merged
-across micro-batches.
+"""Incremental sketch maintenance: KMV distinct-count and fixed-range
+histogram sketches merged across micro-batches.
 
 AggMaintainer (aggmaint.py) keeps count/sum/min/max rollups incremental
 because they are monoids; it deliberately excludes distinct counts,
@@ -174,3 +174,146 @@ class KmvMaintainer:
             .start()
         )
         q.awaitTermination()
+
+
+class HistogramMaintainer:
+    """Maintain per-group fixed-range bin counts across micro-batches;
+    quantiles derive at read time.
+
+    Unlike the batch ``binned_quantiles`` (which bins inside the
+    observed [min, max] — a range that would SHIFT as new data arrives,
+    breaking incremental merges), the maintained histogram fixes
+    ``(lo, hi)`` at construction: bin counts then form a plain additive
+    monoid in time, the same trade every production histogram metric
+    (Prometheus buckets, HDR histograms) makes. Out-of-range values
+    clamp into the edge bins, and the estimate degrades gracefully —
+    still never a rescan of history.
+    """
+
+    _POINTER = "_CURRENT"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        group_col: str,
+        value_col: str,
+        lo: float,
+        hi: float,
+        bins: int = 256,
+    ):
+        if not hi > lo:
+            raise ValueError("hi must exceed lo")
+        self.spark = spark
+        self.base_dir = base_dir
+        self.group_col = group_col
+        self.value_col = value_col
+        self.lo = float(lo)
+        self.hi = float(hi)
+        self.bins = bins
+        self.state_dir = os.path.join(base_dir, "hist")
+        os.makedirs(base_dir, exist_ok=True)
+        self._version = self._recover_version()
+
+    _pointer_path = KmvMaintainer._pointer_path
+    _commit = KmvMaintainer._commit
+
+    def _recover_version(self) -> int:
+        if os.path.exists(self._pointer_path()):
+            with open(self._pointer_path()) as f:
+                return int(json.load(f)["version"])
+        best = 0
+        pat = re.compile(r"^hist_v(\d+)$")
+        for name in os.listdir(self.base_dir):
+            m = pat.match(name)
+            if m and os.path.exists(
+                os.path.join(self.base_dir, name, "_SUCCESS")
+            ):
+                best = max(best, int(m.group(1)))
+        return best
+
+    @property
+    def version(self) -> int:
+        return self._version
+
+    def current(self) -> DataFrame | None:
+        if self._version == 0:
+            return None
+        return self.spark.read.parquet(f"{self.state_dir}_v{self._version}")
+
+    def _batch_hist(self, batch_df: DataFrame) -> DataFrame:
+        width = (self.hi - self.lo) / float(self.bins)
+        v = F.col(self.value_col).cast("double")
+        bin_ = F.least(
+            F.greatest(F.floor((v - F.lit(self.lo)) / F.lit(width)), F.lit(0)),
+            F.lit(self.bins - 1),
+        ).cast("int")
+        return (
+            batch_df.filter(v.isNotNull())
+            .select(
+                F.col(self.group_col).cast("string").alias("g"),
+                bin_.alias("bin"),
+            )
+            .groupBy("g", "bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    def merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        part = self._batch_hist(batch_df)
+        cur = self.current()
+        merged = (
+            part
+            if cur is None
+            else part.unionByName(cur)
+            .groupBy("g", "bin")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        nxt = self._version + 1
+        merged.write.mode("overwrite").parquet(f"{self.state_dir}_v{nxt}")
+        self._commit(nxt)
+        self._version = nxt
+
+    def quantiles(self, probs: tuple = (0.5, 0.9, 0.99)) -> DataFrame:
+        """(group, p, quantile_est) from the maintained counts — same
+        interpolation as operators.sketches.binned_quantiles, over the
+        FIXED [lo, hi] range."""
+        cur = self.current()
+        if cur is None:
+            raise ValueError("no batches merged yet")
+        w = Window.partitionBy("g").orderBy("bin").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum = cur.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+            "cum_below", F.col("cum") - F.col("cnt")
+        )
+        totals = cur.groupBy("g").agg(F.sum("cnt").alias("n"))
+        targets = totals.select(
+            "g",
+            "n",
+            F.explode(F.array(*[F.lit(float(p)) for p in probs])).alias("p"),
+        ).withColumn("target", F.col("p") * F.col("n"))
+        width = (self.hi - self.lo) / float(self.bins)
+        hit = (
+            targets.join(cum, "g")
+            .filter(F.col("cum") >= F.col("target"))
+            .groupBy("g", "p", "target")
+            .agg(
+                F.min_by(
+                    F.struct(F.col("bin"), F.col("cnt"), F.col("cum_below")),
+                    F.col("bin"),
+                ).alias("b")
+            )
+        )
+        est = F.lit(self.lo) + F.lit(width) * (
+            F.col("b.bin")
+            + F.greatest(
+                (F.col("target") - F.col("b.cum_below").cast("double"))
+                / F.col("b.cnt").cast("double"),
+                F.lit(0.0),
+            )
+        )
+        return hit.select(
+            F.col("g").alias(self.group_col),
+            "p",
+            F.round(est, 6).alias("quantile_est"),
+        )

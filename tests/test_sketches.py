@@ -205,3 +205,38 @@ def test_binned_quantiles_error_bound_property(spark):
             assert abs(e - exact) <= max(width * 1.5, 1e-9), (p, e, exact)
 
     check()
+
+
+def test_histogram_maintainer_time_merge(spark, tmp_path):
+    """Fixed-range bin counts are a monoid in time: maintained quantiles
+    equal the single-shot histogram over the concatenation, and restart
+    resumes committed state."""
+    from _data_engineering_pipeline_project_spark.streaming.sketchmaint import (
+        HistogramMaintainer,
+    )
+
+    m = HistogramMaintainer(
+        spark, str(tmp_path / "h"), "g", "v", lo=0.0, hi=1000.0, bins=100
+    )
+    b1 = spark.createDataFrame(
+        [("t", float(i)) for i in range(500)], "g string, v double"
+    )
+    b2 = spark.createDataFrame(
+        [("t", float(i)) for i in range(500, 1000)], "g string, v double"
+    )
+    m.merge_batch(b1, 0)
+    m.merge_batch(b2, 1)
+    q = {r.p: r.quantile_est for r in m.quantiles().collect()}
+    assert abs(q[0.5] - 500) < 20 and abs(q[0.99] - 990) < 20
+
+    one = HistogramMaintainer(
+        spark, str(tmp_path / "h1"), "g", "v", lo=0.0, hi=1000.0, bins=100
+    )
+    one.merge_batch(b1.unionByName(b2), 0)
+    assert _rows(m.quantiles()) == _rows(one.quantiles())
+
+    m2 = HistogramMaintainer(
+        spark, str(tmp_path / "h"), "g", "v", lo=0.0, hi=1000.0, bins=100
+    )
+    assert m2.version == 2
+    assert _rows(m2.quantiles()) == _rows(m.quantiles())
