@@ -39,6 +39,7 @@ class KmvMaintainer:
     micro-batches."""
 
     _POINTER = "_CURRENT"
+    _STATE_NAME = "kmv"
 
     def __init__(
         self,
@@ -55,34 +56,45 @@ class KmvMaintainer:
         self.k = k
         self.state_dir = os.path.join(base_dir, "kmv")
         os.makedirs(base_dir, exist_ok=True)
-        self._version = self._recover_version()
+        self._version, self._last_batch_id = self._recover_version()
 
     # --- versioned-state plumbing (Scd2Table protocol) -------------------
 
     def _pointer_path(self) -> str:
         return os.path.join(self.base_dir, self._POINTER)
 
-    def _recover_version(self) -> int:
+    def _recover_version(self) -> tuple[int, int | None]:
         if os.path.exists(self._pointer_path()):
             with open(self._pointer_path()) as f:
-                return int(json.load(f)["version"])
+                meta = json.load(f)
+            return int(meta["version"]), meta.get("last_batch_id")
         best = 0
-        pat = re.compile(r"^kmv_v(\d+)$")
+        pat = re.compile(rf"^{type(self)._STATE_NAME}_v(\d+)$")
         for name in os.listdir(self.base_dir):
             m = pat.match(name)
             if m and os.path.exists(
                 os.path.join(self.base_dir, name, "_SUCCESS")
             ):
                 best = max(best, int(m.group(1)))
-        return best
+        return best, None
 
-    def _commit(self, version: int) -> None:
+    def _commit(self, version: int, batch_id: int | None = None) -> None:
         tmp = self._pointer_path() + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"version": version}, f)
+            json.dump({"version": version, "last_batch_id": batch_id}, f)
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self._pointer_path())
+
+    def _already_merged(self, batch_id: int) -> bool:
+        """foreachBatch is at-least-once: a retried/re-delivered batch id
+        at or below the committed watermark must be a no-op (counts are
+        not idempotent under re-merge; KMV technically is, but the guard
+        keeps both maintainers exactly-once by construction)."""
+        return (
+            self._last_batch_id is not None
+            and batch_id <= self._last_batch_id
+        )
 
     @property
     def version(self) -> int:
@@ -113,6 +125,8 @@ class KmvMaintainer:
         """foreachBatch hook: sketch the batch, monoid-merge with the
         stored sketch (k smallest of the union — exact, so batch
         boundaries are invisible in the result)."""
+        if self._already_merged(batch_id):
+            return
         part = self._batch_sketch(batch_df)
         cur = self.current()
         merged = part if cur is None else part.unionByName(cur).distinct()
@@ -124,8 +138,9 @@ class KmvMaintainer:
         )
         nxt = self._version + 1
         topk.write.mode("overwrite").parquet(f"{self.state_dir}_v{nxt}")
-        self._commit(nxt)
+        self._commit(nxt, batch_id)
         self._version = nxt
+        self._last_batch_id = batch_id
 
     def estimates(self) -> DataFrame:
         """(group, n_kmv, est_distinct) from the maintained state — the
@@ -191,6 +206,7 @@ class HistogramMaintainer:
     """
 
     _POINTER = "_CURRENT"
+    _STATE_NAME = "hist"
 
     def __init__(
         self,
@@ -213,24 +229,12 @@ class HistogramMaintainer:
         self.bins = bins
         self.state_dir = os.path.join(base_dir, "hist")
         os.makedirs(base_dir, exist_ok=True)
-        self._version = self._recover_version()
+        self._version, self._last_batch_id = self._recover_version()
 
     _pointer_path = KmvMaintainer._pointer_path
     _commit = KmvMaintainer._commit
-
-    def _recover_version(self) -> int:
-        if os.path.exists(self._pointer_path()):
-            with open(self._pointer_path()) as f:
-                return int(json.load(f)["version"])
-        best = 0
-        pat = re.compile(r"^hist_v(\d+)$")
-        for name in os.listdir(self.base_dir):
-            m = pat.match(name)
-            if m and os.path.exists(
-                os.path.join(self.base_dir, name, "_SUCCESS")
-            ):
-                best = max(best, int(m.group(1)))
-        return best
+    _recover_version = KmvMaintainer._recover_version
+    _already_merged = KmvMaintainer._already_merged
 
     @property
     def version(self) -> int:
@@ -259,6 +263,8 @@ class HistogramMaintainer:
         )
 
     def merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self._already_merged(batch_id):
+            return  # at-least-once redelivery: bin counts must not double
         part = self._batch_hist(batch_df)
         cur = self.current()
         merged = (
@@ -270,8 +276,9 @@ class HistogramMaintainer:
         )
         nxt = self._version + 1
         merged.write.mode("overwrite").parquet(f"{self.state_dir}_v{nxt}")
-        self._commit(nxt)
+        self._commit(nxt, batch_id)
         self._version = nxt
+        self._last_batch_id = batch_id
 
     def quantiles(self, probs: tuple = (0.5, 0.9, 0.99)) -> DataFrame:
         """(group, p, quantile_est) from the maintained counts — same

@@ -240,3 +240,31 @@ def test_histogram_maintainer_time_merge(spark, tmp_path):
     )
     assert m2.version == 2
     assert _rows(m2.quantiles()) == _rows(m.quantiles())
+
+
+def test_maintainers_ignore_redelivered_batch(spark, tmp_path):
+    """foreachBatch is at-least-once: re-merging an already-committed
+    batch id is a no-op for both maintainers (exactly-once by
+    construction, not by luck)."""
+    from _data_engineering_pipeline_project_spark.streaming.sketchmaint import (
+        HistogramMaintainer,
+        KmvMaintainer,
+    )
+
+    b = spark.createDataFrame(
+        [("t", float(i)) for i in range(100)], "g string, v double"
+    )
+    h = HistogramMaintainer(
+        spark, str(tmp_path / "h"), "g", "v", lo=0.0, hi=100.0, bins=10
+    )
+    h.merge_batch(b, 0)
+    before = _rows(h.quantiles())
+    h.merge_batch(b, 0)  # redelivery: must not double-count
+    assert h.version == 1
+    assert _rows(h.quantiles()) == before
+
+    m = KmvMaintainer(spark, str(tmp_path / "k"), "g", "v", k=16)
+    m.merge_batch(b, 0)
+    v = m.version
+    m.merge_batch(b, 0)
+    assert m.version == v
