@@ -94,32 +94,33 @@ class AggMaintainer:
         self.value_col = value_col
         self.rollup_dir = os.path.join(base_dir, "rollup")
         os.makedirs(base_dir, exist_ok=True)
-        self._version = self._recover_version()
+        self._version, self._last_batch_id = self._recover_version()
 
     def _pointer_path(self) -> str:
         return os.path.join(self.base_dir, self._POINTER)
 
-    def _recover_version(self) -> int:
+    def _recover_version(self) -> tuple[int, int | None]:
         import json
         import re
 
         if os.path.exists(self._pointer_path()):
             with open(self._pointer_path()) as f:
-                return int(json.load(f)["version"])
+                meta = json.load(f)
+            return int(meta["version"]), meta.get("last_batch_id")
         best = 0
         pat = re.compile(r"^rollup_v(\d+)$")
         for name in os.listdir(self.base_dir):
             m = pat.match(name)
             if m and os.path.exists(os.path.join(self.base_dir, name, "_SUCCESS")):
                 best = max(best, int(m.group(1)))
-        return best
+        return best, None
 
-    def _commit(self, version: int) -> None:
+    def _commit(self, version: int, batch_id: int | None = None) -> None:
         import json
 
         tmp = self._pointer_path() + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"version": version}, f)
+            json.dump({"version": version, "last_batch_id": batch_id}, f)
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self._pointer_path())
@@ -144,13 +145,23 @@ class AggMaintainer:
         """foreachBatch hook: aggregate the batch, monoid-merge into the
         stored rollup. One shuffle over the BATCH (not the history); the
         stored side joins by rollup key — at scale the rollup is orders of
-        magnitude smaller than the fact history it summarizes."""
+        magnitude smaller than the fact history it summarizes.
+
+        foreachBatch is at-least-once: a re-delivered batch id at or
+        below the committed watermark is a no-op (sums/counts are not
+        idempotent under re-merge)."""
+        if (
+            self._last_batch_id is not None
+            and batch_id <= self._last_batch_id
+        ):
+            return
         part = partial_agg(batch_df, self.key_cols, self.value_col)
         merged = merge_rollup(part, self.current(), self.key_cols)
         nxt = self._version + 1
         merged.write.mode("overwrite").parquet(f"{self.rollup_dir}_v{nxt}")
-        self._commit(nxt)
+        self._commit(nxt, batch_id)
         self._version = nxt
+        self._last_batch_id = batch_id
 
     def run_available_now(
         self,

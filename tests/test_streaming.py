@@ -489,3 +489,21 @@ def test_processing_time_scheduler_soak(spark, tmp_path):
     assert cur[1] == (9.0, False)
     assert cur[2][1] is True  # id=2 absent from snap2 -> tombstoned
     assert loader.history().count() == 2  # old v of id=1 + tombstone of id=2
+
+
+def test_aggmaintainer_ignores_redelivered_batch(spark, tmp_path):
+    """At-least-once foreachBatch: re-merging a committed batch id must
+    not double sums/counts."""
+    from _data_engineering_pipeline_project_spark.streaming.aggmaint import (
+        AggMaintainer,
+    )
+
+    b = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0)], "k string, v double"
+    )
+    m = AggMaintainer(spark, str(tmp_path / "roll"), ["k"], "v")
+    m.merge_batch(b, 0)
+    before = {r.k: (r.n, r.total) for r in m.result().collect()}
+    m.merge_batch(b, 0)  # redelivery
+    assert m.version == 1
+    assert {r.k: (r.n, r.total) for r in m.result().collect()} == before
