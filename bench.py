@@ -47,6 +47,15 @@ EXTENSION_QUERIES = [
     "knn_label_vote_embeddings",
     "event_type_cooccurrence",
     "rolling_user_value_6h",
+    "kmv_distinct_users_per_type",
+    "binned_quantiles_events_value",
+    "cm_frequency_top_users_events",
+    "semantic_dup_pairs_embeddings",
+    "cross_near_dup_new_vs_corpus",
+    "event_transition_matrix",
+    "attribution_last_touch_events",
+    "weighted_sample_documents",
+    "pii_redacted_documents",
 ]
 
 BENCH_QUERIES = [
@@ -99,6 +108,7 @@ def main() -> None:
 
     from _data_engineering_pipeline_project_spark import queries as q
     from _data_engineering_pipeline_project_spark import queries_ext  # noqa: F401
+    from _data_engineering_pipeline_project_spark import queries_ext2  # noqa: F401
     from _data_engineering_pipeline_project_spark import queries_ops  # noqa: F401
     from _data_engineering_pipeline_project_spark.session import get_spark
 
