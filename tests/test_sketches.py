@@ -268,3 +268,33 @@ def test_maintainers_ignore_redelivered_batch(spark, tmp_path):
     v = m.version
     m.merge_batch(b, 0)
     assert m.version == v
+
+
+def test_maintainer_crash_before_commit_is_invisible(spark, tmp_path):
+    """A state version written but not pointer-committed (crash between
+    write and os.replace) is ignored on restart — the reader resumes the
+    last committed version (same protocol guarantee Scd2Table pins)."""
+    from _data_engineering_pipeline_project_spark.streaming.sketchmaint import (
+        KmvMaintainer,
+    )
+
+    b = spark.createDataFrame(
+        [("t", i) for i in range(50)], "g string, v long"
+    )
+    m = KmvMaintainer(spark, str(tmp_path / "k"), "g", "v", k=16)
+    m.merge_batch(b, 0)
+    committed = _rows(m.estimates())
+
+    # simulate a crash: orphan v2 state exists, pointer still says v1
+    m._batch_sketch(
+        spark.createDataFrame([("t", 999)], "g string, v long")
+    ).write.mode("overwrite").parquet(str(tmp_path / "k" / "kmv_v2"))
+
+    m2 = KmvMaintainer(spark, str(tmp_path / "k"), "g", "v", k=16)
+    assert m2.version == 1
+    assert _rows(m2.estimates()) == committed
+    # and the next merge OVERWRITES the orphan rather than tripping on it
+    m2.merge_batch(
+        spark.createDataFrame([("t", 123)], "g string, v long"), 1
+    )
+    assert m2.version == 2
