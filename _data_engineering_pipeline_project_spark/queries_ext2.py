@@ -1036,3 +1036,43 @@ def cm_frequency_top_users_events(spark: SparkSession, sf: str) -> DataFrame:
     )
     est = cm_estimate(exact, counters, "user_id", depth=4, width=256)
     return exact.join(est, "user_id").select("user_id", "exact_n", "cm_est")
+
+
+@query(
+    "token_count_percentiles_per_lang",
+    r"""
+    WITH tc AS (SELECT lang,
+                       CAST(len(string_split_regex(trim(text), '\s+'))
+                            AS DOUBLE) AS n_tok
+                FROM documents)
+    SELECT lang,
+           round(quantile_cont(n_tok, 0.50), 6) AS p50,
+           round(quantile_cont(n_tok, 0.90), 6) AS p90,
+           round(quantile_cont(n_tok, 0.99), 6) AS p99,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM tc GROUP BY lang
+    """,
+)
+def token_count_percentiles_per_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact token-length distribution per language — the pre-training
+    mixture design statistic (context budgeting per language slice).
+    Same bit-exact interpolated-order-statistic convention as
+    value_quartiles_per_type; the sketch path for 100 TB is
+    binned_quantiles (mergeable, no per-group sort)."""
+    tc = table(spark, sf, "documents").select(
+        "lang", TS.token_count("text").cast("double").alias("n_tok")
+    )
+    pcts = F.percentile(
+        "n_tok", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    )
+    return (
+        tc.groupBy("lang")
+        .agg(pcts.alias("_p"), F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "lang",
+            F.round(F.col("_p")[0], 6).alias("p50"),
+            F.round(F.col("_p")[1], 6).alias("p90"),
+            F.round(F.col("_p")[2], 6).alias("p99"),
+            "n_docs",
+        )
+    )
