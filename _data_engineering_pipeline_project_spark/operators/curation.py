@@ -302,3 +302,68 @@ def chunk_by_bpe_tokens(
         bpe_decode("__chunk_ids", merges).alias("chunk"),
         F.size("__chunk_ids").alias("n_tokens"),
     )
+
+
+def dedup_lines(
+    lines: DataFrame,
+    id_col: str = "doc_id",
+    pos_col: str = "line_no",
+    line_col: str = "line",
+) -> DataFrame:
+    """Corpus-wide line-level deduplication (the CCNet / RefinedWeb
+    paragraph-dedup step): a line occurrence survives only if it is the
+    FIRST occurrence of that exact line text in the whole corpus, ordered
+    by (id, position). Repeats within the same document dedup too.
+
+    Adds a boolean ``kept`` column; callers filter and reassemble with
+    :func:`reassemble_documents`.
+
+    Scale shape: ONE shuffle, partitioned by the line text — exactly the
+    exact-dup groupBy shape (dedup.py exact path), so boilerplate lines
+    (cookie banners, nav menus) that recur across millions of pages
+    collapse in a single hash exchange. Skew note: an empty/whitespace
+    line repeated corpus-wide is a hot key; at 100 TB pre-filter such
+    degenerate lines (or salt them) — the row_number within a line-text
+    partition is otherwise a single-task sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(line_col).orderBy(id_col, pos_col)
+    return lines.withColumn(
+        "kept", F.row_number().over(w) == 1
+    )
+
+
+def reassemble_documents(
+    flagged: DataFrame,
+    id_col: str = "doc_id",
+    pos_col: str = "line_no",
+    line_col: str = "line",
+    sep: str = "\n",
+) -> DataFrame:
+    """Rebuild documents from :func:`dedup_lines` output: kept lines are
+    re-joined in position order; per-document removal stats come along.
+
+    One groupBy on the document id (the natural partitioning of every
+    downstream per-doc op); ``array_sort`` over struct(pos, line) orders
+    lines inside the aggregation buffer, so there is no window sort."""
+    kept_struct = F.when(
+        F.col("kept"), F.struct(F.col(pos_col).alias("p"), F.col(line_col).alias("l"))
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(~F.col("kept"), 1).otherwise(0)).alias("n_removed"),
+            F.array_sort(
+                F.collect_list(kept_struct)
+            ).alias("__kept"),
+        )
+        .select(
+            id_col,
+            F.array_join(
+                F.transform(F.col("__kept"), lambda s: s["l"]), sep
+            ).alias("text_clean"),
+            F.col("n_lines").cast("int").alias("n_lines"),
+            F.col("n_removed").cast("int").alias("n_removed"),
+        )
+    )

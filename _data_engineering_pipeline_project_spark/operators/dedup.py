@@ -708,3 +708,78 @@ def simhash_near_dup_pairs(
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def char_gram_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 12,
+    stride: int = 4,
+) -> DataFrame:
+    """(doc, pos, gram): overlapping k-character grams sampled every
+    ``stride`` characters — the unit of exact-substring duplicate
+    analysis (the suffix-array dedup signal of Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", approximated with
+    strided fixed-length grams so it stays a pure Catalyst expression).
+
+    Documents shorter than k yield no grams. sequence→explode→substring
+    runs inside whole-stage codegen over the scan: no shuffle, no Python."""
+    return (
+        df.filter(F.length(text_col) >= k)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.length(text_col) - F.lit(k - 1), F.lit(stride)
+                )
+            ).alias("pos"),
+            F.col(text_col),
+        )
+        .select(
+            id_col,
+            "pos",
+            F.substring(F.col(text_col), F.col("pos"), k).alias("gram"),
+        )
+    )
+
+
+def duplicated_gram_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 12,
+    stride: int = 4,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Per-document fraction of sampled k-grams whose exact text occurs
+    ``min_occurrences``+ times anywhere in the corpus (including the same
+    document) — the scoring pass that decides which documents carry
+    enough verbatim-duplicated text to route into span-level dedup.
+
+    Scale shape: one groupBy on the gram text (map-side combine collapses
+    within-partition repeats), broadcast-or-shuffle join of the
+    (gram, count) table back to the gram stream, then a groupBy(doc).
+    The gram count table is bounded by distinct grams (≪ corpus at high
+    duplication, ~corpus/stride worst case) — at 100 TB use a larger
+    stride and a bloom-filter pre-pass so only candidate grams join."""
+    grams = char_gram_table(df, text_col, id_col, k=k, stride=stride)
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("occ"))
+    flagged = grams.join(counts, "gram").select(
+        id_col, (F.col("occ") >= min_occurrences).alias("dup")
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("n_dup_grams"),
+        )
+        .select(
+            id_col,
+            F.col("n_grams").cast("int").alias("n_grams"),
+            F.col("n_dup_grams").cast("int").alias("n_dup_grams"),
+            F.round(
+                F.col("n_dup_grams") * F.lit(1.0) / F.col("n_grams"), 6
+            ).alias("dup_coverage"),
+        )
+    )

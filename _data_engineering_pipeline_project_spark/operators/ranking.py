@@ -199,3 +199,127 @@ def vocab_coverage(
             F.sum("n").over(cum) / F.col("total"), round_digits
         ).alias("cum_share"),
     )
+
+
+def positioned_tokens(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc, seq, term) with ``seq`` the 1-based position in the
+    EMPTY-FILTERED token sequence (so adjacency is well-defined even when
+    the raw split produces empty tokens around repeated whitespace)."""
+    raw = docs.select(
+        F.col(id_col),
+        F.posexplode(TS.tokens(text_col)).alias("pos", "term"),
+    ).filter(F.length("term") > 0)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    return raw.select(
+        id_col, F.row_number().over(w).alias("seq"), "term"
+    )
+
+
+def bigram_pmi(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    top_n: int = 20,
+) -> DataFrame:
+    """Corpus-wide adjacent-bigram pointwise mutual information — the
+    classic collocation statistic (Church & Hanks 1990) used to mine
+    multi-word expressions for tokenizer vocab construction.
+
+    PMI(a,b) = ln( (c_ab/B) / ((c_a/N)(c_b/N)) ) computed as a product of
+    three identical double divisions so the oracle twin multiplies the
+    same bits in the same order; the ln result is rounded BEFORE ranking
+    (the queries_ext2 convention for libm-vs-JVM ulp drift).
+
+    Scale shape: tokens shuffle once by doc for adjacency (row_number +
+    lead), then two count aggregations (bigram, unigram) whose partial
+    (map-side) combines collapse the token stream before the exchange;
+    the unigram count table joins back twice — both sides of that join
+    are term-keyed counts, orders of magnitude smaller than the corpus."""
+    toks = positioned_tokens(docs, text_col, id_col)
+    w = Window.partitionBy(id_col).orderBy("seq")
+    bigrams = toks.select(
+        "term", F.lead("term").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+
+    c_ab = bigrams.groupBy("term", "nxt").agg(F.count(F.lit(1)).alias("c_ab"))
+    c_a = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c_term"))
+    totals = bigrams.agg(F.count(F.lit(1)).alias("b_total")).crossJoin(
+        toks.agg(F.count(F.lit(1)).alias("n_total"))
+    )
+
+    scored = (
+        c_ab.filter(F.col("c_ab") >= min_count)
+        .join(F.broadcast(c_a.withColumnRenamed("term", "t1")), F.col("term") == F.col("t1"))
+        .withColumnRenamed("c_term", "c_a")
+        .join(F.broadcast(c_a.withColumnRenamed("term", "t2")), F.col("nxt") == F.col("t2"))
+        .withColumnRenamed("c_term", "c_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("term").alias("w1"),
+            F.col("nxt").alias("w2"),
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.round(
+                F.log(
+                    (F.col("c_ab") * F.lit(1.0) / F.col("b_total"))
+                    * (F.col("n_total") * F.lit(1.0) / F.col("c_a"))
+                    * (F.col("n_total") * F.lit(1.0) / F.col("c_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w_rank = Window.orderBy(F.desc("pmi"), "w1", "w2")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rnk") <= top_n)
+    )
+
+
+def hashed_linear_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 1024,
+    mod: int = 997,
+) -> DataFrame:
+    """fastText-shaped quality classifier: hashed bag-of-words features
+    through a linear layer. Each token maps to a bucket in [0, dim) via
+    the portable md5 hash; the per-bucket weight here is a deterministic
+    INTEGER function of the bucket id ((bucket %% mod) - mod//2) standing
+    in for trained weights, so the per-doc score — mean weight over
+    tokens — is exact integer arithmetic until one final division and is
+    bit-reproducible in any engine. Swapping in real trained weights is a
+    broadcast join against a (bucket, weight) table of size ``dim``.
+
+    Scale shape: explode → project (codegen) → one groupBy(doc). The
+    weight lookup is pure expression math (no join at all in the stub
+    form); with real weights it is a broadcast hash join — either way the
+    corpus shuffles once, keyed by document."""
+    from _data_engineering_pipeline_project_spark.operators.dedup import md5_hash60
+
+    toks = _token_relation(docs, text_col, id_col)
+    half = mod // 2
+    scored = toks.select(
+        id_col,
+        ((md5_hash60(F.col("term")) % dim % mod) - half).alias("w"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w").alias("w_sum"),
+        )
+        .select(
+            id_col,
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.round(F.col("w_sum") * F.lit(1.0) / F.col("n_tokens"), 6).alias(
+                "quality_score"
+            ),
+            (F.col("w_sum") > 0).alias("keep"),
+        )
+    )

@@ -233,3 +233,46 @@ def weighted_sample(
         .orderBy(F.col("sample_key").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def temperature_resample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    buckets: int = 1 << 30,
+) -> DataFrame:
+    """Temperature-based stratum rebalancing — the multilingual mixture
+    step of multilingual-LM pipelines (sampling rate ∝ p^alpha flattens
+    the language distribution; alpha=0.5 is a common published setting,
+    e.g. the multilingual-BERT exponent-smoothing recipe).
+
+    Per-stratum keep rate r_s = (n_min / n_s)^(1-alpha), which normalizes
+    the rarest stratum to keep everything. For the default alpha=0.5 the
+    rate is computed as ``sqrt(n_min / n_s)``: bigint-over-bigint double
+    division then IEEE sqrt are both correctly rounded, so the rate — and
+    therefore every keep/drop decision against the md5 uniform — is
+    bit-identical in any engine (the hash_sample portability contract).
+    Other alphas go through ``pow`` whose last ulp is libm-dependent;
+    fine in production, but cross-engine tests should stick to 0.5.
+
+    Scale shape: the stratum census is one tiny aggregate (|strata| rows,
+    map-side combined); it joins back as a broadcast, so the corpus is
+    never shuffled — keep/drop is a scan-side filter exactly like
+    hash_sample."""
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_s"))
+    n_min = counts.agg(F.min("n_s").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min))
+    ratio = F.col("n_min") * F.lit(1.0) / F.col("n_s")
+    if alpha == 0.5:
+        rate = F.sqrt(ratio)
+    else:
+        rate = F.pow(ratio, F.lit(1.0 - alpha))
+    rates = rates.select(strata_col, rate.alias("keep_rate"))
+    u = hash_bucket(key_col, buckets) * F.lit(1.0) / F.lit(float(buckets))
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .withColumn("__u", u)
+        .filter(F.col("__u") < F.col("keep_rate"))
+        .drop("__u")
+    )

@@ -1,0 +1,326 @@
+"""Round-3 (continuation) extension queries: corpus-preparation
+operators a large-scale training-data pipeline runs between ingest and
+tokenization — line-level dedup (CCNet/RefinedWeb paragraph step),
+hashed-linear quality classification (fastText shape), temperature-based
+language rebalancing, bigram-PMI collocation mining, duplicated-substring
+coverage (the Lee-et-al exact-substring dedup signal) — plus two
+events-table statistics (MAD robust outliers, exponential time-decay
+aggregation) that round out the anomaly/recency toolbox.
+
+Cross-engine parity notes (the queries.py conventions, extended):
+- all integer arithmetic stays integer until ONE final division, so the
+  only doubles compared are produced by the identical operation in both
+  engines (bigint/bigint or bigint/constant);
+- the time-decay weights are powers of two applied by INTEGER shift
+  (``cents * (1 << (10-k))`` summed exactly, one divide by 102400.0 at
+  the end) — no libm ``pow`` anywhere near the hash;
+- the temperature-resample rate is ``sqrt(n_min/n_s)``: bigint division
+  then IEEE-correctly-rounded sqrt, bit-identical in any engine;
+- ``ln``/median outputs are rounded before ranking/compare as usual.
+
+Registered into the same QUERIES/ORACLES maps (imported for side effects
+from __spark_entry__)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from _data_engineering_pipeline_project_spark.catalog import table
+from _data_engineering_pipeline_project_spark.operators import curation as C
+from _data_engineering_pipeline_project_spark.operators import dedup as D
+from _data_engineering_pipeline_project_spark.operators import ranking as R
+from _data_engineering_pipeline_project_spark.operators import sampling as S
+from _data_engineering_pipeline_project_spark.queries import query
+
+# tokenization with stable 1-based positions in the empty-filtered
+# sequence — the SQL twin of ranking.positioned_tokens (two unnests of
+# equal length zip positionally in DuckDB)
+_TOKSEQ = r"""
+tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS term,
+         unnest(generate_series(1, len(string_split_regex(trim(lower(text)),
+                                                          '\s+')))) AS pos
+  FROM documents),
+tokseq AS (SELECT doc_id, term,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS seq
+           FROM tok WHERE length(term) > 0)
+"""
+
+
+# --------------------------------------------------------------------------
+# Line-level corpus dedup (CCNet / RefinedWeb paragraph dedup)
+# --------------------------------------------------------------------------
+@query(
+    "line_dedup_documents",
+    f"""
+    WITH {_TOKSEQ},
+    lines AS (SELECT doc_id, CAST((seq - 1) // 3 AS INTEGER) AS line_no,
+                     string_agg(term, ' ' ORDER BY seq) AS line
+              FROM tokseq GROUP BY 1, 2),
+    flagged AS (SELECT *,
+                       row_number() OVER (PARTITION BY line
+                                          ORDER BY doc_id, line_no) = 1 AS kept
+                FROM lines)
+    SELECT doc_id,
+           coalesce(string_agg(line, chr(10) ORDER BY line_no)
+                      FILTER (WHERE kept), '') AS text_clean,
+           CAST(count(*) AS INTEGER) AS n_lines,
+           CAST(count(*) FILTER (WHERE NOT kept) AS INTEGER) AS n_removed
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def line_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide line dedup, keep-first by (doc_id, position): the
+    CCNet/RefinedWeb step that strips boilerplate recurring across pages.
+    The synthetic corpus has no newlines, so "lines" here are 3-token
+    blocks of the canonical tokenization — the dedup/reassembly plumbing
+    (one shuffle keyed on line text, then one groupBy(doc)) is identical
+    for real newline-split text; see curation.dedup_lines."""
+    docs = table(spark, sf, "documents")
+    toks = R.positioned_tokens(docs)
+    lines = (
+        toks.withColumn(
+            "line_no", F.floor((F.col("seq") - 1) / 3).cast("int")
+        )
+        .groupBy("doc_id", "line_no")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seq", "term"))),
+                    lambda s: s["term"],
+                ),
+                " ",
+            ).alias("line")
+        )
+    )
+    flagged = C.dedup_lines(lines, "doc_id", "line_no", "line")
+    return C.reassemble_documents(flagged, "doc_id", "line_no", "line")
+
+
+# --------------------------------------------------------------------------
+# Hashed-feature linear quality classifier (fastText shape)
+# --------------------------------------------------------------------------
+@query(
+    "quality_classifier_documents",
+    f"""
+    WITH {_TOKSEQ},
+    w AS (SELECT doc_id,
+                 (CAST('0x' || substr(md5(term), 1, 15) AS BIGINT)
+                    % 1024 % 997) - 498 AS w
+          FROM tokseq)
+    SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+           round(sum(w) * 1.0 / count(*), 6) AS quality_score,
+           sum(w) > 0 AS keep
+    FROM w GROUP BY doc_id
+    """,
+)
+def quality_classifier_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashed bag-of-words through a linear layer (stub integer weights
+    derived from the bucket id — swapping in trained weights is a
+    broadcast join of a dim-sized table). Integer sums, one final divide."""
+    return R.hashed_linear_score(table(spark, sf, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Temperature-based language rebalancing
+# --------------------------------------------------------------------------
+@query(
+    "lang_temperature_resample",
+    """
+    WITH c AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY 1),
+    m AS (SELECT min(n_s) AS n_min FROM c),
+    r AS (SELECT lang, sqrt(n_min * 1.0 / n_s) AS keep_rate FROM c, m)
+    SELECT d.doc_id, d.lang, round(r.keep_rate, 6) AS keep_rate
+    FROM documents d JOIN r USING (lang)
+    WHERE (CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)
+                AS BIGINT) % 1073741824) * 1.0 / 1073741824.0 < r.keep_rate
+    """,
+)
+def lang_temperature_resample(spark: SparkSession, sf: str) -> DataFrame:
+    """alpha=0.5 temperature sampling over the language strata: rate
+    sqrt(n_min/n_s) keeps the rarest language whole and downsamples the
+    head. Deterministic md5 uniform; corpus never shuffles (census is a
+    tiny broadcast). See sampling.temperature_resample."""
+    docs = table(spark, sf, "documents")
+    kept = S.temperature_resample(docs, "lang", "doc_id", alpha=0.5)
+    return kept.select(
+        "doc_id", "lang", F.round(F.col("keep_rate"), 6).alias("keep_rate")
+    )
+
+
+# --------------------------------------------------------------------------
+# Bigram PMI collocations
+# --------------------------------------------------------------------------
+@query(
+    "bigram_pmi_top20",
+    f"""
+    WITH {_TOKSEQ},
+    bg AS (SELECT doc_id, term,
+                  lead(term) OVER (PARTITION BY doc_id ORDER BY seq) AS nxt
+           FROM tokseq),
+    bg2 AS (SELECT term, nxt FROM bg WHERE nxt IS NOT NULL),
+    cab AS (SELECT term, nxt, count(*) AS c_ab FROM bg2 GROUP BY 1, 2),
+    ca AS (SELECT term, count(*) AS c_term FROM tokseq GROUP BY 1),
+    tot AS (SELECT (SELECT count(*) FROM bg2) AS b_total,
+                   (SELECT count(*) FROM tokseq) AS n_total),
+    scored AS (
+      SELECT cab.term AS w1, cab.nxt AS w2, c_ab,
+             a1.c_term AS c_a, a2.c_term AS c_b,
+             round(ln((c_ab * 1.0 / b_total)
+                      * (n_total * 1.0 / a1.c_term)
+                      * (n_total * 1.0 / a2.c_term)), 6) AS pmi
+      FROM cab JOIN ca a1 ON cab.term = a1.term
+               JOIN ca a2 ON cab.nxt = a2.term, tot
+      WHERE c_ab >= 5)
+    SELECT w1, w2, c_ab, c_a, c_b, pmi,
+           CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS INTEGER) AS rnk
+    FROM scored QUALIFY rnk <= 20
+    """,
+)
+def bigram_pmi_top20(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 adjacent-bigram collocations by PMI (Church & Hanks) —
+    multi-word-expression mining for tokenizer vocab design. PMI rounded
+    before ranking; unigram count table broadcast back twice."""
+    return R.bigram_pmi(
+        table(spark, sf, "documents"), min_count=5, top_n=20
+    )
+
+
+# --------------------------------------------------------------------------
+# MAD robust outliers (events.value per type)
+# --------------------------------------------------------------------------
+@query(
+    "mad_outliers_events",
+    """
+    WITH med AS (SELECT event_type, median(value) AS med
+                 FROM events GROUP BY 1),
+    dev AS (SELECT e.event_id, e.event_type, e.value, m.med
+            FROM events e JOIN med m USING (event_type)),
+    mad AS (SELECT event_type, median(abs(value - med)) AS mad
+            FROM dev GROUP BY 1)
+    SELECT d.event_id, d.event_type, d.value,
+           round((d.value - d.med) / (1.4826 * m.mad), 6) AS robust_z
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE abs(d.value - d.med) > 3.5 * 1.4826 * m.mad
+    """,
+)
+def mad_outliers_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Median-absolute-deviation outliers: robust to the heavy tail that
+    wrecks the z-score variant (zscore_outliers_events is the companion).
+    Exact medians are order statistics — no accumulation-order drift —
+    and both engines interpolate identically, so the flag boundary is
+    bit-stable. Two broadcast joins of per-type scalars; the fact table
+    shuffles only for the two tiny aggregations."""
+    ev = table(spark, sf, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_id", "event_type", "value", "med"
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.median(F.abs(F.col("value") - F.col("med"))).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(
+            F.abs(F.col("value") - F.col("med"))
+            > F.lit(3.5) * F.lit(1.4826) * F.col("mad")
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(
+                (F.col("value") - F.col("med"))
+                / (F.lit(1.4826) * F.col("mad")),
+                6,
+            ).alias("robust_z"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Exponential time-decay aggregation (recency-weighted user value)
+# --------------------------------------------------------------------------
+@query(
+    "decayed_user_value",
+    """
+    WITH ref AS (SELECT max(ts) AS ref_ts FROM events),
+    d AS (SELECT user_id,
+                 CAST(round(value * 100) AS BIGINT) AS cents,
+                 least(date_diff('day', CAST(ts AS DATE),
+                                 CAST(ref_ts AS DATE)) // 7, 10) AS k
+          FROM events, ref)
+    SELECT user_id, CAST(count(*) AS INTEGER) AS n_events,
+           sum(cents * (1 << (10 - k))) / 102400.0 AS decayed_value
+    FROM d GROUP BY user_id
+    """,
+)
+def decayed_user_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Recency-weighted user value with half-life one week: weight
+    0.5^(weeks_ago), capped at 10 half-lives. The weight is applied as an
+    INTEGER shift on integer cents (cents << (10-k)) so the entire sum is
+    exact; one divide by 102400.0 (= 2^10 * 100) converts back — no libm
+    pow, no float accumulation, bit-identical across engines. The output
+    is deliberately UNROUNDED: sum/102400 terminates in <=12 decimal
+    digits, so exact .xxxx5 halfway cases occur and HALF_UP (Spark) vs
+    half-even (DuckDB) round() would disagree; the raw division is one
+    correctly-rounded IEEE op on identical inputs, hence identical bits. The global
+    max(ts) is a 1-row broadcast; one groupBy(user) shuffle."""
+    ev = table(spark, sf, "events")
+    ref = ev.agg(F.max("ts").alias("ref_ts"))
+    d = ev.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        F.least(
+            F.floor(
+                F.datediff(F.col("ref_ts").cast("date"), F.col("ts").cast("date"))
+                / 7
+            ).cast("int"),
+            F.lit(10),
+        ).alias("k"),
+    )
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_events"),
+            (
+                F.sum(
+                    F.col("cents")
+                    * F.expr("cast(shiftleft(1, 10 - k) as bigint)")
+                )
+                / F.lit(102400.0)
+            ).alias("decayed_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Duplicated-substring coverage (exact-substring dedup signal)
+# --------------------------------------------------------------------------
+@query(
+    "dup_gram_coverage_documents",
+    """
+    WITH g AS (SELECT doc_id,
+                      unnest(generate_series(1, length(text) - 11, 4)) AS pos,
+                      text
+               FROM documents WHERE length(text) >= 12),
+    grams AS (SELECT doc_id, substring(text, pos, 12) AS gram FROM g),
+    occ AS (SELECT gram, count(*) AS occ FROM grams GROUP BY 1)
+    SELECT doc_id, CAST(count(*) AS INTEGER) AS n_grams,
+           CAST(count(*) FILTER (WHERE occ >= 2) AS INTEGER) AS n_dup_grams,
+           round(count(*) FILTER (WHERE occ >= 2) * 1.0 / count(*), 6)
+             AS dup_coverage
+    FROM grams JOIN occ USING (gram) GROUP BY doc_id
+    """,
+)
+def dup_gram_coverage_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document fraction of strided 12-char grams whose exact text
+    recurs in the corpus — the routing score of suffix-array-style exact
+    substring dedup (Lee et al. 2022), kept as pure Catalyst expressions.
+    See dedup.duplicated_gram_coverage for the 100 TB notes (larger
+    stride + bloom pre-pass)."""
+    return D.duplicated_gram_coverage(
+        table(spark, sf, "documents"), k=12, stride=4, min_occurrences=2
+    )
