@@ -324,3 +324,187 @@ def dup_gram_coverage_documents(spark: SparkSession, sf: str) -> DataFrame:
     return D.duplicated_gram_coverage(
         table(spark, sf, "documents"), k=12, stride=4, min_occurrences=2
     )
+
+
+# --------------------------------------------------------------------------
+# Winsorized statistics (p1/p99 clipping)
+# --------------------------------------------------------------------------
+@query(
+    "winsorized_stats_events",
+    """
+    WITH b AS (SELECT event_type,
+                      quantile_cont(value, 0.01) AS lo,
+                      quantile_cont(value, 0.99) AS hi
+               FROM events GROUP BY 1),
+    w AS (SELECT e.event_type,
+                 least(greatest(e.value, b.lo), b.hi) AS wv
+          FROM events e JOIN b USING (event_type))
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(avg(wv), 4) AS winsorized_mean,
+           round(min(wv), 4) AS clipped_min,
+           round(max(wv), 4) AS clipped_max
+    FROM w GROUP BY event_type
+    """,
+)
+def winsorized_stats_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Winsorized mean per event type: clip at the exact p1/p99 order
+    statistics (both engines interpolate identically), then aggregate.
+    The standard robust-mean prep before feeding metrics into drift
+    monitors. Bounds are a tiny broadcast; one groupBy shuffle."""
+    ev = table(spark, sf, "events")
+    pcts = F.percentile("value", F.array(F.lit(0.01), F.lit(0.99)))
+    b = ev.groupBy("event_type").agg(pcts.alias("_b"))
+    b = b.select(
+        "event_type", F.col("_b")[0].alias("lo"), F.col("_b")[1].alias("hi")
+    )
+    w = ev.join(F.broadcast(b), "event_type").select(
+        "event_type",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias("wv"),
+    )
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("wv"), 4).alias("winsorized_mean"),
+        F.round(F.min("wv"), 4).alias("clipped_min"),
+        F.round(F.max("wv"), 4).alias("clipped_max"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Equal-frequency decile binning (feature discretization)
+# --------------------------------------------------------------------------
+@query(
+    "decile_bins_events",
+    """
+    WITH t AS (SELECT event_id, event_type, value,
+                      ntile(10) OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS decile
+               FROM events)
+    SELECT event_type, CAST(decile AS INTEGER) AS decile,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 2) AS lo, round(max(value), 2) AS hi
+    FROM t GROUP BY 1, 2
+    """,
+)
+def decile_bins_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Equal-frequency binning (ntile) — the feature-discretization step
+    of gradient-boosting/quantile-sketch pipelines. Tie order pinned by
+    (value, event_id) so bucket boundaries are deterministic. The
+    per-type window sort is the cost; at 100 TB swap ntile for the
+    binned-quantile sketch (sketches.py) and assign bins by range."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    t = ev.select(
+        "event_type", "value", F.ntile(10).over(w).alias("decile")
+    )
+    return t.groupBy("event_type", "decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 2).alias("lo"),
+        F.round(F.max("value"), 2).alias("hi"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Rolling 7-day distinct users (sliding-window cardinality)
+# --------------------------------------------------------------------------
+@query(
+    "rolling_7d_distinct_users",
+    """
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+    ud AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events)
+    SELECT days.d AS day,
+           CAST(count(DISTINCT ud.user_id) AS BIGINT) AS users_7d
+    FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+    GROUP BY 1
+    """,
+)
+def rolling_7d_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-7-day active users per day. DISTINCT over a sliding range
+    has no window-function form (COUNT(DISTINCT) OVER RANGE is
+    unsupported in both engines), so the scalable shape is: collapse to
+    distinct (day, user) FIRST (the only pass over the fact table), then
+    range-join the tiny day grid — fan-out is 7× the collapsed table,
+    not 7× the events. The KMV sketch variant (kmv_distinct_users_per_type)
+    is the approximate path when even the collapsed table is huge."""
+    ev = table(spark, sf, "events")
+    days = ev.select(F.to_date("ts").alias("d")).distinct()
+    ud = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    grid = days.select(F.col("d").alias("day"))
+    joined = ud.join(
+        F.broadcast(grid),
+        (F.col("d") >= F.date_sub(F.col("day"), 6)) & (F.col("d") <= F.col("day")),
+    )
+    return joined.groupBy("day").agg(
+        F.countDistinct("user_id").alias("users_7d")
+    )
+
+
+# --------------------------------------------------------------------------
+# PageRank over the event-type transition graph (iterative, unrolled oracle)
+# --------------------------------------------------------------------------
+@query(
+    "pagerank_event_types",
+    """
+    WITH seq AS (SELECT user_id, event_type,
+                        lead(event_type) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS nxt
+                 FROM events),
+    edges AS (SELECT event_type AS src, nxt AS dst, count(*) AS w
+              FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    outw AS (SELECT src, sum(w) AS wout FROM edges GROUP BY 1),
+    pe AS (SELECT e.src, e.dst, e.w * 1.0 / o.wout AS p
+           FROM edges e JOIN outw o USING (src)),
+    nodes AS (SELECT DISTINCT event_type AS node FROM events),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / n AS r FROM nodes, nn),
+    i1 AS (SELECT pe.dst, sum(r0.r * pe.p) AS inflow
+           FROM pe JOIN r0 ON r0.node = pe.src GROUP BY 1),
+    r1 AS (SELECT n.node,
+                  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                    + CAST(0.85 AS DOUBLE) * coalesce(i1.inflow, 0) AS r
+           FROM nodes n LEFT JOIN i1 ON n.node = i1.dst, nn),
+    i2 AS (SELECT pe.dst, sum(r1.r * pe.p) AS inflow
+           FROM pe JOIN r1 ON r1.node = pe.src GROUP BY 1),
+    r2 AS (SELECT n.node,
+                  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                    + CAST(0.85 AS DOUBLE) * coalesce(i2.inflow, 0) AS r
+           FROM nodes n LEFT JOIN i2 ON n.node = i2.dst, nn),
+    i3 AS (SELECT pe.dst, sum(r2.r * pe.p) AS inflow
+           FROM pe JOIN r2 ON r2.node = pe.src GROUP BY 1)
+    SELECT n.node AS event_type,
+           round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                   + CAST(0.85 AS DOUBLE) * coalesce(i3.inflow, 0), 8)
+             AS pagerank
+    FROM nodes n LEFT JOIN i3 ON n.node = i3.dst, nn
+    """,
+)
+def pagerank_event_types(spark: SparkSession, sf: str) -> DataFrame:
+    """3-iteration weighted PageRank over the event-type transition graph
+    (the session-flow importance measure; at web scale the same operator
+    ranks domains in a crawl). Iterations unrolled into oracle CTEs —
+    the Lloyd-IVF convention for iterative algorithms. The per-node
+    inflow sums ~|nodes| doubles whose order differs between engines;
+    round(8) absorbs the last-ulp drift (same reasoning as the ln()
+    convention). Dangling nodes leak mass by design (documented in
+    graph.pagerank)."""
+    from pyspark.sql import Window
+
+    from _data_engineering_pipeline_project_spark.operators.graph import pagerank
+
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    )
+    edges = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    ranks = pagerank(edges, nodes, damping=0.85, iterations=3)
+    return ranks.select(
+        F.col("node").alias("event_type"),
+        F.round(F.col("pagerank"), 8).alias("pagerank"),
+    )

@@ -56,6 +56,17 @@ EXTENSION_QUERIES = [
     "attribution_last_touch_events",
     "weighted_sample_documents",
     "pii_redacted_documents",
+    "line_dedup_documents",
+    "quality_classifier_documents",
+    "lang_temperature_resample",
+    "bigram_pmi_top20",
+    "dup_gram_coverage_documents",
+    "mad_outliers_events",
+    "decayed_user_value",
+    "pagerank_event_types",
+    "rolling_7d_distinct_users",
+    "winsorized_stats_events",
+    "decile_bins_events",
 ]
 
 BENCH_QUERIES = [
@@ -109,6 +120,7 @@ def main() -> None:
     from _data_engineering_pipeline_project_spark import queries as q
     from _data_engineering_pipeline_project_spark import queries_ext  # noqa: F401
     from _data_engineering_pipeline_project_spark import queries_ext2  # noqa: F401
+    from _data_engineering_pipeline_project_spark import queries_ext3  # noqa: F401
     from _data_engineering_pipeline_project_spark import queries_ops  # noqa: F401
     from _data_engineering_pipeline_project_spark.session import get_spark
 

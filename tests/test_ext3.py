@@ -213,3 +213,104 @@ def test_mad_flags_injected_spike(spark, tmp_path):
     out = mad_outliers_events(spark, str(tmp_path)).collect()
     assert [r.event_id for r in out] == [50]  # only the spike
     assert out[0].robust_z > 3.5
+
+
+# --------------------------------------------------------------------------
+# PageRank
+# --------------------------------------------------------------------------
+def test_pagerank_two_node_chain(spark):
+    from _data_engineering_pipeline_project_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([("a", "b", 1)], "src string, dst string, w long")
+    nodes = spark.createDataFrame([("a",), ("b",)], "node string")
+    r = {row.node: row.pagerank for row in pagerank(edges, nodes, 0.85, 1).collect()}
+    # after 1 iter: a gets only teleport 0.15/2; b gets 0.075 + 0.85*0.5
+    assert r["a"] == pytest.approx(0.075, abs=1e-12)
+    assert r["b"] == pytest.approx(0.075 + 0.85 * 0.5, abs=1e-12)
+
+
+def test_pagerank_mass_conservation_no_dangling(spark):
+    from _data_engineering_pipeline_project_spark.operators.graph import pagerank
+
+    # cycle a->b->c->a: every node has out-degree, total mass stays 1
+    edges = spark.createDataFrame(
+        [("a", "b", 2), ("b", "c", 1), ("c", "a", 3)],
+        "src string, dst string, w long",
+    )
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",)], "node string")
+    rows = pagerank(edges, nodes, 0.85, 4).collect()
+    assert sum(r.pagerank for r in rows) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_weights_matter(spark):
+    from _data_engineering_pipeline_project_spark.operators.graph import pagerank
+
+    # hub splits 9:1 between x and y → x ranks higher
+    edges = spark.createDataFrame(
+        [("h", "x", 9), ("h", "y", 1), ("x", "h", 1), ("y", "h", 1)],
+        "src string, dst string, w long",
+    )
+    nodes = spark.createDataFrame([("h",), ("x",), ("y",)], "node string")
+    r = {row.node: row.pagerank for row in pagerank(edges, nodes, 0.85, 3).collect()}
+    assert r["x"] > r["y"]
+
+
+# --------------------------------------------------------------------------
+# rolling distinct / winsorize edge semantics
+# --------------------------------------------------------------------------
+def test_rolling_7d_distinct_counts_window_not_day(spark, tmp_path):
+    import pandas as pd
+
+    # user 1 active day 1; user 2 active day 5; user 3 active day 20
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-05", "2024-01-20"]),
+            "user_id": [1, 2, 3],
+            "event_type": "t",
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    from _data_engineering_pipeline_project_spark.queries_ext3 import (
+        rolling_7d_distinct_users,
+    )
+
+    out = {
+        str(r.day): r.users_7d
+        for r in rolling_7d_distinct_users(spark, str(tmp_path)).collect()
+    }
+    assert out["2024-01-01"] == 1
+    assert out["2024-01-05"] == 2  # day 1 user still inside the 7-day window
+    assert out["2024-01-20"] == 1  # both earlier users aged out
+
+
+def test_winsorize_clips_to_order_statistics(spark, tmp_path):
+    import pandas as pd
+
+    vals = list(range(1, 101))  # 1..100, p1=1.99, p99=99.01
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(100),
+            "ts": pd.Timestamp("2024-01-01"),
+            "user_id": 1,
+            "event_type": "t",
+            "value": [float(v) for v in vals],
+            "props": "{}",
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    from _data_engineering_pipeline_project_spark.queries_ext3 import (
+        winsorized_stats_events,
+    )
+
+    row = winsorized_stats_events(spark, str(tmp_path)).collect()[0]
+    assert row.clipped_min == pytest.approx(1.99, abs=1e-9)
+    assert row.clipped_max == pytest.approx(99.01, abs=1e-9)
+    # winsorizing a symmetric sample leaves the mean at the center
+    assert row.winsorized_mean == pytest.approx(50.5, abs=1e-9)
