@@ -314,3 +314,107 @@ def test_winsorize_clips_to_order_statistics(spark, tmp_path):
     assert row.clipped_max == pytest.approx(99.01, abs=1e-9)
     # winsorizing a symmetric sample leaves the mean at the center
     assert row.winsorized_mean == pytest.approx(50.5, abs=1e-9)
+
+
+# --------------------------------------------------------------------------
+# property-based invariants (hypothesis)
+# --------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_corpus = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=6
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_corpus)
+def test_line_dedup_conservation_properties(spark, docs):
+    rows = [
+        (doc_id, pos, line)
+        for doc_id, lines in enumerate(docs)
+        for pos, line in enumerate(lines)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, line_no int, line string")
+    flagged = C.dedup_lines(df).collect()
+    # kept lines = exactly one occurrence per distinct line text
+    kept = [r for r in flagged if r.kept]
+    assert len(kept) == len({r.line for r in flagged})
+    # the kept occurrence is the (doc, pos)-minimal one
+    first = {}
+    for r in sorted(flagged, key=lambda r: (r.doc_id, r.line_no)):
+        first.setdefault(r.line, (r.doc_id, r.line_no))
+    assert {(r.doc_id, r.line_no) for r in kept} == set(first.values())
+    # reassembly conserves counts
+    out = C.reassemble_documents(C.dedup_lines(df)).collect()
+    assert sum(r.n_lines for r in out) == len(rows)
+    assert sum(r.n_lines - r.n_removed for r in out) == len(kept)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=30), min_size=1, max_size=4)
+)
+def test_temperature_resample_invariants(spark, sizes):
+    rows = [
+        (stratum * 1000 + i, f"s{stratum}")
+        for stratum, n in enumerate(sizes)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "id long, lang string")
+    kept = S.temperature_resample(df, "lang", "id").collect()
+    ids = {r.id for r in kept}
+    assert ids <= {r[0] for r in rows}  # subset of input
+    by_stratum = {}
+    for r in kept:
+        by_stratum.setdefault(r.lang, []).append(r)
+    min_n = min(sizes)
+    for stratum, n in enumerate(sizes):
+        name = f"s{stratum}"
+        if n == min_n:
+            # rarest stratum keeps everything (rate exactly 1.0)
+            assert len(by_stratum.get(name, [])) == n
+        for r in by_stratum.get(name, []):
+            assert 0 < r.keep_rate <= 1.0
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.sampled_from("abcd"), st.sampled_from("abcd"),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=10,
+        unique_by=lambda e: (e[0], e[1]),
+    )
+)
+def test_pagerank_bounds(spark, edges):
+    from _data_engineering_pipeline_project_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(n,) for n in "abcd"], "node string")
+    e = spark.createDataFrame(edges, "src string, dst string, w long")
+    rows = pagerank(e, nodes, 0.85, 2).collect()
+    assert len(rows) == 4
+    total = sum(r.pagerank for r in rows)
+    # teleport floor for every node; dangling mass can only leak (≤ 1)
+    for r in rows:
+        assert r.pagerank >= 0.15 / 4 - 1e-12
+    assert total <= 1.0 + 1e-9
