@@ -20,6 +20,8 @@ from pyspark.sql import functions as F
 
 from _data_engineering_pipeline_project_spark.functions.vectors import (
     cosine_similarity,
+    dot,
+    l2_norm,
 )
 
 
@@ -38,16 +40,25 @@ def topk_cosine_bruteforce(
     accumulation order can differ in the last ulp across engines).
     """
     q = queries.select(
-        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        l2_norm(vec_col).alias("__qn"),
+    )
+    # corpus norm evaluated ONCE per vector below the join (identical
+    # double to the inline form — dot/(l2(corpus)*l2(query)) — so
+    # oracles are untouched); the |corpus|×|Q| stage does one dot each
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), l2_norm(vec_col).alias("__cn")
     )
     scored = (
-        corpus.alias("c")
-        .join(F.broadcast(q), F.col(query_id_col) != F.col(id_col))
+        c.join(F.broadcast(q), F.col(query_id_col) != F.col(id_col))
         .select(
             F.col(query_id_col),
             F.col(id_col).alias("neighbor_id"),
             F.round(
-                cosine_similarity(F.col(vec_col), F.col("__qvec")), 6
+                dot(F.col(vec_col), F.col("__qvec"))
+                / (F.col("__cn") * F.col("__qn")),
+                6,
             ).alias("cosine"),
         )
     )
@@ -242,17 +253,30 @@ def lsh_dup_pairs(
         )
         .distinct()  # a pair sharing k bands is verified ONCE
     )
-    va = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__va"))
-    vb = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("__vb"))
+    # norms evaluated once per vector in the projections BELOW the join
+    # (sqrt(dot(v,v)) is the same double inline or precomputed, so the
+    # oracle is unchanged); the per-candidate work is one dot + a divide
+    va = emb.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("__va"),
+        l2_norm(vec_col).alias("__na"),
+    )
+    vb = emb.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("__vb"),
+        l2_norm(vec_col).alias("__nb"),
+    )
     return (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 6).alias(
-                "cosine"
-            ),
+            F.round(
+                dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -292,13 +316,19 @@ def _nearest_centroid_scores(
 ) -> DataFrame:
     """Cross-score every row against the (broadcast) centroid table with
     the codegen'd cosine, rounded to 6 digits before any ranking so both
-    engines rank identical values."""
-    return df.crossJoin(F.broadcast(centroids)).select(
+    engines rank identical values. Norms are evaluated once per row /
+    per centroid below the cross join (same doubles as the inline form,
+    so oracle arithmetic is unchanged) instead of once per row×centroid."""
+    cent = centroids.withColumn("__cn", l2_norm("__cvec"))
+    rows = df.withColumn("__vn", l2_norm(vec_col))
+    return rows.crossJoin(F.broadcast(cent)).select(
         F.col(id_col),
         F.col(vec_col),
         F.col("centroid_id"),
         F.round(
-            cosine_similarity(F.col(vec_col), F.col("__cvec")), 6
+            dot(F.col(vec_col), F.col("__cvec"))
+            / (F.col("__vn") * F.col("__cn")),
+            6,
         ).alias("__cos"),
     )
 
@@ -420,8 +450,16 @@ def semantic_dup_pairs(
     cosines) → exact SQL-oracle parity."""
     centroids = ivf_seed_centroids(emb, num_centroids, id_col, vec_col)
     # cached: both self-join sides read it — without this the cross-score
-    # + max_by assignment runs twice (verified: 8 scans, no ReusedExchange)
-    assigned = ivf_assign(emb, centroids, id_col, vec_col).cache()
+    # + max_by assignment runs twice (verified: 8 scans, no ReusedExchange).
+    # The L2 norm is precomputed per VECTOR (n sqrt-of-self-dot evals)
+    # rather than inline per PAIR (~n²/C evals of 2 array folds each):
+    # sqrt(dot(v,v)) is the same double either way, so oracle parity is
+    # untouched while the quadratic stage drops to one dot + one divide.
+    assigned = (
+        ivf_assign(emb, centroids, id_col, vec_col)
+        .withColumn("__nrm", l2_norm(vec_col))
+        .cache()
+    )
     a = assigned.alias("a")
     b = assigned.alias("b")
     return (
@@ -435,7 +473,8 @@ def semantic_dup_pairs(
             F.col(f"a.{id_col}").alias("vec_a"),
             F.col(f"b.{id_col}").alias("vec_b"),
             F.round(
-                cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")),
+                dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                / (F.col("a.__nrm") * F.col("b.__nrm")),
                 6,
             ).alias("cosine"),
         )
@@ -488,17 +527,25 @@ def topk_cosine_ivf(
         _nearest_centroid_scores(q, centroids, query_id_col, "__qvec")
         .withColumn("__rnk", F.row_number().over(wq))
         .filter(F.col("__rnk") <= nprobe)
-        .select(query_id_col, "__qvec", "centroid_id")
+        .select(
+            query_id_col,
+            "__qvec",
+            "centroid_id",
+            l2_norm("__qvec").alias("__qn"),
+        )
     )
 
     scored = (
-        assigned.join(F.broadcast(probes), on="centroid_id")
+        assigned.withColumn("__cn", l2_norm(vec_col))
+        .join(F.broadcast(probes), on="centroid_id")
         .filter(F.col(query_id_col) != F.col(id_col))
         .select(
             F.col(query_id_col),
             F.col(id_col).alias("neighbor_id"),
             F.round(
-                cosine_similarity(F.col(vec_col), F.col("__qvec")), 6
+                dot(F.col(vec_col), F.col("__qvec"))
+                / (F.col("__cn") * F.col("__qn")),
+                6,
             ).alias("cosine"),
         )
     )
@@ -524,11 +571,17 @@ def topk_cosine_lsh(
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane bucket equi-join, exact cosine
     within the bucket. Recall measured against brute force in tests."""
-    c = corpus.withColumn("__bucket", lsh_bucket(vec_col, dim, num_planes))
-    q = queries.select(
-        F.col(id_col).alias(query_id_col),
-        F.col(vec_col).alias("__qvec"),
-    ).withColumn("__bucket", lsh_bucket("__qvec", dim, num_planes))
+    c = corpus.withColumn(
+        "__bucket", lsh_bucket(vec_col, dim, num_planes)
+    ).withColumn("__cn", l2_norm(vec_col))
+    q = (
+        queries.select(
+            F.col(id_col).alias(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            l2_norm(vec_col).alias("__qn"),
+        )
+        .withColumn("__bucket", lsh_bucket("__qvec", dim, num_planes))
+    )
     scored = (
         c.join(F.broadcast(q), on="__bucket")
         .filter(F.col(query_id_col) != F.col(id_col))
@@ -536,7 +589,9 @@ def topk_cosine_lsh(
             F.col(query_id_col),
             F.col(id_col).alias("neighbor_id"),
             F.round(
-                cosine_similarity(F.col(vec_col), F.col("__qvec")), 6
+                dot(F.col(vec_col), F.col("__qvec"))
+                / (F.col("__cn") * F.col("__qn")),
+                6,
             ).alias("cosine"),
         )
     )

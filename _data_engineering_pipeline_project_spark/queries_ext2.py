@@ -631,7 +631,7 @@ def weighted_sample_documents(spark: SparkSession, sf: str) -> DataFrame:
     WITH seeds AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cvec,
              md5(CAST(vec_id AS VARCHAR)) AS h
-      FROM embeddings ORDER BY h, vec_id LIMIT 8
+      FROM embeddings ORDER BY h, vec_id LIMIT 16
     ),
     cent AS (
       SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER)
@@ -667,7 +667,7 @@ def semantic_dup_pairs_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs: IVF-cluster first, exact
     cosine only within clusters (quadratic stage bounded per cluster)."""
     return SIM.semantic_dup_pairs(
-        table(spark, sf, "embeddings"), threshold=0.4, num_centroids=8
+        table(spark, sf, "embeddings"), threshold=0.4, num_centroids=16
     )
 
 
