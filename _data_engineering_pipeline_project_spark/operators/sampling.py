@@ -276,3 +276,52 @@ def temperature_resample(
         .filter(F.col("__u") < F.col("keep_rate"))
         .drop("__u")
     )
+
+
+def mixture_resample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    weights: DataFrame,
+    buckets: int = 1 << 30,
+) -> DataFrame:
+    """Largest feasible subsample whose stratum proportions match a
+    TARGET mixture — the domain-mixture step of pretraining pipelines
+    (e.g. rebalance web/books/code to design weights).
+
+    ``weights`` is a tiny (stratum, weight) frame; proportions need not
+    be normalized. The scaling constant K = min_s(n_s / w_s) is the
+    largest total for which no stratum is oversampled; stratum keep rate
+    is (w_s * K) / n_s — the rarest-relative-to-target stratum keeps
+    everything, all others downsample exactly to the mixture.
+
+    Determinism contract (matches temperature_resample): every rate is a
+    chain of identical IEEE divisions/multiplications over exact bigint
+    counts and exact weight doubles, and the keep decision is the md5
+    uniform — so any engine materializes the same sample. Census and
+    rates are broadcast; the corpus never shuffles."""
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_s"))
+    joined = counts.join(weights, strata_col)
+    # zero-weight strata are excluded from K (min ignores nulls) and get
+    # rate 0 — dropped entirely, not a divide-by-zero under ANSI mode
+    k = joined.agg(
+        F.min(
+            F.when(F.col("weight") > 0, F.col("n_s") / F.col("weight"))
+        ).alias("K")
+    )
+    rates = joined.crossJoin(F.broadcast(k)).select(
+        strata_col,
+        F.when(
+            F.col("weight") > 0,
+            (F.col("weight") * F.col("K")) / F.col("n_s"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("keep_rate"),
+    )
+    u = hash_bucket(key_col, buckets) * F.lit(1.0) / F.lit(float(buckets))
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .withColumn("__u", u)
+        .filter(F.col("__u") < F.col("keep_rate"))
+        .drop("__u")
+    )

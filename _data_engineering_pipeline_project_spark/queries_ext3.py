@@ -508,3 +508,114 @@ def pagerank_event_types(spark: SparkSession, sf: str) -> DataFrame:
         F.col("node").alias("event_type"),
         F.round(F.col("pagerank"), 8).alias("pagerank"),
     )
+
+
+# --------------------------------------------------------------------------
+# N-gram novelty scoring (corpus-frequency quality signal)
+# --------------------------------------------------------------------------
+@query(
+    "ngram_novelty_documents",
+    f"""
+    WITH {_TOKSEQ},
+    tg AS (SELECT doc_id,
+                  term || ' ' || lead(term, 1) OVER (PARTITION BY doc_id
+                                                     ORDER BY seq)
+                       || ' ' || lead(term, 2) OVER (PARTITION BY doc_id
+                                                     ORDER BY seq) AS gram,
+                  lead(term, 2) OVER (PARTITION BY doc_id ORDER BY seq) AS t2
+           FROM tokseq),
+    tg2 AS (SELECT doc_id, gram FROM tg WHERE t2 IS NOT NULL),
+    gc AS (SELECT gram, count(*) AS c FROM tg2 GROUP BY 1)
+    SELECT doc_id, CAST(count(*) AS INTEGER) AS n_grams,
+           round(sum(c) * 1.0 / count(*), 6) AS mean_gram_count,
+           round(count(*) FILTER (WHERE c = 1) * 1.0 / count(*), 6)
+             AS pct_unique_grams
+    FROM tg2 JOIN gc USING (gram) GROUP BY doc_id
+    """,
+)
+def ngram_novelty_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document corpus-frequency profile of its word trigrams: mean
+    corpus count (high = boilerplate-like) and share of corpus-unique
+    grams (high = novel). The cheap membership-based LM-likeness signal
+    pipelines use before any model-scored perplexity filter. All-integer
+    sums, one divide — deterministic. Shape: one doc-keyed window for
+    adjacency, one gram-count aggregate joined back, one groupBy(doc)."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf, "documents")
+    toks = R.positioned_tokens(docs)
+    w = Window.partitionBy("doc_id").orderBy("seq")
+    tg = toks.select(
+        "doc_id",
+        F.concat_ws(
+            " ", "term", F.lead("term", 1).over(w), F.lead("term", 2).over(w)
+        ).alias("gram"),
+        F.lead("term", 2).over(w).alias("t2"),
+    ).filter(F.col("t2").isNotNull()).select("doc_id", "gram")
+    gc = tg.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        tg.join(gc, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_grams"),
+            F.round(F.sum("c") * F.lit(1.0) / F.count(F.lit(1)), 6).alias(
+                "mean_gram_count"
+            ),
+            F.round(
+                F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+                * F.lit(1.0)
+                / F.count(F.lit(1)),
+                6,
+            ).alias("pct_unique_grams"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Target-mixture resampling (domain rebalancing)
+# --------------------------------------------------------------------------
+@query(
+    "source_mixture_resample",
+    r"""
+    WITH w AS (SELECT source AS src,
+                      CAST((CAST(regexp_extract(source, '(\d+)', 1)
+                                 AS INTEGER) % 4) + 1 AS DOUBLE) AS weight
+               FROM (SELECT DISTINCT source FROM documents)),
+    c AS (SELECT source AS src, count(*) AS n_s FROM documents GROUP BY 1),
+    j AS (SELECT c.src, c.n_s, w.weight FROM c JOIN w USING (src)),
+    k AS (SELECT min(n_s / weight) AS K FROM j),
+    r AS (SELECT src, (weight * K) / n_s AS keep_rate FROM j, k)
+    SELECT d.doc_id, d.source, round(r.keep_rate, 6) AS keep_rate
+    FROM documents d JOIN r ON d.source = r.src
+    WHERE (CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)
+                AS BIGINT) % 1073741824) * 1.0 / 1073741824.0 < r.keep_rate
+    """,
+)
+def source_mixture_resample(spark: SparkSession, sf: str) -> DataFrame:
+    """Rebalance the corpus to a TARGET source mixture (design weights
+    1..4 derived from the source id here; real pipelines pass trained
+    domain weights): the largest feasible subsample with proportions
+    exactly ∝ weight — K = min(n_s/w_s) scales so the binding stratum
+    keeps everything. See sampling.mixture_resample for the determinism
+    contract (identical IEEE division chains, md5 uniform)."""
+    docs = table(spark, sf, "documents")
+    weights = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (
+                (
+                    F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("int")
+                    % 4
+                )
+                + 1
+            )
+            .cast("double")
+            .alias("weight"),
+        )
+    )
+    kept = S.mixture_resample(docs, "source", "doc_id", weights)
+    return kept.select(
+        "doc_id", "source", F.round(F.col("keep_rate"), 6).alias("keep_rate")
+    )

@@ -67,6 +67,8 @@ EXTENSION_QUERIES = [
     "rolling_7d_distinct_users",
     "winsorized_stats_events",
     "decile_bins_events",
+    "ngram_novelty_documents",
+    "source_mixture_resample",
 ]
 
 BENCH_QUERIES = [

@@ -418,3 +418,102 @@ def test_pagerank_bounds(spark, edges):
     for r in rows:
         assert r.pagerank >= 0.15 / 4 - 1e-12
     assert total <= 1.0 + 1e-9
+
+
+# --------------------------------------------------------------------------
+# mixture resample semantics
+# --------------------------------------------------------------------------
+def test_mixture_resample_hits_target_proportions(spark):
+    rows = [(i, "a") for i in range(400)] + [(1000 + i, "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    weights = spark.createDataFrame(
+        [("a", 1.0), ("b", 1.0)], "src string, weight double"
+    )
+    kept = S.mixture_resample(df, "src", "id", weights).collect()
+    by = {}
+    for r in kept:
+        by.setdefault(r.src, []).append(r)
+    # K = min(400/1, 100/1) = 100 → b keeps all, a keeps 25%
+    assert len(by["b"]) == 100
+    rates = {r.src: r.keep_rate for r in kept}
+    assert rates["b"] == pytest.approx(1.0, abs=0)
+    assert rates["a"] == pytest.approx(0.25, abs=0)
+    # realized count is binomial around 100; md5 uniform keeps it close
+    assert 60 <= len(by["a"]) <= 140
+
+
+def test_mixture_resample_never_oversamples(spark):
+    # stratum with zero target weight is dropped entirely
+    rows = [(i, "x") for i in range(50)] + [(100 + i, "y") for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    weights = spark.createDataFrame(
+        [("x", 2.0), ("y", 0.0)], "src string, weight double"
+    )
+    kept = S.mixture_resample(df, "src", "id", weights).collect()
+    assert all(r.src == "x" for r in kept)
+    assert len(kept) == 50  # K = min(50/2, inf) → x keeps all
+
+
+# --------------------------------------------------------------------------
+# plan-shape pins for the round-3 additions
+# --------------------------------------------------------------------------
+_SF_PLAN = "/root/testdata/sf0.001"
+
+
+def test_temperature_resample_corpus_never_shuffles(spark):
+    from _data_engineering_pipeline_project_spark.plans.audit import (
+        explain_str,
+        scan_summary,
+    )
+    from _data_engineering_pipeline_project_spark.queries_ext3 import (
+        lang_temperature_resample,
+    )
+
+    df = lang_temperature_resample(spark, _SF_PLAN)
+    s = scan_summary(df)
+    # census agg shuffles |strata| rows; the corpus-side keep filter is a
+    # broadcast join — no exchange carries the documents table
+    assert s["broadcast_joins"] >= 1
+    plan = explain_str(df)
+    assert "SortMergeJoin" not in plan
+
+
+def test_line_dedup_two_data_shuffles(spark):
+    from _data_engineering_pipeline_project_spark.plans.audit import scan_summary
+    from _data_engineering_pipeline_project_spark.queries_ext3 import (
+        line_dedup_documents,
+    )
+
+    s = scan_summary(line_dedup_documents(spark, _SF_PLAN))
+    # line build (doc), keep-first (line text), reassembly (doc) — the
+    # doc-keyed stages reuse one partitioning; allow AQE variance but pin
+    # the order of magnitude (no per-line joins, no extra exchanges)
+    assert s["shuffles"] <= 4
+
+
+def test_pagerank_no_cartesian_no_nested_loop_growth(spark):
+    from _data_engineering_pipeline_project_spark.plans.audit import explain_str
+    from _data_engineering_pipeline_project_spark.queries_ext3 import (
+        pagerank_event_types,
+    )
+
+    plan = explain_str(pagerank_event_types(spark, _SF_PLAN))
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins allowed are the 1-row census broadcasts
+    # (nn appears once for the init ranks and twice per unrolled
+    # iteration — teleport + replayed lineage; all are 1-row sides)
+    import re
+
+    bnlj = len(re.findall(r"BroadcastNestedLoopJoin", plan))
+    assert bnlj <= 2 * 3 + 2
+
+
+def test_dup_gram_coverage_counts_stay_partial_agg(spark):
+    from _data_engineering_pipeline_project_spark.plans.audit import explain_str
+    from _data_engineering_pipeline_project_spark.queries_ext3 import (
+        dup_gram_coverage_documents,
+    )
+
+    plan = explain_str(dup_gram_coverage_documents(spark, _SF_PLAN))
+    # gram counting must map-side combine (partial_count before exchange)
+    assert "partial_count" in plan or "partial count" in plan.lower()
