@@ -176,3 +176,38 @@ def resize_images(
             )
 
     return df.select(id_col, "payload").mapInPandas(resize, schema=out_schema)
+
+
+def ahash_images(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Perceptual average-hash (aHash) of real image payloads: decode →
+    8×8 nearest-neighbor downsample → integer Rec.601 luma → bit i set
+    iff pixel luma > image mean. All-integer math (luma = (299R + 587G +
+    114B) // 1000, mean = sum // 64), so the 64-bit signature is exactly
+    reproducible anywhere — the image twin of the text SimHash, feeding
+    the same banded Hamming join (dedup.sig64_band_pairs).
+
+    mapInPandas Arrow-streams (id, payload) batches; output is 16 bytes
+    per image, so the downstream dedup never touches pixels again."""
+    out_schema = f"{id_col} long, ahash long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                arr = sniff_and_decode(bytes(p))
+                small = resize_nearest(arr, 8, 8).astype(np.int64)
+                luma = (
+                    299 * small[..., 0] + 587 * small[..., 1] + 114 * small[..., 2]
+                ) // 1000
+                mean = int(luma.sum()) // 64
+                bits = (luma > mean).flatten()
+                h = np.uint64(0)
+                for bit in bits:
+                    h = (h << np.uint64(1)) | np.uint64(bool(bit))
+                ids.append(i)
+                hashes.append(h.astype(np.int64))
+            yield pd.DataFrame({id_col: ids, "ahash": hashes})
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)

@@ -783,3 +783,59 @@ def duplicated_gram_coverage(
             ).alias("dup_coverage"),
         )
     )
+
+
+def sig64_band_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    max_hamming: int = 8,
+    band_bits: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs over ANY 64-bit signature column (SimHash, image
+    aHash/pHash, audio chromaprint chunks …): pigeonhole-bucket by
+    ``n_bands`` contiguous bit bands — a pair within Hamming ≤ n_bands-1
+    of each other shares at least one identical band — then verify exact
+    Hamming inside buckets only. The generic form of the SimHash text
+    path above, shifted UNSIGNED so sign-bit signatures band correctly.
+
+    Scale shape: explode ×n_bands, one (band, key) equi-join, popcount
+    verify — never a theta join."""
+    bands = sigs.select(
+        id_col,
+        F.col(sig_col).alias("__sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"shiftrightunsigned({sig_col}, {b * band_bits})"
+                            f" & {(1 << band_bits) - 1}"
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        id_col, "__sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming64(F.col("a.__sig"), F.col("b.__sig")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -619,3 +619,67 @@ def source_mixture_resample(spark: SparkSession, sf: str) -> DataFrame:
     return kept.select(
         "doc_id", "source", F.round(F.col("keep_rate"), 6).alias("keep_rate")
     )
+
+
+# --------------------------------------------------------------------------
+# Image perceptual-hash near-dup (multimodal dedup, rows-only)
+# --------------------------------------------------------------------------
+def _render_doc_images(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): deterministic 8×8 RGB PPM per document — the
+    first 192 utf-8 bytes laid out as pixels (zero-padded). A stand-in
+    corpus for real image payloads (this container ships no image
+    files): the rendering is ORDER-sensitive like real pixels, so
+    documents sharing long prefixes produce close images and the
+    perceptual hash finds them — while a bag-of-tokens rendering was
+    measured to collapse this vocabulary-uniform corpus into ~185
+    identical hashes. The Spark plumbing (binary column, mapInPandas
+    batches, downstream banded join) is the real-image pipeline
+    unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    from _data_engineering_pipeline_project_spark.multimodal.codecs import (
+        encode_ppm,
+    )
+
+    def render(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, text in zip(pdf["doc_id"], pdf["text"]):
+                b = str(text or "").encode()[:192]
+                b = b + bytes(192 - len(b))
+                arr = np.frombuffer(b, dtype=np.uint8).reshape(8, 8, 3)
+                ids.append(i)
+                payloads.append(encode_ppm(arr))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        render, "doc_id long, payload binary"
+    )
+
+
+@query("image_ahash_near_dup")  # rows-only: real binary decode in the loop
+def image_ahash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual-hash near-duplicate IMAGE pairs: render each document
+    as a deterministic 8×8 feature image (PPM bytes), REAL-decode and
+    aHash it (integer luma math, multimodal/codecs.py), then the banded
+    64-bit Hamming join shared with SimHash. Rows-only by design — the
+    decode step is genuinely non-SQL — but every stage below the UDF is
+    pinned by unit tests (aHash parity vs a pure-python reference,
+    pigeonhole recall) and the banding reuses the oracle-proven
+    sig64 path."""
+    from _data_engineering_pipeline_project_spark.multimodal.codecs import (
+        ahash_images,
+    )
+
+    docs = table(spark, sf, "documents")
+    imgs = _render_doc_images(docs)
+    sigs = ahash_images(imgs).cache()
+    pairs = D.sig64_band_pairs(
+        sigs, id_col="doc_id", sig_col="ahash", max_hamming=2
+    )
+    return pairs.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )

@@ -69,6 +69,7 @@ EXTENSION_QUERIES = [
     "decile_bins_events",
     "ngram_novelty_documents",
     "source_mixture_resample",
+    "image_ahash_near_dup",
 ]
 
 BENCH_QUERIES = [

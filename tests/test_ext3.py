@@ -517,3 +517,102 @@ def test_dup_gram_coverage_counts_stay_partial_agg(spark):
     plan = explain_str(dup_gram_coverage_documents(spark, _SF_PLAN))
     # gram counting must map-side combine (partial_count before exchange)
     assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+# --------------------------------------------------------------------------
+# image aHash + 64-bit banded Hamming pairs
+# --------------------------------------------------------------------------
+def _ppm(arr):
+    from _data_engineering_pipeline_project_spark.multimodal.codecs import (
+        encode_ppm,
+    )
+
+    return encode_ppm(arr)
+
+
+def _ref_ahash(arr):
+    """Pure-python reference: same integer math as codecs.ahash_images."""
+    import numpy as np
+    from _data_engineering_pipeline_project_spark.multimodal.codecs import (
+        resize_nearest,
+    )
+
+    small = resize_nearest(arr, 8, 8).astype(np.int64)
+    luma = (299 * small[..., 0] + 587 * small[..., 1] + 114 * small[..., 2]) // 1000
+    mean = int(luma.sum()) // 64
+    h = 0
+    for bit in (luma > mean).flatten():
+        h = (h << 1) | int(bit)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def test_ahash_matches_pure_python_reference(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    arrs = [rng.randint(0, 256, (16, 12, 3)).astype(np.uint8) for _ in range(4)]
+    df = spark.createDataFrame(
+        [(i, bytearray(_ppm(a))) for i, a in enumerate(arrs)],
+        "doc_id long, payload binary",
+    )
+    from _data_engineering_pipeline_project_spark.multimodal.codecs import (
+        ahash_images,
+    )
+
+    got = {r.doc_id: r.ahash for r in ahash_images(df).collect()}
+    for i, a in enumerate(arrs):
+        assert got[i] == _ref_ahash(a), i
+
+
+def test_ahash_near_dup_detects_small_edit(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 256, (8, 8, 3)).astype(np.uint8)
+    edited = base.copy()
+    edited[0, 0] = [255, 255, 255]  # one pixel changed
+    far = rng.randint(0, 256, (8, 8, 3)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_ppm(base))),
+            (2, bytearray(_ppm(edited))),
+            (3, bytearray(_ppm(far))),
+        ],
+        "doc_id long, payload binary",
+    )
+    from _data_engineering_pipeline_project_spark.multimodal.codecs import (
+        ahash_images,
+    )
+    from _data_engineering_pipeline_project_spark.operators.dedup import (
+        sig64_band_pairs,
+    )
+
+    sigs = ahash_images(df)
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in sig64_band_pairs(sigs, "doc_id", "ahash", max_hamming=4).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 4
+    assert (1, 3) not in pairs
+
+
+def test_sig64_band_pairs_pigeonhole_guarantee(spark):
+    # any pair within hamming <= 3 shares a 16-bit band → always found
+    import random
+
+    random.seed(11)
+    rows = []
+    base = random.getrandbits(63)
+    rows.append((0, base))
+    flips = [1, 17, 40]  # three bits in three different bands
+    sig = base
+    for b in flips:
+        sig ^= 1 << b
+    rows.append((1, sig))
+    df = spark.createDataFrame(rows, "doc_id long, sig long")
+    from _data_engineering_pipeline_project_spark.operators.dedup import (
+        sig64_band_pairs,
+    )
+
+    got = sig64_band_pairs(df, "doc_id", "sig", max_hamming=3).collect()
+    assert len(got) == 1 and got[0].hamming == 3
