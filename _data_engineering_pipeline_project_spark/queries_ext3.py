@@ -683,3 +683,171 @@ def image_ahash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
         F.col("id_b").alias("doc_b"),
         F.col("hamming").cast("int").alias("hamming"),
     )
+
+
+# --------------------------------------------------------------------------
+# End-to-end corpus-prep pipeline (line dedup → classifier → resample)
+# --------------------------------------------------------------------------
+@query(
+    "corpus_prep_pipeline",
+    f"""
+    WITH {_TOKSEQ},
+    lines AS (SELECT doc_id, CAST((seq - 1) // 3 AS INTEGER) AS line_no,
+                     string_agg(term, ' ' ORDER BY seq) AS line
+              FROM tokseq GROUP BY 1, 2),
+    flagged AS (SELECT *,
+                       row_number() OVER (PARTITION BY line
+                                          ORDER BY doc_id, line_no) = 1 AS kept
+                FROM lines),
+    cleaned AS (
+      SELECT doc_id,
+             coalesce(string_agg(line, chr(10) ORDER BY line_no)
+                        FILTER (WHERE kept), '') AS text_clean,
+             CAST(count(*) AS INTEGER) AS n_lines,
+             CAST(count(*) FILTER (WHERE NOT kept) AS INTEGER) AS n_removed
+      FROM flagged GROUP BY doc_id),
+    ctok AS (SELECT doc_id,
+                    unnest(string_split_regex(trim(lower(text_clean)),
+                                              '\\s+')) AS term
+             FROM cleaned WHERE length(text_clean) > 0),
+    ctok2 AS (SELECT doc_id, term FROM ctok WHERE length(term) > 0),
+    w AS (SELECT doc_id,
+                 (CAST('0x' || substr(md5(term), 1, 15) AS BIGINT)
+                    % 1024 % 997) - 498 AS w
+          FROM ctok2),
+    scored AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+                      round(sum(w) * 1.0 / count(*), 6) AS quality_score
+               FROM w GROUP BY doc_id HAVING sum(w) > 0),
+    surv AS (SELECT d.doc_id, d.lang, c.n_lines, c.n_removed,
+                    s.n_tokens, s.quality_score
+             FROM documents d JOIN cleaned c USING (doc_id)
+                              JOIN scored s USING (doc_id)),
+    cnt AS (SELECT lang, count(*) AS n_s FROM surv GROUP BY 1),
+    m AS (SELECT min(n_s) AS n_min FROM cnt),
+    r AS (SELECT lang, sqrt(n_min * 1.0 / n_s) AS keep_rate FROM cnt, m)
+    SELECT v.doc_id, v.lang, v.n_lines, v.n_removed, v.n_tokens,
+           v.quality_score, round(r.keep_rate, 6) AS keep_rate
+    FROM surv v JOIN r USING (lang)
+    WHERE (CAST('0x' || substr(md5(CAST(v.doc_id AS VARCHAR)), 1, 15)
+                AS BIGINT) % 1073741824) * 1.0 / 1073741824.0 < r.keep_rate
+    """,
+)
+def corpus_prep_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The corpus-prep stages COMPOSED end-to-end, the way a real ingest
+    runs them: line-level dedup rewrites documents, the hashed linear
+    classifier gates on the CLEANED text, and temperature resampling
+    rebalances the SURVIVING population (rates reflect post-filter
+    counts — the subtlety composites exist to catch). Built entirely
+    from the registered operators; one oracle pins the whole chain, so a
+    semantics drift in any stage fails here even if each stage's own
+    query stays green.
+
+    Scale: the union of the stage shapes — the corpus shuffles once on
+    line text, once per doc-keyed groupBy; census/rates stay broadcast."""
+    docs = table(spark, sf, "documents")
+    toks = R.positioned_tokens(docs)
+    lines = (
+        toks.withColumn("line_no", F.floor((F.col("seq") - 1) / 3).cast("int"))
+        .groupBy("doc_id", "line_no")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seq", "term"))),
+                    lambda s: s["term"],
+                ),
+                " ",
+            ).alias("line")
+        )
+    )
+    cleaned = C.reassemble_documents(
+        C.dedup_lines(lines, "doc_id", "line_no", "line"),
+        "doc_id",
+        "line_no",
+        "line",
+    )
+    scored = (
+        R.hashed_linear_score(
+            cleaned.filter(F.length("text_clean") > 0), text_col="text_clean"
+        )
+        .filter(F.col("keep"))
+        .drop("keep")
+    )
+    surv = (
+        docs.select("doc_id", "lang")
+        .join(cleaned, "doc_id")
+        .join(scored, "doc_id")
+        .select(
+            "doc_id", "lang", "n_lines", "n_removed", "n_tokens", "quality_score"
+        )
+    )
+    kept = S.temperature_resample(surv, "lang", "doc_id", alpha=0.5)
+    return kept.select(
+        "doc_id",
+        "lang",
+        "n_lines",
+        "n_removed",
+        "n_tokens",
+        "quality_score",
+        F.round(F.col("keep_rate"), 6).alias("keep_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Seasonal-baseline residuals (hour-of-day profile anomaly)
+# --------------------------------------------------------------------------
+@query(
+    "seasonal_residual_events",
+    """
+    WITH base AS (SELECT event_type, extract(hour FROM ts) AS hod,
+                         sum(CAST(round(value * 100) AS BIGINT)) AS cents,
+                         count(*) AS n
+                  FROM events GROUP BY 1, 2),
+    bl AS (SELECT event_type, hod, cents / (100.0 * n) AS baseline FROM base),
+    res AS (SELECT e.event_id, e.event_type,
+                   CAST(extract(hour FROM e.ts) AS INTEGER) AS hod,
+                   e.value, round(e.value - b.baseline, 6) AS residual
+            FROM events e JOIN bl b ON e.event_type = b.event_type
+                                   AND extract(hour FROM e.ts) = b.hod)
+    SELECT * FROM (SELECT *, CAST(row_number() OVER (ORDER BY abs(residual)
+                                                     DESC, event_id)
+                                  AS INTEGER) AS rnk
+                   FROM res) WHERE rnk <= 50
+    """,
+)
+def seasonal_residual_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-50 deviations from each (type, hour-of-day) seasonal baseline
+    — the profile-based anomaly detector that catches 'normal value,
+    wrong time of day' cases a global z-score misses. Baseline means are
+    exact integer cent sums with one division (partition-order-proof);
+    residuals ranked after rounding. One small baseline aggregate
+    broadcast back; TakeOrdered top-k, no global sort."""
+    ev = table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    base = ev.groupBy(
+        "event_type", F.hour("ts").alias("hod")
+    ).agg(F.sum(cents).alias("cents"), F.count(F.lit(1)).alias("n"))
+    bl = base.select(
+        "event_type",
+        "hod",
+        (F.col("cents") / (F.lit(100.0) * F.col("n"))).alias("baseline"),
+    )
+    res = (
+        ev.select(
+            "event_id", "event_type", F.hour("ts").alias("hod"), "value"
+        )
+        .join(F.broadcast(bl), ["event_type", "hod"])
+        .select(
+            "event_id",
+            "event_type",
+            F.col("hod").cast("int").alias("hod"),
+            "value",
+            F.round(F.col("value") - F.col("baseline"), 6).alias("residual"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.abs(F.col("residual")).desc(), "event_id")
+    return (
+        res.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 50)
+    )

@@ -70,6 +70,8 @@ EXTENSION_QUERIES = [
     "ngram_novelty_documents",
     "source_mixture_resample",
     "image_ahash_near_dup",
+    "corpus_prep_pipeline",
+    "seasonal_residual_events",
 ]
 
 BENCH_QUERIES = [
