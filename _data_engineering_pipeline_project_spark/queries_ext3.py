@@ -851,3 +851,78 @@ def seasonal_residual_events(spark: SparkSession, sf: str) -> DataFrame:
         res.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= 50)
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus health summary (one-row corpus report card)
+# --------------------------------------------------------------------------
+@query(
+    "corpus_health_summary",
+    r"""
+    WITH fp AS (SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+                  AS f
+                FROM documents),
+    dup AS (SELECT count(*) AS n_docs, count(DISTINCT f) AS n_distinct FROM fp),
+    lang AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+    tot AS (SELECT sum(n) AS t FROM lang),
+    ent AS (SELECT round(-sum((n * 1.0 / t) * ln(n * 1.0 / t)), 6)
+              AS lang_entropy
+            FROM lang, tot),
+    len AS (SELECT CAST(min(n_chars) AS BIGINT) AS min_chars,
+                   CAST(max(n_chars) AS BIGINT) AS max_chars,
+                   CAST(median(n_chars) AS DOUBLE) AS median_chars
+            FROM documents)
+    SELECT dup.n_docs, dup.n_distinct,
+           round((dup.n_docs - dup.n_distinct) * 1.0 / dup.n_docs, 6)
+             AS exact_dup_rate,
+           ent.lang_entropy, len.min_chars, len.median_chars, len.max_chars
+    FROM dup, ent, len
+    """,
+)
+def corpus_health_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """One-row corpus report card: exact-dup rate (normalized-fingerprint
+    cardinality), language entropy (mixture balance — ln(5)≈1.609 is
+    uniform over 5 langs), and length order statistics. The summary a
+    pipeline publishes per snapshot to catch ingest regressions (dup
+    spike, language skew, truncation) before training sees them. Three
+    tiny aggregates cross-joined — each is one pass with map-side
+    combine; entropy rounded for the usual ln() drift."""
+    from _data_engineering_pipeline_project_spark.operators.textstats import (
+        fingerprint,
+    )
+
+    docs = table(spark, sf, "documents")
+    dup = docs.select(fingerprint("text").alias("f")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("f").alias("n_distinct"),
+    )
+    lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = lang.agg(F.sum("n").alias("t"))
+    p = F.col("n") * F.lit(1.0) / F.col("t")
+    ent = (
+        lang.crossJoin(F.broadcast(tot))
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("lang_entropy"))
+    )
+    ln = docs.agg(
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.median("n_chars").cast("double").alias("median_chars"),
+    )
+    return (
+        dup.crossJoin(F.broadcast(ent))
+        .crossJoin(F.broadcast(ln))
+        .select(
+            "n_docs",
+            "n_distinct",
+            F.round(
+                (F.col("n_docs") - F.col("n_distinct"))
+                * F.lit(1.0)
+                / F.col("n_docs"),
+                6,
+            ).alias("exact_dup_rate"),
+            "lang_entropy",
+            "min_chars",
+            "median_chars",
+            "max_chars",
+        )
+    )
