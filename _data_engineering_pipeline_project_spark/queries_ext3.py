@@ -759,12 +759,16 @@ def corpus_prep_pipeline(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("line")
         )
     )
+    # cached: the classifier branch AND the survivor join both read the
+    # reassembled frame — uncached, the whole line-dedup subtree (the
+    # expensive stage) replays per branch (measured: 9 scans of the
+    # documents table without the cache, 3 with)
     cleaned = C.reassemble_documents(
         C.dedup_lines(lines, "doc_id", "line_no", "line"),
         "doc_id",
         "line_no",
         "line",
-    )
+    ).cache()
     scored = (
         R.hashed_linear_score(
             cleaned.filter(F.length("text_clean") > 0), text_col="text_clean"
@@ -925,4 +929,146 @@ def corpus_health_summary(spark: SparkSession, sf: str) -> DataFrame:
             "median_chars",
             "max_chars",
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: BM25 + embedding cosine fused by reciprocal rank
+# --------------------------------------------------------------------------
+# same fixed query bag as bm25_search_documents (queries_ext2)
+_BM25_TERMS = ("table", "value", "fast")
+
+
+@query(
+    "hybrid_search_rrf",
+    r"""
+    WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+                                                          '\s+')) AS term
+                 FROM documents),
+    tok2 AS (SELECT doc_id, term FROM tok WHERE length(term) > 0),
+    dl AS (SELECT doc_id,
+                  CAST(len(string_split_regex(trim(text), '\s+'))
+                       AS INTEGER) AS dl
+           FROM documents),
+    scal AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+           WHERE term IN ('table', 'value', 'fast') GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    contrib AS (
+      SELECT tf.doc_id, tf.term,
+             ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * 2.2)
+               / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS c
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), scal),
+    bm AS (SELECT doc_id,
+                  round(coalesce(max(CASE WHEN term = 'table' THEN c END), 0)
+                        + coalesce(max(CASE WHEN term = 'value' THEN c END), 0)
+                        + coalesce(max(CASE WHEN term = 'fast' THEN c END), 0),
+                        4) AS bm25
+           FROM contrib GROUP BY doc_id),
+    lex AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                                AS INTEGER) AS r_lex
+            FROM bm QUALIFY r_lex <= 20),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings
+           WHERE vec_id = 0),
+    cs AS (SELECT e.vec_id AS doc_id,
+                  round(list_dot_product(CAST(e.embedding AS DOUBLE[]), qv.q)
+                        / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                 CAST(e.embedding AS DOUBLE[])))
+                           * sqrt(list_dot_product(qv.q, qv.q))), 6) AS cos
+           FROM embeddings e, qv),
+    sem AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+                                AS INTEGER) AS r_sem
+            FROM cs QUALIFY r_sem <= 20),
+    fused AS (
+      SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, r_lex, r_sem,
+             round(coalesce(CAST(1.0 AS DOUBLE) / (60 + r_lex), 0)
+                   + coalesce(CAST(1.0 AS DOUBLE) / (60 + r_sem), 0), 8)
+               AS rrf
+      FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+    SELECT doc_id, r_lex, r_sem, rrf,
+           CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER)
+             AS rnk
+    FROM fused QUALIFY rnk <= 10
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval, the RAG-stack shape: lexical BM25 top-20 and
+    embedding-cosine top-20 (query = vec 0) fused by reciprocal-rank
+    fusion rrf = Σ 1/(60+rank) — the standard fusion that needs no score
+    calibration between the two systems. The two contributions are added
+    in FIXED written order (two doubles, same order both engines);
+    ranks are ints, so the fusion is deterministic given the two
+    top-k lists, which are themselves round-before-rank pinned.
+
+    Scale: BM25 is the inverted-list shape (postings for the query terms
+    only), the semantic side is a broadcast-1-query scored scan (swap in
+    IVF for big corpora); fusion touches 40 rows."""
+    from pyspark.sql import Window
+
+    from _data_engineering_pipeline_project_spark.functions.vectors import (
+        dot,
+        l2_norm,
+    )
+
+    d = table(spark, sf, "documents")
+    per_term = R.bm25_per_term_contrib(d, list(_BM25_TERMS))
+    agg = [
+        F.coalesce(
+            F.max(F.when(F.col("term") == t, F.col("contrib"))), F.lit(0.0)
+        ).alias(f"__c{i}")
+        for i, t in enumerate(_BM25_TERMS)
+    ]
+    bm = per_term.groupBy("doc_id").agg(*agg)
+    total = F.col("__c0")
+    for i in range(1, len(_BM25_TERMS)):
+        total = total + F.col(f"__c{i}")
+    bm = bm.select("doc_id", F.round(total, 4).alias("bm25"))
+    w_lex = Window.orderBy(F.desc("bm25"), "doc_id")
+    lex = (
+        bm.withColumn("r_lex", F.row_number().over(w_lex).cast("int"))
+        .filter(F.col("r_lex") <= 20)
+        .select("doc_id", "r_lex")
+    )
+
+    emb = table(spark, sf, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__q"), l2_norm("embedding").alias("__qn")
+    )
+    cs = emb.crossJoin(F.broadcast(qv)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            dot(F.col("embedding"), F.col("__q"))
+            / (l2_norm("embedding") * F.col("__qn")),
+            6,
+        ).alias("cos"),
+    )
+    w_sem = Window.orderBy(F.desc("cos"), "doc_id")
+    sem = (
+        cs.withColumn("r_sem", F.row_number().over(w_sem).cast("int"))
+        .filter(F.col("r_sem") <= 20)
+        .select("doc_id", "r_sem")
+    )
+
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "r_lex",
+            "r_sem",
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(60) + F.col("r_lex")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(60) + F.col("r_sem")), F.lit(0.0)
+                ),
+                8,
+            ).alias("rrf"),
+        )
+    )
+    w_f = Window.orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fused.withColumn("rnk", F.row_number().over(w_f).cast("int"))
+        .filter(F.col("rnk") <= 10)
     )

@@ -72,6 +72,8 @@ EXTENSION_QUERIES = [
     "image_ahash_near_dup",
     "corpus_prep_pipeline",
     "seasonal_residual_events",
+    "corpus_health_summary",
+    "hybrid_search_rrf",
 ]
 
 BENCH_QUERIES = [
