@@ -1072,3 +1072,78 @@ def hybrid_search_rrf(spark: SparkSession, sf: str) -> DataFrame:
         fused.withColumn("rnk", F.row_number().over(w_f).cast("int"))
         .filter(F.col("rnk") <= 10)
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split (+ leakage-safe group split)
+# --------------------------------------------------------------------------
+@query(
+    "train_val_test_split_documents",
+    """
+    WITH b AS (SELECT doc_id, lang,
+                      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                           AS BIGINT) % 100 AS bucket
+               FROM documents),
+    s AS (SELECT doc_id, lang,
+                 CASE WHEN bucket < 80 THEN 'train'
+                      WHEN bucket < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM b)
+    SELECT split, lang, CAST(count(*) AS BIGINT) AS n
+    FROM s GROUP BY 1, 2
+    """,
+)
+def train_val_test_split_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """80/10/10 split from the md5 bucket of the document id —
+    deterministic, partitioning-independent, and CONSISTENT across
+    reruns and engines (the hash_sample contract), so a document can
+    never migrate between train and test when the corpus is re-ingested
+    or the cluster layout changes. Returns the per-(split, lang) census
+    — the class-balance check run before every training job."""
+    docs = table(spark, sf, "documents")
+    bucket = S.hash_bucket("doc_id", 100)
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "group_split_events_no_leakage",
+    """
+    WITH s AS (SELECT user_id, event_id, value,
+                      CASE WHEN CAST('0x' || substr(md5(CAST(user_id
+                                                            AS VARCHAR)),
+                                     1, 15) AS BIGINT) % 10 < 8
+                           THEN 'train' ELSE 'holdout' END AS split
+               FROM events)
+    SELECT split, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)
+             AS total_value
+    FROM s GROUP BY split
+    """,
+)
+def group_split_events_no_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    """Group-aware 80/20 split keyed on the USER hash, not the event: all
+    of a user's events land in the same split, so no user's behavior
+    leaks across the train/holdout boundary — the leakage bug group
+    splits exist to prevent. Exact integer cent totals per split."""
+    ev = table(spark, sf, "events")
+    split = F.when(S.hash_bucket("user_id", 10) < 8, "train").otherwise(
+        "holdout"
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (
+        ev.select(split.alias("split"), "user_id", "event_id", cents.alias("c"))
+        .groupBy("split")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("c") / F.lit(100.0), 2).alias("total_value"),
+        )
+    )

@@ -74,6 +74,8 @@ EXTENSION_QUERIES = [
     "seasonal_residual_events",
     "corpus_health_summary",
     "hybrid_search_rrf",
+    "train_val_test_split_documents",
+    "group_split_events_no_leakage",
 ]
 
 BENCH_QUERIES = [
