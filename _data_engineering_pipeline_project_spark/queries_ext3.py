@@ -1147,3 +1147,150 @@ def group_split_events_no_leakage(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.sum("c") / F.lit(100.0), 2).alias("total_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Experiment statistics: two-proportion z-test and chi-square independence
+# --------------------------------------------------------------------------
+@query(
+    "ab_test_conversion_events",
+    """
+    WITH u AS (SELECT user_id,
+                      CASE WHEN CAST('0x' || substr(md5(CAST(user_id
+                                                             AS VARCHAR)),
+                                     1, 15) AS BIGINT) % 2 = 0
+                           THEN 'A' ELSE 'B' END AS grp,
+                      CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                         THEN 1 ELSE 0 END) >= 14
+                           THEN 1 ELSE 0 END AS converted
+               FROM events GROUP BY 1, 2),
+    g AS (SELECT grp, count(*) AS n, sum(converted) AS conv FROM u GROUP BY 1),
+    wide AS (SELECT max(CASE WHEN grp = 'A' THEN n END) AS n_a,
+                    max(CASE WHEN grp = 'A' THEN conv END) AS conv_a,
+                    max(CASE WHEN grp = 'B' THEN n END) AS n_b,
+                    max(CASE WHEN grp = 'B' THEN conv END) AS conv_b
+             FROM g)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+           round(conv_a * 1.0 / n_a, 6) AS p_a,
+           round(conv_b * 1.0 / n_b, 6) AS p_b,
+           round((conv_a * 1.0 / n_a - conv_b * 1.0 / n_b)
+                 / sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                        * (1.0 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
+    FROM wide
+    """,
+)
+def ab_test_conversion_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-proportion z-test over a hash-assigned A/B user split
+    (conversion = ≥14 purchases). The whole statistic is one chain of
+    bigint divisions, multiplies, and one IEEE sqrt — written identically
+    in both engines, so even the z-score matches to 6 digits. Per-user
+    rollup is the only shuffle; the 2-row group table folds driver-free."""
+    ev = table(spark, sf, "events")
+    grp = F.when(S.hash_bucket("user_id", 2) == 0, "A").otherwise("B")
+    u = (
+        ev.groupBy("user_id", grp.alias("grp"))
+        .agg(
+            F.when(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                )
+                >= 14,
+                1,
+            )
+            .otherwise(0)
+            .alias("converted")
+        )
+    )
+    g = u.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = g.agg(
+        F.max(F.when(F.col("grp") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("grp") == "A", F.col("conv"))).alias("conv_a"),
+        F.max(F.when(F.col("grp") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("grp") == "B", F.col("conv"))).alias("conv_b"),
+    )
+    p_a = F.col("conv_a") * F.lit(1.0) / F.col("n_a")
+    p_b = F.col("conv_b") * F.lit(1.0) / F.col("n_b")
+    pooled = (
+        (F.col("conv_a") + F.col("conv_b"))
+        * F.lit(1.0)
+        / (F.col("n_a") + F.col("n_b"))
+    )
+    z = (p_a - p_b) / F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return wide.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+@query(
+    "chi2_lang_source_documents",
+    """
+    WITH o AS (SELECT lang, source, count(*) AS obs
+               FROM documents GROUP BY 1, 2),
+    rt AS (SELECT lang, sum(obs) AS rn FROM o GROUP BY 1),
+    ct AS (SELECT source, sum(obs) AS cn FROM o GROUP BY 1),
+    t AS (SELECT sum(obs) AS n FROM o),
+    cells AS (SELECT o.lang, o.source, o.obs,
+                     rt.rn * ct.cn * 1.0 / t.n AS exp
+              FROM o JOIN rt USING (lang) JOIN ct USING (source), t)
+    SELECT round(sum((obs - exp) * (obs - exp) / exp), 6) AS chi2,
+           CAST((SELECT count(*) - 1 FROM rt)
+                * (SELECT count(*) - 1 FROM ct) AS BIGINT) AS dof,
+           CAST(count(*) AS BIGINT) AS n_cells
+    FROM cells
+    """,
+)
+def chi2_lang_source_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Chi-square independence of language × source — the mixture-design
+    audit that catches a source suddenly skewing toward one language.
+    Observed/marginal counts are exact integers; each cell's (o-e)²/e is
+    the identical float chain in both engines, and the cell sum's
+    accumulation-order ulps wash out in round(6). Three tiny aggregates
+    over one contingency pass."""
+    docs = table(spark, sf, "documents")
+    o = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
+    rt = o.groupBy("lang").agg(F.sum("obs").alias("rn"))
+    ct = o.groupBy("source").agg(F.sum("obs").alias("cn"))
+    t = o.agg(F.sum("obs").alias("n"))
+    cells = (
+        o.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "obs",
+            (F.col("rn") * F.col("cn") * F.lit(1.0) / F.col("n")).alias("exp"),
+        )
+    )
+    dof = (
+        rt.agg(F.count(F.lit(1)).alias("r"))
+        .crossJoin(ct.agg(F.count(F.lit(1)).alias("c")))
+        .select(((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"))
+    )
+    return (
+        cells.agg(
+            F.round(
+                F.sum(
+                    (F.col("obs") - F.col("exp"))
+                    * (F.col("obs") - F.col("exp"))
+                    / F.col("exp")
+                ),
+                6,
+            ).alias("chi2"),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+        .crossJoin(F.broadcast(dof))
+        .select("chi2", "dof", "n_cells")
+    )

@@ -76,6 +76,8 @@ EXTENSION_QUERIES = [
     "hybrid_search_rrf",
     "train_val_test_split_documents",
     "group_split_events_no_leakage",
+    "ab_test_conversion_events",
+    "chi2_lang_source_documents",
 ]
 
 BENCH_QUERIES = [
