@@ -789,7 +789,7 @@ def sig64_band_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
     sig_col: str = "sig",
-    max_hamming: int = 8,
+    max_hamming: int = 3,
     band_bits: int = 16,
     n_bands: int = 4,
 ) -> DataFrame:
@@ -799,6 +799,13 @@ def sig64_band_pairs(
     of each other shares at least one identical band — then verify exact
     Hamming inside buckets only. The generic form of the SimHash text
     path above, shifted UNSIGNED so sign-bit signatures band correctly.
+
+    RECALL CONTRACT: complete only for ``max_hamming ≤ n_bands - 1``
+    (the default). A larger threshold is allowed but probabilistic —
+    pairs whose differing bits spread across every band share no bucket
+    and are missed (the same caveat simhash_near_dup_pairs documents);
+    callers wanting guaranteed recall at distance d must raise
+    ``n_bands`` to at least d+1.
 
     Scale shape: explode ×n_bands, one (band, key) equi-join, popcount
     verify — never a theta join."""

@@ -273,11 +273,13 @@ def bigram_pmi(
             ).alias("pmi"),
         )
     )
+    # TakeOrdered top-N (orderBy+limit = per-partition heaps + driver
+    # merge of top_n rows), then rank only the survivors — a global
+    # row_number window here would single-partition-sort EVERY scored
+    # bigram (unbounded in vocabulary) to extract top_n rows
+    top = scored.orderBy(F.desc("pmi"), "w1", "w2").limit(top_n)
     w_rank = Window.orderBy(F.desc("pmi"), "w1", "w2")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w_rank).cast("int"))
-        .filter(F.col("rnk") <= top_n)
-    )
+    return top.withColumn("rnk", F.row_number().over(w_rank).cast("int"))
 
 
 def hashed_linear_score(

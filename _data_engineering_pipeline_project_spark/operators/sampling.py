@@ -221,9 +221,7 @@ def weighted_sample(
 
     Rows with NULL or non-positive weight are excluded (their inclusion
     probability is undefined)."""
-    h = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
-    ).cast("double")
+    h = md5_hash60(F.col(id_col).cast("string")).cast("double")
     u = (h + F.lit(1.0)) / F.lit(float((1 << 60) + 1))  # (0, 1]
     w = F.col(weight_col).cast("double")
     key = F.round(F.pow(u, F.lit(1.0) / w), round_digits)

@@ -209,7 +209,13 @@ class Scd2Table:
         if os.path.exists(ptr):
             with open(ptr) as f:
                 meta = json.load(f)
+            self._recovered_from_pointer = True
+            # deltas exist only for versions > delta_floor (0 for tables
+            # born on the pointer layout; the pre-upgrade version count
+            # for legacy tables upgraded in place)
+            self._delta_floor = int(meta.get("delta_floor", 0))
             return int(meta["version"]), int(meta.get("history_base", 0))
+        self._recovered_from_pointer = False
         best = 0
         if os.path.isdir(self.base_dir):
             pat = re.compile(r"^snapshot_v(\d+)$")
@@ -219,6 +225,8 @@ class Scd2Table:
                     os.path.join(self.base_dir, name, "_SUCCESS")
                 ):
                     best = max(best, int(m.group(1)))
+        # legacy table: no deltas were ever written for versions <= best
+        self._delta_floor = best
         return best, 0
 
     def _commit(self, version: int, history_base: int | None = None) -> None:
@@ -237,6 +245,7 @@ class Scd2Table:
                         if history_base is None
                         else history_base
                     ),
+                    "delta_floor": getattr(self, "_delta_floor", 0),
                 },
                 f,
             )
@@ -296,19 +305,26 @@ class Scd2Table:
                     "the audit trail was externally deleted"
                 )
             paths.append(base)
+        # the pointer file and per-version delta dirs shipped together: a
+        # table recovered WITHOUT a pointer (pre-pointer layout, version
+        # from the _SUCCESS scan) never wrote deltas — its whole audit
+        # trail is the legacy append dir, and demanding delta_v1..vN here
+        # would wrongly raise for every legacy table (code-review r3)
+        start = max(self._history_base, getattr(self, "_delta_floor", 0)) + 1
         missing = [
             f"{self.history_delta_dir}_v{v}"
-            for v in range(self._history_base + 1, self._version + 1)
+            for v in range(start, self._version + 1)
             if not os.path.exists(f"{self.history_delta_dir}_v{v}")
         ]
         if missing:
             raise FileNotFoundError(
-                "committed history deltas are missing (externally deleted? "
-                f"use vacuum_versions for retention): {missing}"
+                "committed history deltas are missing (externally "
+                "deleted? use vacuum_versions for retention): "
+                f"{missing}"
             )
         paths.extend(
             f"{self.history_delta_dir}_v{v}"
-            for v in range(self._history_base + 1, self._version + 1)
+            for v in range(start, self._version + 1)
         )
         if not paths:
             raise FileNotFoundError("table has no committed history yet")

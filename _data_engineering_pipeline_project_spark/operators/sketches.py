@@ -33,9 +33,12 @@ _HASH_SPACE = float(1 << 60)
 
 
 def _hash60(col) -> "F.Column":
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
-        "long"
+    # single source of truth for the cross-engine-portable construction
+    from _data_engineering_pipeline_project_spark.operators.dedup import (
+        md5_hash60,
     )
+
+    return md5_hash60(col.cast("string"))
 
 
 def kmv_distinct(

@@ -378,7 +378,7 @@ def winsorized_stats_events(spark: SparkSession, sf: str) -> DataFrame:
     WITH t AS (SELECT event_id, event_type, value,
                       ntile(10) OVER (PARTITION BY event_type
                                       ORDER BY value, event_id) AS decile
-               FROM events)
+               FROM events WHERE value IS NOT NULL)
     SELECT event_type, CAST(decile AS INTEGER) AS decile,
            CAST(count(*) AS BIGINT) AS n,
            round(min(value), 2) AS lo, round(max(value), 2) AS hi
@@ -393,7 +393,10 @@ def decile_bins_events(spark: SparkSession, sf: str) -> DataFrame:
     binned-quantile sketch (sketches.py) and assign bins by range."""
     from pyspark.sql import Window
 
-    ev = table(spark, sf, "events")
+    # null values excluded in BOTH engines: Spark windows sort nulls
+    # first, DuckDB NULLS LAST — unfiltered, one null row would shift
+    # every bucket boundary differently per engine (latent parity bug)
+    ev = table(spark, sf, "events").filter(F.col("value").isNotNull())
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     t = ev.select(
         "event_type", "value", F.ntile(10).over(w).alias("decile")
@@ -449,7 +452,7 @@ def rolling_7d_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
     WITH seq AS (SELECT user_id, event_type,
                         lead(event_type) OVER (PARTITION BY user_id
                                                ORDER BY ts, event_id) AS nxt
-                 FROM events),
+                 FROM events WHERE ts IS NOT NULL),
     edges AS (SELECT event_type AS src, nxt AS dst, count(*) AS w
               FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
     outw AS (SELECT src, sum(w) AS wout FROM edges GROUP BY 1),
@@ -492,9 +495,10 @@ def pagerank_event_types(spark: SparkSession, sf: str) -> DataFrame:
 
     from _data_engineering_pipeline_project_spark.operators.graph import pagerank
 
+    # null timestamps excluded in BOTH engines (window null-order differs)
     ev = table(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
+    seq = ev.filter(F.col("ts").isNotNull()).select(
         "event_type", F.lead("event_type").over(w).alias("nxt")
     )
     edges = (
@@ -850,11 +854,11 @@ def seasonal_residual_events(spark: SparkSession, sf: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # TakeOrdered: limit(50) first (per-partition heaps), rank the
+    # survivors — not a global row_number over every event row
+    top = res.orderBy(F.abs(F.col("residual")).desc(), "event_id").limit(50)
     w = Window.orderBy(F.abs(F.col("residual")).desc(), "event_id")
-    return (
-        res.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= 50)
-    )
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))
 
 
 # --------------------------------------------------------------------------
@@ -1024,10 +1028,13 @@ def hybrid_search_rrf(spark: SparkSession, sf: str) -> DataFrame:
     for i in range(1, len(_BM25_TERMS)):
         total = total + F.col(f"__c{i}")
     bm = bm.select("doc_id", F.round(total, 4).alias("bm25"))
+    # TakeOrdered both top-20 lists (limit first, rank the survivors) —
+    # a global row_number would single-partition-sort every scored row
     w_lex = Window.orderBy(F.desc("bm25"), "doc_id")
     lex = (
-        bm.withColumn("r_lex", F.row_number().over(w_lex).cast("int"))
-        .filter(F.col("r_lex") <= 20)
+        bm.orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+        .withColumn("r_lex", F.row_number().over(w_lex).cast("int"))
         .select("doc_id", "r_lex")
     )
 
@@ -1045,8 +1052,9 @@ def hybrid_search_rrf(spark: SparkSession, sf: str) -> DataFrame:
     )
     w_sem = Window.orderBy(F.desc("cos"), "doc_id")
     sem = (
-        cs.withColumn("r_sem", F.row_number().over(w_sem).cast("int"))
-        .filter(F.col("r_sem") <= 20)
+        cs.orderBy(F.desc("cos"), "doc_id")
+        .limit(20)
+        .withColumn("r_sem", F.row_number().over(w_sem).cast("int"))
         .select("doc_id", "r_sem")
     )
 
@@ -1069,8 +1077,9 @@ def hybrid_search_rrf(spark: SparkSession, sf: str) -> DataFrame:
     )
     w_f = Window.orderBy(F.desc("rrf"), "doc_id")
     return (
-        fused.withColumn("rnk", F.row_number().over(w_f).cast("int"))
-        .filter(F.col("rnk") <= 10)
+        fused.orderBy(F.desc("rrf"), "doc_id")
+        .limit(10)
+        .withColumn("rnk", F.row_number().over(w_f).cast("int"))
     )
 
 

@@ -106,6 +106,7 @@ class AggMaintainer:
         if os.path.exists(self._pointer_path()):
             with open(self._pointer_path()) as f:
                 meta = json.load(f)
+            self._checkpoint_token = meta.get("checkpoint_token")
             return int(meta["version"]), meta.get("last_batch_id")
         best = 0
         pat = re.compile(r"^rollup_v(\d+)$")
@@ -120,7 +121,16 @@ class AggMaintainer:
 
         tmp = self._pointer_path() + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"version": version, "last_batch_id": batch_id}, f)
+            json.dump(
+                {
+                    "version": version,
+                    "last_batch_id": batch_id,
+                    "checkpoint_token": getattr(
+                        self, "_checkpoint_token", None
+                    ),
+                },
+                f,
+            )
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self._pointer_path())
@@ -163,6 +173,30 @@ class AggMaintainer:
         self._version = nxt
         self._last_batch_id = batch_id
 
+
+    def bind_checkpoint(self, token: str) -> None:
+        """Guard against a silent streaming-checkpoint reset: foreachBatch
+        ids restart at 0 when the checkpoint dir is recreated, and the
+        last_batch_id watermark would then absorb real data as
+        "redelivery" (code-review r3). The pointer records which
+        checkpoint the watermark belongs to; a DIFFERENT checkpoint must
+        fail loudly — the operator either restores the checkpoint or
+        starts a fresh maintainer base_dir. A maintainer with no recorded
+        token (pre-guard pointer, or direct merge_batch use in tests)
+        adopts the first token offered."""
+        stored = getattr(self, "_checkpoint_token", None)
+        if stored is None:
+            self._checkpoint_token = token
+            return
+        if stored != token:
+            raise ValueError(
+                "streaming checkpoint mismatch: maintainer state was built "
+                f"under checkpoint {stored!r} but this run uses {token!r}; "
+                "batch ids would restart and the redelivery watermark "
+                "would silently drop data. Restore the original "
+                "checkpoint or start a new maintainer base_dir."
+            )
+
     def run_available_now(
         self,
         source_dir: str,
@@ -173,6 +207,9 @@ class AggMaintainer:
         """Drain new files from ``source_dir``, maintaining the rollup.
         The checkpoint makes file discovery incremental: a file merged
         once is never re-aggregated (exactly-once per batch)."""
+        import os as _os
+
+        self.bind_checkpoint(_os.path.abspath(checkpoint_dir))
         stream = (
             self.spark.readStream.format(source_format)
             .schema(schema)

@@ -71,14 +71,53 @@ class DedupMaintainer:
         try:
             with open(self._pointer_path()) as f:
                 meta = json.load(f)
+            self._checkpoint_token = meta.get("checkpoint_token")
             return int(meta["version"]), meta.get("last_batch_id")
         except FileNotFoundError:
-            return 0, None
+            pass
+        # pointer lost (operator error): scan for the highest finished
+        # seen_v* state and the highest finished accepted batch, like the
+        # sibling maintainers — WITHOUT this, a lost pointer silently
+        # resets to version 0 and the next batch re-admits every
+        # previously-seen fingerprint AND clobbers accepted/batch_id=0
+        # (code-review r3). Caveat: if the crash landed exactly between
+        # the batch-output write and the state write, the scan counts the
+        # orphan batch as committed — duplicate-safe (its rows were
+        # content-new) but not byte-identical to the pre-crash commit.
+        best_v = 0
+        pat = re.compile(r"^seen_v(\d+)$")
+        if os.path.isdir(self.base_dir):
+            for name in os.listdir(self.base_dir):
+                m = pat.match(name)
+                if m and os.path.exists(
+                    os.path.join(self.base_dir, name, "_SUCCESS")
+                ):
+                    best_v = max(best_v, int(m.group(1)))
+        best_b: int | None = None
+        bpat = re.compile(r"^batch_id=(\d+)$")
+        if os.path.isdir(self.accepted_dir):
+            for name in os.listdir(self.accepted_dir):
+                m = bpat.match(name)
+                if m and os.path.exists(
+                    os.path.join(self.accepted_dir, name, "_SUCCESS")
+                ):
+                    b = int(m.group(1))
+                    best_b = b if best_b is None else max(best_b, b)
+        return best_v, best_b
 
     def _commit(self, version: int, batch_id: int | None = None) -> None:
         tmp = self._pointer_path() + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"version": version, "last_batch_id": batch_id}, f)
+            json.dump(
+                {
+                    "version": version,
+                    "last_batch_id": batch_id,
+                    "checkpoint_token": getattr(
+                        self, "_checkpoint_token", None
+                    ),
+                },
+                f,
+            )
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self._pointer_path())
@@ -147,6 +186,30 @@ class DedupMaintainer:
         )
         return df.filter(F.col("batch_id") <= F.lit(self._last_batch_id))
 
+
+    def bind_checkpoint(self, token: str) -> None:
+        """Guard against a silent streaming-checkpoint reset: foreachBatch
+        ids restart at 0 when the checkpoint dir is recreated, and the
+        last_batch_id watermark would then absorb real data as
+        "redelivery" (code-review r3). The pointer records which
+        checkpoint the watermark belongs to; a DIFFERENT checkpoint must
+        fail loudly — the operator either restores the checkpoint or
+        starts a fresh maintainer base_dir. A maintainer with no recorded
+        token (pre-guard pointer, or direct merge_batch use in tests)
+        adopts the first token offered."""
+        stored = getattr(self, "_checkpoint_token", None)
+        if stored is None:
+            self._checkpoint_token = token
+            return
+        if stored != token:
+            raise ValueError(
+                "streaming checkpoint mismatch: maintainer state was built "
+                f"under checkpoint {stored!r} but this run uses {token!r}; "
+                "batch ids would restart and the redelivery watermark "
+                "would silently drop data. Restore the original "
+                "checkpoint or start a new maintainer base_dir."
+            )
+
     def run_available_now(
         self,
         source_dir: str,
@@ -155,6 +218,9 @@ class DedupMaintainer:
         source_format: str = "parquet",
     ) -> None:
         """Drain new files from ``source_dir`` through the dedup gate."""
+        import os as _os
+
+        self.bind_checkpoint(_os.path.abspath(checkpoint_dir))
         stream = (
             self.spark.readStream.format(source_format)
             .schema(schema)

@@ -165,6 +165,8 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).count()
         ext_timings[name] = round(time.time() - t0, 3)
+        # evict operator-internal self-join caches between queries
+        spark.catalog.clearCache()
 
     tpch_timings: dict[str, float] = {}
     tpch_total = 0.0

@@ -141,3 +141,39 @@ def test_vacuum_keeps_recent_state(spark, tmp_path):
     # current state still readable; accepted data untouched
     assert m.seen().count() == 4
     assert m.accepted().count() == 4
+
+
+def test_lost_pointer_recovers_from_scan(spark, tmp_path):
+    """Deleting _CURRENT must NOT reset the maintainer to version 0 (which
+    would re-admit every seen fingerprint and clobber batch outputs) —
+    recovery scans seen_v*/_SUCCESS and accepted batch dirs."""
+    base = str(tmp_path / "state")
+    m = DedupMaintainer(spark, base)
+    m.accept_batch(_df(spark, [(1, "a"), (2, "b")]), 0)
+    m.accept_batch(_df(spark, [(3, "c"), (4, "a")]), 1)
+    os.remove(os.path.join(base, "_CURRENT"))
+
+    m2 = DedupMaintainer(spark, base)
+    assert m2.version == 2
+    assert sorted(r.doc_id for r in m2.accepted().collect()) == [1, 2, 3]
+    # and the seen set still rejects old content
+    m2.accept_batch(_df(spark, [(9, "a"), (10, "new")]), 2)
+    assert sorted(r.doc_id for r in m2.accepted().collect()) == [1, 2, 3, 10]
+
+
+def test_checkpoint_reset_fails_loudly(spark, tmp_path):
+    """A different checkpoint dir (ids restarting at 0) must raise, not
+    silently absorb real batches as redelivery."""
+    base = str(tmp_path / "state")
+    m = DedupMaintainer(spark, base)
+    m.bind_checkpoint("/ckpt/one")
+    m.accept_batch(_df(spark, [(1, "a")]), 0)
+
+    m2 = DedupMaintainer(spark, base)
+    m2.bind_checkpoint("/ckpt/one")  # same checkpoint: fine
+    with pytest.raises(ValueError, match="checkpoint mismatch"):
+        m2.bind_checkpoint("/ckpt/two")
+    # pre-guard state (no token recorded) adopts the first offered token
+    os.remove(os.path.join(base, "_CURRENT"))
+    m3 = DedupMaintainer(spark, base)
+    m3.bind_checkpoint("/ckpt/three")  # no raise

@@ -240,3 +240,42 @@ def test_crash_mid_write_reader_sees_previous_version(spark, tmp_path):
     assert w2.version == 2
     assert snap(w2.current())[1][1] == 9.0
     assert w2.history().count() == 1
+
+
+def test_legacy_layout_history_readable_and_upgradable(spark, tmp_path):
+    """A pre-pointer table (snapshot_v* dirs + single append-only
+    'history' dir, NO pointer, NO history_delta_v* dirs) must serve
+    history() from the legacy dir instead of raising missing-delta
+    (code-review r3), and a post-upgrade merge must only expect deltas
+    ABOVE the upgrade point (delta_floor recorded in the new pointer)."""
+    import os
+    import shutil
+
+    d = str(tmp_path / "t")
+    t1 = Scd2Table(spark, d, ["id"])
+    t1.merge(spark.createDataFrame([(1, "a", 1.0)], SCHEMA), T1)
+    t1.merge(spark.createDataFrame([(1, "a", 2.0)], SCHEMA), T2)
+
+    # rewrite the on-disk layout into the pre-pointer shape: move the
+    # delta dirs' contents into a single 'history' append dir, drop both
+    # the deltas and the pointer
+    hist = t1.history().collect()
+    t1.history().write.mode("overwrite").parquet(os.path.join(d, "history"))
+    for v in (1, 2):
+        p = f"{t1.history_delta_dir}_v{v}"
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    os.remove(os.path.join(d, "_CURRENT"))
+
+    t2 = Scd2Table(spark, d, ["id"])
+    assert t2.version == 2
+    assert sorted(r.valid_from for r in t2.history().collect()) == sorted(
+        r.valid_from for r in hist
+    )
+
+    # upgrade in place: a new merge commits a pointer with delta_floor=2
+    t2.merge(spark.createDataFrame([(1, "a", 3.0)], SCHEMA), T3)
+    t3 = Scd2Table(spark, d, ["id"])
+    assert t3.version == 3
+    got = t3.history().count()
+    assert got == len(hist) + 1  # legacy rows + the one new delta

@@ -75,6 +75,11 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
             continue
+        finally:
+            # several operators cache internal frames for self-join reuse
+            # (documented per-site); evict between queries so a 150-query
+            # sweep doesn't accumulate cached partitions
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"ROWS  {name}: {len(spark_rows)} rows (no oracle) "
                   f"[{time.time()-t0:.1f}s]")
