@@ -1303,3 +1303,100 @@ def chi2_lang_source_documents(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(F.broadcast(dof))
         .select("chi2", "dof", "n_cells")
     )
+
+
+# --------------------------------------------------------------------------
+# Top session paths (journey mining)
+# --------------------------------------------------------------------------
+@query(
+    "top_session_paths_events",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+             lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+                 ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                          OR ts > prev_ts + INTERVAL 720 MINUTE
+                     THEN 1 ELSE 0 END AS brk
+      FROM seq
+    ), sess AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id
+                               ORDER BY ts NULLS FIRST, event_id NULLS FIRST
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    ), ranked AS (
+      SELECT user_id, session_no, event_type,
+             row_number() OVER (PARTITION BY user_id, session_no
+                                ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
+               AS step
+      FROM sess
+    ), paths AS (
+      SELECT user_id, session_no,
+             string_agg(event_type, '>' ORDER BY step) AS path
+      FROM ranked WHERE step <= 5 GROUP BY 1, 2
+    ), pc AS (SELECT path, count(*) AS n_sessions FROM paths GROUP BY 1)
+    SELECT path, n_sessions,
+           CAST(row_number() OVER (ORDER BY n_sessions DESC, path)
+                AS INTEGER) AS rnk
+    FROM pc QUALIFY rnk <= 15
+    """,
+)
+def top_session_paths_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-15 session journeys: 12-hour-gap sessionization (the
+    sessionization_events lag+cumsum shape), each session reduced to its
+    first 5 event types joined '>' — the path-mining report behind
+    funnel design. Path strings aggregate with map-side combine; the
+    final ranking is TakeOrdered over distinct paths."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts").over(wo))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (
+                    F.col("ts")
+                    > F.col("prev_ts") + F.expr("INTERVAL 720 MINUTES")
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "session_no",
+            F.sum("brk").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    ranked = sess.withColumn(
+        "step",
+        F.row_number().over(
+            Window.partitionBy("user_id", "session_no").orderBy(
+                "ts", "event_id"
+            )
+        ),
+    ).filter(F.col("step") <= 5)
+    paths = (
+        ranked.groupBy("user_id", "session_no")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("step", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    pc = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    w_rank = Window.orderBy(F.desc("n_sessions"), "path")
+    return (
+        pc.orderBy(F.desc("n_sessions"), "path")
+        .limit(15)
+        .withColumn("rnk", F.row_number().over(w_rank).cast("int"))
+    )

@@ -78,6 +78,7 @@ EXTENSION_QUERIES = [
     "group_split_events_no_leakage",
     "ab_test_conversion_events",
     "chi2_lang_source_documents",
+    "top_session_paths_events",
 ]
 
 BENCH_QUERIES = [
