@@ -1400,3 +1400,91 @@ def top_session_paths_events(spark: SparkSession, sf: str) -> DataFrame:
         .limit(15)
         .withColumn("rnk", F.row_number().over(w_rank).cast("int"))
     )
+
+
+# --------------------------------------------------------------------------
+# CUSUM changepoint detection (integer-exact)
+# --------------------------------------------------------------------------
+@query(
+    "cusum_changepoint_events",
+    """
+    WITH e AS (SELECT event_type, event_id, ts,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events WHERE ts IS NOT NULL),
+    tot AS (SELECT event_type, count(*) AS n, sum(cents) AS total
+            FROM e GROUP BY 1),
+    runs AS (SELECT e.event_type, e.event_id, e.ts,
+                    row_number() OVER w AS k,
+                    sum(e.cents) OVER (PARTITION BY e.event_type
+                                       ORDER BY e.ts NULLS FIRST,
+                                                e.event_id NULLS FIRST
+                                       ROWS UNBOUNDED PRECEDING) AS s_k
+             FROM e WINDOW w AS (PARTITION BY e.event_type
+                                 ORDER BY e.ts NULLS FIRST,
+                                          e.event_id NULLS FIRST)),
+    d AS (SELECT r.event_type, r.event_id, r.ts, r.k,
+                 abs(t.n * r.s_k - r.k * t.total) AS dstat
+          FROM runs r JOIN tot t USING (event_type)),
+    best AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                          ORDER BY dstat DESC, k) AS rnk
+             FROM d)
+    SELECT event_type, event_id, ts, CAST(k AS BIGINT) AS k,
+           CAST(dstat AS BIGINT) AS dstat
+    FROM best WHERE rnk = 1
+    """,
+)
+def cusum_changepoint_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Single most-likely level-shift point per event type via the CUSUM
+    statistic: argmax_k |n·S_k − k·T| (the max deviation of the running
+    sum from the uniform-rate line — the classic offline changepoint
+    score). Every quantity is exact bigint arithmetic on integer cents:
+    no mean, no float, no accumulation-order sensitivity; the running
+    sum is a sequential per-type fold identical in both engines.
+
+    Scale: one per-type window pass (running sum + row index) and a
+    per-type argmax — the window partitions by the group key, so the
+    sequence never leaves its partition; the only global structure is
+    the |types|-row totals broadcast."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events").filter(F.col("ts").isNotNull())
+    e = ev.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    tot = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total")
+    )
+    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    runs = e.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.row_number().over(wo).alias("k"),
+        F.sum("cents")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("s_k"),
+    )
+    d = runs.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "event_id",
+        "ts",
+        "k",
+        F.abs(
+            F.col("n") * F.col("s_k") - F.col("k") * F.col("total")
+        ).alias("dstat"),
+    )
+    wb = Window.partitionBy("event_type").orderBy(F.desc("dstat"), "k")
+    return (
+        d.withColumn("rnk", F.row_number().over(wb))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "event_type",
+            "event_id",
+            "ts",
+            F.col("k").cast("long").alias("k"),
+            "dstat",
+        )
+    )

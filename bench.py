@@ -79,6 +79,7 @@ EXTENSION_QUERIES = [
     "ab_test_conversion_events",
     "chi2_lang_source_documents",
     "top_session_paths_events",
+    "cusum_changepoint_events",
 ]
 
 BENCH_QUERIES = [
