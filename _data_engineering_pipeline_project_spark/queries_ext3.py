@@ -1488,3 +1488,96 @@ def cusum_changepoint_events(spark: SparkSession, sf: str) -> DataFrame:
             "dstat",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Market-basket affinity (co-purchased part pairs, lift-ranked)
+# --------------------------------------------------------------------------
+@query(
+    "market_basket_part_pairs",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM op),
+    pc AS (SELECT l_partkey, count(*) AS n_p FROM op GROUP BY 1),
+    pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                     count(*) AS n_ab
+              FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                                 AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2),
+    scored AS (SELECT p.part_a, p.part_b, p.n_ab, ca.n_p AS n_a,
+                      cb.n_p AS n_b,
+                      round((p.n_ab * 1.0 / n.n_orders)
+                            / ((ca.n_p * 1.0 / n.n_orders)
+                               * (cb.n_p * 1.0 / n.n_orders)), 4) AS lift
+               FROM pairs p JOIN pc ca ON p.part_a = ca.l_partkey
+                            JOIN pc cb ON p.part_b = cb.l_partkey, n
+               WHERE p.n_ab >= 3)
+    SELECT part_a, part_b, n_ab, n_a, n_b, lift,
+           CAST(row_number() OVER (ORDER BY lift DESC, part_a, part_b)
+                AS INTEGER) AS rnk
+    FROM scored QUALIFY rnk <= 25
+    """,
+)
+def market_basket_part_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-25 co-purchased part pairs by lift — market-basket mining.
+    The pair join is keyed on the ORDER (a.orderkey = b.orderkey with
+    part_a < part_b), so the quadratic stage is bounded by basket size
+    (~7 lines/order in TPC-H shape), never all-pairs over parts: at
+    100 TB the fan-out is Σ|basket|², linear in orders. Support counts
+    are exact ints; lift is an identical division chain rounded before
+    the TakeOrdered ranking."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    pc = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_p"))
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(pc.select(F.col("l_partkey").alias("part_a"),
+                                  F.col("n_p").alias("n_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(pc.select(F.col("l_partkey").alias("part_b"),
+                                  F.col("n_p").alias("n_b"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                (F.col("n_ab") * F.lit(1.0) / F.col("n_orders"))
+                / (
+                    (F.col("n_a") * F.lit(1.0) / F.col("n_orders"))
+                    * (F.col("n_b") * F.lit(1.0) / F.col("n_orders"))
+                ),
+                4,
+            ).alias("lift"),
+        )
+    )
+    w_rank = Window.orderBy(F.desc("lift"), "part_a", "part_b")
+    return (
+        scored.orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(25)
+        .withColumn("rnk", F.row_number().over(w_rank).cast("int"))
+    )

@@ -80,6 +80,7 @@ EXTENSION_QUERIES = [
     "chi2_lang_source_documents",
     "top_session_paths_events",
     "cusum_changepoint_events",
+    "market_basket_part_pairs",
 ]
 
 BENCH_QUERIES = [
