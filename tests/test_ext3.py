@@ -616,3 +616,32 @@ def test_sig64_band_pairs_pigeonhole_guarantee(spark):
 
     got = sig64_band_pairs(df, "doc_id", "sig", max_hamming=3).collect()
     assert len(got) == 1 and got[0].hamming == 3
+
+
+def test_cusum_finds_injected_level_shift(spark, tmp_path):
+    import pandas as pd
+
+    # 40 events at 10.00 then 40 at 20.00 → max CUSUM deviation exactly
+    # at the boundary (k=40)
+    vals = [10.0] * 40 + [20.0] * 40
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(80),
+            "ts": pd.date_range("2024-01-01", periods=80, freq="h"),
+            "user_id": 1,
+            "event_type": "t",
+            "value": vals,
+            "props": "{}",
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    from _data_engineering_pipeline_project_spark.queries_ext3 import (
+        cusum_changepoint_events,
+    )
+
+    row = cusum_changepoint_events(spark, str(tmp_path)).collect()[0]
+    assert row.k == 40
+    # D_40 = |n*S_40 - 40*T| = |80*40000 - 40*120000| = 1_600_000
+    assert row.dstat == 1_600_000
