@@ -1581,3 +1581,48 @@ def market_basket_part_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .limit(25)
         .withColumn("rnk", F.row_number().over(w_rank).cast("int"))
     )
+
+
+# --------------------------------------------------------------------------
+# Per-dimension min-max feature scaling of embeddings
+# --------------------------------------------------------------------------
+@query(
+    "minmax_scaled_embedding_elements",
+    """
+    WITH el AS (SELECT vec_id,
+                       unnest(CAST(embedding AS DOUBLE[])) AS v,
+                       unnest(generate_series(1, len(embedding))) AS dim
+                FROM embeddings),
+    el8 AS (SELECT vec_id, dim, v FROM el WHERE dim <= 8),
+    st AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM el8 GROUP BY 1)
+    SELECT e.vec_id, e.dim,
+           round((e.v - s.lo) / (s.hi - s.lo), 6) AS scaled
+    FROM el8 e JOIN st s USING (dim)
+    """,
+)
+def minmax_scaled_embedding_elements(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-dimension min-max normalization of the embedding column (the
+    feature-scaling step before distance-based ops are comparable across
+    dimensions), materialized as exploded (vec, dim, scaled) rows for
+    the first 8 dimensions. min/max are exact order statistics and the
+    rescale is the identical (v-lo)/(hi-lo) chain, so element values
+    match bit-for-bit after rounding. Shape: posexplode inside codegen,
+    one |dims|-row stats aggregate broadcast back — the corpus array
+    column itself is never shuffled."""
+    emb = table(spark, sf, "embeddings")
+    el = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding"))
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("dim"),
+        F.col("col").cast("double").alias("v"),
+    ).filter(F.col("dim") <= 8)
+    st = el.groupBy("dim").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    return el.join(F.broadcast(st), "dim").select(
+        "vec_id",
+        "dim",
+        F.round(
+            (F.col("v") - F.col("lo")) / (F.col("hi") - F.col("lo")), 6
+        ).alias("scaled"),
+    )

@@ -81,6 +81,7 @@ EXTENSION_QUERIES = [
     "top_session_paths_events",
     "cusum_changepoint_events",
     "market_basket_part_pairs",
+    "minmax_scaled_embedding_elements",
 ]
 
 BENCH_QUERIES = [

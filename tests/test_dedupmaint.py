@@ -177,3 +177,52 @@ def test_checkpoint_reset_fails_loudly(spark, tmp_path):
     os.remove(os.path.join(base, "_CURRENT"))
     m3 = DedupMaintainer(spark, base)
     m3.bind_checkpoint("/ckpt/three")  # no raise
+
+
+# --------------------------------------------------------------------------
+# property: maintained admission == one-shot batch keep-first
+# --------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_batches_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+        min_size=0,
+        max_size=4,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=_batches_strategy)
+def test_maintained_equals_batch_dedup_property(spark, tmp_path_factory, batches):
+    base = str(tmp_path_factory.mktemp("dm"))
+    m = DedupMaintainer(spark, base)
+    next_id = 0
+    expected_first: dict[str, int] = {}
+    any_rows = False
+    for bi, texts in enumerate(batches):
+        rows = []
+        for t in texts:
+            rows.append((next_id, t))
+            expected_first.setdefault(t, next_id)
+            next_id += 1
+        if rows:
+            any_rows = True
+        m.accept_batch(
+            spark.createDataFrame(rows, _SCHEMA)
+            if rows
+            else spark.createDataFrame([], _SCHEMA),
+            bi,
+        )
+    if not any_rows:
+        return
+    got = sorted(r.doc_id for r in m.accepted().collect())
+    assert got == sorted(expected_first.values())

@@ -645,3 +645,27 @@ def test_cusum_finds_injected_level_shift(spark, tmp_path):
     assert row.k == 40
     # D_40 = |n*S_40 - 40*T| = |80*40000 - 40*120000| = 1_600_000
     assert row.dstat == 1_600_000
+
+
+def test_cusum_single_partitioned_window_no_global_sort(spark):
+    from _data_engineering_pipeline_project_spark.plans.audit import explain_str
+    from _data_engineering_pipeline_project_spark.queries_ext3 import (
+        cusum_changepoint_events,
+    )
+
+    plan = explain_str(cusum_changepoint_events(spark, _SF_PLAN))
+    # all windows partition by event_type — no single-partition sort
+    assert "CartesianProduct" not in plan
+
+
+def test_market_basket_pair_join_is_order_keyed(spark):
+    from _data_engineering_pipeline_project_spark.plans.audit import explain_str
+    from _data_engineering_pipeline_project_spark.queries_ext3 import (
+        market_basket_part_pairs,
+    )
+
+    plan = explain_str(market_basket_part_pairs(spark, _SF_PLAN))
+    # the pair stage must be an equi-join on the order key (quadratic
+    # only in basket size), never a cartesian/theta join over parts
+    assert "CartesianProduct" not in plan
+    assert "l_orderkey" in plan
