@@ -209,25 +209,37 @@ class Scd2Table:
         if os.path.exists(ptr):
             with open(ptr) as f:
                 meta = json.load(f)
-            self._recovered_from_pointer = True
             # deltas exist only for versions > delta_floor (0 for tables
             # born on the pointer layout; the pre-upgrade version count
             # for legacy tables upgraded in place)
             self._delta_floor = int(meta.get("delta_floor", 0))
             return int(meta["version"]), int(meta.get("history_base", 0))
-        self._recovered_from_pointer = False
-        best = 0
-        if os.path.isdir(self.base_dir):
-            pat = re.compile(r"^snapshot_v(\d+)$")
-            for name in os.listdir(self.base_dir):
-                m = pat.match(name)
-                if m and os.path.exists(
-                    os.path.join(self.base_dir, name, "_SUCCESS")
-                ):
-                    best = max(best, int(m.group(1)))
-        # legacy table: no deltas were ever written for versions <= best
-        self._delta_floor = best
-        return best, 0
+
+        def _scan(prefix: str) -> int:
+            best = 0
+            pat = re.compile(re.escape(prefix) + r"_v(\d+)$")
+            if os.path.isdir(self.base_dir):
+                for name in os.listdir(self.base_dir):
+                    m = pat.match(name)
+                    if m and os.path.exists(
+                        os.path.join(self.base_dir, name, "_SUCCESS")
+                    ):
+                        best = max(best, int(m.group(1)))
+            return best
+
+        best = _scan("snapshot")
+        # Discriminate WHY the pointer is missing (code-review r3 #2):
+        # - pointer-era table whose _CURRENT was deleted: history_delta_v*
+        #   dirs exist on disk → deltas are expected above whatever vacuum
+        #   compacted (highest history_base_v* dir, 0 if none) and
+        #   history() must keep reading them;
+        # - true pre-pointer legacy table: no delta dirs were ever
+        #   written → delta_floor = current version, audit trail lives in
+        #   the legacy append dir only.
+        has_deltas = _scan("history_delta") > 0
+        hb = _scan("history_base")
+        self._delta_floor = hb if has_deltas else best
+        return best, hb
 
     def _commit(self, version: int, history_base: int | None = None) -> None:
         """Atomically advance the pointer: write-temp + ``os.replace``."""

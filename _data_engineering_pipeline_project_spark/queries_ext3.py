@@ -1183,10 +1183,12 @@ def group_split_events_no_leakage(spark: SparkSession, sf: str) -> DataFrame:
            CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
            round(conv_a * 1.0 / n_a, 6) AS p_a,
            round(conv_b * 1.0 / n_b, 6) AS p_b,
-           round((conv_a * 1.0 / n_a - conv_b * 1.0 / n_b)
-                 / sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
-                        * (1.0 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
-                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
+           CASE WHEN conv_a + conv_b > 0
+                 AND conv_a + conv_b < n_a + n_b
+                THEN round((conv_a * 1.0 / n_a - conv_b * 1.0 / n_b)
+                     / sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                            * (1.0 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                            * (1.0 / n_a + 1.0 / n_b)), 6) END AS z_score
     FROM wide
     """,
 )
@@ -1233,6 +1235,14 @@ def ab_test_conversion_events(spark: SparkSession, sf: str) -> DataFrame:
         * (F.lit(1.0) - pooled)
         * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
     )
+    # degenerate experiments (0% or 100% pooled conversion) have a zero
+    # denominator: NULL in both engines rather than Spark-NULL-vs-
+    # DuckDB-NaN divergence
+    conv_tot = F.col("conv_a") + F.col("conv_b")
+    z_guarded = F.when(
+        (conv_tot > 0) & (conv_tot < F.col("n_a") + F.col("n_b")),
+        F.round(z, 6),
+    )
     return wide.select(
         "n_a",
         "conv_a",
@@ -1240,7 +1250,7 @@ def ab_test_conversion_events(spark: SparkSession, sf: str) -> DataFrame:
         "conv_b",
         F.round(p_a, 6).alias("p_a"),
         F.round(p_b, 6).alias("p_b"),
-        F.round(z, 6).alias("z_score"),
+        z_guarded.alias("z_score"),
     )
 
 
@@ -1596,7 +1606,8 @@ def market_basket_part_pairs(spark: SparkSession, sf: str) -> DataFrame:
     el8 AS (SELECT vec_id, dim, v FROM el WHERE dim <= 8),
     st AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM el8 GROUP BY 1)
     SELECT e.vec_id, e.dim,
-           round((e.v - s.lo) / (s.hi - s.lo), 6) AS scaled
+           CASE WHEN s.hi != s.lo
+                THEN round((e.v - s.lo) / (s.hi - s.lo), 6) END AS scaled
     FROM el8 e JOIN st s USING (dim)
     """,
 )
@@ -1619,10 +1630,16 @@ def minmax_scaled_embedding_elements(spark: SparkSession, sf: str) -> DataFrame:
         F.col("col").cast("double").alias("v"),
     ).filter(F.col("dim") <= 8)
     st = el.groupBy("dim").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    # constant dimension: hi == lo gives NULL in both engines (an
+    # unguarded 0.0/0.0 is NULL in Spark's non-ANSI divide but NaN in
+    # DuckDB's IEEE divide — a latent parity break)
     return el.join(F.broadcast(st), "dim").select(
         "vec_id",
         "dim",
-        F.round(
-            (F.col("v") - F.col("lo")) / (F.col("hi") - F.col("lo")), 6
+        F.when(
+            F.col("hi") != F.col("lo"),
+            F.round(
+                (F.col("v") - F.col("lo")) / (F.col("hi") - F.col("lo")), 6
+            ),
         ).alias("scaled"),
     )

@@ -80,10 +80,7 @@ class DedupMaintainer:
         # sibling maintainers — WITHOUT this, a lost pointer silently
         # resets to version 0 and the next batch re-admits every
         # previously-seen fingerprint AND clobbers accepted/batch_id=0
-        # (code-review r3). Caveat: if the crash landed exactly between
-        # the batch-output write and the state write, the scan counts the
-        # orphan batch as committed — duplicate-safe (its rows were
-        # content-new) but not byte-identical to the pre-crash commit.
+        # (code-review r3).
         best_v = 0
         pat = re.compile(r"^seen_v(\d+)$")
         if os.path.isdir(self.base_dir):
@@ -103,6 +100,29 @@ class DedupMaintainer:
                 ):
                     b = int(m.group(1))
                     best_b = b if best_b is None else max(best_b, b)
+        # Orphan discrimination (code-review r3 round 2): a crash between
+        # the batch-output write and the seen-state write leaves the max
+        # accepted/batch_id dir WITHOUT its fingerprints in any seen_v*.
+        # Counting it committed would block its redelivery while leaving a
+        # hole in the seen set — future identical content would be
+        # re-admitted. Invariant of accept_batch: |seen_vN| == total
+        # accepted rows when consistent; if the seen set is short, demote
+        # the max batch to uncommitted so redelivery recomputes it.
+        if best_b is not None:
+            if best_v == 0:
+                best_b = None
+            else:
+                seen_n = self.spark.read.parquet(
+                    f"{self.state_dir}_v{best_v}"
+                ).count()
+                acc_n = (
+                    self.spark.read.option("basePath", self.accepted_dir)
+                    .parquet(self.accepted_dir)
+                    .filter(F.col("batch_id") <= F.lit(best_b))
+                    .count()
+                )
+                if seen_n < acc_n:
+                    best_b = best_b - 1 if best_b > 0 else None
         return best_v, best_b
 
     def _commit(self, version: int, batch_id: int | None = None) -> None:
@@ -210,6 +230,21 @@ class DedupMaintainer:
                 "checkpoint or start a new maintainer base_dir."
             )
 
+    def _guarded_hook(self, checkpoint_dir: str):
+        """foreachBatch wrapper: resolve the checkpoint IDENTITY (the
+        query id in <checkpoint>/metadata — it exists only after the
+        query starts) and bind it before delegating; a recreated
+        checkpoint at the same path gets a new id and fails loudly."""
+        from _data_engineering_pipeline_project_spark.streaming.ckptid import (
+            checkpoint_identity,
+        )
+
+        def hook(batch_df, batch_id):
+            self.bind_checkpoint(checkpoint_identity(checkpoint_dir))
+            self.accept_batch(batch_df, batch_id)
+
+        return hook
+
     def run_available_now(
         self,
         source_dir: str,
@@ -218,16 +253,13 @@ class DedupMaintainer:
         source_format: str = "parquet",
     ) -> None:
         """Drain new files from ``source_dir`` through the dedup gate."""
-        import os as _os
-
-        self.bind_checkpoint(_os.path.abspath(checkpoint_dir))
         stream = (
             self.spark.readStream.format(source_format)
             .schema(schema)
             .load(source_dir)
         )
         q = (
-            stream.writeStream.foreachBatch(self.accept_batch)
+            stream.writeStream.foreachBatch(self._guarded_hook(checkpoint_dir))
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start()

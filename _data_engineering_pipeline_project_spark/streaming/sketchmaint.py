@@ -202,6 +202,21 @@ class KmvMaintainer:
                 "checkpoint or start a new maintainer base_dir."
             )
 
+    def _guarded_hook(self, checkpoint_dir: str):
+        """foreachBatch wrapper: resolve the checkpoint IDENTITY (the
+        query id in <checkpoint>/metadata — it exists only after the
+        query starts) and bind it before delegating; a recreated
+        checkpoint at the same path gets a new id and fails loudly."""
+        from _data_engineering_pipeline_project_spark.streaming.ckptid import (
+            checkpoint_identity,
+        )
+
+        def hook(batch_df, batch_id):
+            self.bind_checkpoint(checkpoint_identity(checkpoint_dir))
+            self.merge_batch(batch_df, batch_id)
+
+        return hook
+
     def run_available_now(
         self,
         source_dir: str,
@@ -211,16 +226,13 @@ class KmvMaintainer:
     ) -> None:
         """Drain new files from ``source_dir``, maintaining the sketch;
         the checkpoint makes file discovery exactly-once per batch."""
-        import os as _os
-
-        self.bind_checkpoint(_os.path.abspath(checkpoint_dir))
         stream = (
             self.spark.readStream.format(source_format)
             .schema(schema)
             .load(source_dir)
         )
         q = (
-            stream.writeStream.foreachBatch(self.merge_batch)
+            stream.writeStream.foreachBatch(self._guarded_hook(checkpoint_dir))
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start()

@@ -226,3 +226,29 @@ def test_maintained_equals_batch_dedup_property(spark, tmp_path_factory, batches
         return
     got = sorted(r.doc_id for r in m.accepted().collect())
     assert got == sorted(expected_first.values())
+
+
+def test_lost_pointer_with_orphan_batch_demotes_it(spark, tmp_path):
+    """Crash wrote accepted/batch_id=1 but NOT seen_v2, then _CURRENT was
+    lost: the scan must demote batch 1 to uncommitted (its fingerprints
+    are missing from the seen set) so redelivery recomputes it —
+    counting it committed would leave a hole that re-admits duplicate
+    content forever."""
+    base = str(tmp_path / "state")
+    m = DedupMaintainer(spark, base)
+    m.accept_batch(_df(spark, [(1, "a")]), 0)
+    # orphan: batch-1 output exists, its seen-state write never happened
+    _df(spark, [(5, "z")]).write.mode("overwrite").parquet(
+        os.path.join(base, "accepted", "batch_id=1")
+    )
+    os.remove(os.path.join(base, "_CURRENT"))
+
+    m2 = DedupMaintainer(spark, base)
+    assert m2.version == 1
+    # orphan demoted: redelivery of batch 1 recomputes and commits it
+    assert m2._already_merged(1) is False
+    m2.accept_batch(_df(spark, [(5, "z"), (6, "a")]), 1)
+    assert sorted(r.doc_id for r in m2.accepted().collect()) == [1, 5]
+    # "z" is now truly in the seen set — later duplicates rejected
+    m2.accept_batch(_df(spark, [(9, "z")]), 2)
+    assert sorted(r.doc_id for r in m2.accepted().collect()) == [1, 5]

@@ -654,8 +654,18 @@ def test_cusum_single_partitioned_window_no_global_sort(spark):
     )
 
     plan = explain_str(cusum_changepoint_events(spark, _SF_PLAN))
-    # all windows partition by event_type — no single-partition sort
     assert "CartesianProduct" not in plan
+    # every window spec must partition by event_type — an empty
+    # partition spec (windowspecdefinition starting with the sort key)
+    # would be the single-partition global sort
+    specs = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition(" in ln
+    ]
+    assert specs, plan
+    for ln in specs:
+        assert "windowspecdefinition(event_type" in ln, ln
 
 
 def test_market_basket_pair_join_is_order_keyed(spark):

@@ -279,3 +279,26 @@ def test_legacy_layout_history_readable_and_upgradable(spark, tmp_path):
     assert t3.version == 3
     got = t3.history().count()
     assert got == len(hist) + 1  # legacy rows + the one new delta
+
+
+def test_pointer_loss_on_delta_era_table_keeps_full_history(spark, tmp_path):
+    """Deleting only _CURRENT from a pointer-era table (deltas intact)
+    must NOT be mistaken for a legacy table: history() keeps reading
+    every delta, and the re-committed pointer must not bake in a bogus
+    delta_floor (code-review r3 round 2)."""
+    import os
+
+    d = str(tmp_path / "t")
+    t1 = Scd2Table(spark, d, ["id"])
+    t1.merge(spark.createDataFrame([(1, "a", 1.0)], SCHEMA), T1)
+    t1.merge(spark.createDataFrame([(1, "a", 2.0)], SCHEMA), T2)
+    full = sorted(r.valid_from for r in t1.history().collect())
+    os.remove(os.path.join(d, "_CURRENT"))
+
+    t2 = Scd2Table(spark, d, ["id"])
+    assert t2.version == 2
+    assert sorted(r.valid_from for r in t2.history().collect()) == full
+    # a merge after recovery re-commits a pointer that still reads all
+    t2.merge(spark.createDataFrame([(1, "a", 3.0)], SCHEMA), T3)
+    t3 = Scd2Table(spark, d, ["id"])
+    assert t3.history().count() == len(full) + 1
