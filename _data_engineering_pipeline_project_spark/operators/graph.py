@@ -68,3 +68,62 @@ def pagerank(
             )
         )
     return ranks.select("node", F.col("r").alias("pagerank"))
+
+
+def hits(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iterations: int = 2,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg), a fixed number of
+    synchronous iterations with MAX-normalization.
+
+    ``edges``: (src, dst, w); ``nodes``: (node,). Each iteration:
+    hub(u) = Σ_out w·auth(v), auth(v) = Σ_in w·hub(u), each vector then
+    divided by its max. Max-normalization replaces the usual L2 norm
+    because max of identical doubles is exact while a sum of squares is
+    accumulation-order-dependent — the same determinism trade the
+    PageRank oracle convention makes (per-node sums still differ in the
+    last ulp between engines; callers round before compare).
+
+    Scale shape per half-iteration: one co-partitioned join of the edge
+    table with the |nodes|-sized score vector and one combined groupBy —
+    the Pregel pattern again; the max is a 1-row broadcast."""
+    auth = nodes.select("node", F.lit(1.0).alias("a"))
+    hub = nodes.select("node", F.lit(1.0).alias("h"))
+    for _ in range(iterations):
+        hub_raw = (
+            edges.join(auth, edges["dst"] == auth["node"])
+            .groupBy("src")
+            .agg(F.sum(F.col("w") * F.col("a")).alias("hs"))
+        )
+        hub = (
+            nodes.join(hub_raw, nodes["node"] == hub_raw["src"], "left")
+            .select("node", F.coalesce(F.col("hs"), F.lit(0.0)).alias("hs"))
+        )
+        hmax = hub.agg(F.max("hs").alias("m"))
+        hub = hub.crossJoin(F.broadcast(hmax)).select(
+            "node",
+            F.when(F.col("m") > 0, F.col("hs") / F.col("m"))
+            .otherwise(F.lit(0.0))
+            .alias("h"),
+        )
+        auth_raw = (
+            edges.join(hub, edges["src"] == hub["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("w") * F.col("h")).alias("as_"))
+        )
+        auth = (
+            nodes.join(auth_raw, nodes["node"] == auth_raw["dst"], "left")
+            .select("node", F.coalesce(F.col("as_"), F.lit(0.0)).alias("as_"))
+        )
+        amax = auth.agg(F.max("as_").alias("m"))
+        auth = auth.crossJoin(F.broadcast(amax)).select(
+            "node",
+            F.when(F.col("m") > 0, F.col("as_") / F.col("m"))
+            .otherwise(F.lit(0.0))
+            .alias("a"),
+        )
+    return hub.join(auth, "node").select(
+        "node", F.col("h").alias("hub"), F.col("a").alias("authority")
+    )

@@ -1643,3 +1643,84 @@ def minmax_scaled_embedding_elements(spark: SparkSession, sf: str) -> DataFrame:
             ),
         ).alias("scaled"),
     )
+
+
+# --------------------------------------------------------------------------
+# HITS hubs/authorities over the transition graph (iterative, unrolled)
+# --------------------------------------------------------------------------
+@query(
+    "hits_event_types",
+    """
+    WITH seq AS (SELECT user_id, event_type, event_id, ts,
+                        lead(event_type) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS nxt
+                 FROM events WHERE ts IS NOT NULL),
+    edges AS (SELECT event_type AS src, nxt AS dst, count(*) AS w
+              FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    nodes AS (SELECT DISTINCT event_type AS node FROM events),
+    h1r AS (SELECT e.src AS node, sum(e.w * 1.0) AS hs
+            FROM edges e GROUP BY 1),
+    h1z AS (SELECT n.node, coalesce(h1r.hs, 0) AS hs
+            FROM nodes n LEFT JOIN h1r ON n.node = h1r.node),
+    h1m AS (SELECT max(hs) AS m FROM h1z),
+    h1 AS (SELECT node, CASE WHEN m > 0 THEN hs / m ELSE 0 END AS h
+           FROM h1z, h1m),
+    a1r AS (SELECT e.dst AS node, sum(e.w * h1.h) AS as_
+            FROM edges e JOIN h1 ON e.src = h1.node GROUP BY 1),
+    a1z AS (SELECT n.node, coalesce(a1r.as_, 0) AS as_
+            FROM nodes n LEFT JOIN a1r ON n.node = a1r.node),
+    a1m AS (SELECT max(as_) AS m FROM a1z),
+    a1 AS (SELECT node, CASE WHEN m > 0 THEN as_ / m ELSE 0 END AS a
+           FROM a1z, a1m),
+    h2r AS (SELECT e.src AS node, sum(e.w * a1.a) AS hs
+            FROM edges e JOIN a1 ON e.dst = a1.node GROUP BY 1),
+    h2z AS (SELECT n.node, coalesce(h2r.hs, 0) AS hs
+            FROM nodes n LEFT JOIN h2r ON n.node = h2r.node),
+    h2m AS (SELECT max(hs) AS m FROM h2z),
+    h2 AS (SELECT node, CASE WHEN m > 0 THEN hs / m ELSE 0 END AS h
+           FROM h2z, h2m),
+    a2r AS (SELECT e.dst AS node, sum(e.w * h2.h) AS as_
+            FROM edges e JOIN h2 ON e.src = h2.node GROUP BY 1),
+    a2z AS (SELECT n.node, coalesce(a2r.as_, 0) AS as_
+            FROM nodes n LEFT JOIN a2r ON n.node = a2r.node),
+    a2m AS (SELECT max(as_) AS m FROM a2z),
+    a2 AS (SELECT node, CASE WHEN m > 0 THEN as_ / m ELSE 0 END AS a
+           FROM a2z, a2m)
+    SELECT h2.node AS event_type, round(h2.h, 8) AS hub,
+           round(a2.a, 8) AS authority
+    FROM h2 JOIN a2 ON h2.node = a2.node
+    """,
+)
+def hits_event_types(spark: SparkSession, sf: str) -> DataFrame:
+    """2-iteration HITS over the event-type transition graph — the
+    hub/authority decomposition of session flow (hubs originate
+    transitions, authorities receive them). Iterations unrolled into
+    oracle CTEs like the PageRank/Lloyd-IVF convention; MAX-normalized
+    between half-steps because max is exact where an L2 norm would be
+    accumulation-order-dependent. NOTE the oracle's first hub step
+    mirrors a=1 exactly as sum(w * 1.0).
+
+    The graph operator itself (operators/graph.py::hits) is generic; at
+    web scale the same joins co-partition edge and score tables on the
+    node key — hub/authority for domains in a crawl graph."""
+    from pyspark.sql import Window
+
+    from _data_engineering_pipeline_project_spark.operators.graph import hits
+
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.filter(F.col("ts").isNotNull()).select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    )
+    edges = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    scores = hits(edges, nodes, iterations=2)
+    return scores.select(
+        F.col("node").alias("event_type"),
+        F.round(F.col("hub"), 8).alias("hub"),
+        F.round(F.col("authority"), 8).alias("authority"),
+    )

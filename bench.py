@@ -82,6 +82,7 @@ EXTENSION_QUERIES = [
     "cusum_changepoint_events",
     "market_basket_part_pairs",
     "minmax_scaled_embedding_elements",
+    "hits_event_types",
 ]
 
 BENCH_QUERIES = [

@@ -679,3 +679,19 @@ def test_market_basket_pair_join_is_order_keyed(spark):
     # only in basket size), never a cartesian/theta join over parts
     assert "CartesianProduct" not in plan
     assert "l_orderkey" in plan
+
+
+def test_hits_star_graph_hub_vs_authority(spark):
+    from _data_engineering_pipeline_project_spark.operators.graph import hits
+
+    # star: h -> x, h -> y (h is the only hub; x,y are pure authorities)
+    edges = spark.createDataFrame(
+        [("h", "x", 1), ("h", "y", 2)], "src string, dst string, w long"
+    )
+    nodes = spark.createDataFrame([("h",), ("x",), ("y",)], "node string")
+    r = {row.node: row for row in hits(edges, nodes, 2).collect()}
+    assert r["h"].hub == 1.0  # max-normalized top hub
+    assert r["h"].authority == 0.0  # nothing points at h
+    assert r["x"].hub == 0.0 and r["y"].hub == 0.0
+    assert r["y"].authority == 1.0  # heavier edge wins the max
+    assert 0 < r["x"].authority < 1
