@@ -1724,3 +1724,216 @@ def hits_event_types(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("hub"), 8).alias("hub"),
         F.round(F.col("authority"), 8).alias("authority"),
     )
+
+
+# --------------------------------------------------------------------------
+# RAG retrieval pipeline: chunk → embed → dual-rank → RRF fuse
+# --------------------------------------------------------------------------
+def _sign_projection_q(terms: tuple[str, ...], dims: int = 8) -> list[int]:
+    """Query-bag embedding under the same md5 sign projection the chunk
+    side uses — computed with hashlib (bit-identical to both engines'
+    md5) and inlined as integer literals."""
+    import hashlib
+
+    out = []
+    for j in range(dims):
+        s = 0
+        for t in terms:
+            h = hashlib.md5(f"{t}:{j}".encode()).hexdigest()[14]
+            s += -1 if h in "13579bdf" else 1
+        out.append(s)
+    return out
+
+
+_RAG_Q = _sign_projection_q(_BM25_TERMS)
+_RAG_NQ2 = sum(x * x for x in _RAG_Q)
+
+_RAG_EMB_SQL = ",\n".join(
+    f"           sum(CASE WHEN strpos('13579bdf', substr(md5(term || ':{j}'),"
+    f" 15, 1)) > 0 THEN -1 ELSE 1 END) AS v{j}"
+    for j in range(8)
+)
+_RAG_DOT_SQL = " + ".join(f"v{j} * ({_RAG_Q[j]})" for j in range(8))
+_RAG_N2_SQL = " + ".join(f"v{j} * v{j}" for j in range(8))
+
+
+@query(
+    "rag_retrieval_pipeline",
+    rf"""
+    WITH chunks AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+             substr(text, i * 120 + 1, 120) AS chunk,
+             doc_id * 1000 + i AS cid
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(0,
+                      CAST(ceil(greatest(length(text), 1) / 120.0)
+                           AS INTEGER) - 1)) AS i)
+      WHERE length(text) > 0),
+    tok AS (SELECT cid, unnest(string_split_regex(trim(lower(chunk)),
+                                                  '\s+')) AS term
+            FROM chunks),
+    tok2 AS (SELECT cid, term FROM tok WHERE length(term) > 0),
+    emb AS (SELECT cid,
+{_RAG_EMB_SQL}
+            FROM tok2 GROUP BY cid),
+    sem0 AS (SELECT cid, ({_RAG_DOT_SQL}) AS dot, ({_RAG_N2_SQL}) AS n2
+             FROM emb),
+    semscore AS (SELECT cid,
+                        CASE WHEN n2 > 0
+                             THEN round(dot / (sqrt(n2)
+                                  * sqrt(CAST({_RAG_NQ2} AS DOUBLE))), 6)
+                        END AS cos
+                 FROM sem0),
+    sem AS (SELECT cid, CAST(row_number() OVER (ORDER BY cos DESC, cid)
+                             AS INTEGER) AS r_sem
+            FROM semscore WHERE cos IS NOT NULL QUALIFY r_sem <= 20),
+    dlc AS (SELECT cid, CAST(len(string_split_regex(trim(chunk), '\s+'))
+                             AS INTEGER) AS dl
+            FROM chunks),
+    scal AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dlc),
+    tfq AS (SELECT cid, term, count(*) AS tf FROM tok2
+            WHERE term IN ('table', 'value', 'fast') GROUP BY 1, 2),
+    dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY 1),
+    contrib AS (
+      SELECT tfq.cid, tfq.term,
+             ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * 2.2)
+               / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS c
+      FROM tfq JOIN dfq USING (term) JOIN dlc USING (cid), scal),
+    bm AS (SELECT cid,
+                  round(coalesce(max(CASE WHEN term = 'table' THEN c END), 0)
+                        + coalesce(max(CASE WHEN term = 'value' THEN c END), 0)
+                        + coalesce(max(CASE WHEN term = 'fast' THEN c END), 0),
+                        4) AS bm25
+           FROM contrib GROUP BY cid),
+    lex AS (SELECT cid, CAST(row_number() OVER (ORDER BY bm25 DESC, cid)
+                             AS INTEGER) AS r_lex
+            FROM bm QUALIFY r_lex <= 20),
+    fused AS (
+      SELECT coalesce(lex.cid, sem.cid) AS cid, r_lex, r_sem,
+             round(coalesce(CAST(1.0 AS DOUBLE) / (60 + r_lex), 0)
+                   + coalesce(CAST(1.0 AS DOUBLE) / (60 + r_sem), 0), 8)
+               AS rrf
+      FROM lex FULL OUTER JOIN sem ON lex.cid = sem.cid)
+    SELECT cid, CAST(cid // 1000 AS BIGINT) AS doc_id,
+           CAST(cid % 1000 AS INTEGER) AS chunk_idx, r_lex, r_sem, rrf,
+           CAST(row_number() OVER (ORDER BY rrf DESC, cid) AS INTEGER) AS rnk
+    FROM fused QUALIFY rnk <= 10
+    """,
+)
+def rag_retrieval_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The retrieval half of a RAG stack, end-to-end in one plan:
+    context-window chunking (codegen substring, zero shuffle) →
+    deterministic sign-projection chunk embeddings (8 integer md5-sign
+    sums — the random-projection shape with reproducible randomness) →
+    dual ranking (exact-integer cosine against the embedded query bag;
+    chunk-level BM25 postings) → reciprocal-rank fusion → top-10 chunks.
+
+    Every stage follows an oracle-proven convention (chunk oracle from
+    chunk_documents_overlap, sign construction from the LSH hyperplanes,
+    BM25 fixed-order combine, RRF from hybrid_search_rrf), and the
+    integer embeddings make even the cosine EXACT — the whole pipeline
+    is one hash-checkable query. Scale: chunks never leave their scan
+    partition until the two tiny top-20 rankings."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf, "documents")
+    chunks = C.chunk_documents(docs, chunk_chars=120, overlap=0).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("cid"),
+        "chunk",
+    )
+    toks = (
+        chunks.select(
+            "cid",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("chunk"))), r"\s+")
+            ).alias("term"),
+        )
+        .filter(F.length("term") > 0)
+    )
+    sign_cols = [
+        F.sum(
+            F.when(
+                F.substring(
+                    F.md5(F.concat(F.col("term"), F.lit(f":{j}"))), 15, 1
+                ).isin(*list("13579bdf")),
+                -1,
+            ).otherwise(1)
+        ).alias(f"v{j}")
+        for j in range(8)
+    ]
+    emb = toks.groupBy("cid").agg(*sign_cols)
+    dot = sum(
+        (F.col(f"v{j}") * F.lit(_RAG_Q[j]) for j in range(1, 8)),
+        F.col("v0") * F.lit(_RAG_Q[0]),
+    )
+    n2 = sum(
+        (F.col(f"v{j}") * F.col(f"v{j}") for j in range(1, 8)),
+        F.col("v0") * F.col("v0"),
+    )
+    semscore = emb.select(
+        "cid",
+        F.when(
+            n2 > 0,
+            F.round(
+                dot / (F.sqrt(n2) * F.sqrt(F.lit(float(_RAG_NQ2)))), 6
+            ),
+        ).alias("cos"),
+    ).filter(F.col("cos").isNotNull())
+    w_sem = Window.orderBy(F.desc("cos"), "cid")
+    sem = (
+        semscore.orderBy(F.desc("cos"), "cid")
+        .limit(20)
+        .withColumn("r_sem", F.row_number().over(w_sem).cast("int"))
+        .select("cid", "r_sem")
+    )
+
+    per_term = R.bm25_per_term_contrib(
+        chunks, list(_BM25_TERMS), text_col="chunk", id_col="cid"
+    )
+    agg = [
+        F.coalesce(
+            F.max(F.when(F.col("term") == t, F.col("contrib"))), F.lit(0.0)
+        ).alias(f"__c{i}")
+        for i, t in enumerate(_BM25_TERMS)
+    ]
+    bm = per_term.groupBy("cid").agg(*agg)
+    total = F.col("__c0")
+    for i in range(1, len(_BM25_TERMS)):
+        total = total + F.col(f"__c{i}")
+    bm = bm.select("cid", F.round(total, 4).alias("bm25"))
+    w_lex = Window.orderBy(F.desc("bm25"), "cid")
+    lex = (
+        bm.orderBy(F.desc("bm25"), "cid")
+        .limit(20)
+        .withColumn("r_lex", F.row_number().over(w_lex).cast("int"))
+        .select("cid", "r_lex")
+    )
+
+    fused = lex.join(sem, "cid", "full_outer").select(
+        "cid",
+        "r_lex",
+        "r_sem",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(60) + F.col("r_sem")), F.lit(0.0)
+            ),
+            8,
+        ).alias("rrf"),
+    )
+    w_f = Window.orderBy(F.desc("rrf"), "cid")
+    return (
+        fused.orderBy(F.desc("rrf"), "cid")
+        .limit(10)
+        .withColumn("rnk", F.row_number().over(w_f).cast("int"))
+        .select(
+            "cid",
+            F.expr("cid div 1000").alias("doc_id"),
+            (F.col("cid") % 1000).cast("int").alias("chunk_idx"),
+            "r_lex",
+            "r_sem",
+            "rrf",
+            "rnk",
+        )
+    )

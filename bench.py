@@ -83,6 +83,7 @@ EXTENSION_QUERIES = [
     "market_basket_part_pairs",
     "minmax_scaled_embedding_elements",
     "hits_event_types",
+    "rag_retrieval_pipeline",
 ]
 
 BENCH_QUERIES = [
