@@ -252,3 +252,48 @@ def test_lost_pointer_with_orphan_batch_demotes_it(spark, tmp_path):
     # "z" is now truly in the seen set — later duplicates rejected
     m2.accept_batch(_df(spark, [(9, "z")]), 2)
     assert sorted(r.doc_id for r in m2.accepted().collect()) == [1, 5]
+
+
+def test_checkpoint_recreated_at_same_path_fails_loudly(spark, tmp_path):
+    """The guard must key on the checkpoint IDENTITY (query id in
+    <ckpt>/metadata), not the path: rm -rf + recreate at the SAME path
+    gives a fresh id, restarts batch ids at 0, and must raise instead of
+    silently absorbing new batches as redelivery."""
+    import glob
+    import shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def land(rows, name):
+        staging = str(tmp_path / "staging" / name)
+        _df(spark, rows).coalesce(1).write.mode("overwrite").parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    land([(1, "one")], "f1")
+    base = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    m = DedupMaintainer(spark, base)
+    m.run_available_now(str(src), schema, ckpt)
+    assert m.accepted().count() == 1
+
+    # the reset: same path, fresh checkpoint → fresh query id, ids at 0
+    shutil.rmtree(ckpt)
+    land([(2, "two")], "f2")
+    m2 = DedupMaintainer(spark, base)
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="checkpoint mismatch"):
+        m2.run_available_now(str(src), schema, ckpt)
+    # state untouched by the refused run
+    m3 = DedupMaintainer(spark, base)
+    assert m3.accepted().count() == 1
