@@ -606,25 +606,41 @@ def topk_cosine_lsh(
 
 
 def quantize_int8(
-    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    amax_df: DataFrame | None = None,
 ) -> DataFrame:
     """Scalar int8 quantization of an embedding column: global symmetric
     scale = max(|x|)/127, each component rounded to [-127, 127] — a 4×
     memory/IO cut for a 100 TB embedding store (float32 → int8), the
     standard first rung before PQ/OPQ.
 
+    ``amax_df`` lets callers quantize against an EXTERNAL codebook (a
+    1-row (__amax) frame) — required whenever two frames must live in
+    the same quantized space: queries scored against a quantized corpus
+    MUST use the corpus scale, or each side rounds against its own max
+    and identical vectors get different codes (the bug this parameter
+    fixed: separate scales happened to coincide at one test scale and
+    diverged at another). Out-of-codebook components (|x| > amax) are
+    the caller's concern.
+
     Plan: one aggregate computes the global max-abs (broadcast back as a
     1-row cross join), one projection quantizes via transform() —
     all JVM-side, no shuffle beyond the scalar agg. Returns
     (id, qvec array<tinyint>, scale double); dequantize ≈ qvec * scale."""
-    amax = df.select(
-        F.max(
-            F.aggregate(
-                F.transform(vec_col, lambda x: F.abs(x)),
-                F.lit(0.0),
-                lambda acc, x: F.greatest(acc, x),
-            )
-        ).alias("__amax")
+    amax = (
+        amax_df
+        if amax_df is not None
+        else df.select(
+            F.max(
+                F.aggregate(
+                    F.transform(vec_col, lambda x: F.abs(x)),
+                    F.lit(0.0),
+                    lambda acc, x: F.greatest(acc, x),
+                )
+            ).alias("__amax")
+        )
     )
     return (
         df.crossJoin(F.broadcast(amax))
@@ -651,9 +667,24 @@ def topk_cosine_quantized(
     the float path (broadcast queries, scored scan, per-query window) but
     the corpus side reads 4× fewer bytes. Symmetric quantization
     preserves cosine ORDER well (test pins recall vs the exact path);
-    scale factors cancel in the cosine ratio."""
-    qz = quantize_int8(corpus, id_col, vec_col)
-    qq = quantize_int8(queries, id_col, vec_col).select(
+    scale factors cancel in the cosine ratio.
+
+    Queries are quantized against the CORPUS codebook (one shared
+    scale): quantizing each side against its own max gives identical
+    vectors different codes whenever the two maxes differ."""
+    corpus_amax = corpus.select(
+        F.max(
+            F.aggregate(
+                F.transform(vec_col, lambda x: F.abs(x)),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            )
+        ).alias("__amax")
+    )
+    qz = quantize_int8(corpus, id_col, vec_col, amax_df=corpus_amax)
+    qq = quantize_int8(
+        queries, id_col, vec_col, amax_df=corpus_amax
+    ).select(
         F.col(id_col).alias(query_id_col), F.col("qvec").alias("__qvec")
     )
     # int dot products / int norms — exact integer math until the ratio
