@@ -1,0 +1,755 @@
+"""Round-3 extension queries: the governance / modeling layer a
+production pipeline puts on top of the ingest+curation engine —
+declarative expectation suites (the reference's quality checker
+re-shaped from one-scan-per-check to one-scan-per-suite), corpus LM
+quality scoring (CCNet-style perplexity filtering), closed-form trend
+regression, Pareto-frontier (skyline) selection, Kaplan-Meier survival,
+graph triangle counting / clustering coefficient, golden-record
+survivorship (MDM consolidation), multi-touch attribution, and
+HyperLogLog mergeable-sketch rollups.
+
+Cross-engine parity conventions (same as queries.py / queries_ext3.py):
+- integer arithmetic end-to-end where possible; a single final division
+  produces the only compared double;
+- transcendental outputs (ln/exp) go through a fixed-point bigint stage
+  (``floor(ln(x)*1e6)``) so SUMS are exact-integer and only the per-term
+  libm call relies on IEEE parity, then round before compare;
+- float sums that cannot be fixed-pointed (credit fractions, ltv) are
+  rounded at 2-4 dp, far above accumulation-order noise;
+- window tie-breaks always include a unique key (event_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from _data_engineering_pipeline_project_spark.catalog import table
+from _data_engineering_pipeline_project_spark.operators import expectations as E
+from _data_engineering_pipeline_project_spark.operators import skyline as SK
+from _data_engineering_pipeline_project_spark.operators import textstats as TS
+from _data_engineering_pipeline_project_spark.queries import query
+
+
+# --------------------------------------------------------------------------
+# Declarative expectation suite — the data-contract runner
+# --------------------------------------------------------------------------
+@query(
+    "expectations_suite_orders",
+    """
+    WITH s AS (
+      SELECT count(*) AS n_rows,
+        CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS e0,
+        CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS e1,
+        CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS e2,
+        CAST(sum(CASE WHEN NOT (o_orderstatus IN ('O','F','P'))
+                 THEN 1 ELSE 0 END) AS BIGINT) AS e3,
+        CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS e4,
+        CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+                   OR o_orderdate > TIMESTAMP '2002-01-01'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS e5,
+        CAST(sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS e6
+      FROM orders)
+    SELECT expectation, n_rows, n_violations, n_violations = 0 AS passed
+    FROM (
+      SELECT 'pk_not_null' AS expectation, n_rows, e0 AS n_violations FROM s
+      UNION ALL SELECT 'pk_unique', n_rows, e1 FROM s
+      UNION ALL SELECT 'custkey_not_null', n_rows, e2 FROM s
+      UNION ALL SELECT 'status_in_set', n_rows, e3 FROM s
+      UNION ALL SELECT 'price_positive', n_rows, e4 FROM s
+      UNION ALL SELECT 'orderdate_in_range', n_rows, e5 FROM s
+      UNION ALL SELECT 'priority_format', n_rows, e6 FROM s)
+    """,
+)
+def expectations_suite_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-contract suite over orders, ONE scan for all seven checks.
+
+    The reference's quality checker (data_quality_checker.py) runs each
+    validation as a separate full-table pandas pass; the suite here
+    compiles every check into one partial-aggregated scan
+    (operators/expectations.py) — the shuffle moves one row per
+    partition, and adding a check adds a column to that row, not a scan.
+    The NOT IN / NOT regexp forms match the oracle's CASE semantics
+    exactly (NULL input -> not counted; nullability is its own check).
+    """
+    o = table(spark, sf, "orders")
+    suite = [
+        E.not_null("pk_not_null", "o_orderkey"),
+        E.unique("pk_unique", "o_orderkey"),
+        E.not_null("custkey_not_null", "o_custkey"),
+        E.in_set("status_in_set", "o_orderstatus", ["O", "F", "P"]),
+        E.positive("price_positive", "o_totalprice"),
+        E.in_range(
+            "orderdate_in_range",
+            "o_orderdate",
+            "1992-01-01 00:00:00",
+            "2002-01-01 00:00:00",
+        ),
+        E.matches("priority_format", "o_orderpriority", "^[1-5]-"),
+    ]
+    return E.run_expectations(o, suite)
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM corpus quality scoring (CCNet-style perplexity filter)
+# --------------------------------------------------------------------------
+_LM_CTES = r"""
+    tok AS (SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+            FROM documents),
+    tk AS (SELECT doc_id, term FROM tok WHERE length(term) > 0),
+    vocab AS (SELECT term, count(*) AS c FROM tk GROUP BY term),
+    tot AS (SELECT count(*) AS total,
+                   (SELECT count(*) FROM vocab) AS v
+            FROM tk),
+    lp AS (SELECT term,
+                  CAST(floor(ln((c + 1) / CAST(total + v AS DOUBLE)) * 1000000)
+                       AS BIGINT) AS lp_fp
+           FROM vocab, tot)
+"""
+
+
+@query(
+    "unigram_lm_quality_documents",
+    f"""
+    WITH {_LM_CTES},
+    doc AS (SELECT t.doc_id, count(*) AS n_tokens, sum(lp.lp_fp) AS s
+            FROM tk t JOIN lp USING (term) GROUP BY t.doc_id)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(-s / (1000000.0 * n_tokens), 6) AS nll_per_token
+    FROM doc
+    """,
+)
+def unigram_lm_quality_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style LM quality score: train an add-1-smoothed unigram LM
+    on the corpus itself, score every document by negative log-likelihood
+    per token (low = in-distribution/fluent, high = outlier/garbage —
+    the cut axis of perplexity-based corpus filters).
+
+    Scale shape: one token-keyed groupBy builds the vocab (Zipf-skewed
+    but partial-aggregated map-side, so hot terms combine before the
+    shuffle); the scoring join is tokens⋈vocab on term — the vocab side
+    is one row per distinct term, so the hash build is small relative to
+    the corpus and the probe is a single pass. Fixed-point trick: each
+    term's log-prob becomes ``floor(ln(p)*1e6)`` ONCE per vocab entry;
+    per-document sums are then exact bigint arithmetic — no
+    accumulation-order drift across 32 (or 10,000) partitions.
+    """
+    d = table(spark, sf, "documents")
+    tk = d.select(
+        "doc_id", F.explode(TS.tokens("text")).alias("term")
+    ).filter(F.length("term") > 0)
+    vocab = tk.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("v")
+    )
+    lp = vocab.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.floor(
+            F.ln(
+                (F.col("c") + F.lit(1))
+                / (F.col("total") + F.col("v")).cast("double")
+            )
+            * F.lit(1000000)
+        )
+        .cast("bigint")
+        .alias("lp_fp"),
+    )
+    doc = tk.join(lp, "term").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.sum("lp_fp").alias("s")
+    )
+    return doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(
+            -F.col("s") / (F.lit(1000000.0) * F.col("n_tokens")), 6
+        ).alias("nll_per_token"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Closed-form OLS trend per daily series
+# --------------------------------------------------------------------------
+@query(
+    "ols_trend_events_daily",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    d0 AS (SELECT min(day) AS day0 FROM daily),
+    xy AS (SELECT event_type,
+                  CAST(date_diff('day', day0, day) AS BIGINT) AS x,
+                  CAST(y AS BIGINT) AS y
+           FROM daily, d0),
+    s AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+          FROM xy GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (n * sxx - sx * sx), 6) AS slope,
+           round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                 / (n * sxx - sx * sx), 6) AS intercept,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN NULL
+                ELSE round((CAST(n * sxy - sx * sy AS DOUBLE)
+                            * (n * sxy - sx * sy))
+                           / (CAST(n * sxx - sx * sx AS DOUBLE)
+                              * (n * syy - sy * sy)), 6)
+           END AS r2
+    FROM s
+    """,
+)
+def ols_trend_events_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-series linear trend via the closed-form least-squares
+    estimator — slope, intercept, R² of daily event counts against a day
+    index. The whole regression is five integer sums per group (one
+    partial-aggregated shuffle on event_type); slope and intercept are
+    each a ratio of exact bigints, so the only doubles compared are two
+    identical final divisions. This is the drift detector you run over
+    every metric series in a pipeline health dashboard — no fitting
+    loop, no driver collect, trivially parallel across millions of
+    series at 100 TB because each series is one aggregation group.
+    """
+    ev = table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    d0 = daily.agg(F.min("day").alias("day0"))
+    xy = daily.crossJoin(F.broadcast(d0)).select(
+        "event_type",
+        F.datediff(F.col("day"), F.col("day0")).cast("bigint").alias("x"),
+        F.col("y").cast("bigint").alias("y"),
+    )
+    s = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(num.cast("double") / dx, 6).alias("slope"),
+        F.round(
+            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast(
+                "double"
+            )
+            / dx,
+            6,
+        ).alias("intercept"),
+        F.when(dx * dy == 0, F.lit(None).cast("double"))
+        .otherwise(F.round((num.cast("double") * num) / (dx.cast("double") * dy), 6))
+        .alias("r2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Pareto frontier (skyline) — sort-based, no all-pairs dominance join
+# --------------------------------------------------------------------------
+@query(
+    "pareto_frontier_parts",
+    """
+    SELECT a.p_partkey, a.p_name, a.p_retailprice, a.p_size
+    FROM part a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+    """,
+)
+def pareto_frontier_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Skyline of parts under (minimize retail price, maximize size):
+    the catalog rows no buyer can strictly improve on. The oracle states
+    the textbook NOT-EXISTS dominance predicate; the Spark plan is the
+    sort-based 2-D skyline (operators/skyline.py) — groupBy(price).max(
+    size), a running max over the distinct-price frame, and a hash join
+    back. No theta join: cost is one shuffle on price + one broadcast
+    join, vs the O(n²) dominance join the SQL literally describes.
+    """
+    p = table(spark, sf, "part")
+    return SK.pareto_frontier_min_max(
+        p.select("p_partkey", "p_name", "p_retailprice", "p_size"),
+        "p_retailprice",
+        "p_size",
+    )
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier survival: time-to-first-purchase
+# --------------------------------------------------------------------------
+@query(
+    "kaplan_meier_conversion_events",
+    """
+    WITH u AS (
+      SELECT user_id, min(epoch_us(ts)) AS first_us,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS purch_us,
+             max(epoch_us(ts)) AS last_us
+      FROM events GROUP BY user_id),
+    lif AS (
+      SELECT user_id,
+             CASE WHEN purch_us IS NOT NULL
+                  THEN (purch_us - first_us) // 3600000000
+                  ELSE (last_us - first_us) // 3600000000 END AS t_hours,
+             CASE WHEN purch_us IS NOT NULL THEN 0 ELSE 1 END AS censored
+      FROM u),
+    tot AS (SELECT count(*) AS n0 FROM lif),
+    byd AS (SELECT t_hours, CAST(sum(1 - censored) AS BIGINT) AS d,
+                   CAST(sum(censored) AS BIGINT) AS c
+            FROM lif GROUP BY t_hours),
+    km AS (
+      SELECT t_hours, d, c,
+             n0 - coalesce(sum(d + c) OVER (ORDER BY t_hours
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM byd, tot),
+    fp AS (
+      SELECT t_hours, d, c, n_risk,
+             CASE WHEN d = 0 THEN 0
+                  WHEN d < n_risk THEN CAST(floor(ln((n_risk - d)
+                       / CAST(n_risk AS DOUBLE)) * 1000000) AS BIGINT)
+             END AS f_fp,
+             CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS hits_zero
+      FROM km),
+    acc AS (
+      SELECT t_hours, d, c, n_risk,
+             sum(f_fp) OVER (ORDER BY t_hours
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_fp,
+             max(hits_zero) OVER (ORDER BY t_hours
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS z
+      FROM fp)
+    SELECT CAST(t_hours AS BIGINT) AS t_hours, CAST(n_risk AS BIGINT) AS n_risk,
+           d AS n_converted, c AS n_censored,
+           CASE WHEN z = 1 THEN 0.0
+                ELSE round(exp(s_fp / 1000000.0), 6) END AS survival
+    FROM acc
+    """,
+)
+def kaplan_meier_conversion_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan-Meier estimator of time-to-first-purchase (hours from a
+    user's first event), right-censoring users who never purchase at
+    their last observed event. The survival curve is the product
+    ``Π (1 - d_i/n_i)`` over event times — computed as
+    ``exp(cumsum(floor(ln((n-d)/n)*1e6))/1e6)`` so the cumulative stage
+    is exact integer addition and only the per-time-point ln/exp relies
+    on IEEE parity (then rounded). Heavy lifting is two groupBys
+    (user lifetimes, then per-duration death/censor counts); the
+    cumulative window runs over the distinct-duration frame (bounded by
+    the observation span in hours — post-aggregation scale, same policy
+    as the repo's other post-agg global windows).
+    """
+    ev = table(spark, sf, "events")
+    # parquet stores ts as TIMESTAMP_NTZ; session tz is pinned UTC by
+    # catalog.table, so the cast makes unix_micros == DuckDB epoch_us
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    u = ev.groupBy("user_id").agg(
+        F.min(us).alias("first_us"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("purch_us"),
+        F.max(us).alias("last_us"),
+    )
+    has_p = F.col("purch_us").isNotNull()
+    lif = u.select(
+        "user_id",
+        F.when(
+            has_p,
+            F.expr("(purch_us - first_us) div 3600000000"),
+        )
+        .otherwise(F.expr("(last_us - first_us) div 3600000000"))
+        .alias("t_hours"),
+        F.when(has_p, F.lit(0)).otherwise(F.lit(1)).alias("censored"),
+    )
+    tot = lif.agg(F.count(F.lit(1)).alias("n0"))
+    byd = lif.groupBy("t_hours").agg(
+        F.sum(F.lit(1) - F.col("censored")).cast("bigint").alias("d"),
+        F.sum("censored").cast("bigint").alias("c"),
+    )
+    w_prev = Window.orderBy("t_hours").rowsBetween(Window.unboundedPreceding, -1)
+    w_cur = Window.orderBy("t_hours").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    km = byd.crossJoin(F.broadcast(tot)).select(
+        "t_hours",
+        "d",
+        "c",
+        (
+            F.col("n0")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)
+            )
+        ).alias("n_risk"),
+    )
+    f_fp = (
+        F.when(F.col("d") == 0, F.lit(0))
+        .when(
+            F.col("d") < F.col("n_risk"),
+            F.floor(
+                F.ln(
+                    (F.col("n_risk") - F.col("d"))
+                    / F.col("n_risk").cast("double")
+                )
+                * F.lit(1000000)
+            ).cast("bigint"),
+        )
+    )
+    hits_zero = F.when(F.col("d") >= F.col("n_risk"), F.lit(1)).otherwise(F.lit(0))
+    acc = km.select(
+        "t_hours",
+        "d",
+        "c",
+        "n_risk",
+        F.sum(f_fp).over(w_cur).alias("s_fp"),
+        F.max(hits_zero).over(w_cur).alias("z"),
+    )
+    return acc.select(
+        F.col("t_hours").cast("bigint").alias("t_hours"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").alias("n_converted"),
+        F.col("c").alias("n_censored"),
+        F.when(F.col("z") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("s_fp") / F.lit(1000000.0)), 6))
+        .alias("survival"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Triangle counting / global clustering coefficient
+# --------------------------------------------------------------------------
+@query(
+    "triangle_count_copurchase",
+    """
+    WITH edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    tri AS (
+      SELECT count(*) AS t
+      FROM edges e1
+      JOIN edges e2 ON e2.u = e1.v
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+    deg AS (
+      SELECT n, count(*) AS dg FROM (
+        SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+      GROUP BY n),
+    agg AS (SELECT count(*) AS n_nodes, sum(dg * (dg - 1)) AS wedges2 FROM deg),
+    ecnt AS (SELECT count(*) AS n_edges FROM edges)
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(t AS BIGINT) AS n_triangles,
+           CASE WHEN wedges2 = 0 THEN NULL
+                ELSE round(CAST(6 * t AS DOUBLE) / wedges2, 6)
+           END AS clustering_coeff
+    FROM tri, agg, ecnt
+    """,
+)
+def triangle_count_copurchase(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle count and global clustering coefficient of the
+    co-purchase graph (parts sharing an order). Edges are id-oriented
+    (u < v), so each triangle is counted exactly once by the
+    edge-edge-edge join; the clustering coefficient is
+    ``3·triangles / wedges`` with wedges = Σ deg·(deg-1)/2, kept as the
+    integer Σ deg·(deg-1) and divided once at the end — all-integer
+    until the final division. Scale: the within-order pair expansion is
+    quadratic only in lines-per-order (bounded ≤ 7 in TPC-H-shaped
+    data); at web scale the standard hardening is degree-ordering edges
+    (orient low-degree → high-degree) so each wedge is enumerated at
+    the lower-degree endpoint — same join, different orientation key.
+    """
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    edges = edges.cache()
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("dg"))
+    )
+    agg = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("dg") * (F.col("dg") - 1)).alias("wedges2"),
+    )
+    ecnt = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        tri.crossJoin(agg)
+        .crossJoin(ecnt)
+        .select(
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            F.col("t").cast("bigint").alias("n_triangles"),
+            F.when(F.col("wedges2") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(
+                    (F.lit(6) * F.col("t")).cast("double") / F.col("wedges2"), 6
+                )
+            )
+            .alias("clustering_coeff"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Golden-record survivorship (MDM consolidation)
+# --------------------------------------------------------------------------
+@query(
+    "golden_record_users",
+    """
+    WITH base AS (
+      SELECT user_id, min(ts) AS first_seen, max(ts) AS last_seen,
+             count(*) AS n_events, round(sum(value), 2) AS total_value
+      FROM events GROUP BY user_id),
+    lv AS (
+      SELECT user_id, value AS last_value FROM (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE value IS NOT NULL) WHERE rn = 1),
+    lk AS (
+      SELECT user_id, k AS last_k FROM (
+        SELECT user_id,
+               CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE props IS NOT NULL) WHERE rn = 1),
+    md AS (
+      SELECT user_id, event_type AS top_event_type FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY count(*) DESC, event_type) AS rn
+        FROM events GROUP BY user_id, event_type) WHERE rn = 1)
+    SELECT b.user_id, b.first_seen, b.last_seen,
+           CAST(b.n_events AS BIGINT) AS n_events,
+           round(lv.last_value, 4) AS last_value, lk.last_k,
+           md.top_event_type, b.total_value
+    FROM base b
+    LEFT JOIN lv USING (user_id)
+    LEFT JOIN lk USING (user_id)
+    LEFT JOIN md USING (user_id)
+    """,
+)
+def golden_record_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Golden-record survivorship: consolidate each user's event stream
+    into one master row — recency-wins for attribute fields (latest
+    non-null value, latest JSON prop), frequency-wins for the dominant
+    event type (count desc, then lexicographic — fully deterministic),
+    plus lifetime aggregates. This is the MDM merge step after identity
+    resolution: every rule is a window or aggregate keyed on user_id,
+    so the whole consolidation is AQE-co-partitioned on one key — the
+    per-user windows and groupBys share a single shuffle's partitioning
+    at 100 TB. Ties on ts are broken by event_id everywhere.
+    """
+    ev = table(spark, sf, "events")
+    base = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    w_rec = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    lv = (
+        ev.filter(F.col("value").isNotNull())
+        .withColumn("rn", F.row_number().over(w_rec))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("value").alias("last_value"))
+    )
+    lk = (
+        ev.filter(F.col("props").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.regexp_extract(F.col("props"), r'"k": (\d+)', 1)
+            .cast("bigint")
+            .alias("k"),
+        )
+        .withColumn("rn", F.row_number().over(w_rec))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("k").alias("last_k"))
+    )
+    w_freq = Window.partitionBy("user_id").orderBy(
+        F.col("c").desc(), F.col("event_type")
+    )
+    md = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(w_freq))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_event_type"))
+    )
+    return (
+        base.join(lv, "user_id", "left")
+        .join(lk, "user_id", "left")
+        .join(md, "user_id", "left")
+        .select(
+            "user_id",
+            "first_seen",
+            "last_seen",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.round("last_value", 4).alias("last_value"),
+            "last_k",
+            "top_event_type",
+            "total_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-touch position-based attribution
+# --------------------------------------------------------------------------
+@query(
+    "position_attribution_events",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS purch_cum,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id) AS total_purch
+      FROM events),
+    touches AS (
+      SELECT user_id, event_id, ts, event_type,
+             purch_cum + 1 AS conv
+      FROM seq
+      WHERE event_type IN ('view', 'click', 'signup')
+        AND purch_cum < total_purch),
+    pos AS (
+      SELECT user_id, conv, event_type,
+             row_number() OVER (PARTITION BY user_id, conv
+                                ORDER BY ts, event_id) AS p,
+             count(*) OVER (PARTITION BY user_id, conv) AS k
+      FROM touches),
+    credit AS (
+      SELECT event_type AS channel,
+             CASE WHEN k = 1 THEN 1.0
+                  WHEN k = 2 THEN 0.5
+                  WHEN p = 1 OR p = k THEN 0.4
+                  ELSE 0.2 / (k - 2) END AS cr,
+             user_id, conv
+      FROM pos)
+    SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(count(DISTINCT (user_id, conv)) AS BIGINT)
+             AS n_conversions_touched,
+           round(sum(cr), 4) AS credit
+    FROM credit GROUP BY channel
+    """,
+)
+def position_attribution_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) multi-touch attribution:
+    every view/click/signup between two purchases is credited to the
+    NEXT purchase — 40% to the first touch, 40% to the last, the middle
+    20% split evenly (degenerate paths: 1 touch → 1.0, 2 touches → 0.5
+    each). Conversion assignment is the cumulative-purchase-count trick:
+    a touch with ``purch_cum = p`` converts at purchase p+1, so no
+    as-of join is needed — one user-keyed window does the whole
+    assignment, and all three windows share the user_id shuffle.
+    Credits are small exact rationals (0.4, 0.5, 0.2/(k-2)); the final
+    per-channel sum is rounded at 4 dp, far above accumulation noise.
+    """
+    ev = table(spark, sf, "events")
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy("user_id")
+    is_p = F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(F.lit(0))
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum(is_p).over(w_seq).alias("purch_cum"),
+        F.sum(is_p).over(w_all).alias("total_purch"),
+    )
+    touches = seq.filter(
+        F.col("event_type").isin("view", "click", "signup")
+        & (F.col("purch_cum") < F.col("total_purch"))
+    ).select(
+        "user_id", "event_id", "ts", "event_type",
+        (F.col("purch_cum") + 1).alias("conv"),
+    )
+    w_conv = Window.partitionBy("user_id", "conv").orderBy("ts", "event_id")
+    w_convall = Window.partitionBy("user_id", "conv")
+    pos = touches.select(
+        "user_id",
+        "conv",
+        "event_type",
+        F.row_number().over(w_conv).alias("p"),
+        F.count(F.lit(1)).over(w_convall).alias("k"),
+    )
+    cr = (
+        F.when(F.col("k") == 1, F.lit(1.0))
+        .when(F.col("k") == 2, F.lit(0.5))
+        .when((F.col("p") == 1) | (F.col("p") == F.col("k")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("k") - 2))
+    )
+    credit = pos.select(
+        F.col("event_type").alias("channel"), cr.alias("cr"), "user_id", "conv"
+    )
+    return credit.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.countDistinct("user_id", "conv")
+        .cast("bigint")
+        .alias("n_conversions_touched"),
+        F.round(F.sum("cr"), 4).alias("credit"),
+    )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog mergeable-sketch rollup (Spark datasketches)
+# --------------------------------------------------------------------------
+@query("hll_distinct_users_per_type")  # rows-only: HLL binary sketches have
+# no DuckDB-parity form (different estimator internals); the pytest suite
+# pins the estimate inside the published HLL error envelope vs exact.
+def hll_distinct_users_per_type(spark: SparkSession, sf: str) -> DataFrame:
+    """Production approximate-distinct: per-(type, shard) HyperLogLog
+    sketches built with ``hll_sketch_agg``, then MERGED with
+    ``hll_union_agg`` — demonstrating the property that matters at
+    100 TB: sketches are monoids, so per-partition/per-day sketch
+    columns can be stored and rolled up later without rescanning raw
+    data (the KMV twin `kmv_distinct_users_per_type` is the
+    oracle-checkable variant; this is the datasketches-backed one you
+    would actually persist). Output carries the exact count alongside
+    for an in-row error check.
+    """
+    ev = table(spark, sf, "events")
+    shards = ev.withColumn("shard", (F.col("event_id") % 4).cast("int"))
+    sk = shards.groupBy("event_type", "shard").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = sk.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_approx")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        F.col("n_approx").cast("bigint").alias("n_approx"),
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+    )

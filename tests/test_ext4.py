@@ -1,0 +1,333 @@
+"""Property tests for the round-3 governance/modeling layer
+(queries_ext4): expectation suites, unigram-LM scoring, OLS trend,
+Pareto skyline, Kaplan-Meier, triangles, golden records, attribution,
+HLL sketch rollups. Oracle hash-parity is the driver's job; these pin
+the SEMANTICS on data where the right answer is computable
+independently (brute force or closed form)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+# --------------------------------------------------------------------------
+# expectations: one-scan suite
+# --------------------------------------------------------------------------
+def test_expectations_catch_injected_violations(spark):
+    from _data_engineering_pipeline_project_spark.operators import expectations as E
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, status="OK", price=10.0),
+            Row(id=2, status="BAD", price=-5.0),
+            Row(id=2, status="OK", price=None),
+            Row(id=None, status="OK", price=1.0),
+        ]
+    )
+    out = {
+        r["expectation"]: (r["n_violations"], r["passed"])
+        for r in E.run_expectations(
+            df,
+            [
+                E.not_null("id_not_null", "id"),
+                E.unique("id_unique", "id"),
+                E.in_set("status_ok", "status", ["OK"]),
+                E.positive("price_positive", "price"),
+            ],
+        ).collect()
+    }
+    assert out["id_not_null"] == (1, False)
+    # 4 rows - 3 distinct non-null... countDistinct skips the NULL id:
+    # 4 - distinct{1,2} = 2 duplicates flagged (NULL handled by not_null)
+    assert out["id_unique"] == (2, False)
+    assert out["status_ok"] == (1, False)
+    # NULL price -> CASE not counted; only the -5.0 row violates
+    assert out["price_positive"] == (1, False)
+
+
+def test_expectations_single_scan_plan(spark):
+    """The whole suite must compile to ONE aggregate over ONE scan —
+    adding expectations must not add jobs/scans."""
+    from _data_engineering_pipeline_project_spark import queries_ext4 as Q
+
+    plan = Q.expectations_suite_orders(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+
+
+def test_expectations_pass_on_clean_orders(spark):
+    from _data_engineering_pipeline_project_spark import queries_ext4 as Q
+
+    rows = Q.expectations_suite_orders(spark, SF).collect()
+    assert len(rows) == 7
+    assert all(r["n_rows"] > 0 for r in rows)
+    by = {r["expectation"]: r for r in rows}
+    assert by["pk_not_null"]["passed"]
+    assert by["status_in_set"]["passed"]
+    # passed must agree with the violation count on every row
+    assert all((r["n_violations"] == 0) == r["passed"] for r in rows)
+
+
+# --------------------------------------------------------------------------
+# unigram LM quality
+# --------------------------------------------------------------------------
+def test_unigram_lm_scores_match_reference(spark):
+    """Spark fixed-point NLL == pure-Python add-1 unigram LM on the
+    same sf0.001 corpus (exact to the rounding contract)."""
+    from _data_engineering_pipeline_project_spark import queries_ext4 as Q
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["nll_per_token"])
+        for r in Q.unigram_lm_quality_documents(spark, SF).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    toks = {d: [t for t in txt.strip().lower().split() if t] for d, txt in docs.items()}
+    from collections import Counter
+
+    vocab = Counter(t for ts in toks.values() for t in ts)
+    total, v = sum(vocab.values()), len(vocab)
+    lp_fp = {
+        t: math.floor(math.log((c + 1) / float(total + v)) * 1_000_000)
+        for t, c in vocab.items()
+    }
+    for d, ts in toks.items():
+        if not ts:
+            assert d not in got
+            continue
+        # Spark rounds HALF_UP, Python round() half-even — compare the
+        # UNROUNDED reference within the 6-dp rounding envelope instead
+        nll = -sum(lp_fp[t] for t in ts) / (1_000_000.0 * len(ts))
+        assert got[d][0] == len(ts), d
+        assert got[d][1] == pytest.approx(nll, abs=6e-7), d
+
+
+# --------------------------------------------------------------------------
+# OLS trend
+# --------------------------------------------------------------------------
+def test_ols_trend_matches_closed_form(spark):
+    """Slope/intercept/R² agree with the numpy least-squares fit per
+    series (to the 1e-6 rounding contract)."""
+    np = pytest.importorskip("numpy")
+    from _data_engineering_pipeline_project_spark import queries_ext4 as Q
+
+    out = {r["event_type"]: r for r in Q.ols_trend_events_daily(spark, SF).collect()}
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .count()
+        .collect()
+    )
+    day0 = min(r["day"] for r in ev)
+    series: dict = {}
+    for r in ev:
+        series.setdefault(r["event_type"], []).append(
+            ((r["day"] - day0).days, r["count"])
+        )
+    for et, pts in series.items():
+        x = np.array([p[0] for p in pts], dtype=float)
+        y = np.array([p[1] for p in pts], dtype=float)
+        if len(pts) < 2 or x.std() == 0:
+            continue
+        slope, intercept = np.polyfit(x, y, 1)
+        r = np.corrcoef(x, y)[0, 1]
+        row = out[et]
+        assert row["n_days"] == len(pts)
+        assert row["slope"] == pytest.approx(slope, abs=2e-6)
+        assert row["intercept"] == pytest.approx(intercept, abs=2e-6)
+        if y.std() > 0:
+            assert row["r2"] == pytest.approx(r * r, abs=2e-6)
+
+
+# --------------------------------------------------------------------------
+# Pareto skyline
+# --------------------------------------------------------------------------
+def test_pareto_frontier_equals_bruteforce(spark):
+    """Sort-based skyline == O(n²) dominance definition, including
+    duplicate/tie handling, on randomized points."""
+    import random
+
+    from _data_engineering_pipeline_project_spark.operators.skyline import (
+        pareto_frontier_min_max,
+    )
+
+    rng = random.Random(7)
+    pts = [
+        Row(pid=i, x=float(rng.randint(0, 20)), y=rng.randint(0, 15))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(pts)
+    got = sorted(r["pid"] for r in pareto_frontier_min_max(df, "x", "y").collect())
+
+    def dominated(a):
+        return any(
+            b.x <= a.x and b.y >= a.y and (b.x < a.x or b.y > a.y) for b in pts
+        )
+
+    want = sorted(p.pid for p in pts if not dominated(p))
+    assert got == want and len(got) > 0
+
+
+def test_pareto_frontier_no_cartesian(spark):
+    from _data_engineering_pipeline_project_spark import queries_ext4 as Q
+
+    plan = Q.pareto_frontier_parts(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier
+# --------------------------------------------------------------------------
+def test_kaplan_meier_curve_properties(spark):
+    """Survival starts ≤ 1, is non-increasing, and n_risk telescopes
+    exactly by the per-time (converted + censored) counts."""
+    from _data_engineering_pipeline_project_spark import queries_ext4 as Q
+
+    rows = sorted(
+        Q.kaplan_meier_conversion_events(spark, SF).collect(),
+        key=lambda r: r["t_hours"],
+    )
+    assert rows
+    n_users = (
+        spark.read.parquet(f"{SF}/events.parquet").select("user_id").distinct().count()
+    )
+    assert rows[0]["n_risk"] == n_users
+    prev_s, prev = 1.0 + 1e-9, None
+    for r in rows:
+        if prev is not None:
+            assert r["n_risk"] == prev["n_risk"] - prev["n_converted"] - prev["n_censored"]
+        assert 0.0 <= r["survival"] <= prev_s + 1e-9
+        prev_s, prev = r["survival"], r
+    # KM closed form on a tiny hand case: at each event time the factor
+    # is (n-d)/n — recompute survival independently from the output rows
+    s = 1.0
+    for r in rows:
+        if r["n_converted"]:
+            s *= (r["n_risk"] - r["n_converted"]) / r["n_risk"]
+        assert r["survival"] == pytest.approx(s, abs=5e-6)
+
+
+# --------------------------------------------------------------------------
+# triangles
+# --------------------------------------------------------------------------
+def test_triangle_count_bruteforce_small(spark):
+    """K4 + a pendant edge: 4 triangles, clustering coeff checked
+    against the hand-computed wedge count."""
+    from _data_engineering_pipeline_project_spark import queries_ext4 as Q
+    import _data_engineering_pipeline_project_spark.queries_ext4 as q4
+    from _data_engineering_pipeline_project_spark.catalog import table as _table
+    import os
+    import tempfile
+
+    # K4 on parts {1,2,3,4} via order 100 (4 lines), pendant 4-5 via order 200
+    li = spark.createDataFrame(
+        [Row(l_orderkey=100, l_partkey=p) for p in (1, 2, 3, 4)]
+        + [Row(l_orderkey=200, l_partkey=p) for p in (4, 5)]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        li.write.parquet(os.path.join(d, "lineitem.parquet"))
+        out = Q.triangle_count_copurchase(spark, d).collect()[0]
+    assert out["n_nodes"] == 5
+    assert out["n_edges"] == 7  # C(4,2)=6 + 1 pendant
+    assert out["n_triangles"] == 4  # C(4,3)
+    # degrees: 3,3,3,4,1 -> sum d(d-1) = 6+6+6+12+0 = 30; coeff = 6*4/30
+    assert out["clustering_coeff"] == pytest.approx(24 / 30, abs=1e-9)
+
+
+# --------------------------------------------------------------------------
+# golden record
+# --------------------------------------------------------------------------
+def test_golden_record_matches_pandas(spark):
+    from _data_engineering_pipeline_project_spark import queries_ext4 as Q
+
+    got = {r["user_id"]: r for r in Q.golden_record_users(spark, SF).collect()}
+    ev = sorted(
+        spark.read.parquet(f"{SF}/events.parquet").collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    byu: dict = {}
+    for r in ev:
+        byu.setdefault(r["user_id"], []).append(r)
+    assert set(got) == set(byu)
+    for uid, rows in byu.items():
+        g = got[uid]
+        assert g["n_events"] == len(rows)
+        assert g["first_seen"] == rows[0]["ts"] and g["last_seen"] == rows[-1]["ts"]
+        nn = [r for r in rows if r["value"] is not None]
+        if nn:
+            assert g["last_value"] == pytest.approx(round(nn[-1]["value"], 4))
+        from collections import Counter
+
+        c = Counter(r["event_type"] for r in rows)
+        best = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        assert g["top_event_type"] == best
+
+
+# --------------------------------------------------------------------------
+# attribution
+# --------------------------------------------------------------------------
+def test_attribution_credit_conserved(spark):
+    """Total credit across channels == number of conversions that had
+    ≥1 preceding touch (each such conversion distributes exactly 1.0)."""
+    from _data_engineering_pipeline_project_spark import queries_ext4 as Q
+
+    rows = Q.position_attribution_events(spark, SF).collect()
+    assert {r["channel"] for r in rows} <= {"view", "click", "signup"}
+    total_credit = sum(r["credit"] for r in rows)
+    # recompute touched conversions independently
+    ev = sorted(
+        spark.read.parquet(f"{SF}/events.parquet").collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    byu: dict = {}
+    for r in ev:
+        byu.setdefault(r["user_id"], []).append(r)
+    touched = set()
+    for uid, rs in byu.items():
+        pc = 0
+        total_p = sum(1 for r in rs if r["event_type"] == "purchase")
+        for r in rs:
+            if r["event_type"] == "purchase":
+                pc += 1
+            elif r["event_type"] in ("view", "click", "signup") and pc < total_p:
+                touched.add((uid, pc + 1))
+    assert total_credit == pytest.approx(len(touched), abs=0.01)
+
+
+def test_attribution_unit_path(spark):
+    """Hand case: v,c,v,purchase → k=3: 0.4/0.2/0.4 by position."""
+    from _data_engineering_pipeline_project_spark import queries_ext4 as Q
+    import os
+    import tempfile
+    from datetime import datetime
+
+    rows = [
+        Row(event_id=i, ts=datetime(2024, 1, 1, 0, i), user_id=1, event_type=t,
+            value=1.0, props="{}")
+        for i, t in enumerate(["view", "click", "view", "purchase"])
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows).write.parquet(os.path.join(d, "events.parquet"))
+        out = {r["channel"]: r for r in Q.position_attribution_events(spark, d).collect()}
+    assert out["view"]["credit"] == pytest.approx(0.8)  # first 0.4 + last 0.4
+    assert out["click"]["credit"] == pytest.approx(0.2)
+    assert out["view"]["n_touches"] == 2 and out["click"]["n_touches"] == 1
+
+
+# --------------------------------------------------------------------------
+# HLL sketches
+# --------------------------------------------------------------------------
+def test_hll_estimate_within_error_envelope(spark):
+    """Merged-sketch estimate within 5% of exact (default lgK=12 HLL
+    has ~1.6% RSE; 5% is > 3 sigma)."""
+    from _data_engineering_pipeline_project_spark import queries_ext4 as Q
+
+    for r in Q.hll_distinct_users_per_type(spark, SF).collect():
+        assert abs(r["n_approx"] - r["n_exact"]) <= max(2, 0.05 * r["n_exact"]), r
