@@ -753,3 +753,337 @@ def hll_distinct_users_per_type(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_approx").cast("bigint").alias("n_approx"),
         F.col("n_exact").cast("bigint").alias("n_exact"),
     )
+
+
+# --------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift test
+# --------------------------------------------------------------------------
+@query(
+    "ks_two_sample_events",
+    """
+    WITH s AS (
+      SELECT round(value, 4) AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1
+      FROM events
+      WHERE event_type IN ('click', 'error') AND value IS NOT NULL),
+    n AS (SELECT CAST(sum(is1) AS BIGINT) AS n1,
+                 CAST(sum(1 - is1) AS BIGINT) AS n2 FROM s),
+    byv AS (SELECT v, CAST(sum(is1) AS BIGINT) AS c1,
+                   CAST(sum(1 - is1) AS BIGINT) AS c2
+            FROM s GROUP BY v),
+    cum AS (SELECT v,
+                   sum(c1) OVER (ORDER BY v) AS f1,
+                   sum(c2) OVER (ORDER BY v) AS f2
+            FROM byv),
+    d AS (SELECT max(abs(f1 * n2 - f2 * n1)) AS dmax FROM cum, n)
+    SELECT n1, n2,
+           round(dmax / CAST(n1 * n2 AS DOUBLE), 6) AS ks_stat,
+           round(1.358 * sqrt((n1 + n2) / CAST(n1 * n2 AS DOUBLE)), 6)
+             AS crit_05,
+           round(dmax / CAST(n1 * n2 AS DOUBLE), 6)
+             > round(1.358 * sqrt((n1 + n2) / CAST(n1 * n2 AS DOUBLE)), 6)
+             AS reject_h0
+    FROM d, n
+    """,
+)
+def ks_two_sample_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between the click and error
+    value distributions — the nonparametric drift detector (PSI's
+    `value_drift_psi` twin without binning assumptions). The statistic
+    is computed as ``max |F1·n2 − F2·n1| / (n1·n2)``: the sup-distance
+    numerator stays an exact integer under the cumulative window, so
+    the only compared doubles are one final division and the
+    closed-form 5% critical value. The ECDF grid is quantized to 1e-4
+    (identically in both engines), which bounds the ordered frame by
+    the value range — not the row count — and at cluster scale the
+    windowed cumsum is the standard two-phase scan (per-partition
+    subtotal + offset broadcast) over a range-partitioned sort.
+    """
+    ev = table(spark, sf, "events")
+    s = ev.filter(
+        F.col("event_type").isin("click", "error") & F.col("value").isNotNull()
+    ).select(
+        F.round("value", 4).alias("v"),
+        F.when(F.col("event_type") == "click", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is1"),
+    )
+    n = s.agg(
+        F.sum("is1").cast("bigint").alias("n1"),
+        F.sum(F.lit(1) - F.col("is1")).cast("bigint").alias("n2"),
+    )
+    byv = s.groupBy("v").agg(
+        F.sum("is1").cast("bigint").alias("c1"),
+        F.sum(F.lit(1) - F.col("is1")).cast("bigint").alias("c2"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = byv.select(
+        F.sum("c1").over(w).alias("f1"), F.sum("c2").over(w).alias("f2")
+    )
+    d = cum.crossJoin(F.broadcast(n)).agg(
+        F.max(F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))).alias(
+            "dmax"
+        )
+    )
+    ks = F.round(F.col("dmax") / (F.col("n1") * F.col("n2")).cast("double"), 6)
+    crit = F.round(
+        F.lit(1.358)
+        * F.sqrt(
+            (F.col("n1") + F.col("n2"))
+            / (F.col("n1") * F.col("n2")).cast("double")
+        ),
+        6,
+    )
+    return d.crossJoin(F.broadcast(n)).select(
+        "n1", "n2", ks.alias("ks_stat"), crit.alias("crit_05"),
+        (ks > crit).alias("reject_h0"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U rank-sum test (tie-corrected)
+# --------------------------------------------------------------------------
+@query(
+    "mann_whitney_events",
+    """
+    WITH s AS (
+      SELECT round(value, 4) AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1
+      FROM events
+      WHERE event_type IN ('click', 'error') AND value IS NOT NULL),
+    n AS (SELECT CAST(sum(is1) AS BIGINT) AS n1,
+                 CAST(sum(1 - is1) AS BIGINT) AS n2,
+                 CAST(count(*) AS BIGINT) AS nn FROM s),
+    byv AS (SELECT v, CAST(count(*) AS BIGINT) AS t,
+                   CAST(sum(is1) AS BIGINT) AS t1
+            FROM s GROUP BY v),
+    cum AS (SELECT v, t, t1,
+                   coalesce(sum(t) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS before
+            FROM byv),
+    r AS (SELECT sum(t1 * (2 * before + t + 1)) AS r2_1,
+                 sum(t * t * t - t) AS tie3
+          FROM cum)
+    SELECT n1, n2,
+           (r2_1 - n1 * (n1 + 1)) / 2.0 AS u1,
+           round((r2_1 - n1 * (n1 + 1) - n1 * n2)
+                 / (2.0 * sqrt((n1 * n2 / 12.0)
+                    * ((nn + 1) - tie3 / CAST(nn * (nn - 1) AS DOUBLE)))), 4)
+             AS z
+    FROM r, n
+    """,
+)
+def mann_whitney_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Tie-corrected Mann-Whitney U rank-sum test (click vs error
+    values) — the robust two-sample location test to pair with the KS
+    shape test. Average ranks are handled without fractions: per
+    distinct value the DOUBLED rank-sum contribution is the integer
+    ``t1·(2·before + t + 1)``, so R₁, U₁ and the tie term Σ(t³−t) are
+    exact bigints; the z-score is assembled from those integers with
+    identical double ops in both engines and rounded at 4 dp. Shares
+    the quantized-grid + two-phase-cumsum scale shape with the KS
+    query — one groupBy on value, one ordered scan over the grid.
+    """
+    ev = table(spark, sf, "events")
+    s = ev.filter(
+        F.col("event_type").isin("click", "error") & F.col("value").isNotNull()
+    ).select(
+        F.round("value", 4).alias("v"),
+        F.when(F.col("event_type") == "click", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is1"),
+    )
+    n = s.agg(
+        F.sum("is1").cast("bigint").alias("n1"),
+        F.sum(F.lit(1) - F.col("is1")).cast("bigint").alias("n2"),
+        F.count(F.lit(1)).cast("bigint").alias("nn"),
+    )
+    byv = s.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+        F.sum("is1").cast("bigint").alias("t1"),
+    )
+    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = byv.select(
+        "t", "t1", F.coalesce(F.sum("t").over(w_prev), F.lit(0)).alias("before")
+    )
+    r = cum.agg(
+        F.sum(
+            F.col("t1") * (F.lit(2) * F.col("before") + F.col("t") + 1)
+        ).alias("r2_1"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3"),
+    )
+    u2 = F.col("r2_1") - F.col("n1") * (F.col("n1") + 1)
+    sigma = F.sqrt(
+        (F.col("n1") * F.col("n2") / F.lit(12.0))
+        * (
+            (F.col("nn") + 1)
+            - F.col("tie3") / (F.col("nn") * (F.col("nn") - 1)).cast("double")
+        )
+    )
+    return r.crossJoin(F.broadcast(n)).select(
+        "n1",
+        "n2",
+        (u2 / F.lit(2.0)).alias("u1"),
+        F.round(
+            (u2 - F.col("n1") * F.col("n2")) / (F.lit(2.0) * sigma), 4
+        ).alias("z"),
+    )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation
+# --------------------------------------------------------------------------
+@query(
+    "rfm_segmentation_events",
+    """
+    WITH mx AS (SELECT max(CAST(ts AS DATE)) AS d1 FROM events),
+    p AS (
+      SELECT user_id,
+             date_diff('day', max(CAST(ts AS DATE)), d1) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             sum(CAST(round(value * 100) AS BIGINT)) AS mon_cents
+      FROM events, mx
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+      GROUP BY user_id, d1),
+    sc AS (
+      SELECT user_id, recency_days, frequency, mon_cents,
+             6 - ntile(5) OVER (ORDER BY recency_days, user_id) AS r_score,
+             ntile(5) OVER (ORDER BY frequency, user_id) AS f_score,
+             ntile(5) OVER (ORDER BY mon_cents, user_id) AS m_score
+      FROM p)
+    SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days, frequency,
+           round(mon_cents / 100.0, 2) AS monetary,
+           CAST(r_score AS INTEGER) AS r_score,
+           CAST(f_score AS INTEGER) AS f_score,
+           CAST(m_score AS INTEGER) AS m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS INTEGER) AS rfm
+    FROM sc
+    """,
+)
+def rfm_segmentation_events(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation over
+    purchase events: quintile scores per axis, composed into the
+    classic 3-digit segment code. Monetary sums per-row cent-rounded
+    bigints (exact under any accumulation order); every ntile ORDER BY
+    carries user_id so quintile boundaries are fully deterministic.
+    The registered form uses exact global ntiles (one sort per axis
+    over the per-user frame — already aggregated, one row per user);
+    the 100 TB variant swaps ntile for approx_percentile cutpoints
+    broadcast-joined back, trading exact quintile boundaries for a
+    sort-free plan — documented here because the contract (score in
+    1..5 per axis) is the same.
+    """
+    ev = table(spark, sf, "events")
+    mx = ev.agg(F.max(F.to_date("ts")).alias("d1"))
+    p = (
+        ev.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .crossJoin(F.broadcast(mx))
+        .groupBy("user_id", "d1")
+        .agg(
+            F.max(F.to_date("ts")).alias("last_d"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("mon_cents"),
+        )
+        .select(
+            "user_id",
+            F.datediff(F.col("d1"), F.col("last_d")).alias("recency_days"),
+            "frequency",
+            "mon_cents",
+        )
+    )
+    r_sc = F.lit(6) - F.ntile(5).over(Window.orderBy("recency_days", "user_id"))
+    f_sc = F.ntile(5).over(Window.orderBy("frequency", "user_id"))
+    m_sc = F.ntile(5).over(Window.orderBy("mon_cents", "user_id"))
+    sc = p.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "mon_cents",
+        r_sc.alias("r_score"),
+        f_sc.alias("f_score"),
+        m_sc.alias("m_score"),
+    )
+    return sc.select(
+        "user_id",
+        F.col("recency_days").cast("bigint").alias("recency_days"),
+        "frequency",
+        F.round(F.col("mon_cents") / F.lit(100.0), 2).alias("monetary"),
+        F.col("r_score").cast("int").alias("r_score"),
+        F.col("f_score").cast("int").alias("f_score"),
+        F.col("m_score").cast("int").alias("m_score"),
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("int")
+        .alias("rfm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Gini revenue concentration per market segment
+# --------------------------------------------------------------------------
+@query(
+    "gini_revenue_by_segment",
+    """
+    WITH bycust AS (
+      SELECT c.c_mktsegment, o.o_custkey,
+             sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS x
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment, o.o_custkey),
+    rk AS (
+      SELECT c_mktsegment, x,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY x, o_custkey) AS i
+      FROM bycust),
+    g AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+                 sum(x) AS sx, sum(i * x) AS six
+          FROM rk GROUP BY c_mktsegment)
+    SELECT c_mktsegment, n AS n_customers,
+           round(sx / 100.0, 2) AS total_revenue,
+           round(CAST(2 * six - (n + 1) * sx AS DOUBLE) / (n * sx), 6) AS gini
+    FROM g
+    """,
+)
+def gini_revenue_by_segment(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue inside each market
+    segment — the inequality/concentration metric behind "does 1% of
+    customers carry 90% of revenue" dashboards (and, in a training-data
+    pipeline, the same statistic flags source/domain concentration in a
+    corpus). Revenue goes to exact integer cents per row, the rank-sum
+    identity G = (2·Σi·xᵢ − (n+1)·Σxᵢ)/(n·Σxᵢ) is evaluated in bigints
+    with ONE final division, and the rank window is partitioned by
+    segment — every segment sorts independently, so the plan shards
+    across the cluster instead of one global sort.
+    """
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    bycust = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            o.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("x")
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("x", "o_custkey")
+    rk = bycust.select("c_mktsegment", "x", F.row_number().over(w).alias("i"))
+    g = rk.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    return g.select(
+        "c_mktsegment",
+        F.col("n").alias("n_customers"),
+        F.round(F.col("sx") / F.lit(100.0), 2).alias("total_revenue"),
+        F.round(
+            (
+                F.lit(2) * F.col("six") - (F.col("n") + 1) * F.col("sx")
+            ).cast("double")
+            / (F.col("n") * F.col("sx")),
+            6,
+        ).alias("gini"),
+    )

@@ -331,3 +331,115 @@ def test_hll_estimate_within_error_envelope(spark):
 
     for r in Q.hll_distinct_users_per_type(spark, SF).collect():
         assert abs(r["n_approx"] - r["n_exact"]) <= max(2, 0.05 * r["n_exact"]), r
+
+
+# --------------------------------------------------------------------------
+# KS / Mann-Whitney / RFM / Gini
+# --------------------------------------------------------------------------
+def _clicks_errors(spark):
+    rows = spark.read.parquet(f"{SF}/events.parquet").collect()
+    a = sorted(round(r["value"], 4) for r in rows
+               if r["event_type"] == "click" and r["value"] is not None)
+    b = sorted(round(r["value"], 4) for r in rows
+               if r["event_type"] == "error" and r["value"] is not None)
+    return a, b
+
+
+def test_ks_matches_python_reference(spark):
+    from _data_engineering_pipeline_project_spark import queries_ext4 as Q
+
+    out = Q.ks_two_sample_events(spark, SF).collect()[0]
+    a, b = _clicks_errors(spark)
+    assert (out["n1"], out["n2"]) == (len(a), len(b))
+    grid = sorted(set(a) | set(b))
+    import bisect
+
+    dmax = max(
+        abs(bisect.bisect_right(a, v) * len(b) - bisect.bisect_right(b, v) * len(a))
+        for v in grid
+    )
+    assert out["ks_stat"] == pytest.approx(dmax / (len(a) * len(b)), abs=1e-6)
+    crit = 1.358 * math.sqrt((len(a) + len(b)) / (len(a) * len(b)))
+    assert out["crit_05"] == pytest.approx(crit, abs=1e-6)
+    assert out["reject_h0"] == (out["ks_stat"] > out["crit_05"])
+
+
+def test_mann_whitney_matches_python_reference(spark):
+    from _data_engineering_pipeline_project_spark import queries_ext4 as Q
+    from collections import Counter
+
+    out = Q.mann_whitney_events(spark, SF).collect()[0]
+    a, b = _clicks_errors(spark)
+    n1, n2, nn = len(a), len(b), len(a) + len(b)
+    cnt = Counter(a + b)
+    c1 = Counter(a)
+    before, r1, tie3 = 0, 0.0, 0
+    for v in sorted(cnt):
+        t = cnt[v]
+        avg_rank = before + (t + 1) / 2.0
+        r1 += c1.get(v, 0) * avg_rank
+        tie3 += t * t * t - t
+        before += t
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    sigma = math.sqrt((n1 * n2 / 12.0) * ((nn + 1) - tie3 / (nn * (nn - 1))))
+    z = (u1 - n1 * n2 / 2.0) / sigma
+    assert (out["n1"], out["n2"]) == (n1, n2)
+    assert out["u1"] == pytest.approx(u1, abs=1e-9)
+    assert out["z"] == pytest.approx(z, abs=1e-4)
+
+
+def test_rfm_scores_valid_and_monetary_exact(spark):
+    from _data_engineering_pipeline_project_spark import queries_ext4 as Q
+
+    rows = Q.rfm_segmentation_events(spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    purch: dict = {}
+    for r in ev:
+        if r["event_type"] == "purchase" and r["value"] is not None:
+            purch.setdefault(r["user_id"], []).append(r)
+    assert {r["user_id"] for r in rows} == set(purch)
+    for r in rows:
+        assert 1 <= r["r_score"] <= 5 and 1 <= r["f_score"] <= 5 and 1 <= r["m_score"] <= 5
+        assert r["rfm"] == r["r_score"] * 100 + r["f_score"] * 10 + r["m_score"]
+        mine = purch[r["user_id"]]
+        assert r["frequency"] == len(mine)
+        cents = sum(round(x["value"] * 100) for x in mine)
+        assert r["monetary"] == pytest.approx(cents / 100.0, abs=1e-9)
+    # quintiles are balanced: each score bucket within ±1 of n/5
+    from collections import Counter
+
+    n = len(rows)
+    for key in ("r_score", "f_score", "m_score"):
+        c = Counter(r[key] for r in rows)
+        assert all(abs(c.get(s, 0) - n / 5) <= 1 for s in range(1, 6)), (key, c)
+
+
+def test_gini_matches_python_reference(spark):
+    from _data_engineering_pipeline_project_spark import queries_ext4 as Q
+
+    out = {r["c_mktsegment"]: r for r in Q.gini_revenue_by_segment(spark, SF).collect()}
+    orders = spark.read.parquet(f"{SF}/orders.parquet").collect()
+    cust = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in spark.read.parquet(f"{SF}/customer.parquet").collect()
+    }
+    agg: dict = {}
+    for o in orders:
+        seg = cust.get(o["o_custkey"])
+        if seg is None:
+            continue
+        key = (seg, o["o_custkey"])
+        agg[key] = agg.get(key, 0) + round(o["o_totalprice"] * 100)
+    segs: dict = {}
+    for (seg, _), x in agg.items():
+        segs.setdefault(seg, []).append(x)
+    for seg, xs in segs.items():
+        xs.sort()
+        n, sx = len(xs), sum(xs)
+        six = sum((i + 1) * x for i, x in enumerate(xs))
+        gini = (2 * six - (n + 1) * sx) / (n * sx)
+        row = out[seg]
+        assert row["n_customers"] == n
+        assert row["total_revenue"] == pytest.approx(sx / 100.0, abs=1e-6)
+        assert row["gini"] == pytest.approx(gini, abs=1e-6)
+        assert 0.0 <= row["gini"] < 1.0
