@@ -1087,3 +1087,53 @@ def gini_revenue_by_segment(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# Custom Python DataSource (Spark 4 connector API)
+# --------------------------------------------------------------------------
+@query(
+    "pydatasource_synthetic_docs",
+    """
+    WITH h AS (
+      SELECT i,
+             ('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 2))::INTEGER AS x1,
+             ('0x' || substr(md5(CAST(i AS VARCHAR)), 3, 2))::INTEGER AS x2,
+             ('0x' || substr(md5(CAST(i AS VARCHAR)), 5, 2))::INTEGER AS x3
+      FROM range(0, 500) t(i)),
+    rows_ AS (
+      SELECT i AS doc_id,
+             'w' || (x1 % 16) || ' w' || (x2 % 16) || ' w' || (x3 % 16) AS text,
+             CASE x1 % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+                         WHEN 2 THEN 'fr' ELSE 'es' END AS lang,
+             CASE x2 % 3 WHEN 0 THEN 'web' WHEN 1 THEN 'books'
+                         ELSE 'code' END AS source
+      FROM h)
+    SELECT doc_id, text, lang, source,
+           CAST(length(text) AS INTEGER) AS n_chars
+    FROM rows_
+    """,
+)
+def pydatasource_synthetic_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch read through the custom Spark 4 Python DataSource
+    (sources/pydatasource.py): 500 deterministic md5-derived documents
+    over 8 range partitions. The oracle regenerates the identical table
+    from ``range(500)`` in SQL, so the correctness gate certifies the
+    CONNECTOR (schema, partitioned generation, row contents), not just
+    a transformation. The source also implements ``pushFilters`` —
+    doc_id range predicates prune partitions before any row is
+    generated (pinned by the pytest plan/unit tests; this registered
+    read is the full-scan path). ``sf`` is unused: the source is the
+    data."""
+    from _data_engineering_pipeline_project_spark.sources import (
+        pydatasource as P,
+    )
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    P.register(spark)
+    return (
+        spark.read.format("synthetic_docs")
+        .option("n", 500)
+        .option("parts", 8)
+        .load()
+    )
