@@ -1137,3 +1137,203 @@ def pydatasource_synthetic_docs(spark: SparkSession, sf: str) -> DataFrame:
         .option("parts", 8)
         .load()
     )
+
+
+# --------------------------------------------------------------------------
+# Exact set-similarity join via prefix filtering (AllPairs/PPJoin shape)
+# --------------------------------------------------------------------------
+_PREFIX_CTES = r"""
+    tok AS (SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+            FROM documents),
+    tk AS (SELECT DISTINCT doc_id, term FROM tok WHERE length(term) > 0),
+    sz AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY doc_id),
+    df AS (SELECT term, count(*) AS dfreq FROM tk GROUP BY term),
+    ranked AS (
+      SELECT t.doc_id, t.term, s.n,
+             row_number() OVER (PARTITION BY t.doc_id
+                                ORDER BY d.dfreq, t.term) AS pos
+      FROM tk t JOIN df d USING (term) JOIN sz s USING (doc_id)),
+    prefix AS (
+      SELECT doc_id, term, n FROM ranked
+      WHERE pos <= n - (4 * n + 4) // 5 + 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM prefix a JOIN prefix b
+        ON a.term = b.term AND a.doc_id < b.doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS common
+      FROM cand c
+      JOIN tk ta ON ta.doc_id = c.id_a
+      JOIN tk tb ON tb.doc_id = c.id_b AND tb.term = ta.term
+      GROUP BY c.id_a, c.id_b)
+"""
+
+
+@query(
+    "prefix_filter_jaccard_pairs",
+    f"""
+    WITH {_PREFIX_CTES}
+    SELECT i.id_a, i.id_b,
+           round(CAST(i.common AS DOUBLE)
+                 / (sa.n + sb.n - i.common), 6) AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.doc_id = i.id_a
+    JOIN sz sb ON sb.doc_id = i.id_b
+    WHERE 9 * i.common >= 4 * (sa.n + sb.n)
+    """,
+)
+def prefix_filter_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT token-set similarity join (Jaccard ≥ 0.8) via prefix
+    filtering — the AllPairs/PPJoin family: order each document's
+    tokens globally by rarity (document frequency asc, term asc as the
+    canonical total order), keep only the first ``n − ceil(n/2) + 1``
+    tokens (``ceil(0.8·n)`` removed) as the *prefix*, and generate candidates by equi-joining
+    prefixes. The prefix principle guarantees zero false negatives at
+    the threshold, so unlike MinHash this join is exact — but like
+    MinHash it never goes all-pairs: candidate volume is driven by
+    RARE terms (a term shared by k prefixes creates k² candidate
+    slots, and frequent terms are exactly the ones pushed OUT of
+    prefixes). The verify stage re-joins candidates to full token sets
+    and applies the integer-form threshold ``9·common ≥ 4·(|a|+|b|)``
+    (⇔ J ≥ 0.8) — no float compare in the cut, one division at output.
+    """
+    d = table(spark, sf, "documents")
+    tk = (
+        d.select("doc_id", F.explode(TS.tokens("text")).alias("term"))
+        .filter(F.length("term") > 0)
+        .distinct()
+    )
+    sz = tk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = tk.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    w = Window.partitionBy("doc_id").orderBy("dfreq", "term")
+    ranked = (
+        tk.join(dfreq, "term")
+        .join(sz, "doc_id")
+        .select("doc_id", "term", "n", F.row_number().over(w).alias("pos"))
+    )
+    prefix = ranked.filter(
+        F.col("pos")
+        <= F.col("n") - F.floor((4 * F.col("n") + 4) / 5).cast("bigint") + 1
+    ).select("doc_id", "term")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    ta = tk.select(F.col("doc_id").alias("id_a"), "term")
+    tb = tk.select(F.col("doc_id").alias("id_b"), "term")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "term"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sz.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(9 * F.col("common") >= 4 * (F.col("na") + F.col("nb")))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# KL-divergence mixture drift per corpus source
+# --------------------------------------------------------------------------
+@query(
+    "kl_mixture_drift_sources",
+    """
+    WITH sl AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c_sl
+                FROM documents GROUP BY source, lang),
+    s AS (SELECT source, sum(c_sl) AS c_s FROM sl GROUP BY source),
+    l AS (SELECT lang, sum(c_sl) AS c_l FROM sl GROUP BY lang),
+    t AS (SELECT sum(c_sl) AS c_tot FROM sl),
+    terms AS (
+      SELECT sl.source, sl.c_sl, s.c_s,
+             CAST(floor(ln((sl.c_sl * t.c_tot)
+                           / CAST(s.c_s * l.c_l AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS lnr_fp,
+             CAST(floor(ln(sl.c_sl / CAST(s.c_s AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS lnp_fp
+      FROM sl JOIN s USING (source) JOIN l USING (lang), t)
+    SELECT source, CAST(max(c_s) AS BIGINT) AS n_docs,
+           round(sum(c_sl * lnr_fp) / (max(c_s) * 1000000.0), 6)
+             AS kl_vs_corpus,
+           round(-sum(c_sl * lnp_fp) / (max(c_s) * 1000000.0), 6)
+             AS lang_entropy
+    FROM terms GROUP BY source
+    """,
+)
+def kl_mixture_drift_sources(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixture-drift monitor: per corpus source, the KL divergence of
+    its language distribution against the whole corpus, plus its
+    language entropy — the two numbers a data-mixing pipeline tracks to
+    catch a source whose composition shifted (KL spikes) or collapsed
+    to one language (entropy drops). Probability ratios stay exact
+    integer ratios (``c_sl·c_tot / (c_s·c_l)``) until one ln per
+    (source, lang) cell; per-source sums run over fixed-point bigints.
+    The whole thing is three tiny aggregates off ONE groupBy(source,
+    lang) scan — cells, not rows, flow through every later stage.
+    """
+    docs = table(spark, sf, "documents")
+    sl = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_sl")
+    )
+    s = sl.groupBy("source").agg(F.sum("c_sl").alias("c_s"))
+    l = sl.groupBy("lang").agg(F.sum("c_sl").alias("c_l"))
+    t = sl.agg(F.sum("c_sl").alias("c_tot"))
+    terms = (
+        sl.join(s, "source")
+        .join(l, "lang")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "c_sl",
+            "c_s",
+            F.floor(
+                F.ln(
+                    (F.col("c_sl") * F.col("c_tot"))
+                    / (F.col("c_s") * F.col("c_l")).cast("double")
+                )
+                * F.lit(1000000)
+            )
+            .cast("bigint")
+            .alias("lnr_fp"),
+            F.floor(
+                F.ln(F.col("c_sl") / F.col("c_s").cast("double"))
+                * F.lit(1000000)
+            )
+            .cast("bigint")
+            .alias("lnp_fp"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.max("c_s").cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum(F.col("c_sl") * F.col("lnr_fp"))
+            / (F.max("c_s") * F.lit(1000000.0)),
+            6,
+        ).alias("kl_vs_corpus"),
+        F.round(
+            -F.sum(F.col("c_sl") * F.col("lnp_fp"))
+            / (F.max("c_s") * F.lit(1000000.0)),
+            6,
+        ).alias("lang_entropy"),
+    )

@@ -84,6 +84,20 @@ EXTENSION_QUERIES = [
     "minmax_scaled_embedding_elements",
     "hits_event_types",
     "rag_retrieval_pipeline",
+    "expectations_suite_orders",
+    "unigram_lm_quality_documents",
+    "ols_trend_events_daily",
+    "pareto_frontier_parts",
+    "kaplan_meier_conversion_events",
+    "triangle_count_copurchase",
+    "golden_record_users",
+    "position_attribution_events",
+    "hll_distinct_users_per_type",
+    "ks_two_sample_events",
+    "mann_whitney_events",
+    "rfm_segmentation_events",
+    "gini_revenue_by_segment",
+    "pydatasource_synthetic_docs",
 ]
 
 BENCH_QUERIES = [
@@ -138,6 +152,7 @@ def main() -> None:
     from _data_engineering_pipeline_project_spark import queries_ext  # noqa: F401
     from _data_engineering_pipeline_project_spark import queries_ext2  # noqa: F401
     from _data_engineering_pipeline_project_spark import queries_ext3  # noqa: F401
+    from _data_engineering_pipeline_project_spark import queries_ext4  # noqa: F401
     from _data_engineering_pipeline_project_spark import queries_ops  # noqa: F401
     from _data_engineering_pipeline_project_spark.session import get_spark
 

@@ -443,3 +443,60 @@ def test_gini_matches_python_reference(spark):
         assert row["total_revenue"] == pytest.approx(sx / 100.0, abs=1e-6)
         assert row["gini"] == pytest.approx(gini, abs=1e-6)
         assert 0.0 <= row["gini"] < 1.0
+
+
+# --------------------------------------------------------------------------
+# prefix-filter similarity join / KL mixture drift
+# --------------------------------------------------------------------------
+def test_prefix_filter_join_is_exact_vs_bruteforce(spark):
+    """The prefix principle guarantees NO false negatives and the
+    verify stage no false positives: result == brute-force all-pairs
+    Jaccard >= 0.8 on the sf0.001 corpus."""
+    from _data_engineering_pipeline_project_spark import queries_ext4 as Q
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in Q.prefix_filter_jaccard_pairs(spark, SF).collect()
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    sets = {
+        r["doc_id"]: frozenset(t for t in r["text"].strip().lower().split() if t)
+        for r in docs
+    }
+    ids = sorted(i for i, s in sets.items() if s)
+    want = {}
+    for i_idx, a in enumerate(ids):
+        for b in ids[i_idx + 1:]:
+            common = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and 9 * common >= 4 * (len(sets[a]) + len(sets[b])):
+                want[(a, b)] = common / union
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=1e-6), k
+
+
+def test_kl_mixture_matches_python_reference(spark):
+    from _data_engineering_pipeline_project_spark import queries_ext4 as Q
+    from collections import Counter
+
+    out = {r["source"]: r for r in Q.kl_mixture_drift_sources(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    cells = Counter((r["source"], r["lang"]) for r in docs)
+    c_s = Counter(r["source"] for r in docs)
+    c_l = Counter(r["lang"] for r in docs)
+    tot = len(docs)
+    for src in c_s:
+        kl = ent = 0.0
+        for (s, lang), c in cells.items():
+            if s != src:
+                continue
+            p = c / c_s[src]
+            q = c_l[lang] / tot
+            kl += p * math.log(p / q)
+            ent -= p * math.log(p)
+        row = out[src]
+        assert row["n_docs"] == c_s[src]
+        assert row["kl_vs_corpus"] == pytest.approx(kl, abs=5e-6)
+        assert row["lang_entropy"] == pytest.approx(ent, abs=5e-6)
+        assert row["kl_vs_corpus"] >= -1e-9  # Gibbs: KL is non-negative
