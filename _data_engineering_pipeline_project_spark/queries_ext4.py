@@ -453,11 +453,19 @@ def triangle_count_copurchase(spark: SparkSession, sf: str) -> DataFrame:
     edge-edge-edge join; the clustering coefficient is
     ``3·triangles / wedges`` with wedges = Σ deg·(deg-1)/2, kept as the
     integer Σ deg·(deg-1) and divided once at the end — all-integer
-    until the final division. Scale: the within-order pair expansion is
-    quadratic only in lines-per-order (bounded ≤ 7 in TPC-H-shaped
-    data); at web scale the standard hardening is degree-ordering edges
-    (orient low-degree → high-degree) so each wedge is enumerated at
-    the lower-degree endpoint — same join, different orientation key.
+    until the final division.
+
+    The Spark plan uses DEGREE ORIENTATION (the oracle's id-oriented
+    triple join states the same count declaratively): each undirected
+    edge is directed from its lower-(degree, id) endpoint to the
+    higher one, wedges are enumerated only at each node's OUT-neighbor
+    pairs, and a wedge closes iff its (id-ordered) third side is an
+    edge. Out-degrees under this orientation are bounded by the graph's
+    arboricity (≈√|E|), so wedge volume is Σ outdeg² ≪ Σ deg² — hub
+    nodes (the skew killer in id-ordered enumeration, where one popular
+    part appearing with k others spawns k² wedges) get their fan
+    distributed to lower-degree endpoints. deg is one row per node —
+    broadcast to orient edges without a shuffle.
     """
     li = table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
@@ -473,21 +481,34 @@ def triangle_count_copurchase(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     edges = edges.cache()
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
-        .join(
-            e3,
-            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
-        )
-        .agg(F.count(F.lit(1)).alias("t"))
-    )
     deg = (
         edges.select(F.col("u").alias("n"))
         .unionAll(edges.select(F.col("v").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("dg"))
     )
+    du = deg.select(F.col("n").alias("u"), F.col("dg").alias("dgu"))
+    dv = deg.select(F.col("n").alias("v"), F.col("dg").alias("dgv"))
+    lower_first = (F.col("dgu") < F.col("dgv")) | (
+        (F.col("dgu") == F.col("dgv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    ).cache()
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    # out-neighbor pairs of each src, id-ordered so the closing side is
+    # exactly an (u < v) row of the undirected edge set
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (F.col("o1.dst") < F.col("o2.dst")),
+    ).select(F.col("o1.dst").alias("u"), F.col("o2.dst").alias("v"))
+    tri = wedges.join(edges, ["u", "v"]).agg(F.count(F.lit(1)).alias("t"))
     agg = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.sum(F.col("dg") * (F.col("dg") - 1)).alias("wedges2"),
@@ -1336,4 +1357,44 @@ def kl_mixture_drift_sources(spark: SparkSession, sf: str) -> DataFrame:
             / (F.max("c_s") * F.lit(1000000.0)),
             6,
         ).alias("lang_entropy"),
+    )
+
+
+# --------------------------------------------------------------------------
+# VARIANT semi-structured path (Spark 4 native)
+# --------------------------------------------------------------------------
+@query(
+    "variant_props_events",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT))
+             AS BIGINT) AS sum_k,
+           CAST(max(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT))
+             AS BIGINT) AS max_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_props_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured props via Spark 4's VARIANT type: ``parse_json``
+    once into a variant column, then typed ``variant_get`` extractions —
+    the open-schema path for JSON whose keys are not known at write
+    time. VARIANT stores a parsed binary form, so repeated extractions
+    skip re-parsing (vs ``get_json_object``, which re-parses the string
+    per call — the twin `json_extract_events` covers that classic
+    path). The oracle regexp-extracts the same field (DuckDB's json
+    extension isn't loadable offline), exercising identical values
+    through a different engine mechanism.
+    """
+    ev = table(spark, sf, "events")
+    v = ev.select(
+        "event_type", F.parse_json(F.col("props")).alias("vp")
+    ).select(
+        "event_type",
+        F.variant_get(F.col("vp"), "$.k", "bigint").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
     )

@@ -104,3 +104,35 @@ def read_jdbc(spark, url: str, table: str, driver: str = DERBY_DRIVER, **options
         .options(**options)
         .load()
     )
+
+
+def write_with_metrics(
+    df: DataFrame,
+    path: str,
+    metrics: "dict[str, object]",
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> dict:
+    """Write ``df`` while collecting named metrics IN the write pass via
+    ``df.observe`` — zero extra scans.
+
+    The reference computes sink statistics by re-reading the table it
+    just wrote (etl2.py:311 reads the whole sink back); the repo's own
+    pipeline previously used a post-write ``collect()`` summary. An
+    ``Observation`` attaches aggregate expressions to the write job
+    itself: executors fold the metrics while producing output files, the
+    driver receives one tiny map — at 100 TB that removes a full second
+    scan per audited write.
+
+    ``metrics`` maps name -> aggregate Column (e.g. ``F.count(F.lit(1))``,
+    ``F.sum(F.col("x").isNull().cast("int"))``). Returns the observed
+    values as a dict. Restriction (enforced by Spark): observed metrics
+    cannot contain DISTINCT aggregates — use ``approx_count_distinct``
+    (HLL, mergeable across tasks) for cardinality metrics.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = df.observe(obs, *[c.alias(k) for k, c in metrics.items()])
+    observed.write.mode(mode).format(fmt).save(path)
+    return dict(obs.get)

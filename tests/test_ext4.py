@@ -500,3 +500,51 @@ def test_kl_mixture_matches_python_reference(spark):
         assert row["kl_vs_corpus"] == pytest.approx(kl, abs=5e-6)
         assert row["lang_entropy"] == pytest.approx(ent, abs=5e-6)
         assert row["kl_vs_corpus"] >= -1e-9  # Gibbs: KL is non-negative
+
+
+# --------------------------------------------------------------------------
+# variant + observe-on-write
+# --------------------------------------------------------------------------
+def test_variant_matches_get_json_object_path(spark):
+    """VARIANT extraction agrees with the classic get_json_object twin
+    on every group."""
+    from _data_engineering_pipeline_project_spark import queries_ext4 as Q
+    from _data_engineering_pipeline_project_spark import queries_ops as QO
+
+    v = {r["event_type"]: (r["sum_k"], r["n"])
+         for r in Q.variant_props_events(spark, SF).collect()}
+    j = {r["event_type"]: (r["sum_k"], r["n"])
+         for r in QO.json_extract_events(spark, SF).collect()}
+    assert v == j
+
+
+def test_write_with_metrics_single_pass(spark, tmp_path):
+    """Observed metrics equal a direct aggregate, and the data lands."""
+    from _data_engineering_pipeline_project_spark.sources.sinks import (
+        write_with_metrics,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = str(tmp_path / "ev_out")
+    m = write_with_metrics(
+        ev,
+        out,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_value": F.sum(F.col("value").isNull().cast("bigint")),
+            # DISTINCT aggs are rejected in observed metrics; the
+            # sanctioned cardinality metric is the mergeable HLL
+            "n_users_approx": F.approx_count_distinct("user_id"),
+        },
+    )
+    direct = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("bigint")).alias("n_null_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    ).collect()[0]
+    assert m["n_rows"] == direct["n_rows"]
+    assert (m["n_null_value"] or 0) == (direct["n_null_value"] or 0)
+    assert abs(m["n_users_approx"] - direct["n_users"]) <= max(
+        2, 0.05 * direct["n_users"]
+    )
+    assert spark.read.parquet(out).count() == m["n_rows"]
