@@ -1398,3 +1398,149 @@ def variant_props_events(spark: SparkSession, sf: str) -> DataFrame:
         F.max("k").cast("bigint").alias("max_k"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# CDC changelog apply (Debezium/Delta-CDF compaction)
+# --------------------------------------------------------------------------
+_CDC_CTES = """
+    h AS (SELECT o_orderkey, o_custkey, o_totalprice,
+                 ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2))
+                   ::INTEGER AS hb
+          FROM orders),
+    changes AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, 1 AS seq, 'I' AS op FROM h
+      UNION ALL
+      SELECT o_orderkey, o_custkey, round(o_totalprice + 10.0, 2), 2, 'U'
+      FROM h WHERE hb % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice, 3, 'D'
+      FROM h WHERE hb % 5 = 0)
+"""
+
+
+@query(
+    "cdc_apply_orders_changelog",
+    f"""
+    WITH {_CDC_CTES},
+    ranked AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, seq, op,
+             row_number() OVER (PARTITION BY o_orderkey
+                                ORDER BY seq DESC, op DESC) AS rn
+      FROM changes)
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(seq AS INTEGER) AS version, op AS last_op
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_apply_orders_changelog(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC compaction: an insert/update/delete changelog (derived
+    deterministically from orders — every key an INSERT, hash-selected
+    keys an UPDATE at seq 2 and/or a DELETE at seq 3) collapsed to the
+    latest snapshot by ``operators/cdc.apply_changelog``. One window
+    keyed on the PK replaces the reference's per-row UPDATE statements
+    (etl2.py:371-380); sequence ordering — not arrival order — decides
+    the winner, so out-of-order and replayed deliveries are harmless
+    (pinned by the pytest scenarios). At scale this is the nightly
+    Debezium-topic → lake-table compaction: one shuffle on the key.
+    """
+    from _data_engineering_pipeline_project_spark.operators.cdc import (
+        apply_changelog,
+    )
+
+    o = table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    hb = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2), 16, 10)
+        .cast("int")
+        .alias("hb")
+    )
+    h = o.select("*", hb)
+    ins = h.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    upd = h.filter(F.col("hb") % 3 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") + 10.0, 2).alias("o_totalprice"),
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    dels = h.filter(F.col("hb") % 5 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.lit(3).alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    changes = ins.unionAll(upd).unionAll(dels)
+    snap = apply_changelog(changes, ["o_orderkey"], ["seq"])
+    return snap.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.col("seq").cast("int").alias("version"),
+        F.col("op").alias("last_op"),
+    )
+
+
+# --------------------------------------------------------------------------
+# EWMA via sequential fold (recursive smoother, declaratively)
+# --------------------------------------------------------------------------
+@query(
+    "ewma_daily_counts_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS y
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    arr AS (SELECT event_type, list(y ORDER BY day) AS ys
+            FROM daily GROUP BY event_type)
+    SELECT event_type, CAST(len(ys) AS BIGINT) AS n_days,
+           round(list_reduce(ys, (s, x) -> (s + x) / 2), 6) AS ewma,
+           round(ys[len(ys)] - list_reduce(ys, (s, x) -> (s + x) / 2), 6)
+             AS last_minus_ewma
+    FROM arr
+    """,
+)
+def ewma_daily_counts_events(spark: SparkSession, sf: str) -> DataFrame:
+    """EWMA (alpha = 1/2) of each series' daily counts, expressed as a
+    SEQUENTIAL FOLD over an ordered array — the way to run a genuinely
+    recursive smoother inside a declarative engine without a UDF:
+    collect the (small, bounded-by-observation-span) ordered series per
+    group, then ``F.aggregate`` folds it left in one codegen'd
+    expression; DuckDB's ``list_reduce`` folds identically. Because the
+    fold order is PINNED (unlike commutative SUM), and alpha = 1/2 makes
+    every step an IEEE-exact halving of one addition, the result is
+    bit-identical across engines before any rounding. The final
+    ``last − ewma`` residual is the anomaly signal (recency-weighted
+    drift of the newest point).
+    """
+    ev = table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    arr = daily.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "y"))), lambda s: s["y"]
+        ).alias("ys")
+    )
+    # left fold with the first element as the seed == DuckDB list_reduce
+    ewma = F.aggregate(
+        F.slice(F.col("ys"), 2, F.size("ys") - 1),
+        F.element_at(F.col("ys"), 1),
+        lambda s, x: (s + x) / F.lit(2.0),
+    )
+    return arr.select(
+        "event_type",
+        F.size("ys").cast("bigint").alias("n_days"),
+        F.round(ewma, 6).alias("ewma"),
+        F.round(F.element_at(F.col("ys"), -1) - ewma, 6).alias(
+            "last_minus_ewma"
+        ),
+    )

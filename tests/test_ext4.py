@@ -548,3 +548,83 @@ def test_write_with_metrics_single_pass(spark, tmp_path):
         2, 0.05 * direct["n_users"]
     )
     assert spark.read.parquet(out).count() == m["n_rows"]
+
+
+# --------------------------------------------------------------------------
+# CDC apply / EWMA fold
+# --------------------------------------------------------------------------
+def test_cdc_apply_out_of_order_and_replay(spark):
+    """Sequence ordering (not arrival order) decides; exact replays of
+    the same (key, seq) collapse; delete-last keys vanish; a late
+    update arriving AFTER the delete (higher seq) resurrects the key."""
+    from _data_engineering_pipeline_project_spark.operators.cdc import (
+        apply_changelog,
+    )
+
+    rows = [
+        # key 1: I(1), U(2) delivered out of order
+        Row(k=1, v="b", seq=2, op="U"),
+        Row(k=1, v="a", seq=1, op="I"),
+        # key 2: I then D -> gone
+        Row(k=2, v="x", seq=1, op="I"),
+        Row(k=2, v="x", seq=2, op="D"),
+        # key 3: replayed insert (same seq twice)
+        Row(k=3, v="r", seq=1, op="I"),
+        Row(k=3, v="r", seq=1, op="I"),
+        # key 4: D then late U with higher seq -> resurrected
+        Row(k=4, v="old", seq=1, op="I"),
+        Row(k=4, v=None, seq=2, op="D"),
+        Row(k=4, v="new", seq=3, op="U"),
+    ]
+    snap = {
+        r["k"]: (r["v"], r["seq"])
+        for r in apply_changelog(
+            spark.createDataFrame(rows), ["k"], ["seq"]
+        ).collect()
+    }
+    assert snap == {1: ("b", 2), 3: ("r", 1), 4: ("new", 3)}
+
+
+def test_cdc_query_matches_manual_apply(spark):
+    from _data_engineering_pipeline_project_spark import queries_ext4 as Q
+    import hashlib
+
+    got = {r["o_orderkey"]: r for r in Q.cdc_apply_orders_changelog(spark, SF).collect()}
+    orders = spark.read.parquet(f"{SF}/orders.parquet").collect()
+    for o in orders:
+        hb = int(hashlib.md5(str(o["o_orderkey"]).encode()).hexdigest()[:2], 16)
+        k = o["o_orderkey"]
+        if hb % 5 == 0:
+            assert k not in got  # delete wins at seq 3
+        elif hb % 3 == 0:
+            assert got[k]["version"] == 2 and got[k]["last_op"] == "U"
+            assert got[k]["o_totalprice"] == pytest.approx(
+                round(o["o_totalprice"] + 10.0, 2)
+            )
+        else:
+            assert got[k]["version"] == 1 and got[k]["last_op"] == "I"
+            assert got[k]["o_totalprice"] == o["o_totalprice"]
+
+
+def test_ewma_matches_python_fold(spark):
+    from _data_engineering_pipeline_project_spark import queries_ext4 as Q
+
+    out = {r["event_type"]: r for r in Q.ewma_daily_counts_events(spark, SF).collect()}
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .count()
+        .collect()
+    )
+    series: dict = {}
+    for r in ev:
+        series.setdefault(r["event_type"], []).append((r["day"], float(r["count"])))
+    for et, pts in series.items():
+        ys = [y for _, y in sorted(pts)]
+        s = ys[0]
+        for x in ys[1:]:
+            s = (s + x) / 2.0  # exact halving, same IEEE ops as both engines
+        row = out[et]
+        assert row["n_days"] == len(ys)
+        assert row["ewma"] == pytest.approx(s, abs=1e-6)
+        assert row["last_minus_ewma"] == pytest.approx(ys[-1] - s, abs=1e-6)
