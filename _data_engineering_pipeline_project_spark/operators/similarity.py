@@ -718,3 +718,142 @@ def topk_cosine_quantized(
         .filter(F.col("rnk") <= k)
         .select(query_id_col, "neighbor_id", "cosine", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN: subspace codebooks + asymmetric distance
+# ---------------------------------------------------------------------------
+def _sq_l2(a, b):
+    """Squared L2 distance in the EXPANDED form ``<a,a> − 2<a,b> + <b,b>``
+    — three sequential-fold dots and fixed-order arithmetic, so the
+    DuckDB twin (list_dot_product with the same expression) is
+    bit-identical before rounding."""
+    return dot(a, a) - 2 * dot(a, b) + dot(b, b)
+
+
+def _subspaces(df: DataFrame, vec_col, out_col: str, m: int, sub_dim: int):
+    arr = F.array(
+        *[F.slice(F.col(vec_col), 1 + sub_dim * s, sub_dim) for s in range(m)]
+    )
+    return df.select(
+        "*", F.posexplode(arr).alias("subspace", out_col)
+    ).drop(vec_col)
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    sub_dim: int = 16,
+    ksub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic PQ codebooks: per subspace, the ``ksub`` subvectors
+    of the smallest-md5(id) corpus rows (the same portable seeding as
+    ``ivf_seed_centroids`` — TakeOrdered, never a corpus shuffle).
+    Output: (subspace, code, cvec). Real PQ would Lloyd-iterate each
+    subspace independently; seed-only keeps the code geometry exactly
+    reproducible in the SQL oracle."""
+    h = F.md5(F.col(id_col).cast("string"))
+    seeds = (
+        corpus.select(F.col(id_col), F.col(vec_col), h.alias("__h"))
+        .orderBy("__h", id_col)
+        .limit(ksub)
+    )
+    w = Window.orderBy("__h", F.col(id_col))
+    coded = seeds.select(
+        F.row_number().over(w).cast("int").alias("code"),
+        F.col(vec_col).alias("__svec"),
+    )
+    return _subspaces(coded, "__svec", "cvec", m, sub_dim)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    sub_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every corpus vector as ``m`` one-byte-ish codes: per
+    subspace, the codebook entry with minimal squared L2 (rounded at 6
+    before the argmin; ties broken by code id). The corpus is read ONCE,
+    cross-scored against the BROADCAST codebooks map-side, and the
+    argmin is a per-(vector, subspace) window over ksub rows — at
+    100 TB this is the classic 'corpus never shuffles, codebook
+    travels' shape, and the stored codes are m·log2(ksub) bits per
+    vector (the 32× compression that makes exhaustive ADC scans
+    affordable)."""
+    sub = _subspaces(corpus.select(id_col, vec_col), vec_col, "svec", m, sub_dim)
+    scored = sub.join(F.broadcast(codebooks), "subspace").select(
+        id_col,
+        "subspace",
+        "code",
+        F.round(_sq_l2(F.col("svec"), F.col("cvec")), 6).alias("d2"),
+    )
+    w = Window.partitionBy(id_col, "subspace").orderBy("d2", "code")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "subspace", "code")
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    sub_dim: int = 16,
+    ksub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k nearest neighbors via PQ asymmetric distance
+    computation (ADC): each query precomputes a (subspace × code)
+    distance table against the codebooks — m·ksub numbers per query —
+    and every corpus vector's approximate distance is the SUM of m
+    table lookups on its stored codes. No full-precision vector is
+    touched at query time: the scan reads only the code columns.
+
+    Parity engineering: per-lookup distances are fixed-pointed
+    (``round(d2,6)·1e6`` as bigint) so the per-pair sum over m terms is
+    exact integer arithmetic — the ranking key ``s_fp`` is an integer,
+    immune to accumulation order. Smallest distance wins; ties by
+    neighbor id."""
+    cb = pq_codebooks(corpus, m, sub_dim, ksub, id_col, vec_col)
+    codes = pq_encode(corpus, cb, m, sub_dim, id_col, vec_col)
+    qsub = _subspaces(
+        queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col)),
+        vec_col,
+        "qsvec",
+        m,
+        sub_dim,
+    )
+    dtab = qsub.join(F.broadcast(cb), "subspace").select(
+        query_id_col,
+        "subspace",
+        "code",
+        F.round(F.round(_sq_l2(F.col("qsvec"), F.col("cvec")), 6) * 1000000)
+        .cast("bigint")
+        .alias("d2_fp"),
+    )
+    scored = (
+        codes.join(F.broadcast(dtab), ["subspace", "code"])
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("d2_fp").alias("s_fp"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy("s_fp", id_col)
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            F.round(F.col("s_fp") / 1000000.0, 6).alias("approx_d2"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -98,6 +98,10 @@ EXTENSION_QUERIES = [
     "rfm_segmentation_events",
     "gini_revenue_by_segment",
     "pydatasource_synthetic_docs",
+    "kl_mixture_drift_sources",
+    "variant_props_events",
+    "cdc_apply_orders_changelog",
+    "ewma_daily_counts_events",
 ]
 
 BENCH_QUERIES = [

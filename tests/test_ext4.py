@@ -628,3 +628,63 @@ def test_ewma_matches_python_fold(spark):
         assert row["n_days"] == len(ys)
         assert row["ewma"] == pytest.approx(s, abs=1e-6)
         assert row["last_minus_ewma"] == pytest.approx(ys[-1] - s, abs=1e-6)
+
+
+# --------------------------------------------------------------------------
+# PQ ANN
+# --------------------------------------------------------------------------
+def test_pq_codes_shape_and_recall(spark):
+    """Every corpus vector encodes to exactly m=4 codes in 1..8, and
+    PQ-ADC top-5 overlaps the exact L2 top-5 (recall sanity — seed
+    codebooks are coarse, so the bar is deliberately modest)."""
+    np = pytest.importorskip("numpy")
+    from _data_engineering_pipeline_project_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    from _data_engineering_pipeline_project_spark.queries_ext4 import (
+        _PQ_K,
+        _PQ_M,
+        _PQ_SD,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cb = pq_codebooks(emb, m=_PQ_M, sub_dim=_PQ_SD, ksub=_PQ_K)
+    codes = pq_encode(emb, cb, m=_PQ_M, sub_dim=_PQ_SD).collect()
+    n_vec = emb.count()
+    assert len(codes) == _PQ_M * n_vec
+    assert all(
+        1 <= r["code"] <= _PQ_K and 0 <= r["subspace"] < _PQ_M for r in codes
+    )
+
+    got = pq_adc_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5,
+        m=_PQ_M, sub_dim=_PQ_SD, ksub=_PQ_K,
+    ).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=float)
+        for r in emb.collect()
+    }
+    hits = tot = 0
+    for qid, rows in by_q.items():
+        assert [r["rnk"] for r in sorted(rows, key=lambda r: r["rnk"])] == [1, 2, 3, 4, 5]
+        # approx distances are non-decreasing with rank
+        sr = sorted(rows, key=lambda r: r["rnk"])
+        assert all(
+            sr[i]["approx_d2"] <= sr[i + 1]["approx_d2"] + 1e-9
+            for i in range(len(sr) - 1)
+        )
+        q = vecs[qid]
+        exact = sorted(
+            ((np.sum((v - q) ** 2), vid) for vid, v in vecs.items() if vid != qid)
+        )[:5]
+        exact_ids = {vid for _, vid in exact}
+        hits += len(exact_ids & {r["neighbor_id"] for r in rows})
+        tot += 5
+    assert tot == 50
+    assert hits / tot >= 0.5, f"PQ recall@5 collapsed: {hits}/{tot}"

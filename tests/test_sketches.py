@@ -202,7 +202,10 @@ def test_binned_quantiles_error_bound_property(spark):
             import math
 
             exact = s[max(0, math.ceil(p * len(s)) - 1)]
-            assert abs(e - exact) <= max(width * 1.5, 1e-9), (p, e, exact)
+            # the estimate is rounded to 6 dp for oracle parity, so for
+            # ranges smaller than ~1e-6 the ROUNDING (5e-7), not the bin
+            # width, bounds the error (hypothesis found range=FLT_EPSILON)
+            assert abs(e - exact) <= max(width * 1.5, 5.1e-7), (p, e, exact)
 
     check()
 
