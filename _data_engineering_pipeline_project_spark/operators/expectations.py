@@ -106,3 +106,71 @@ def run_expectations(df: DataFrame, specs: list[Expectation]) -> DataFrame:
         F.col("n_violations").cast("bigint").alias("n_violations"),
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def profile_table(
+    df: DataFrame,
+    numeric_cols: "list[str]" = (),
+    timestamp_cols: "list[str]" = (),
+    other_cols: "list[str]" = (),
+) -> DataFrame:
+    """One-pass column profiler: for every listed column — null count,
+    exact distinct count, and typed min/max (doubles for numeric
+    columns, native timestamps for time columns; no lossy
+    value→string formatting, which differs between engines).
+
+    Like ``run_expectations``, the whole profile is ONE aggregate over
+    ONE scan (Spark plans the N distinct-counts as an expand + two-phase
+    agg — still a single pass over the data); the per-column report rows
+    come from unpivoting the single aggregate row. At 100 TB swap the
+    exact distincts for ``approx_count_distinct`` — same shape, no
+    expand multiplier.
+
+    Output: (column, n_rows, n_nulls, n_distinct, min_num, max_num,
+    min_ts, max_ts).
+    """
+    cols = (
+        [(c, "num") for c in numeric_cols]
+        + [(c, "ts") for c in timestamp_cols]
+        + [(c, "other") for c in other_cols]
+    )
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    for i, (c, kind) in enumerate(cols):
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"__nul{i}")
+        )
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__dis{i}"))
+        if kind == "num":
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"__min{i}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"__max{i}"))
+        elif kind == "ts":
+            # normalize TIMESTAMP_NTZ -> TIMESTAMP so the unpivot's NULL
+            # slots (typed TIMESTAMP) unify; session tz is pinned UTC by
+            # catalog.table, making the cast value-preserving
+            aggs.append(F.min(F.col(c)).cast("timestamp").alias(f"__tmin{i}"))
+            aggs.append(F.max(F.col(c)).cast("timestamp").alias(f"__tmax{i}"))
+    one = df.agg(*aggs)
+    parts = []
+    for i, (c, kind) in enumerate(cols):
+        mn = f"__min{i}" if kind == "num" else "CAST(NULL AS DOUBLE)"
+        mx = f"__max{i}" if kind == "num" else "CAST(NULL AS DOUBLE)"
+        tmn = f"__tmin{i}" if kind == "ts" else "CAST(NULL AS TIMESTAMP)"
+        tmx = f"__tmax{i}" if kind == "ts" else "CAST(NULL AS TIMESTAMP)"
+        parts.append(
+            f"'{c}', __nul{i}, __dis{i}, {mn}, {mx}, {tmn}, {tmx}"
+        )
+    report = one.selectExpr(
+        "__n_rows",
+        f"stack({len(cols)}, {', '.join(parts)}) as "
+        "(column, n_nulls, n_distinct, min_num, max_num, min_ts, max_ts)",
+    )
+    return report.select(
+        "column",
+        F.col("__n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_nulls").cast("bigint").alias("n_nulls"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        "min_num",
+        "max_num",
+        "min_ts",
+        "max_ts",
+    )

@@ -1640,3 +1640,64 @@ def embedding_topk_pq(spark: SparkSession, sf: str) -> DataFrame:
         sub_dim=_PQ_SD,
         ksub=_PQ_K,
     )
+
+
+# --------------------------------------------------------------------------
+# One-pass table profiler
+# --------------------------------------------------------------------------
+@query(
+    "profile_events_table",
+    """
+    WITH s AS (
+      SELECT count(*) AS n_rows,
+        CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul0,
+        CAST(count(DISTINCT event_id) AS BIGINT) AS dis0,
+        CAST(min(event_id) AS DOUBLE) AS min0,
+        CAST(max(event_id) AS DOUBLE) AS max0,
+        CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul1,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS dis1,
+        CAST(min(user_id) AS DOUBLE) AS min1,
+        CAST(max(user_id) AS DOUBLE) AS max1,
+        CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul2,
+        CAST(count(DISTINCT value) AS BIGINT) AS dis2,
+        CAST(min(value) AS DOUBLE) AS min2,
+        CAST(max(value) AS DOUBLE) AS max2,
+        CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul3,
+        CAST(count(DISTINCT ts) AS BIGINT) AS dis3,
+        min(ts) AS tmin3, max(ts) AS tmax3,
+        CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS nul4,
+        CAST(count(DISTINCT event_type) AS BIGINT) AS dis4
+      FROM events)
+    SELECT 'event_id' AS column, n_rows, nul0 AS n_nulls, dis0 AS n_distinct,
+           min0 AS min_num, max0 AS max_num,
+           CAST(NULL AS TIMESTAMP) AS min_ts, CAST(NULL AS TIMESTAMP) AS max_ts
+    FROM s
+    UNION ALL SELECT 'user_id', n_rows, nul1, dis1, min1, max1, NULL, NULL
+    FROM s
+    UNION ALL SELECT 'value', n_rows, nul2, dis2, min2, max2, NULL, NULL FROM s
+    UNION ALL SELECT 'ts', n_rows, nul3, dis3, NULL, NULL, tmin3, tmax3 FROM s
+    UNION ALL SELECT 'event_type', n_rows, nul4, dis4, NULL, NULL, NULL, NULL
+    FROM s
+    """,
+)
+def profile_events_table(spark: SparkSession, sf: str) -> DataFrame:
+    """Column-level profile of events — nulls, exact distincts, typed
+    min/max — in ONE scan (operators/expectations.profile_table). The
+    per-column report a pipeline snapshots before/after every load to
+    drive drift alerts (pair with `value_drift_psi`); min/max stay in
+    their native types (double / timestamp) because value→string
+    formatting is engine-specific and would break parity where the
+    VALUES don't differ.
+    """
+    from _data_engineering_pipeline_project_spark.operators.expectations import (
+        profile_table,
+    )
+
+    ev = table(spark, sf, "events")
+    return profile_table(
+        ev,
+        numeric_cols=["event_id", "user_id", "value"],
+        timestamp_cols=["ts"],
+        other_cols=["event_type"],
+    )

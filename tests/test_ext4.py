@@ -688,3 +688,21 @@ def test_pq_codes_shape_and_recall(spark):
         tot += 5
     assert tot == 50
     assert hits / tot >= 0.5, f"PQ recall@5 collapsed: {hits}/{tot}"
+
+
+def test_profile_table_one_scan_and_values(spark):
+    from _data_engineering_pipeline_project_spark import queries_ext4 as Q
+
+    df = Q.profile_events_table(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    got = {r["column"]: r for r in df.collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    assert got["event_id"]["n_distinct"] == len({r["event_id"] for r in ev})
+    assert got["user_id"]["min_num"] == float(min(r["user_id"] for r in ev))
+    assert got["value"]["max_num"] == pytest.approx(
+        max(r["value"] for r in ev if r["value"] is not None)
+    )
+    assert got["ts"]["min_ts"] == min(r["ts"] for r in ev)
+    assert got["event_type"]["n_distinct"] == len({r["event_type"] for r in ev})
+    assert all(r["n_rows"] == len(ev) for r in got.values())
