@@ -1701,3 +1701,113 @@ def profile_events_table(spark: SparkSession, sf: str) -> DataFrame:
         timestamp_cols=["ts"],
         other_cols=["event_type"],
     )
+
+
+# --------------------------------------------------------------------------
+# IVFADC: IVF lists x PQ codes (the production ANN composition)
+# --------------------------------------------------------------------------
+_IVFPQ_SQL = f"""
+    WITH iseeds AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cvec,
+             md5(CAST(vec_id AS VARCHAR)) AS h
+      FROM embeddings ORDER BY h, vec_id LIMIT 8),
+    cent AS (
+      SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER)
+               AS centroid_id, cvec
+      FROM iseeds),
+    cscore AS (
+      SELECT e.vec_id, c.centroid_id,
+             round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS cos
+      FROM embeddings e, cent c),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cos DESC, centroid_id) AS arnk
+        FROM cscore) WHERE arnk = 1),
+    probes AS (
+      SELECT vec_id AS query_id, centroid_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cos DESC, centroid_id) AS arnk
+        FROM cscore WHERE vec_id < 10) WHERE arnk <= 2),
+    seeds AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS svec,
+             md5(CAST(vec_id AS VARCHAR)) AS h
+      FROM embeddings ORDER BY h, vec_id LIMIT {_PQ_K}),
+    codes0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) AS code,
+             svec
+      FROM seeds),
+    cb AS (
+      {_PQ_CB_SLICES}),
+    sub AS (
+      {_PQ_SUB_SLICES}),
+    enc0 AS (
+      SELECT s.vec_id, s.subspace, c.code,
+             round(list_dot_product(s.svec, s.svec)
+                   - 2 * list_dot_product(s.svec, c.cvec)
+                   + list_dot_product(c.cvec, c.cvec), 6) AS d2
+      FROM sub s JOIN cb c USING (subspace)),
+    enc AS (
+      SELECT vec_id, subspace, code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+                                     ORDER BY d2, code) AS rn
+        FROM enc0) WHERE rn = 1),
+    qsub AS (SELECT vec_id AS query_id, subspace, svec
+             FROM sub WHERE vec_id < 10),
+    dtab AS (
+      SELECT q.query_id, q.subspace, c.code,
+             CAST(round(round(list_dot_product(q.svec, q.svec)
+                              - 2 * list_dot_product(q.svec, c.cvec)
+                              + list_dot_product(c.cvec, c.cvec), 6)
+                        * 1000000) AS BIGINT) AS d2_fp
+      FROM qsub q JOIN cb c USING (subspace)),
+    cand AS (
+      SELECT p.query_id, a.vec_id
+      FROM assigned a JOIN probes p USING (centroid_id)
+      WHERE a.vec_id <> p.query_id),
+    scored AS (
+      SELECT cd.query_id, cd.vec_id AS neighbor_id, sum(d.d2_fp) AS s_fp
+      FROM cand cd
+      JOIN enc e ON e.vec_id = cd.vec_id
+      JOIN dtab d ON d.query_id = cd.query_id
+                 AND d.subspace = e.subspace AND d.code = e.code
+      GROUP BY cd.query_id, cd.vec_id)
+    SELECT query_id, neighbor_id,
+           round(s_fp / 1000000.0, 6) AS approx_d2,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY s_fp, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+"""
+
+
+@query("embedding_topk_ivfpq", _IVFPQ_SQL)
+def embedding_topk_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
+    """IVFADC (Jégou et al.): coarse IVF lists (8 centroids, nprobe=2)
+    composed with PQ codes (32×2×64) — queries probe ~1/4 of the
+    corpus and score candidates by summed table lookups, never touching
+    a full-precision vector at query time. This is the production
+    vector-store shape: IVF cuts CANDIDATES, PQ cuts BYTES PER
+    CANDIDATE; at 100 TB the scan reads centroid ids + 32 code bytes
+    per vector. Deterministic seeding + fixed-point ADC keep even the
+    composed approximate operator hash-parity checkable.
+    """
+    from _data_engineering_pipeline_project_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    emb = table(spark, sf, "embeddings")
+    return ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        num_centroids=8,
+        nprobe=2,
+        m=_PQ_M,
+        sub_dim=_PQ_SD,
+        ksub=_PQ_K,
+    )

@@ -102,6 +102,9 @@ EXTENSION_QUERIES = [
     "variant_props_events",
     "cdc_apply_orders_changelog",
     "ewma_daily_counts_events",
+    "profile_events_table",
+    "embedding_topk_pq",
+    "embedding_topk_ivfpq",
 ]
 
 BENCH_QUERIES = [
