@@ -1811,3 +1811,107 @@ def embedding_topk_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
         sub_dim=_PQ_SD,
         ksub=_PQ_K,
     )
+
+
+# --------------------------------------------------------------------------
+# Differential-privacy-shaped noisy release (seeded Laplace mechanism)
+# --------------------------------------------------------------------------
+@query(
+    "dp_noisy_counts_events",
+    """
+    WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY event_type),
+    u AS (SELECT event_type, n,
+                 (('0x' || substr(md5(event_type), 1, 8))::BIGINT
+                  / 4294967296.0) - 0.5 AS uu
+          FROM c)
+    SELECT event_type, n AS true_count,
+           CAST(round(n + (CASE WHEN uu >= 0 THEN -1.0 ELSE 1.0 END)
+                          * 2.0 * ln(1.0 - 2.0 * abs(uu)), 0)
+                AS BIGINT) AS noisy_count
+    FROM u
+    """,
+)
+def dp_noisy_counts_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Laplace-mechanism-shaped noisy count release (sensitivity 1,
+    b = 1/ε = 2): per-group counts perturbed by inverse-CDF Laplace
+    noise ``-b·sign(u)·ln(1-2|u|)`` driven by an md5-uniform in
+    [-0.5, 0.5). The noise here is SEEDED (a pure function of the group
+    key) so the release is reproducible and oracle-checkable — the
+    plumbing a privacy layer needs (per-release noise, post-aggregation,
+    integer rounding), with the explicit caveat that production DP
+    draws fresh randomness per release; swap the md5-uniform for a true
+    RNG and the plan is unchanged (noise applies AFTER the aggregate,
+    so it is one map over group rows — free at any scale).
+    """
+    ev = table(spark, sf, "events")
+    c = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    uu = (
+        F.conv(F.substring(F.md5(F.col("event_type")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        / F.lit(4294967296.0)
+    ) - F.lit(0.5)
+    noise = (
+        F.when(uu >= 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+        * F.lit(2.0)
+        * F.ln(F.lit(1.0) - F.lit(2.0) * F.abs(uu))
+    )
+    return c.select(
+        "event_type",
+        F.col("n").alias("true_count"),
+        F.round(F.col("n") + noise, 0).cast("bigint").alias("noisy_count"),
+    )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifiers
+# --------------------------------------------------------------------------
+@query(
+    "k_anonymity_audit_events",
+    """
+    WITH q AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(user_id % 10 AS BIGINT) AS user_bucket,
+             count(*) AS grp_size
+      FROM events GROUP BY event_type, CAST(ts AS DATE), user_id % 10)
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN grp_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_groups,
+           CAST(sum(CASE WHEN grp_size < 5 THEN grp_size ELSE 0 END)
+                AS BIGINT) AS n_risky_rows,
+           CAST(min(grp_size) AS BIGINT) AS k_actual,
+           round(sum(CASE WHEN grp_size < 5 THEN grp_size ELSE 0 END)
+                 / CAST(sum(grp_size) AS DOUBLE), 6) AS risky_row_ratio
+    FROM q
+    """,
+)
+def k_anonymity_audit_events(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity audit (k = 5) over the quasi-identifier tuple
+    (event_type, day, user-bucket): how many equivalence classes fall
+    below k, how many rows they expose, and the dataset's actual k
+    (the minimum class size — the number that goes in the privacy
+    review). One groupBy on the quasi-identifiers + one scalar rollup;
+    the release decision (suppress / generalize the small classes)
+    consumes exactly this report. All-integer until the final ratio.
+    """
+    ev = table(spark, sf, "events")
+    q = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        (F.col("user_id") % 10).cast("bigint").alias("user_bucket"),
+    ).agg(F.count(F.lit(1)).alias("grp_size"))
+    small = F.when(F.col("grp_size") < 5, F.col("grp_size")).otherwise(F.lit(0))
+    return q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("grp_size") < 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violating_groups"),
+        F.sum(small).cast("bigint").alias("n_risky_rows"),
+        F.min("grp_size").cast("bigint").alias("k_actual"),
+        F.round(
+            F.sum(small) / F.sum("grp_size").cast("double"), 6
+        ).alias("risky_row_ratio"),
+    )

@@ -744,3 +744,39 @@ def test_ivfpq_subset_of_probed_lists_and_recall(spark):
     # nprobe=2 of 8 lists examines ~25% of the corpus; recall trades
     # against that candidate cut — sanity bar only
     assert hits / tot >= 0.15, f"IVFPQ recall collapsed: {hits}/{tot}"
+
+
+def test_dp_noise_bounded_and_deterministic(spark):
+    """Seeded Laplace noise: |noisy - true| follows from the md5 seed
+    (recompute in Python); noise magnitude within ~b·ln(1/(2·tail))."""
+    import hashlib
+
+    from _data_engineering_pipeline_project_spark import queries_ext4 as Q
+
+    rows = Q.dp_noisy_counts_events(spark, SF).collect()
+    for r in rows:
+        u = (
+            int(hashlib.md5(r["event_type"].encode()).hexdigest()[:8], 16)
+            / 4294967296.0
+        ) - 0.5
+        noise = -(-1.0 if u < 0 else 1.0) * 2.0 * math.log(1.0 - 2.0 * abs(u))
+        assert r["noisy_count"] == round(r["true_count"] + noise), r
+        assert abs(r["noisy_count"] - r["true_count"]) <= 50  # b=2 tail
+
+
+def test_k_anonymity_matches_python(spark):
+    from _data_engineering_pipeline_project_spark import queries_ext4 as Q
+    from collections import Counter
+
+    out = Q.k_anonymity_audit_events(spark, SF).collect()[0]
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    groups = Counter(
+        (r["event_type"], r["ts"].date(), r["user_id"] % 10) for r in ev
+    )
+    sizes = list(groups.values())
+    risky = sum(s for s in sizes if s < 5)
+    assert out["n_groups"] == len(sizes)
+    assert out["n_violating_groups"] == sum(1 for s in sizes if s < 5)
+    assert out["n_risky_rows"] == risky
+    assert out["k_actual"] == min(sizes)
+    assert out["risky_row_ratio"] == pytest.approx(risky / len(ev), abs=1e-6)
