@@ -409,3 +409,58 @@ def test_cross_dedup_preaggregates_corpus(spark):
     assert "HashAggregate" in plan
     for s in read_schemas(cross_dedup_new_vs_corpus(spark, SF)):
         assert "n_chars" not in s and "lang" not in s
+
+
+def test_cbo_join_reorder_pulls_selective_dim_inward(spark):
+    """SURVEY round-3 candidate: cost-based join reordering. A 3-way
+    join WRITTEN as fact1 ⋈ fact2 ⋈ tiny-dim must, with CBO + column
+    stats, be REORDERED so the selective dim joins first (innermost) —
+    cutting the big fact⋈fact intermediate. Pin: in the optimized plan
+    string the dim relation appears BEFORE fact2 exactly when CBO is
+    on (plan trees print the innermost join's children first)."""
+    from pyspark.sql import functions as F
+
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.cbo.enabled",
+            "spark.sql.cbo.joinReorder.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.range(0, 50000).withColumn("k", F.col("id") % 1000).write.mode(
+            "overwrite"
+        ).saveAsTable("cbo_f1")
+        spark.range(0, 50000).withColumn("k", F.col("id") % 1000).write.mode(
+            "overwrite"
+        ).saveAsTable("cbo_f2")
+        spark.range(0, 5).withColumn("k", F.col("id")).write.mode(
+            "overwrite"
+        ).saveAsTable("cbo_dim")
+        for t in ("cbo_f1", "cbo_f2", "cbo_dim"):
+            spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR ALL COLUMNS")
+        sql = (
+            "SELECT count(*) FROM cbo_f1 a JOIN cbo_f2 b ON a.k = b.k "
+            "JOIN cbo_dim d ON a.k = d.k"
+        )
+
+        def plan(cbo: bool) -> str:
+            spark.conf.set("spark.sql.cbo.enabled", str(cbo).lower())
+            spark.conf.set(
+                "spark.sql.cbo.joinReorder.enabled", str(cbo).lower()
+            )
+            return spark.sql(sql)._jdf.queryExecution().optimizedPlan().toString()
+
+        p_off, p_on = plan(False), plan(True)
+        assert p_off.index("cbo_f2") < p_off.index("cbo_dim"), p_off
+        assert p_on.index("cbo_dim") < p_on.index("cbo_f2"), p_on
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        for t in ("cbo_f1", "cbo_f2", "cbo_dim"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
