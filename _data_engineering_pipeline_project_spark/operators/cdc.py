@@ -24,6 +24,7 @@ def apply_changelog(
     seq_cols: list[str],
     op_col: str = "op",
     delete_op: str = "D",
+    keep_tombstones: bool = False,
 ) -> DataFrame:
     """Compact a changelog to its latest snapshot.
 
@@ -32,12 +33,20 @@ def apply_changelog(
     ('I'/'U'/'D'), and the payload. Highest (seq, op) wins per key —
     including op in the tie-break makes exact (key, seq) replays
     deterministic; the snapshot excludes keys whose winner is a delete.
+
+    ``keep_tombstones=True`` retains delete winners (the INCREMENTAL
+    compaction state): dropping a tombstone loses the information that
+    the key died at seq s, so a LATE change with a LOWER sequence
+    arriving in a later batch would wrongly resurrect it. Streaming
+    maintainers store the tombstoned form and filter deletes at read.
     """
     order = [F.col(c).desc() for c in seq_cols] + [F.col(op_col).desc()]
     w = Window.partitionBy(*key_cols).orderBy(*order)
-    return (
+    latest = (
         changes.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .filter(F.col(op_col) != delete_op)
         .drop("__rn")
     )
+    if keep_tombstones:
+        return latest
+    return latest.filter(F.col(op_col) != delete_op)
