@@ -1915,3 +1915,226 @@ def k_anonymity_audit_events(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(small) / F.sum("grp_size").cast("double"), 6
         ).alias("risky_row_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust trend (median of pairwise slopes)
+# --------------------------------------------------------------------------
+@query(
+    "theil_sen_trend_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    d0 AS (SELECT min(day) AS day0 FROM daily),
+    xy AS (SELECT event_type,
+                  CAST(date_diff('day', day0, day) AS BIGINT) AS x, y
+           FROM daily, d0),
+    slopes AS (
+      SELECT a.event_type,
+             (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS s
+      FROM xy a JOIN xy b
+        ON a.event_type = b.event_type AND a.x < b.x)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(median(s) AS DOUBLE), 6) AS theil_sen_slope
+    FROM slopes GROUP BY event_type
+    """,
+)
+def theil_sen_trend_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Theil-Sen robust trend per series: the MEDIAN of all pairwise
+    slopes — up to 29% of the points can be corrupted before the
+    estimate moves (OLS breaks at one outlier; run next to
+    `ols_trend_events_daily` and a gap between them IS the outlier
+    alarm). Pairs are quadratic only in days-per-series (the series is
+    already aggregated — 30 days → 435 pairs), every slope is one
+    exact integer-ratio division, and the median is an order statistic
+    — no accumulation-order float risk anywhere.
+    """
+    ev = table(spark, sf, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    )
+    d0 = daily.agg(F.min("day").alias("day0"))
+    xy = daily.crossJoin(F.broadcast(d0)).select(
+        "event_type",
+        F.datediff(F.col("day"), F.col("day0")).cast("bigint").alias("x"),
+        "y",
+    )
+    a, b = xy.alias("a"), xy.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.y") - F.col("a.y"))
+            / (F.col("b.x") - F.col("a.x")).cast("double")
+        ).alias("s"),
+    )
+    return slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.median("s"), 6).alias("theil_sen_slope"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Autocorrelation function (seasonality detector)
+# --------------------------------------------------------------------------
+@query(
+    "acf_daily_counts_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    lags AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS lag),
+    pairs AS (
+      SELECT a.event_type, l.lag, a.y AS y0, b.y AS y1
+      FROM daily a
+      CROSS JOIN lags l
+      JOIN daily b ON b.event_type = a.event_type
+                  AND b.day = a.day + to_days(CAST(l.lag AS INTEGER))),
+    s AS (SELECT event_type, lag, count(*) AS n, sum(y0) AS s0, sum(y1) AS s1,
+                 sum(y0 * y1) AS s01, sum(y0 * y0) AS s00, sum(y1 * y1) AS s11
+          FROM pairs GROUP BY event_type, lag)
+    SELECT event_type, CAST(lag AS INTEGER) AS lag, CAST(n AS BIGINT) AS n,
+           CASE WHEN (n * s00 - s0 * s0) * (n * s11 - s1 * s1) <= 0 THEN NULL
+                ELSE round((n * s01 - s0 * s1)
+                           / sqrt(CAST(n * s00 - s0 * s0 AS DOUBLE)
+                                  * (n * s11 - s1 * s1)), 6)
+           END AS acf
+    FROM s
+    """,
+)
+def acf_daily_counts_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Autocorrelation of each daily series at lags 1-7 — the
+    seasonality detector (a weekly cycle shows as an ACF spike at
+    lag 7; pair with `seasonal_residual_events` which ASSUMES the
+    period this query MEASURES). Lagged alignment is an equi-join on
+    (series, day+lag) — no window, no sort; the correlation at each
+    lag is the five-integer-sums Pearson form with one final division
+    over exact bigints. At 100 TB each (series, lag) cell is one
+    aggregation group — millions of series parallelize trivially.
+    """
+    ev = table(spark, sf, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a = daily.crossJoin(F.broadcast(lags)).select(
+        "event_type", "day", "lag", F.col("y").alias("y0"),
+        F.date_add(F.col("day"), F.col("lag")).alias("day1"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("bet"),
+        F.col("day").alias("b_day"),
+        F.col("y").alias("y1"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("event_type") == F.col("bet"))
+        & (F.col("day1") == F.col("b_day")),
+    ).select("event_type", "lag", "y0", "y1")
+    s = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y0").alias("s0"),
+        F.sum("y1").alias("s1"),
+        F.sum(F.col("y0") * F.col("y1")).alias("s01"),
+        F.sum(F.col("y0") * F.col("y0")).alias("s00"),
+        F.sum(F.col("y1") * F.col("y1")).alias("s11"),
+    )
+    dx = F.col("n") * F.col("s00") - F.col("s0") * F.col("s0")
+    dy = F.col("n") * F.col("s11") - F.col("s1") * F.col("s1")
+    num = F.col("n") * F.col("s01") - F.col("s0") * F.col("s1")
+    return s.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("bigint").alias("n"),
+        F.when(dx * dy <= 0, F.lit(None).cast("double"))
+        .otherwise(F.round(num / F.sqrt(dx.cast("double") * dy), 6))
+        .alias("acf"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Item-item collaborative filtering (co-purchase cosine)
+# --------------------------------------------------------------------------
+@query(
+    "item_item_cosine_parts",
+    """
+    WITH ui AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    deg AS (SELECT part, CAST(count(*) AS BIGINT) AS buyers
+            FROM ui GROUP BY part),
+    co AS (
+      SELECT a.part AS part_a, b.part AS part_b,
+             CAST(count(*) AS BIGINT) AS common
+      FROM ui a JOIN ui b ON a.cust = b.cust AND a.part < b.part
+      GROUP BY a.part, b.part),
+    scored AS (
+      SELECT co.part_a, co.part_b, co.common,
+             round(co.common / sqrt(CAST(da.buyers AS DOUBLE) * db.buyers), 6)
+               AS cosine
+      FROM co
+      JOIN deg da ON da.part = co.part_a
+      JOIN deg db ON db.part = co.part_b)
+    SELECT part_a, part_b, common, cosine
+    FROM scored
+    ORDER BY cosine DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def item_item_cosine_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Item-item collaborative filtering: cosine similarity of parts
+    over the binary customer×part purchase matrix —
+    ``common_buyers / sqrt(buyers_a · buyers_b)`` — the classic
+    "customers who bought X also bought Y" scorer (the lift-ranked
+    twin is `market_basket_part_pairs`; cosine damps the
+    popular-item bias lift amplifies). The pair expansion self-joins on
+    customer, so work is Σ (parts-per-customer)² — bounded by basket
+    size, never by catalog size; the skew hardening at planet scale is
+    capping hyper-active customers (a DF cap, exactly like hot
+    shingles in the MinHash verify path). Integer counts everywhere;
+    one division + sqrt at output; top-20 via a deterministic
+    (cosine, part_a, part_b) TakeOrdered — no global sort materialized.
+    """
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    ui = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    deg = ui.groupBy("part").agg(F.count(F.lit(1)).cast("bigint").alias("buyers"))
+    a, b = ui.alias("a"), ui.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.cust") == F.col("b.cust"))
+            & (F.col("a.part") < F.col("b.part")),
+        )
+        .groupBy(
+            F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    da = deg.select(F.col("part").alias("part_a"), F.col("buyers").alias("ba"))
+    db = deg.select(F.col("part").alias("part_b"), F.col("buyers").alias("bb"))
+    scored = (
+        co.join(da, "part_a")
+        .join(db, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "common",
+            F.round(
+                F.col("common")
+                / F.sqrt(F.col("ba").cast("double") * F.col("bb")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(
+        F.col("cosine").desc(), "part_a", "part_b"
+    ).limit(20)

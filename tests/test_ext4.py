@@ -780,3 +780,99 @@ def test_k_anonymity_matches_python(spark):
     assert out["n_risky_rows"] == risky
     assert out["k_actual"] == min(sizes)
     assert out["risky_row_ratio"] == pytest.approx(risky / len(ev), abs=1e-6)
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen / ACF / item-item cosine
+# --------------------------------------------------------------------------
+def _daily_series(spark):
+    rows = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .count()
+        .collect()
+    )
+    day0 = min(r["day"] for r in rows)
+    out: dict = {}
+    for r in rows:
+        out.setdefault(r["event_type"], []).append(
+            ((r["day"] - day0).days, r["count"])
+        )
+    return {k: sorted(v) for k, v in out.items()}
+
+
+def test_theil_sen_matches_python(spark):
+    import statistics
+
+    from _data_engineering_pipeline_project_spark import queries_ext4 as Q
+
+    out = {r["event_type"]: r for r in Q.theil_sen_trend_events(spark, SF).collect()}
+    for et, pts in _daily_series(spark).items():
+        slopes = [
+            (y2 - y1) / (x2 - x1)
+            for i, (x1, y1) in enumerate(pts)
+            for (x2, y2) in pts[i + 1:]
+            if x2 > x1
+        ]
+        row = out[et]
+        assert row["n_pairs"] == len(slopes)
+        assert row["theil_sen_slope"] == pytest.approx(
+            statistics.median(slopes), abs=1e-6
+        )
+
+
+def test_acf_matches_numpy(spark):
+    np = pytest.importorskip("numpy")
+    from _data_engineering_pipeline_project_spark import queries_ext4 as Q
+
+    out = {
+        (r["event_type"], r["lag"]): r
+        for r in Q.acf_daily_counts_events(spark, SF).collect()
+    }
+    for et, pts in _daily_series(spark).items():
+        by_x = dict(pts)
+        for lag in range(1, 8):
+            y0 = [y for x, y in pts if x + lag in by_x]
+            y1 = [by_x[x + lag] for x, y in pts if x + lag in by_x]
+            if len(y0) < 2:
+                continue
+            row = out.get((et, lag))
+            assert row is not None and row["n"] == len(y0)
+            if np.std(y0) > 0 and np.std(y1) > 0:
+                want = np.corrcoef(y0, y1)[0, 1]
+                assert row["acf"] == pytest.approx(want, abs=2e-6), (et, lag)
+
+
+def test_item_item_cosine_matches_python(spark):
+    from _data_engineering_pipeline_project_spark import queries_ext4 as Q
+
+    got = Q.item_item_cosine_parts(spark, SF).collect()
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").collect()
+    orders = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in spark.read.parquet(f"{SF}/orders.parquet").collect()
+    }
+    ui = {(orders[r["l_orderkey"]], r["l_partkey"]) for r in li
+          if r["l_orderkey"] in orders}
+    from collections import Counter
+
+    buyers = Counter(p for _, p in ui)
+    by_cust: dict = {}
+    for c, p in ui:
+        by_cust.setdefault(c, set()).add(p)
+    common = Counter()
+    for c, parts in by_cust.items():
+        ps = sorted(parts)
+        for i, pa in enumerate(ps):
+            for pb in ps[i + 1:]:
+                common[(pa, pb)] += 1
+    scored = sorted(
+        (
+            (-round(n / math.sqrt(buyers[a] * buyers[b]), 6), a, b, n)
+            for (a, b), n in common.items()
+        )
+    )[:20]
+    want = [(a, b, n, -negc) for negc, a, b, n in scored]
+    assert [(r["part_a"], r["part_b"], r["common"], r["cosine"]) for r in got] == [
+        (a, b, n, pytest.approx(c, abs=1e-6)) for a, b, n, c in want
+    ]
