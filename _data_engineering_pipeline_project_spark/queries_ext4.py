@@ -2138,3 +2138,105 @@ def item_item_cosine_parts(spark: SparkSession, sf: str) -> DataFrame:
     return scored.orderBy(
         F.col("cosine").desc(), "part_a", "part_b"
     ).limit(20)
+
+
+# --------------------------------------------------------------------------
+# Readability scoring (Flesch-style, deterministic heuristics)
+# --------------------------------------------------------------------------
+@query(
+    "readability_documents",
+    r"""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+               AS words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS BIGINT) AS sentences,
+             CAST(greatest(len(regexp_extract_all(lower(text),
+                                                  '[aeiouy]+')), 1)
+               AS BIGINT) AS syllables
+      FROM documents)
+    SELECT doc_id, words, sentences, syllables,
+           round(206.835 - 1.015 * (words / CAST(sentences AS DOUBLE))
+                 - 84.6 * (syllables / CAST(words AS DOUBLE)), 4)
+             AS flesch_score
+    FROM c WHERE words > 0
+    """,
+)
+def readability_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Flesch-style readability per document from three deterministic
+    regexp counts (words = alnum runs, sentences = terminal-punctuation
+    runs floored at 1, syllables ≈ vowel groups floored at 1) — the
+    classic quality-scoring axis next to `text_quality_documents`'s
+    length/stopword ratios (C4-style filters cut on exactly these
+    shapes: too-low readability = boilerplate/code, implausibly high =
+    word salad). Pure JVM-side regexp counting, shuffle-free; the score
+    arithmetic is two divisions of exact integers, identical in both
+    engines, rounded at 4.
+    """
+    d = table(spark, sf, "documents")
+    words = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z0-9]+"), 0)).cast(
+        "bigint"
+    )
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)), F.lit(1)
+    ).cast("bigint")
+    syllables = F.greatest(
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[aeiouy]+"), 0)
+        ),
+        F.lit(1),
+    ).cast("bigint")
+    c = d.select(
+        "doc_id",
+        words.alias("words"),
+        sentences.alias("sentences"),
+        syllables.alias("syllables"),
+    )
+    return c.filter(F.col("words") > 0).select(
+        "doc_id",
+        "words",
+        "sentences",
+        "syllables",
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (F.col("words") / F.col("sentences").cast("double"))
+            - F.lit(84.6)
+            * (F.col("syllables") / F.col("words").cast("double")),
+            4,
+        ).alias("flesch_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quantile (rank) normalization — distribution-free feature scaling
+# --------------------------------------------------------------------------
+@query(
+    "quantile_normalized_values_events",
+    """
+    SELECT event_id, event_type, round(value, 4) AS value,
+           round(percent_rank() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id), 6) AS pr
+    FROM events WHERE value IS NOT NULL
+    """,
+)
+def quantile_normalized_values_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group quantile normalization: each value mapped to its
+    percent rank within its event type — the distribution-free scaling
+    that makes heavy-tailed features comparable across groups (the
+    rank-based sibling of `minmax_scaled_embedding_elements` and the
+    z-score queries; immune to outliers by construction). percent_rank
+    is (rank-1)/(n-1) over exact integer ranks with an event_id
+    tie-break — deterministic and engine-identical before the one
+    final division. The window partitions by event_type, so each group
+    sorts independently — shards across the cluster like the Gini rank
+    window.
+    """
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.filter(F.col("value").isNotNull()).select(
+        "event_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )

@@ -105,6 +105,11 @@ EXTENSION_QUERIES = [
     "profile_events_table",
     "embedding_topk_pq",
     "embedding_topk_ivfpq",
+    "dp_noisy_counts_events",
+    "k_anonymity_audit_events",
+    "theil_sen_trend_events",
+    "acf_daily_counts_events",
+    "item_item_cosine_parts",
 ]
 
 BENCH_QUERIES = [

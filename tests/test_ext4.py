@@ -876,3 +876,41 @@ def test_item_item_cosine_matches_python(spark):
     assert [(r["part_a"], r["part_b"], r["common"], r["cosine"]) for r in got] == [
         (a, b, n, pytest.approx(c, abs=1e-6)) for a, b, n, c in want
     ]
+
+
+def test_readability_matches_python(spark):
+    import re as _re
+
+    from _data_engineering_pipeline_project_spark import queries_ext4 as Q
+
+    got = {r["doc_id"]: r for r in Q.readability_documents(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    for d in docs:
+        w = len(_re.findall(r"[A-Za-z0-9]+", d["text"]))
+        if w == 0:
+            assert d["doc_id"] not in got
+            continue
+        s = max(len(_re.findall(r"[.!?]+", d["text"])), 1)
+        sy = max(len(_re.findall(r"[aeiouy]+", d["text"].lower())), 1)
+        row = got[d["doc_id"]]
+        assert (row["words"], row["sentences"], row["syllables"]) == (w, s, sy)
+        assert row["flesch_score"] == pytest.approx(
+            206.835 - 1.015 * (w / s) - 84.6 * (sy / w), abs=1e-4
+        )
+
+
+def test_quantile_normalization_properties(spark):
+    from _data_engineering_pipeline_project_spark import queries_ext4 as Q
+
+    rows = Q.quantile_normalized_values_events(spark, SF).collect()
+    by_g: dict = {}
+    for r in rows:
+        by_g.setdefault(r["event_type"], []).append(r)
+    for g, rs in by_g.items():
+        prs = [r["pr"] for r in rs]
+        assert min(prs) == 0.0 and max(prs) == pytest.approx(1.0)
+        # monotone: sorting by (value, event_id) sorts pr
+        srt = sorted(rs, key=lambda r: (r["value"], r["event_id"]))
+        assert all(
+            srt[i]["pr"] <= srt[i + 1]["pr"] + 1e-12 for i in range(len(srt) - 1)
+        )
