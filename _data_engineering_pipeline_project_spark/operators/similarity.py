@@ -792,10 +792,19 @@ def pq_encode(
         "code",
         F.round(_sq_l2(F.col("svec"), F.col("cvec")), 6).alias("d2"),
     )
-    w = Window.partitionBy(id_col, "subspace").orderBy("d2", "code")
+    # argmin via min_by over struct (d2, code) — a hash aggregate that
+    # partial-aggregates map-side and shuffles ONE row per (vector,
+    # subspace), vs the previous row_number window that sorted all ksub
+    # candidate rows per cell (ksub× the shuffle, plus the sort). The
+    # struct order (d2 asc, code asc) is exactly the window's tie-break,
+    # so results — and the SQL oracle — are unchanged.
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        scored.groupBy(id_col, "subspace")
+        .agg(
+            F.min_by(
+                F.col("code"), F.struct(F.col("d2"), F.col("code"))
+            ).alias("code")
+        )
         .select(id_col, "subspace", "code")
     )
 
