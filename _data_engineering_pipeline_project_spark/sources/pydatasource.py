@@ -158,3 +158,105 @@ def register(spark) -> None:
         spark.dataSource.register(SyntheticDocsDataSource)
     except Exception:
         pass
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource WRITER: JSON-lines sink with a task-commit protocol
+# ---------------------------------------------------------------------------
+import json as _json
+import uuid as _uuid
+from dataclasses import dataclass as _dataclass
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+@_dataclass
+class _JsonlCommit(WriterCommitMessage):
+    tmp_file: str
+    final_file: str
+    n_rows: int
+
+
+class _JsonLinesWriter(DataSourceWriter):
+    """Executor-side writer with the standard two-phase task commit:
+    every task writes to a uuid-named file under ``<path>/_tmp/`` and
+    reports it in its commit message; the DRIVER's ``commit()`` renames
+    the reported files into place and drops a ``_SUCCESS`` manifest,
+    while ``abort()`` deletes the temp files. A reader therefore never
+    observes partial output: speculative/retried tasks leave orphan
+    temp files that were never reported, and they are ignored (and
+    swept) by commit — the same contract as Hadoop's
+    FileOutputCommitter v1."""
+
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("pyjsonl writer requires option 'path'")
+
+    def write(self, iterator) -> _JsonlCommit:
+        import os
+
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
+        tmp_dir = os.path.join(self.path, "_tmp")
+        os.makedirs(tmp_dir, exist_ok=True)
+        name = f"part-{pid:05d}-{_uuid.uuid4().hex}.jsonl"
+        tmp = os.path.join(tmp_dir, name)
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _JsonlCommit(
+            tmp_file=tmp, final_file=os.path.join(self.path, name), n_rows=n
+        )
+
+    def commit(self, messages) -> None:
+        import os
+        import shutil
+
+        total = 0
+        for m in messages:
+            os.replace(m.tmp_file, m.final_file)
+            total += m.n_rows
+        shutil.rmtree(os.path.join(self.path, "_tmp"), ignore_errors=True)
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            _json.dump({"files": len(messages), "rows": total}, f)
+
+    def abort(self, messages) -> None:
+        import os
+        import shutil
+
+        for m in messages:
+            try:
+                os.remove(m.tmp_file)
+            except OSError:
+                pass
+        shutil.rmtree(os.path.join(self.path, "_tmp"), ignore_errors=True)
+
+
+class JsonLinesDataSource(DataSource):
+    """``df.write.format("pyjsonl").option("path", dir).save()`` — a
+    pure-Python JSON-lines sink exercising the WRITE half of the Spark
+    4 Python DataSource API (the synthetic_docs source covers batch
+    read + pushdown + streaming read). Atomicity comes from the
+    temp-file + driver-rename commit protocol above."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pyjsonl"
+
+    def schema(self) -> str:  # writer-only source; schema comes from the df
+        return "doc_id bigint"
+
+    def writer(self, schema, overwrite: bool) -> _JsonLinesWriter:
+        return _JsonLinesWriter(self.options)
+
+
+def register_sink(spark) -> None:
+    try:
+        spark.dataSource.register(JsonLinesDataSource)
+    except Exception:
+        pass

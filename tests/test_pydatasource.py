@@ -96,3 +96,47 @@ def test_stream_recovery_does_not_duplicate(spark, tmp_path):
         )
         q.awaitTermination(120)
     assert spark.read.parquet(out).count() == 120
+
+
+def test_jsonl_writer_roundtrip_multi_partition(spark, tmp_path):
+    import glob
+
+    P.register_sink(spark)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").repartition(4)
+    out = str(tmp_path / "out")
+    ev.write.format("pyjsonl").option("path", out).mode("append").save()
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(out, "_tmp"))
+    files = glob.glob(out + "/part-*.jsonl")
+    assert len(files) == 4
+    back = spark.read.json(out)
+    assert back.count() == ev.count()
+    a = {r["event_id"] for r in ev.collect()}
+    b = {r["event_id"] for r in back.collect()}
+    assert a == b
+
+
+def test_jsonl_writer_abort_leaves_no_visible_output(spark, tmp_path):
+    """A failing task must abort the job with NO committed files and no
+    _SUCCESS — readers never see partial output."""
+    import glob
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    P.register_sink(spark)
+
+    @F.udf(returnType=LongType())
+    def boom(x):
+        if x == 7:
+            raise RuntimeError("injected task failure")
+        return x
+
+    df = spark.range(0, 16, 1, 4).select(boom(F.col("id")).alias("id"))
+    out = str(tmp_path / "out")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        df.write.format("pyjsonl").option("path", out).mode("append").save()
+    assert glob.glob(out + "/part-*.jsonl") == []
+    assert not os.path.exists(os.path.join(out, "_SUCCESS"))
