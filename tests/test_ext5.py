@@ -1,0 +1,227 @@
+"""Semantics tests for the round-3 wave-2 queries (queries_ext5):
+duplicate-span removal, naive-Bayes classification, snapshot
+reconciliation, windowed funnel, activity islands. Oracle hash-parity is
+the driver's job; these pin behavior on hand-built data where the right
+answer is known by construction."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+# --------------------------------------------------------------------------
+# remove_duplicate_spans
+# --------------------------------------------------------------------------
+def _spans(spark, rows, k=3):
+    from _data_engineering_pipeline_project_spark.operators.curation import (
+        remove_duplicate_spans,
+    )
+
+    docs = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+    return {
+        r["doc_id"]: r.asDict()
+        for r in remove_duplicate_spans(docs, k=k).collect()
+    }
+
+
+def test_dup_span_removed_from_second_doc_only(spark):
+    out = _spans(
+        spark,
+        [(1, "a b c d e"), (2, "x a b c y")],
+        k=3,
+    )
+    # "a b c" occurs in both docs; doc 1 (first occurrence) keeps it,
+    # doc 2 loses exactly those 3 tokens.
+    assert out[1]["text_clean"] == "a b c d e"
+    assert out[1]["n_removed"] == 0
+    assert out[2]["text_clean"] == "x y"
+    assert out[2]["n_removed"] == 3
+    assert out[2]["n_tokens"] == 5
+
+
+def test_dup_span_within_one_doc(spark):
+    out = _spans(spark, [(1, "p q r z p q r")], k=3)
+    # second occurrence of "p q r" removed, first kept.
+    assert out[1]["text_clean"] == "p q r z"
+    assert out[1]["n_removed"] == 3
+
+
+def test_overlapping_dup_spans_union_coverage(spark):
+    # doc2 repeats a 4-token run; with k=3 two overlapping grams dup,
+    # coverage is the UNION of their spans (4 tokens), not 6.
+    out = _spans(spark, [(1, "a b c d"), (2, "u a b c d w")], k=3)
+    assert out[2]["text_clean"] == "u w"
+    assert out[2]["n_removed"] == 4
+
+
+def test_short_and_empty_docs_pass_through(spark):
+    out = _spans(spark, [(1, "a b"), (2, "   ")], k=3)
+    assert out[1]["text_clean"] == "a b"
+    assert out[1]["n_tokens"] == 2
+    assert out[2]["text_clean"] == ""
+    assert out[2]["n_tokens"] == 0
+    assert out[2]["n_removed"] == 0
+
+
+def test_span_first_occurrence_is_global_min_by_key(spark):
+    # first occurrence = smallest (doc_id, start): doc 1 keeps even when
+    # the duplicate appears earlier WITHIN doc 2's text.
+    out = _spans(spark, [(1, "z z a b c"), (2, "a b c q r")], k=3)
+    assert out[1]["n_removed"] == 0
+    assert out[2]["text_clean"] == "q r"
+
+
+# --------------------------------------------------------------------------
+# naive bayes
+# --------------------------------------------------------------------------
+def test_naive_bayes_separable_vocab_perfect_confusion_diagonal(spark):
+    import _data_engineering_pipeline_project_spark.queries_ext5 as q5
+
+    # Two languages with disjoint vocabularies; every 5th doc held out.
+    rows = []
+    for i in range(40):
+        lang = "aa" if i % 2 == 0 else "bb"
+        text = "foo bar baz" if lang == "aa" else "uno dos tres"
+        rows.append(Row(doc_id=i, text=text, lang=lang, source="s", n_chars=9))
+    docs = spark.createDataFrame(rows)
+    orig = q5.table
+    try:
+        q5.table = lambda sp, sf, name: docs
+        out = {
+            (r["lang_actual"], r["lang_pred"]): r["n_docs"]
+            for r in q5.naive_bayes_lang_documents(spark, SF).collect()
+        }
+    finally:
+        q5.table = orig
+    # held-out docs: doc_id % 5 == 0 → ids 0,5,10,...,35 → 4 per class
+    assert out == {("aa", "aa"): 4, ("bb", "bb"): 4}
+
+
+# --------------------------------------------------------------------------
+# reconciliation
+# --------------------------------------------------------------------------
+def test_reconcile_counts_match_construction(spark):
+    import _data_engineering_pipeline_project_spark.queries_ext5 as q5
+
+    out = {
+        r["column_name"]: r.asDict()
+        for r in q5.reconcile_snapshots_orders(spark, SF).collect()
+    }
+    assert set(out) == {
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    }
+    # keys only in A are %6==0 (dropped from B) and not %4==0; vice versa.
+    from _data_engineering_pipeline_project_spark.catalog import table
+
+    o = table(spark, SF, "orders")
+    keys = [r[0] for r in o.select("o_orderkey").collect()]
+    only_a = sum(1 for k in keys if k % 4 != 0 and k % 6 == 0)
+    only_b = sum(1 for k in keys if k % 4 == 0 and k % 6 != 0)
+    both = [k for k in keys if k % 4 != 0 and k % 6 != 0]
+    for c, r in out.items():
+        assert r["n_only_left"] == only_a
+        assert r["n_only_right"] == only_b
+        assert r["n_match"] + r["n_mismatch"] == len(both)
+    # injected perturbations: totalprice bumped on %9, status flipped on
+    # %11 (except already-'P' rows stay equal — count via data).
+    assert out["o_totalprice"]["n_mismatch"] == sum(
+        1 for k in both if k % 9 == 0
+    )
+    assert out["o_custkey"]["n_mismatch"] == 0
+    assert out["o_orderdate"]["n_mismatch"] == 0
+
+
+# --------------------------------------------------------------------------
+# windowed funnel
+# --------------------------------------------------------------------------
+def test_windowed_funnel_levels_hand_case(spark):
+    import _data_engineering_pipeline_project_spark.queries_ext5 as q5
+
+    def ev(i, u, typ, mins):
+        return Row(
+            event_id=i,
+            ts=datetime(2024, 1, 1, 12 + mins // 60, mins % 60, 0),
+            user_id=u,
+            event_type=typ,
+            value=1.0,
+            props="{}",
+        )
+
+    # user 1: view → click(+10m) → purchase(+20m)  → level 3
+    # user 2: view → click(+75m, OUTSIDE window)   → level 1
+    # user 3: view → purchase(+5m, no click first) → level 1
+    # user 4: click only (no view anchor)          → absent
+    rows = [
+        ev(1, 1, "view", 0),
+        ev(2, 1, "click", 10),
+        ev(3, 1, "purchase", 20),
+        ev(4, 2, "view", 0),
+        ev(5, 2, "click", 75),
+        ev(6, 3, "view", 0),
+        ev(7, 3, "purchase", 5),
+        ev(8, 4, "click", 0),
+    ]
+    docs = spark.createDataFrame(rows)
+    orig = q5.table
+    try:
+        q5.table = lambda sp, sf, name: docs
+        out = {
+            r["funnel_level"]: r["n_users"]
+            for r in q5.windowed_funnel_events(spark, SF).collect()
+        }
+    finally:
+        q5.table = orig
+    assert out == {3: 1, 1: 2}
+
+
+# --------------------------------------------------------------------------
+# activity islands
+# --------------------------------------------------------------------------
+def test_activity_islands_hand_case(spark):
+    import _data_engineering_pipeline_project_spark.queries_ext5 as q5
+
+    def ev(i, u, day, hour=3):
+        return Row(
+            event_id=i,
+            ts=datetime(2024, 1, day, hour, 0, 0),
+            user_id=u,
+            event_type="view",
+            value=1.0,
+            props="{}",
+        )
+
+    # user 1: days 1,2,3 then 7,8 → streaks [3,2]; two events same day
+    # collapse to one active day.
+    rows = [
+        ev(1, 1, 1),
+        ev(2, 1, 2),
+        ev(3, 1, 2, hour=9),
+        ev(4, 1, 3),
+        ev(5, 1, 7),
+        ev(6, 1, 8),
+        ev(7, 2, 5),
+    ]
+    docs = spark.createDataFrame(rows)
+    orig = q5.table
+    try:
+        q5.table = lambda sp, sf, name: docs
+        out = {
+            r["user_id"]: r.asDict()
+            for r in q5.activity_islands_users(spark, SF).collect()
+        }
+    finally:
+        q5.table = orig
+    assert out[1]["n_streaks"] == 2
+    assert out[1]["max_streak_days"] == 3
+    assert out[1]["n_active_days"] == 5
+    assert out[2]["n_streaks"] == 1
+    assert out[2]["max_streak_days"] == 1
