@@ -12,6 +12,7 @@ reference's only text operator is the emoji regex scan
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf string annotations resolve here
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -160,3 +161,26 @@ def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
         args=", ".join(f"'{t}', `{t}`" for _, t in PII_PATTERNS),
     )
     return wide.selectExpr(stack)
+
+
+def compression_ratio(col: Column | str, level: int = 6) -> Column:
+    """zlib-compressed size of the UTF-8 text — the compression-ratio
+    quality signal of Gopher/RefinedWeb-style curation (highly
+    compressible text is repetitive boilerplate; incompressible text is
+    noise/binary). Arrow-batched pandas UDF (Python is unavoidable: no
+    JVM-side deflate expression exists), shuffle-free map over the scan;
+    zlib output length at a fixed level is deterministic for a given
+    input on every platform (RFC 1951 encoder in CPython's bundled zlib),
+    but there is no SQL-expressible oracle — the query registers
+    rows-only, with hand-case pytest pins."""
+    import zlib
+
+    from pyspark.sql.types import IntegerType
+
+    @F.pandas_udf(IntegerType())
+    def _csize(texts: pd.Series) -> pd.Series:
+        return texts.fillna("").map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), level))
+        )
+
+    return _csize(F.col(col) if isinstance(col, str) else col)

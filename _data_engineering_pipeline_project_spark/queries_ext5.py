@@ -477,3 +477,389 @@ def activity_islands_users(spark: SparkSession, sf: str) -> DataFrame:
         F.max("len").cast("int").alias("max_streak_days"),
         F.sum("len").cast("int").alias("n_active_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# Fellegi-Sunter probabilistic record linkage over two product feeds
+# --------------------------------------------------------------------------
+_FS_FEEDS = """
+    a AS (SELECT p_partkey AS key_a, lower(p_name) AS name_a,
+                 p_brand AS brand_a, p_type AS type_a, p_size AS size_a,
+                 p_retailprice AS price_a
+          FROM part WHERE p_partkey % 2 <> 0),
+    b AS (SELECT p_partkey + 1000000 AS key_b, p_partkey AS true_key,
+                 CASE WHEN p_partkey % 7 = 0 THEN lower(p_name) || ' xx'
+                      ELSE lower(p_name) END AS name_b,
+                 CASE WHEN p_partkey % 11 = 0 THEN 'UNBRANDED'
+                      ELSE p_brand END AS brand_b,
+                 p_type AS type_b,
+                 CASE WHEN p_partkey % 13 = 0 THEN p_size + 1
+                      ELSE p_size END AS size_b,
+                 CASE WHEN p_partkey % 5 = 0
+                        THEN p_retailprice + CAST(0.05 AS DOUBLE)
+                      ELSE p_retailprice END AS price_b
+          FROM part WHERE p_partkey % 3 <> 0)
+"""
+
+_FS_SQL = f"""
+    WITH {_FS_FEEDS},
+    c1 AS (SELECT a.*, b.* FROM a JOIN b
+             ON split_part(a.name_a, ' ', 1) = split_part(b.name_b, ' ', 1)
+            AND a.size_a = b.size_b),
+    c2 AS (SELECT a.*, b.* FROM a JOIN b
+             ON a.brand_a = b.brand_b AND a.type_a = b.type_b),
+    cand AS (SELECT DISTINCT * FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2)),
+    agr AS (SELECT key_a, key_b, true_key,
+                   (levenshtein(name_a, name_b) <= 3) AS g_name,
+                   (brand_a = brand_b) AS g_brand,
+                   (type_a = type_b) AS g_type,
+                   (abs(size_a - size_b) <= 1) AS g_size,
+                   (abs(price_a - price_b) <= CAST(0.1 AS DOUBLE)) AS g_price
+            FROM cand),
+    lab AS (SELECT *, (key_a = true_key) AS is_match FROM agr),
+    probs AS (
+      SELECT
+        count(*) FILTER (WHERE is_match) AS nm,
+        count(*) FILTER (WHERE NOT is_match) AS nu,
+        count(*) FILTER (WHERE is_match AND g_name) AS m_name,
+        count(*) FILTER (WHERE NOT is_match AND g_name) AS u_name,
+        count(*) FILTER (WHERE is_match AND g_brand) AS m_brand,
+        count(*) FILTER (WHERE NOT is_match AND g_brand) AS u_brand,
+        count(*) FILTER (WHERE is_match AND g_type) AS m_type,
+        count(*) FILTER (WHERE NOT is_match AND g_type) AS u_type,
+        count(*) FILTER (WHERE is_match AND g_size) AS m_size,
+        count(*) FILTER (WHERE NOT is_match AND g_size) AS u_size,
+        count(*) FILTER (WHERE is_match AND g_price) AS m_price,
+        count(*) FILTER (WHERE NOT is_match AND g_price) AS u_price
+      FROM lab),
+    w AS (SELECT l.key_a, l.key_b, l.is_match,
+      {" + ".join(
+        f'''CASE WHEN l.g_{f} THEN CAST(floor(ln(((p.m_{f} + 1) * 1.0 / (p.nm + 2))
+                 / ((p.u_{f} + 1) * 1.0 / (p.nu + 2))) * 1e6) AS BIGINT)
+            ELSE CAST(floor(ln(((p.nm - p.m_{f} + 1) * 1.0 / (p.nm + 2))
+                 / ((p.nu - p.u_{f} + 1) * 1.0 / (p.nu + 2))) * 1e6) AS BIGINT) END'''
+        for f in ("name", "brand", "type", "size", "price")
+      )} AS weight_micro
+      FROM lab l, probs p)
+    SELECT key_a, key_b, weight_micro, weight_micro >= 0 AS matched,
+           is_match AS is_true_match
+    FROM w
+"""
+
+
+@query("fellegi_sunter_linkage_parts", _FS_SQL)
+def fellegi_sunter_linkage_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Probabilistic record linkage (Fellegi & Sunter 1969) between two
+    deterministically-dirtied product feeds — the entity-resolution
+    counterpart of the pure-edit-distance ``fuzzy_part_name_pairs``:
+
+    - MULTI-PASS BLOCKING: candidates = (first-name-token, size) block
+      UNION (brand, type) block — two shuffle-friendly equi-joins, so a
+      record escaping one block key through a perturbed field is caught
+      by the other; never a theta join. Block-key cardinality governs
+      width (documented: real catalogs add phonetic/sorted-neighborhood
+      keys the same way, one equi-join each).
+    - AGREEMENT VECTORS per candidate: bounded levenshtein on name,
+      equality on brand/type, tolerance bands on size/price — all
+      JVM-side expressions.
+    - m/u WEIGHT ESTIMATION from the data itself: m = P(agree|match) on
+      the labeled subset (here the construction's true key; in
+      production a reviewed sample or EM), u = P(agree|non-match) on the
+      rest — ONE hash aggregate over the candidates, Laplace-smoothed so
+      no weight is infinite, broadcast back as a 1-row frame.
+    - FS weight = sum of per-field log-likelihood ratios in fixed-point
+      micro-nats (int64 — exact, associative, engine-portable).
+
+    The scoring join never touches the full cross product: cost is
+    O(candidates), and every stage is a hash agg or broadcast join."""
+    p = table(spark, sf, "part")
+    a = p.filter(F.col("p_partkey") % 2 != 0).select(
+        F.col("p_partkey").alias("key_a"),
+        F.lower("p_name").alias("name_a"),
+        F.col("p_brand").alias("brand_a"),
+        F.col("p_type").alias("type_a"),
+        F.col("p_size").alias("size_a"),
+        F.col("p_retailprice").alias("price_a"),
+    )
+    b = p.filter(F.col("p_partkey") % 3 != 0).select(
+        (F.col("p_partkey") + 1000000).alias("key_b"),
+        F.col("p_partkey").alias("true_key"),
+        F.when(
+            F.col("p_partkey") % 7 == 0, F.concat(F.lower("p_name"), F.lit(" xx"))
+        )
+        .otherwise(F.lower("p_name"))
+        .alias("name_b"),
+        F.when(F.col("p_partkey") % 11 == 0, F.lit("UNBRANDED"))
+        .otherwise(F.col("p_brand"))
+        .alias("brand_b"),
+        F.col("p_type").alias("type_b"),
+        F.when(F.col("p_partkey") % 13 == 0, F.col("p_size") + 1)
+        .otherwise(F.col("p_size"))
+        .alias("size_b"),
+        F.when(
+            F.col("p_partkey") % 5 == 0, F.col("p_retailprice") + F.lit(0.05)
+        )
+        .otherwise(F.col("p_retailprice"))
+        .alias("price_b"),
+    )
+    c1 = a.join(
+        b,
+        (
+            F.split_part(F.col("name_a"), F.lit(" "), F.lit(1))
+            == F.split_part(F.col("name_b"), F.lit(" "), F.lit(1))
+        )
+        & (F.col("size_a") == F.col("size_b")),
+    )
+    c2 = a.join(
+        b,
+        (F.col("brand_a") == F.col("brand_b"))
+        & (F.col("type_a") == F.col("type_b")),
+    )
+    cand = c1.unionByName(c2).distinct()
+    lab = cand.select(
+        "key_a",
+        "key_b",
+        (F.levenshtein("name_a", "name_b", 3) .between(0, 3)).alias("g_name"),
+        (F.col("brand_a") == F.col("brand_b")).alias("g_brand"),
+        (F.col("type_a") == F.col("type_b")).alias("g_type"),
+        (F.abs(F.col("size_a") - F.col("size_b")) <= 1).alias("g_size"),
+        (F.abs(F.col("price_a") - F.col("price_b")) <= F.lit(0.1)).alias(
+            "g_price"
+        ),
+        (F.col("key_a") == F.col("true_key")).alias("is_match"),
+    ).cache()  # candidates feed BOTH the m/u aggregate and the scoring pass
+    fields = ("name", "brand", "type", "size", "price")
+    aggs = [
+        F.sum(F.when(F.col("is_match"), 1).otherwise(0)).alias("nm"),
+        F.sum(F.when(~F.col("is_match"), 1).otherwise(0)).alias("nu"),
+    ]
+    for f in fields:
+        aggs.append(
+            F.sum(
+                F.when(F.col("is_match") & F.col(f"g_{f}"), 1).otherwise(0)
+            ).alias(f"m_{f}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(~F.col("is_match") & F.col(f"g_{f}"), 1).otherwise(0)
+            ).alias(f"u_{f}")
+        )
+    probs = lab.agg(*aggs)
+
+    def _micro(num, den):
+        return F.floor(F.ln(num / den) * 1e6).cast("long")
+
+    weight = None
+    for f in fields:
+        m_p = (F.col(f"m_{f}") + 1).cast("double") / (F.col("nm") + 2)
+        u_p = (F.col(f"u_{f}") + 1).cast("double") / (F.col("nu") + 2)
+        m_n = (F.col("nm") - F.col(f"m_{f}") + 1).cast("double") / (F.col("nm") + 2)
+        u_n = (F.col("nu") - F.col(f"u_{f}") + 1).cast("double") / (F.col("nu") + 2)
+        term = F.when(F.col(f"g_{f}"), _micro(m_p, u_p)).otherwise(
+            _micro(m_n, u_n)
+        )
+        weight = term if weight is None else weight + term
+    return (
+        lab.crossJoin(F.broadcast(probs))
+        .select(
+            "key_a",
+            "key_b",
+            weight.alias("weight_micro"),
+            (weight >= 0).alias("matched"),
+            F.col("is_match").alias("is_true_match"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental maintenance of a JOIN view (delta-join algebra)
+# --------------------------------------------------------------------------
+_MV_SQL = """
+    WITH rev AS (
+      SELECT n.n_name,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+                  AS DECIMAL(18,4)) AS term
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey)
+    SELECT n_name, round(CAST(sum(term) AS DOUBLE), 4) AS revenue,
+           count(*) AS n_lines
+    FROM rev GROUP BY 1
+"""
+
+
+@query("incremental_join_view_revenue", _MV_SQL)
+def incremental_join_view_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view: the nation-revenue MV is
+    maintained as MV(L0) merge ΔMV(ΔL) — the delta-join algebra
+    Δ(L ⋈ D) = ΔL ⋈ D for insert-only deltas on the fact side — and the
+    registered result is the MERGED view (the oracle recomputes from
+    scratch, so the hash-match IS the maintenance-correctness proof).
+
+    Why this survives 100 TB: the delta pass joins and aggregates ONLY
+    the new batch (dimension sides broadcast); the merge combines two
+    dimension-cardinality partial-aggregate frames. Per-term revenue is
+    rounded at source granularity and summed as DECIMAL(18,4) — exact
+    and associative, so base+delta merge order CANNOT change the result
+    (a double sum would drift between the merged and recomputed plans).
+    Generalizes ``incremental_rollup_orders`` (single-table agg
+    maintenance) to views with joins."""
+    li = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    n = table(spark, sf, "nation")
+
+    def partial(fact: DataFrame) -> DataFrame:
+        return (
+            fact.join(o, fact["l_orderkey"] == o["o_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+            .select(
+                "n_name",
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                )
+                .cast("decimal(18,4)")
+                .alias("term"),
+            )
+            .groupBy("n_name")
+            .agg(
+                F.sum("term").alias("rev_part"),
+                F.count(F.lit(1)).alias("n_part"),
+            )
+        )
+
+    base = partial(li.filter(F.col("l_orderkey") % 3 != 0))
+    delta = partial(li.filter(F.col("l_orderkey") % 3 == 0))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("n_name")
+        .agg(F.sum("rev_part").alias("rev"), F.sum("n_part").alias("n_lines"))
+    )
+    return merged.select(
+        "n_name",
+        F.round(F.col("rev").cast("double"), 4).alias("revenue"),
+        F.col("n_lines").alias("n_lines"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus statistics: Zipf slope + Heaps exponent per source
+# --------------------------------------------------------------------------
+_ZIPF_SQL = """
+    WITH tok0 AS (SELECT source,
+                         unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                           AS term
+                  FROM documents),
+    tok AS (SELECT * FROM tok0 WHERE length(term) > 0),
+    tf AS (SELECT source, term, count(*) AS f FROM tok GROUP BY 1, 2),
+    ranked AS (SELECT source, term, f,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY f DESC, term ASC) AS r
+               FROM tf),
+    top AS (SELECT source,
+                   CAST(floor(ln(CAST(r AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+                   CAST(floor(ln(CAST(f AS DOUBLE)) * 1e6) AS BIGINT) AS y
+            FROM ranked WHERE r <= 100),
+    fit AS (SELECT source, count(*) AS k,
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx
+            FROM top GROUP BY 1),
+    tot AS (SELECT source, count(*) AS n_tokens, count(DISTINCT term) AS vocab
+            FROM tok GROUP BY 1)
+    SELECT f.source,
+           round(-( (f.k * f.sxy - f.sx * f.sy) * 1.0
+                  / (f.k * f.sxx - f.sx * f.sx)), 4) AS zipf_alpha,
+           round(ln(CAST(t.vocab AS DOUBLE)) / ln(CAST(t.n_tokens AS DOUBLE)),
+                 4) AS heaps_beta,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(t.vocab AS BIGINT) AS vocab
+    FROM fit f JOIN tot t ON f.source = t.source
+"""
+
+
+@query("zipf_heaps_by_source", _ZIPF_SQL)
+def zipf_heaps_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-health statistics per source: the Zipf slope (OLS fit of
+    ln(freq) on ln(rank) over the top-100 terms — a healthy natural-text
+    source sits near alpha~1; machine-generated or boilerplate-heavy
+    sources deviate) and a Heaps-law exponent estimate
+    (ln(vocab)/ln(tokens) — vocabulary growth rate).
+
+    Term frequencies are one (source, term) hash aggregate; the ranking
+    window partitions by source over the term-frequency relation (already
+    reduced far below corpus size) and the regression consumes 100 rows
+    per source. The OLS moments are sums of PRODUCTS of fixed-point
+    int64 logs — exact integer arithmetic, so the slope is bit-stable
+    under any partitioning; one final double division per source."""
+    docs = table(spark, sf, "documents")
+    tok = docs.select(
+        "source", F.explode(TS.tokens("text")).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("f").desc(), F.col("term").asc()
+    )
+    top = (
+        tf.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 100)
+        .select(
+            "source",
+            F.floor(F.ln(F.col("r").cast("double")) * 1e6)
+            .cast("long")
+            .alias("x"),
+            F.floor(F.ln(F.col("f").cast("double")) * 1e6)
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    fit = top.groupBy("source").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    tot = tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("term").alias("vocab"),
+    )
+    slope = (
+        (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    )
+    return fit.join(tot, "source").select(
+        "source",
+        F.round(-slope, 4).alias("zipf_alpha"),
+        F.round(
+            F.ln(F.col("vocab").cast("double"))
+            / F.ln(F.col("n_tokens").cast("double")),
+            4,
+        ).alias("heaps_beta"),
+        F.col("n_tokens").alias("n_tokens"),
+        F.col("vocab").alias("vocab"),
+    )
+
+
+@query("compression_ratio_documents")  # rows-only: no SQL deflate oracle
+def compression_ratio_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document zlib compression ratio + keep decision (drop extremes:
+    boilerplate compresses too well, noise too poorly). Rows-only check —
+    the curve semantics are pinned by pytest hand cases instead."""
+    docs = table(spark, sf, "documents")
+    n_bytes = F.octet_length("text")
+    return docs.select(
+        "doc_id",
+        n_bytes.alias("n_bytes"),
+        TS.compression_ratio("text").alias("n_compressed"),
+    ).select(
+        "doc_id",
+        "n_bytes",
+        "n_compressed",
+        F.round(F.col("n_compressed") / F.greatest(F.col("n_bytes"), F.lit(1)), 4)
+        .alias("ratio"),
+        ((F.col("n_compressed") / F.greatest(F.col("n_bytes"), F.lit(1)) >= 0.25)
+         & (F.col("n_compressed") / F.greatest(F.col("n_bytes"), F.lit(1)) <= 0.95))
+        .alias("keep"),
+    )

@@ -225,3 +225,124 @@ def test_activity_islands_hand_case(spark):
     assert out[1]["n_active_days"] == 5
     assert out[2]["n_streaks"] == 1
     assert out[2]["max_streak_days"] == 1
+
+
+# --------------------------------------------------------------------------
+# Fellegi-Sunter linkage
+# --------------------------------------------------------------------------
+def test_fs_linkage_weights_separate_matches(spark):
+    import _data_engineering_pipeline_project_spark.queries_ext5 as q5
+
+    rows = q5.fellegi_sunter_linkage_parts(spark, SF).collect()
+    assert rows, "no candidates generated"
+    true_w = [r["weight_micro"] for r in rows if r["is_true_match"]]
+    false_w = [r["weight_micro"] for r in rows if not r["is_true_match"]]
+    assert true_w and false_w
+    # FS weights must rank true matches above non-matches on average, and
+    # the threshold-0 decision should be strongly enriched: every true
+    # match scores positive, and precision at that threshold is high.
+    assert min(true_w) > 0
+    matched_true = sum(1 for r in rows if r["matched"] and r["is_true_match"])
+    matched_all = sum(1 for r in rows if r["matched"])
+    assert matched_true / matched_all > 0.9
+    assert sum(true_w) / len(true_w) > sum(false_w) / len(false_w)
+
+
+# --------------------------------------------------------------------------
+# incremental join-view maintenance
+# --------------------------------------------------------------------------
+def test_incremental_join_view_equals_full_recompute(spark):
+    import _data_engineering_pipeline_project_spark.queries_ext5 as q5
+    from _data_engineering_pipeline_project_spark.catalog import table
+    from pyspark.sql import functions as F
+
+    maintained = {
+        r["n_name"]: (r["revenue"], r["n_lines"])
+        for r in q5.incremental_join_view_revenue(spark, SF).collect()
+    }
+    li = table(spark, SF, "lineitem")
+    o = table(spark, SF, "orders")
+    c = table(spark, SF, "customer")
+    n = table(spark, SF, "nation")
+    full = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                    ).cast("decimal(18,4)")
+                ).cast("double"),
+                4,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    recomputed = {
+        r["n_name"]: (r["revenue"], r["n_lines"]) for r in full.collect()
+    }
+    assert maintained == recomputed
+
+
+# --------------------------------------------------------------------------
+# zipf / heaps
+# --------------------------------------------------------------------------
+def test_zipf_alpha_on_synthetic_power_law(spark):
+    import _data_engineering_pipeline_project_spark.queries_ext5 as q5
+
+    # one doc whose term frequencies follow f(r) = round(1000 / r):
+    # the fitted slope must be ~1.
+    terms = []
+    for r in range(1, 51):
+        terms += [f"w{r:03d}"] * round(1000 / r)
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=" ".join(terms), lang="en", source="pl",
+             n_chars=len(terms))]
+    )
+    orig = q5.table
+    try:
+        q5.table = lambda sp, sf, name: docs
+        out = q5.zipf_heaps_by_source(spark, SF).collect()
+    finally:
+        q5.table = orig
+    assert len(out) == 1
+    assert abs(out[0]["zipf_alpha"] - 1.0) < 0.05
+    assert out[0]["vocab"] == 50
+
+
+# --------------------------------------------------------------------------
+# compression ratio
+# --------------------------------------------------------------------------
+def test_compression_ratio_orders_repetitive_below_noise(spark):
+    import _data_engineering_pipeline_project_spark.queries_ext5 as q5
+    import random
+
+    rnd = random.Random(7)
+    noisy = " ".join(
+        "".join(rnd.choice("abcdefghijklmnopqrstuvwxyz0123456789")
+                for _ in range(8))
+        for _ in range(100)
+    )
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spam ham " * 400, lang="en", source="s",
+                n_chars=3600),
+            Row(doc_id=2, text=noisy, lang="en", source="s",
+                n_chars=len(noisy)),
+            Row(doc_id=3, text="", lang="en", source="s", n_chars=0),
+        ]
+    )
+    orig = q5.table
+    try:
+        q5.table = lambda sp, sf, name: docs
+        out = {r["doc_id"]: r.asDict()
+               for r in q5.compression_ratio_documents(spark, SF).collect()}
+    finally:
+        q5.table = orig
+    assert out[1]["ratio"] < 0.05          # boilerplate compresses away
+    assert out[2]["ratio"] > 0.5           # random text barely compresses
+    assert not out[1]["keep"] and out[2]["keep"]
+    assert out[3]["n_bytes"] == 0 and not out[3]["keep"]
