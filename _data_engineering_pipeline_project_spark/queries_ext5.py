@@ -863,3 +863,120 @@ def compression_ratio_documents(spark: SparkSession, sf: str) -> DataFrame:
          & (F.col("n_compressed") / F.greatest(F.col("n_bytes"), F.lit(1)) <= 0.95))
         .alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed BPE merge training (pair counting as hash aggregates)
+# --------------------------------------------------------------------------
+_BPE_ROUNDS = 3
+
+def _bpe_round_sql(r: int) -> str:
+    prev = f"wf{r - 1}"
+    return f"""
+    syms{r} AS (SELECT sym, freq, string_split(trim(sym), ' ') AS ss
+                FROM {prev}),
+    pairs{r} AS (SELECT ss[i] AS p1, ss[i + 1] AS p2, freq
+                 FROM syms{r},
+                      unnest(generate_series(1, len(ss) - 1)) AS t(i)
+                 WHERE len(ss) > 1),
+    pc{r} AS (SELECT p1, p2, CAST(sum(freq) AS BIGINT) AS total
+              FROM pairs{r} GROUP BY 1, 2),
+    best{r} AS (SELECT p1, p2, total FROM pc{r}
+                ORDER BY total DESC, p1 ASC, p2 ASC LIMIT 1),
+    wf{r} AS (SELECT replace(w.sym, ' ' || b.p1 || ' ' || b.p2,
+                             ' ' || b.p1 || b.p2) AS sym,
+                     w.freq
+              FROM {prev} w, best{r} b)"""
+
+
+_BPE_TRAIN_SQL = (
+    """
+    WITH tok0 AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                    AS word
+                  FROM documents),
+    wf0 AS (SELECT regexp_replace(word, '(.)', ' \\1', 'g') AS sym,
+                   count(*) AS freq
+            FROM tok0 WHERE length(word) > 0 GROUP BY 1)
+    """
+    + ","
+    + ",".join(_bpe_round_sql(r) for r in range(1, _BPE_ROUNDS + 1))
+    + "\n    "
+    + " UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, p1, p2, total AS pair_count FROM best{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+)
+
+
+@query("bpe_train_merges_distributed", _BPE_TRAIN_SQL)
+def bpe_train_merges_distributed(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed BPE merge training — the first 3 merge rules learned
+    from the corpus, with each round's pair counting a DISTRIBUTED hash
+    aggregate (upgrades functions/bpe.py's driver-side sample fit to the
+    corpus-scale shape; Sennrich et al. 2016).
+
+    The scale structure (per round):
+    - the corpus is touched ONCE total: training state is the WORD-
+      FREQUENCY relation (distinct words × counts — vocabulary-sized,
+      orders of magnitude below corpus size);
+    - adjacent symbol pairs explode from each word's symbol string and
+      hash-aggregate weighted by word frequency — one vocab-sized
+      shuffle per round, map-side combined;
+    - the winning pair is a 1-row TakeOrdered broadcast back; applying
+      the merge is a shuffle-free ``replace`` projection (symbols carry
+      a leading-space sentinel, so a pair pattern can never match inside
+      a multi-char symbol, and adjacent occurrences chain exactly like
+      the canonical greedy scan — verified identical in both engines).
+
+    Ties break lexicographically on the pair, so the learned merges are
+    engine-exact; the oracle unrolls all 3 rounds as CTE blocks (same
+    unroll pattern as the IVF Lloyd-iteration oracle)."""
+    docs = table(spark, sf, "documents")
+    wf = (
+        docs.select(F.explode(TS.tokens("text")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.regexp_replace("word", "(.)", " $1").alias("sym"), "freq"
+        )
+    )
+    bests = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        syms = wf.select("sym", "freq", F.split(F.trim("sym"), " ").alias("ss"))
+        pairs = (
+            syms.filter(F.size("ss") > 1)
+            .select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("ss") - 1),
+                        lambda i: F.struct(
+                            F.element_at("ss", i).alias("p1"),
+                            F.element_at("ss", i + 1).alias("p2"),
+                        ),
+                    )
+                ).alias("pr"),
+            )
+            .select(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"), "freq")
+        )
+        pc = pairs.groupBy("p1", "p2").agg(
+            F.sum("freq").cast("bigint").alias("total")
+        )
+        best = pc.orderBy(
+            F.col("total").desc(), F.col("p1").asc(), F.col("p2").asc()
+        ).limit(1)
+        bests.append(best.select(F.lit(r).alias("merge_rank"), "p1", "p2",
+                                 F.col("total").alias("pair_count")))
+        wf = wf.crossJoin(F.broadcast(best)).select(
+            F.replace(
+                F.col("sym"),
+                F.concat(F.lit(" "), F.col("p1"), F.lit(" "), F.col("p2")),
+                F.concat(F.lit(" "), F.col("p1"), F.col("p2")),
+            ).alias("sym"),
+            "freq",
+        )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out

@@ -346,3 +346,32 @@ def test_compression_ratio_orders_repetitive_below_noise(spark):
     assert out[2]["ratio"] > 0.5           # random text barely compresses
     assert not out[1]["keep"] and out[2]["keep"]
     assert out[3]["n_bytes"] == 0 and not out[3]["keep"]
+
+
+# --------------------------------------------------------------------------
+# distributed BPE training
+# --------------------------------------------------------------------------
+def test_bpe_distributed_learns_expected_merges(spark):
+    import _data_engineering_pipeline_project_spark.queries_ext5 as q5
+
+    # corpus: "aaab" x3, "ab" x2.
+    # round 1: (a,a)=6 beats (a,b)=5 → merge (a,a).
+    # round 2: "aaab"=[aa,a,b], "ab"=[a,b] → (aa,a)=3, (a,b)=3+2=5
+    #          → merge (a,b).
+    # round 3: "aaab"=[aa,ab], "ab"=[ab] → (aa,ab)=3 → merge (aa,ab).
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="aaab aaab aaab ab ab", lang="en", source="s",
+             n_chars=20)]
+    )
+    orig = q5.table
+    try:
+        q5.table = lambda sp, sf, name: docs
+        out = {
+            r["merge_rank"]: (r["p1"], r["p2"], r["pair_count"])
+            for r in q5.bpe_train_merges_distributed(spark, SF).collect()
+        }
+    finally:
+        q5.table = orig
+    assert out[1] == ("a", "a", 6)
+    assert out[2] == ("a", "b", 5)
+    assert out[3] == ("aa", "ab", 3)
