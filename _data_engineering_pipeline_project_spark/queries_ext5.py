@@ -980,3 +980,206 @@ def bpe_train_merges_distributed(spark: SparkSession, sf: str) -> DataFrame:
     for b in bests[1:]:
         out = out.unionByName(b)
     return out
+
+
+# --------------------------------------------------------------------------
+# Hierarchy / transitive closure: BOM explosion with bounded depth
+# --------------------------------------------------------------------------
+_BOM_SQL = """
+    WITH edges AS (
+      SELECT p_partkey AS child, p_partkey // 7 AS parent,
+             (p_partkey % 3) + 1 AS qty
+      FROM part WHERE p_partkey // 7 >= 1
+        AND p_partkey // 7 IN (SELECT p_partkey FROM part)),
+    l1 AS (SELECT parent AS ancestor, child AS descendant, 1 AS depth,
+                  CAST(qty AS BIGINT) AS path_qty
+           FROM edges),
+    l2 AS (SELECT a.ancestor, b.descendant, 2 AS depth,
+                  a.path_qty * b.path_qty AS path_qty
+           FROM l1 a JOIN l1 b ON a.descendant = b.ancestor
+           WHERE b.depth = 1),
+    l3 AS (SELECT a.ancestor, b.descendant, 3 AS depth,
+                  a.path_qty * b.path_qty AS path_qty
+           FROM l2 a JOIN l1 b ON a.descendant = b.ancestor)
+    SELECT ancestor, descendant, depth, path_qty
+    FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2 UNION ALL
+          SELECT * FROM l3)
+"""
+
+
+@query("bom_explosion_parts", _BOM_SQL)
+def bom_explosion_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Bill-of-materials explosion (transitive closure with multiplied
+    path quantities) over a synthesized part hierarchy (child → parent =
+    key//7), depth-capped at 3 — the hierarchical-query family
+    (WITH RECURSIVE in the oracle world; here the recursion is UNROLLED
+    into self-equi-joins, the distributed form that runs one shuffle per
+    level instead of a driver-side loop).
+
+    At scale: each level joins the previous closure level to the base
+    edge relation on the link key — both sides hash-partition on that
+    key, AQE reuses the layout across levels, and a real deployment
+    caps depth exactly like this (or iterates with localCheckpoint —
+    same pattern as operators/dedup.py's connected components, which is
+    the unbounded-depth variant of this query family). Path quantities
+    multiply as exact int64s."""
+    p = table(spark, sf, "part").select("p_partkey")
+    keys = p.select(F.col("p_partkey").alias("k"))
+    edges = (
+        p.select(
+            F.col("p_partkey").alias("child"),
+            (F.col("p_partkey") / 7).cast("bigint").alias("parent"),
+            ((F.col("p_partkey") % 3) + 1).cast("bigint").alias("qty"),
+        )
+        .filter(F.col("parent") >= 1)
+        .join(F.broadcast(keys), F.col("parent") == F.col("k"), "left_semi")
+    )
+    l1 = edges.select(
+        F.col("parent").alias("ancestor"),
+        F.col("child").alias("descendant"),
+        F.lit(1).alias("depth"),
+        F.col("qty").alias("path_qty"),
+    )
+    def extend(prev: DataFrame, depth: int) -> DataFrame:
+        a = prev.select(
+            F.col("ancestor"), F.col("descendant").alias("mid"), "path_qty"
+        )
+        b = l1.select(
+            F.col("ancestor").alias("mid"),
+            F.col("descendant"),
+            F.col("path_qty").alias("q2"),
+        )
+        return a.join(b, "mid").select(
+            "ancestor",
+            "descendant",
+            F.lit(depth).alias("depth"),
+            (F.col("path_qty") * F.col("q2")).alias("path_qty"),
+        )
+    l2 = extend(l1, 2)
+    l3 = extend(l2, 3)
+    return l1.unionByName(l2).unionByName(l3)
+
+
+# --------------------------------------------------------------------------
+# KMV sketch set algebra: union / intersection / Jaccard between sketches
+# --------------------------------------------------------------------------
+_KMV_K = 64
+_KMV_SPACE = "1152921504606846976.0"  # 2^60 as double
+
+_KMV_OPS_SQL = f"""
+    WITH h AS (SELECT DISTINCT event_type AS t,
+                      CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                          1, 15) AS BIGINT) AS hh
+               FROM events
+               WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+    sk AS (SELECT t, hh FROM (
+             SELECT t, hh, row_number() OVER (PARTITION BY t
+                            ORDER BY hh) AS rn FROM h)
+           WHERE rn <= {_KMV_K}),
+    tp AS (SELECT DISTINCT t FROM sk),
+    pairs AS (SELECT a.t AS ta, b.t AS tb FROM tp a JOIN tp b ON a.t < b.t),
+    tagged AS (SELECT p.ta, p.tb, s.hh,
+                      max(CASE WHEN s.t = p.ta THEN 1 ELSE 0 END) AS in_a,
+                      max(CASE WHEN s.t = p.tb THEN 1 ELSE 0 END) AS in_b
+               FROM pairs p JOIN sk s ON s.t = p.ta OR s.t = p.tb
+               GROUP BY 1, 2, 3),
+    ranked AS (SELECT * FROM (
+                 SELECT *, row_number() OVER (PARTITION BY ta, tb
+                                ORDER BY hh) AS rn FROM tagged)
+               WHERE rn <= {_KMV_K}),
+    agg AS (SELECT ta, tb, count(*) AS nu, max(hh) AS hmax,
+                   CAST(sum(in_a * in_b) AS BIGINT) AS ni
+            FROM ranked GROUP BY 1, 2),
+    est AS (SELECT ta, tb, ni,
+                   CASE WHEN nu < {_KMV_K} THEN CAST(nu AS DOUBLE)
+                        ELSE {_KMV_K - 1} * {_KMV_SPACE}
+                             / CAST(hmax AS DOUBLE) END AS eu,
+                   ni * 1.0 / nu AS jac
+            FROM agg)
+    SELECT ta AS type_a, tb AS type_b, ni AS n_inter_sketch,
+           round(eu, 4) AS est_union,
+           round(jac, 4) AS jaccard_est,
+           round(jac * eu, 4) AS est_inter
+    FROM est
+"""
+
+
+@query("kmv_set_ops_event_types", _KMV_OPS_SQL)
+def kmv_set_ops_event_types(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV sketch SET ALGEBRA — estimated union size, intersection size,
+    and Jaccard similarity of the distinct-user sets of every event-type
+    pair, computed entirely from the per-type k-minimum-value sketches
+    (Beyer et al. 2007): the union sketch is the k smallest of the two
+    sketches' union, and the intersection estimate is the fraction of
+    union-sketch members present in both sides, scaled by the union
+    estimate.
+
+    This is the audit-table use case sketches exist for: once each 100 TB
+    fact partition reduces to a k-hash sketch (see ``kmv_distinct``'s
+    Arrow partial pass), every pairwise overlap question is answered from
+    sketch-sized data — the pair stage here touches |types|·k rows, never
+    the fact table. KMV (vs HLL) keeps every stage a pure function of the
+    data, so the DuckDB oracle reproduces the estimates bit-for-bit."""
+    from _data_engineering_pipeline_project_spark.operators.dedup import (
+        md5_hash60,
+    )
+    from _data_engineering_pipeline_project_spark.operators.sketches import (
+        _HASH_SPACE,
+    )
+
+    k = _KMV_K
+    ev = table(spark, sf, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    hs = ev.select(
+        F.col("event_type").alias("t"),
+        md5_hash60(F.col("user_id").cast("string")).alias("hh"),
+    ).distinct()
+    w = Window.partitionBy("t").orderBy("hh")
+    sk = (
+        hs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("t", "hh")
+        .cache()  # sketch-sized; feeds the pair stage three ways
+    )
+    tp = sk.select("t").distinct()
+    pairs = (
+        tp.alias("a")
+        .join(tp.alias("b"), F.col("a.t") < F.col("b.t"))
+        .select(F.col("a.t").alias("ta"), F.col("b.t").alias("tb"))
+    )
+    tagged = (
+        pairs.join(
+            sk, (F.col("t") == F.col("ta")) | (F.col("t") == F.col("tb"))
+        )
+        .groupBy("ta", "tb", "hh")
+        .agg(
+            F.max(F.when(F.col("t") == F.col("ta"), 1).otherwise(0)).alias(
+                "in_a"
+            ),
+            F.max(F.when(F.col("t") == F.col("tb"), 1).otherwise(0)).alias(
+                "in_b"
+            ),
+        )
+    )
+    w2 = Window.partitionBy("ta", "tb").orderBy("hh")
+    ranked = tagged.withColumn("rn", F.row_number().over(w2)).filter(
+        F.col("rn") <= k
+    )
+    agg = ranked.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).alias("nu"),
+        F.max("hh").alias("hmax"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("ni"),
+    )
+    eu = F.when(F.col("nu") < k, F.col("nu").cast("double")).otherwise(
+        F.lit(k - 1) * _HASH_SPACE / F.col("hmax").cast("double")
+    )
+    jac = F.col("ni") / F.col("nu")
+    return agg.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.col("ni").alias("n_inter_sketch"),
+        F.round(eu, 4).alias("est_union"),
+        F.round(jac, 4).alias("jaccard_est"),
+        F.round(jac * eu, 4).alias("est_inter"),
+    )

@@ -375,3 +375,64 @@ def test_bpe_distributed_learns_expected_merges(spark):
     assert out[1] == ("a", "a", 6)
     assert out[2] == ("a", "b", 5)
     assert out[3] == ("aa", "ab", 3)
+
+
+# --------------------------------------------------------------------------
+# BOM explosion
+# --------------------------------------------------------------------------
+def test_bom_explosion_depth3_path_quantities(spark):
+    import _data_engineering_pipeline_project_spark.queries_ext5 as q5
+
+    parts = spark.createDataFrame(
+        [Row(p_partkey=k) for k in range(1, 351)]
+    )
+    orig = q5.table
+    try:
+        q5.table = lambda sp, sf, name: parts
+        rows = q5.bom_explosion_parts(spark, SF).collect()
+    finally:
+        q5.table = orig
+    by = {(r["ancestor"], r["descendant"], r["depth"]): r["path_qty"]
+          for r in rows}
+    # chain 343 → 49 → 7 → 1 with qty (k%3)+1 = 2 at each hop
+    assert by[(1, 7, 1)] == 2
+    assert by[(1, 49, 2)] == 4
+    assert by[(1, 343, 3)] == 8
+    # no depth-4 rows; every depth-1 row is a direct edge
+    assert max(r["depth"] for r in rows) == 3
+
+
+# --------------------------------------------------------------------------
+# KMV set algebra
+# --------------------------------------------------------------------------
+def test_kmv_set_ops_identical_and_disjoint_sets(spark):
+    import _data_engineering_pipeline_project_spark.queries_ext5 as q5
+
+    rows = []
+    i = 0
+    for u in range(1, 51):          # A and B share all 50 users
+        for t in ("A", "B"):
+            i += 1
+            rows.append(Row(event_id=i, ts=datetime(2024, 1, 1), user_id=u,
+                            event_type=t, value=1.0, props="{}"))
+    for u in range(1000, 1050):     # C disjoint
+        i += 1
+        rows.append(Row(event_id=i, ts=datetime(2024, 1, 1), user_id=u,
+                        event_type="C", value=1.0, props="{}"))
+    ev = spark.createDataFrame(rows)
+    orig = q5.table
+    try:
+        q5.table = lambda sp, sf, name: ev
+        out = {(r["type_a"], r["type_b"]): r.asDict()
+               for r in q5.kmv_set_ops_event_types(spark, SF).collect()}
+    finally:
+        q5.table = orig
+    # identical sets, below k: exact union 50, jaccard 1
+    assert out[("A", "B")]["est_union"] == 50.0
+    assert out[("A", "B")]["jaccard_est"] == 1.0
+    assert out[("A", "B")]["est_inter"] == 50.0
+    # disjoint sets: true union 100 exceeds k=64, so the union is
+    # ESTIMATED (within KMV's ~1/sqrt(k) error); jaccard exactly 0.
+    assert abs(out[("A", "C")]["est_union"] - 100.0) / 100.0 < 0.2
+    assert out[("A", "C")]["jaccard_est"] == 0.0
+    assert out[("A", "C")]["est_inter"] == 0.0
