@@ -1183,3 +1183,175 @@ def kmv_set_ops_event_types(spark: SparkSession, sf: str) -> DataFrame:
         F.round(jac, 4).alias("jaccard_est"),
         F.round(jac * eu, 4).alias("est_inter"),
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup-cluster survivorship: keep the best document per near-dup cluster
+# --------------------------------------------------------------------------
+def _cluster_reps_sql() -> str:
+    from _data_engineering_pipeline_project_spark.queries_ext import (
+        _MINHASH_PAIRS_CTES,
+    )
+
+    return f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    ed AS (SELECT doc_a AS a, doc_b AS b FROM dup_pairs
+           UNION SELECT doc_b, doc_a FROM dup_pairs),
+    reach(id, r) AS (
+      SELECT a, b FROM ed
+      UNION
+      SELECT reach.id, ed.b FROM reach JOIN ed ON reach.r = ed.a
+    ),
+    cc AS (SELECT id, least(id, min(r)) AS cluster FROM reach GROUP BY id),
+    lab AS (SELECT d.doc_id, coalesce(cc.cluster, d.doc_id) AS cluster,
+                   d.n_chars
+            FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
+    ranked AS (SELECT doc_id, cluster,
+                      row_number() OVER (PARTITION BY cluster
+                                         ORDER BY n_chars DESC, doc_id ASC)
+                        AS rn
+               FROM lab)
+    SELECT doc_id, cluster, rn = 1 AS kept FROM ranked
+    """
+
+
+@query("dedup_cluster_representatives", _cluster_reps_sql())
+def dedup_cluster_representatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Survivorship over near-dup clusters — the step that turns dedup
+    DETECTION into a curated corpus: every document gets its MinHash
+    connected-component cluster (singletons cluster with themselves) and
+    exactly one representative per cluster is kept, chosen by
+    (longest n_chars, smallest doc_id) — the "keep the richest copy"
+    policy of MDM survivorship (cf. golden_record_users) applied to the
+    near-dup graph.
+
+    Plan: the pair graph's components come from the iterative min-label
+    propagation (operators/dedup.py — localCheckpoint-bounded); the
+    join-back to the full corpus is a LEFT join on doc_id (components
+    relation is duplicate-docs-sized, typically a small fraction of the
+    corpus → broadcast), and the keep decision is a per-cluster window
+    whose width is the cluster size."""
+    from _data_engineering_pipeline_project_spark.operators import dedup as D
+
+    docs = table(spark, sf, "documents")
+    pairs = D.minhash_near_dup_pairs(docs, threshold=0.3)
+    cc = D.connected_components(pairs)
+    lab = docs.select("doc_id", "n_chars").join(
+        cc.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("cluster", "doc_id").alias("cluster"),
+        "n_chars",
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return lab.withColumn("rn", F.row_number().over(w)).select(
+        "doc_id", "cluster", (F.col("rn") == 1).alias("kept")
+    )
+
+
+# --------------------------------------------------------------------------
+# Content-defined chunking (rolling-hash boundaries, shift-resistant)
+# --------------------------------------------------------------------------
+_CDC_DIV = 16
+
+_CDC_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term,
+             unnest(generate_series(1, len(string_split_regex(trim(lower(text)),
+                                                              '\\s+')))) AS pos
+      FROM documents),
+    tokseq AS (SELECT doc_id, term,
+                      row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS seq
+               FROM tok WHERE length(term) > 0),
+    g AS (SELECT doc_id, seq, term,
+                 lag(term, 2) OVER w || ' ' || lag(term, 1) OVER w || ' ' || term
+                   AS gram
+          FROM tokseq WINDOW w AS (PARTITION BY doc_id ORDER BY seq)),
+    flags AS (SELECT doc_id, seq, term,
+                     CASE WHEN gram IS NOT NULL
+                           AND CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT)
+                               % {_CDC_DIV} = 0
+                          THEN 1 ELSE 0 END AS boundary
+              FROM g),
+    numbered AS (SELECT doc_id, seq, term,
+                        coalesce(sum(boundary) OVER (
+                          PARTITION BY doc_id ORDER BY seq
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS chunk_no
+                 FROM flags)
+    SELECT doc_id, CAST(chunk_no AS INTEGER) AS chunk_no,
+           string_agg(term, ' ' ORDER BY seq) AS chunk_text,
+           CAST(count(*) AS INTEGER) AS n_tokens
+    FROM numbered GROUP BY doc_id, chunk_no
+"""
+
+
+@query("content_defined_chunks_documents", _CDC_SQL)
+def content_defined_chunks_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-defined chunking: chunk boundaries fall AFTER any token
+    whose trailing 3-gram hashes to 0 mod 16 — the rolling-hash cut
+    rule of storage/dedup systems (LBFS/rsync family). Because the cut
+    depends only on LOCAL content, inserting text at the head of a
+    document re-synchronizes within one gram width and the remaining
+    chunks are byte-identical — the property fixed-size chunking
+    (``chunk_documents``) lacks, and the reason CDC feeds chunk-level
+    dedup.
+
+    Plan shape: two windows per document (the 3-gram via lag, the
+    running boundary count) on the same (doc_id, seq) partitioning — one
+    shuffle total, then the chunk reassembly groupBy rides the same key.
+    Expected chunk length is the divisor (16 tokens); real systems
+    add min/max clamps, an orthogonal post-filter."""
+    docs = table(spark, sf, "documents")
+    from _data_engineering_pipeline_project_spark.operators import ranking as R
+    from _data_engineering_pipeline_project_spark.operators.dedup import (
+        md5_hash60,
+    )
+
+    toks = R.positioned_tokens(docs)
+    w = Window.partitionBy("doc_id").orderBy("seq")
+    g = toks.withColumn(
+        "gram",
+        F.concat_ws(
+            " ", F.lag("term", 2).over(w), F.lag("term", 1).over(w), F.col("term")
+        ),
+    ).withColumn(
+        # concat_ws skips NULLs, so warmup rows (< 3 tokens) yield short
+        # grams; mirror the oracle's NULL-gram semantics explicitly
+        "gram",
+        F.when(F.lag("term", 2).over(w).isNull(), F.lit(None)).otherwise(
+            F.col("gram")
+        ),
+    )
+    flags = g.withColumn(
+        "boundary",
+        F.when(
+            F.col("gram").isNotNull()
+            & (md5_hash60(F.col("gram")) % _CDC_DIV == 0),
+            1,
+        ).otherwise(0),
+    )
+    wc = (
+        Window.partitionBy("doc_id")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    numbered = flags.withColumn(
+        "chunk_no", F.coalesce(F.sum("boundary").over(wc), F.lit(0))
+    )
+    return (
+        numbered.groupBy("doc_id", F.col("chunk_no").cast("int").alias("chunk_no"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seq", "term"))),
+                    lambda s: s["term"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        )
+    )

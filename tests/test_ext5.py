@@ -436,3 +436,68 @@ def test_kmv_set_ops_identical_and_disjoint_sets(spark):
     assert abs(out[("A", "C")]["est_union"] - 100.0) / 100.0 < 0.2
     assert out[("A", "C")]["jaccard_est"] == 0.0
     assert out[("A", "C")]["est_inter"] == 0.0
+
+
+# --------------------------------------------------------------------------
+# dedup cluster representatives
+# --------------------------------------------------------------------------
+def test_cluster_representatives_keep_longest(spark):
+    import _data_engineering_pipeline_project_spark.queries_ext5 as q5
+
+    # docs 1,2 near-identical (one cluster), doc 3 unrelated singleton.
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base, lang="en", source="s",
+                n_chars=len(base)),
+            Row(doc_id=2, text=base + "extra tail", lang="en", source="s",
+                n_chars=len(base) + 10),
+            Row(doc_id=3, text="totally different words here nothing shared "
+                               "with the others at all believe me truly",
+                lang="en", source="s", n_chars=90),
+        ]
+    )
+    orig = q5.table
+    try:
+        q5.table = lambda sp, sf, name: docs
+        out = {r["doc_id"]: r.asDict()
+               for r in q5.dedup_cluster_representatives(spark, SF).collect()}
+    finally:
+        q5.table = orig
+    assert out[1]["cluster"] == out[2]["cluster"] == 1
+    assert out[2]["kept"] and not out[1]["kept"]   # doc 2 is longer
+    assert out[3]["cluster"] == 3 and out[3]["kept"]
+
+
+# --------------------------------------------------------------------------
+# content-defined chunking
+# --------------------------------------------------------------------------
+def test_cdc_chunks_resynchronize_after_head_insert(spark):
+    import _data_engineering_pipeline_project_spark.queries_ext5 as q5
+    import random
+
+    rnd = random.Random(11)
+    toks = ["t%04d" % rnd.randrange(5000) for _ in range(400)]
+    a = " ".join(toks)
+    b = "inserted " + a          # head insertion shifts every position
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=a, lang="en", source="s", n_chars=len(a)),
+         Row(doc_id=2, text=b, lang="en", source="s", n_chars=len(b))]
+    )
+    orig = q5.table
+    try:
+        q5.table = lambda sp, sf, name: docs
+        rows = q5.content_defined_chunks_documents(spark, SF).collect()
+    finally:
+        q5.table = orig
+    ca = [r["chunk_text"] for r in sorted(
+        (r for r in rows if r["doc_id"] == 1), key=lambda r: r["chunk_no"])]
+    cb = [r["chunk_text"] for r in sorted(
+        (r for r in rows if r["doc_id"] == 2), key=lambda r: r["chunk_no"])]
+    assert len(ca) > 5, "divisor should produce many chunks on 400 tokens"
+    # shift-resistance: chunks re-sync after the first boundary — all but
+    # the first chunk of doc 2 appear verbatim in doc 1's chunk list.
+    shared = set(ca) & set(cb)
+    assert len(shared) >= len(ca) - 2
+    # reassembly is lossless (tokens are already lowercase)
+    assert " ".join(ca) == a
