@@ -464,3 +464,73 @@ def test_cbo_join_reorder_pulls_selective_dim_inward(spark):
                 spark.conf.set(k, v)
         for t in ("cbo_f1", "cbo_f2", "cbo_dim"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_duplicate_span_removal_has_no_window_sort(spark):
+    """The first-occurrence-per-gram step must be a hash aggregate
+    (groupBy min), never a per-gram window sort — a corpus-hot gram
+    would otherwise force a single-task sort at scale."""
+    from _data_engineering_pipeline_project_spark.plans.audit import (
+        explain_str,
+        _node_count,
+    )
+    from _data_engineering_pipeline_project_spark.queries_ext5 import (
+        remove_duplicate_spans_documents,
+    )
+
+    plan = explain_str(remove_duplicate_spans_documents(spark, SF))
+    assert _node_count(plan, "Window") == 0
+
+
+def test_naive_bayes_model_broadcasts_to_scoring_join(spark):
+    """The (lang, term) model and the class-scalar frames are dimension
+    sized: every scoring join must be broadcast — the test-corpus side
+    never shuffles for model application."""
+    from _data_engineering_pipeline_project_spark.queries_ext5 import (
+        naive_bayes_lang_documents,
+    )
+
+    assert broadcast_join_count(naive_bayes_lang_documents(spark, SF)) >= 3
+
+
+def test_fs_linkage_blocking_never_builds_cartesian(spark):
+    """Both blocking passes are equi-joins; the plan must contain no
+    cartesian/broadcast-nested-loop candidate generation."""
+    from _data_engineering_pipeline_project_spark.plans.audit import (
+        explain_str,
+        _node_count,
+    )
+    from _data_engineering_pipeline_project_spark.queries_ext5 import (
+        fellegi_sunter_linkage_parts,
+    )
+
+    plan = explain_str(fellegi_sunter_linkage_parts(spark, SF))
+    assert _node_count(plan, "CartesianProduct") == 0
+    # the only nested-loop join allowed is the 1-row probs broadcast
+    assert _node_count(plan, "BroadcastNestedLoopJoin") <= 1
+
+
+def test_bom_explosion_no_cartesian_one_scan_per_level(spark):
+    from _data_engineering_pipeline_project_spark.plans.audit import (
+        explain_str,
+        _node_count,
+    )
+    from _data_engineering_pipeline_project_spark.queries_ext5 import (
+        bom_explosion_parts,
+    )
+
+    plan = explain_str(bom_explosion_parts(spark, SF))
+    assert _node_count(plan, "CartesianProduct") == 0
+
+
+def test_cdc_chunking_single_shuffle(spark):
+    """Both windows and the reassembly groupBy share the (doc_id)
+    partitioning — one shuffle exchange total."""
+    from _data_engineering_pipeline_project_spark.plans.audit import (
+        exchange_count,
+    )
+    from _data_engineering_pipeline_project_spark.queries_ext5 import (
+        content_defined_chunks_documents,
+    )
+
+    assert exchange_count(content_defined_chunks_documents(spark, SF)) <= 1
