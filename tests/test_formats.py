@@ -135,3 +135,53 @@ def test_parquet_file_stats_reflect_clustering(spark, tmp_path):
     spans = sorted((int(r.cmin), int(r.cmax)) for r in stats)
     for (alo, ahi), (blo, bhi) in zip(spans, spans[1:]):
         assert ahi < blo  # disjoint: each file owns a compact key slice
+
+
+def test_streaming_jdbc_sink_idempotent_on_retry(spark, tmp_path):
+    """Streaming → JDBC exactly-once: drain a file stream into Derby via
+    the delete-then-insert foreachBatch sink, then REPLAY a batch (the
+    at-least-once failure mode) and a partial-crash retry — table state
+    must be unchanged in both cases."""
+    from _data_engineering_pipeline_project_spark.sources.sinks import (
+        derby_url,
+        read_jdbc,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.jdbcsink import (
+        run_stream_jdbc_sink,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string")
+    df2 = spark.createDataFrame([(3, "c")], "id int, name string")
+    df1.coalesce(1).write.mode("append").parquet(str(src))
+    df2.coalesce(1).write.mode("append").parquet(str(src))
+
+    url = derby_url(str(tmp_path / "derbydb"))
+    sink = run_stream_jdbc_sink(
+        spark,
+        str(src),
+        "id int, name string",
+        str(tmp_path / "ckpt"),
+        url,
+        "stream_sink",
+    )
+    back = read_jdbc(spark, url, "stream_sink")
+    assert back.count() == 3
+
+    # replay batch 1 verbatim (foreachBatch retry): no duplicates
+    sink.process_batch(df2, 1)
+    assert read_jdbc(spark, url, "stream_sink").count() == 3
+
+    # crash-mid-insert simulation: a partial copy of batch 1 exists, the
+    # retry must converge to exactly one full copy
+    from _data_engineering_pipeline_project_spark.streaming.jdbcsink import (
+        _execute_update,
+    )
+
+    _execute_update(
+        spark, url, "INSERT INTO stream_sink VALUES (3, 'c', 1)"
+    )
+    assert read_jdbc(spark, url, "stream_sink").count() == 4
+    sink.process_batch(df2, 1)
+    assert read_jdbc(spark, url, "stream_sink").count() == 3
