@@ -110,6 +110,20 @@ EXTENSION_QUERIES = [
     "theil_sen_trend_events",
     "acf_daily_counts_events",
     "item_item_cosine_parts",
+    "remove_duplicate_spans_documents",
+    "naive_bayes_lang_documents",
+    "fellegi_sunter_linkage_parts",
+    "bpe_train_merges_distributed",
+    "reconcile_snapshots_orders",
+    "windowed_funnel_events",
+    "activity_islands_users",
+    "incremental_join_view_revenue",
+    "zipf_heaps_by_source",
+    "kmv_set_ops_event_types",
+    "bom_explosion_parts",
+    "dedup_cluster_representatives",
+    "content_defined_chunks_documents",
+    "compression_ratio_documents",
 ]
 
 BENCH_QUERIES = [
