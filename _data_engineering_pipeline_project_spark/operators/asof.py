@@ -28,13 +28,21 @@ def asof_join(
     right_ts: str,
     right_cols: list[str] | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: latest right row with right_ts <= left_ts per key.
+    """Left as-of join: latest right row with right_ts <= left_ts per key
+    (``direction="backward"``, the default), or the EARLIEST right row
+    with right_ts >= left_ts (``direction="forward"`` — the
+    next-event-after lookup: click→next deploy, trade→next quote refresh).
+    Forward is the same union-tag-window plan with the ordering reversed;
+    the cost envelope is identical (one shuffle on the key).
 
     Ties on the timestamp prefer the right row (a right row AT the left
     timestamp is visible to it). Right-side ties at the same right_ts are
     broken deterministically by the largest payload ordering.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in on and c != right_ts]
 
@@ -65,10 +73,12 @@ def asof_join(
     )
     unioned = l_tagged.unionByName(r_tagged)
     # __side=0 (right) sorts before __side=1 (left) at equal ts → a right
-    # row at exactly left_ts is already visible
+    # row at exactly left_ts is already visible; forward scans time
+    # descending so "last right seen" is the nearest FUTURE right row
+    ts_order = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy("__ts", "__side")
+        .orderBy(ts_order, "__side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     matched = unioned.withColumn("__last_r", F.last("__r", ignorenulls=True).over(w))

@@ -1355,3 +1355,186 @@ def content_defined_chunks_documents(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).cast("int").alias("n_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Forward as-of join: next event at-or-after
+# --------------------------------------------------------------------------
+_ASOF_FWD_SQL = """
+    WITH clicks AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value
+      FROM events WHERE event_type = 'click'
+    ), signups AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                      ORDER BY event_id NULLS FIRST) AS rn
+            FROM events WHERE event_type = 'signup')
+      WHERE rn = 1
+    )
+    SELECT c.event_id, c.ts, c.user_id, c.value,
+           s.ts AS ts_next, s.event_id AS next_signup_event_id
+    FROM clicks c ASOF LEFT JOIN signups s
+      ON c.user_id = s.user_id AND c.ts <= s.ts
+"""
+
+
+@query("asof_forward_join_events", _ASOF_FWD_SQL)
+def asof_forward_join_events(spark: SparkSession, sf: str) -> DataFrame:
+    """FORWARD as-of join: each click paired with the user's NEXT signup
+    at or after it (the next-event-after lookup — time-to-next-action
+    analyses). Same union-tag-window plan as the backward form with the
+    scan order reversed (operators/asof.py, direction="forward"); the
+    oracle is DuckDB's native ASOF with the inequality flipped."""
+    from _data_engineering_pipeline_project_spark.functions.expressions import (
+        keep_first,
+    )
+    from _data_engineering_pipeline_project_spark.operators.asof import asof_join
+
+    ev = table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "event_id"
+    )
+    signups, _ = keep_first(signups, ["user_id", "ts"], ["event_id"])
+    return (
+        asof_join(
+            clicks,
+            signups,
+            on=["user_id"],
+            left_ts="ts",
+            right_ts="ts",
+            right_cols=["event_id"],
+            direction="forward",
+        )
+        .withColumnRenamed("ts_asof", "ts_next")
+        .withColumnRenamed("event_id_asof", "next_signup_event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Spatial neighbor pairs: grid-bucketed distance self-join
+# --------------------------------------------------------------------------
+_GEO_CELL = 1.0  # cell size == distance threshold
+
+_SPATIAL_SQL = """
+    WITH pts AS (
+      SELECT c_custkey,
+             (CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':x'),
+                                  1, 15) AS BIGINT) % 100000) / 1000.0 AS x,
+             (CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':y'),
+                                  1, 15) AS BIGINT) % 100000) / 1000.0 AS y
+      FROM customer),
+    cells AS (SELECT *, CAST(floor(x) AS BIGINT) AS cx,
+                        CAST(floor(y) AS BIGINT) AS cy
+              FROM pts),
+    probes AS (SELECT c.*, c.cx + dx.dx AS px, c.cy + dy.dy AS py
+               FROM cells c,
+                    unnest(generate_series(-1, 1)) AS dx(dx),
+                    unnest(generate_series(-1, 1)) AS dy(dy)),
+    cand AS (SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+                    a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+             FROM probes a JOIN cells b
+               ON a.px = b.cx AND a.py = b.cy
+              AND a.c_custkey < b.c_custkey)
+    SELECT cust_a, cust_b,
+           round(sqrt((xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)), 4)
+             AS dist
+    FROM cand
+    WHERE (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) <= 1.0
+"""
+
+
+@query("spatial_neighbor_pairs_customers", _SPATIAL_SQL)
+def spatial_neighbor_pairs_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Distance self-join via GRID BUCKETING — the distributed spatial-
+    join shape (points get deterministic planar coordinates hashed from
+    the key; real deployments read them from the geolocation columns the
+    reference's 3NF normalizer extracts, etl2.py's location dimension):
+
+    - cell size equals the distance threshold, so every true neighbor
+      pair shares a cell or touches one of the 8 adjacent cells;
+    - each point probes its 3x3 neighborhood by EXPLODING 9 (dx, dy)
+      offsets — candidates come from a plain equi-join on the probed
+      cell id, never a theta join on coordinates;
+    - exact within-threshold verification runs on candidates only
+      (bounded by local density x 9, independent of table size);
+    - planar squared distance is pure arithmetic on exact thousandths
+      (and sqrt is IEEE-correctly-rounded), so both engines agree
+      bit-for-bit.
+
+    The (a.key < b.key) dedup happens at candidate generation — each
+    unordered pair is verified once. Same blocking idea as LSH banding:
+    geometry partitions the space so the quadratic stage is local."""
+    c = table(spark, sf, "customer").select("c_custkey")
+    from _data_engineering_pipeline_project_spark.operators.dedup import (
+        md5_hash60,
+    )
+
+    pts = c.select(
+        "c_custkey",
+        (
+            md5_hash60(F.concat(F.col("c_custkey").cast("string"), F.lit(":x")))
+            % 100000
+            / 1000.0
+        ).alias("x"),
+        (
+            md5_hash60(F.concat(F.col("c_custkey").cast("string"), F.lit(":y")))
+            % 100000
+            / 1000.0
+        ).alias("y"),
+    )
+    cells = pts.select(
+        "*",
+        F.floor("x").cast("bigint").alias("cx"),
+        F.floor("y").cast("bigint").alias("cy"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probes = cells.select(
+        F.col("c_custkey"),
+        "x",
+        "y",
+        F.explode(offsets).alias("o"),
+        "cx",
+        "cy",
+    ).select(
+        "c_custkey",
+        "x",
+        "y",
+        (F.col("cx") + F.col("o.dx")).alias("px"),
+        (F.col("cy") + F.col("o.dy")).alias("py"),
+    )
+    a = probes.select(
+        F.col("c_custkey").alias("cust_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        "px",
+        "py",
+    )
+    b = cells.select(
+        F.col("c_custkey").alias("cust_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("cx").alias("px"),
+        F.col("cy").alias("py"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        a.join(b, ["px", "py"])
+        .filter(F.col("cust_a") < F.col("cust_b"))
+        .filter(d2 <= _GEO_CELL * _GEO_CELL)
+        .select(
+            "cust_a",
+            "cust_b",
+            F.round(F.sqrt(d2), 4).alias("dist"),
+        )
+    )

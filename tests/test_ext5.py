@@ -501,3 +501,75 @@ def test_cdc_chunks_resynchronize_after_head_insert(spark):
     assert len(shared) >= len(ca) - 2
     # reassembly is lossless (tokens are already lowercase)
     assert " ".join(ca) == a
+
+
+# --------------------------------------------------------------------------
+# forward as-of join
+# --------------------------------------------------------------------------
+def test_asof_forward_picks_nearest_future_row(spark):
+    from _data_engineering_pipeline_project_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 5)], "k int, ts int"
+    )
+    right = spark.createDataFrame(
+        [(1, 12), (1, 25), (1, 3), (2, 5)], "k int, rts int"
+    )
+    out = {
+        (r["k"], r["ts"]): r["rts_asof"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts",
+            right_cols=[], direction="forward",
+        ).collect()
+    }
+    assert out[(1, 10)] == 12      # nearest future, not 25 and not past 3
+    assert out[(1, 20)] == 25
+    assert out[(2, 5)] == 5        # equal timestamp is visible
+
+
+def test_asof_forward_none_when_no_future_row(spark):
+    from _data_engineering_pipeline_project_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 30)], "k int, ts int")
+    right = spark.createDataFrame([(1, 12)], "k int, rts int")
+    [r] = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts",
+        right_cols=[], direction="forward",
+    ).collect()
+    assert r["rts_asof"] is None
+
+
+# --------------------------------------------------------------------------
+# spatial neighbor pairs
+# --------------------------------------------------------------------------
+def test_spatial_pairs_match_brute_force(spark):
+    import hashlib
+
+    import _data_engineering_pipeline_project_spark.queries_ext5 as q5
+
+    cust = spark.createDataFrame([Row(c_custkey=k) for k in range(1, 301)])
+
+    def h(k, ax):
+        return (
+            int(hashlib.md5(f"{k}:{ax}".encode()).hexdigest()[:15], 16)
+            % 100000
+        ) / 1000.0
+
+    pts = {k: (h(k, "x"), h(k, "y")) for k in range(1, 301)}
+    expected = set()
+    for a in pts:
+        for b in pts:
+            if a < b:
+                d2 = (pts[a][0] - pts[b][0]) ** 2 + (pts[a][1] - pts[b][1]) ** 2
+                if d2 <= 1.0:
+                    expected.add((a, b))
+    orig = q5.table
+    try:
+        q5.table = lambda sp, sf, name: cust
+        got = {
+            (r["cust_a"], r["cust_b"])
+            for r in q5.spatial_neighbor_pairs_customers(spark, SF).collect()
+        }
+    finally:
+        q5.table = orig
+    assert got == expected
