@@ -1538,3 +1538,155 @@ def spatial_neighbor_pairs_customers(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.sqrt(d2), 4).alias("dist"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average value per user (irregular samples)
+# --------------------------------------------------------------------------
+_TWAP_SQL = """
+    WITH s AS (
+      SELECT user_id, value,
+             epoch_us(ts) // 1000000 AS sec,
+             lead(epoch_us(ts) // 1000000) OVER w AS next_sec
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id NULLS FIRST)),
+    iv AS (SELECT user_id,
+                  CAST(round(value * 1e6) AS BIGINT) AS v_micro,
+                  next_sec - sec AS dt
+           FROM s WHERE next_sec IS NOT NULL)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(dt) AS BIGINT) AS total_sec,
+           round(sum(v_micro * dt) / 1e6 / sum(dt), 6) AS twap
+    FROM iv
+    GROUP BY user_id
+    HAVING sum(dt) > 0
+"""
+
+
+@query("time_weighted_avg_value_users", _TWAP_SQL)
+def time_weighted_avg_value_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-weighted average (TWAP) of each user's ``value`` over
+    irregular samples: each observation is weighted by how long it was
+    the latest one (seconds until the next event), the standard
+    irregular-time-series mean of IoT/finance pipelines.
+
+    Determinism engineering: interval seconds come from PER-OPERAND
+    floored microsecond epochs (integer div — the cross-engine rule for
+    epoch math); values are fixed-pointed to micro-units so the
+    weighted sum is exact int64 arithmetic (~1e8 x 1e6 — far inside
+    int64), immune to accumulation order; ONE final double division.
+    Plan: a lead window and a hash aggregate on the same user_id
+    partitioning — one shuffle."""
+    ev = table(spark, sf, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    micros = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    # integer division per operand (the cross-engine epoch-math rule)
+    sec = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        " div 1000000"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        micros, F.col("event_id").asc_nulls_first()
+    )
+    s = ev.select(
+        "user_id",
+        "value",
+        sec.alias("sec"),
+        F.lead(sec).over(w).alias("next_sec"),
+    )
+    iv = s.filter(F.col("next_sec").isNotNull()).select(
+        "user_id",
+        F.round(F.col("value") * 1e6).cast("bigint").alias("v_micro"),
+        (F.col("next_sec") - F.col("sec")).alias("dt"),
+    )
+    return (
+        iv.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.sum("dt").cast("bigint").alias("total_sec"),
+            F.round(
+                F.sum(F.col("v_micro") * F.col("dt")) / 1e6 / F.sum("dt"), 6
+            ).alias("twap"),
+        )
+        .filter(F.col("total_sec") > 0)
+    )
+
+
+# --------------------------------------------------------------------------
+# Clamped running balance (nonlinear sequential fold)
+# --------------------------------------------------------------------------
+_BALANCE_SQL = """
+    WITH mv AS (
+      SELECT l_partkey,
+             CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS BIGINT)
+                  ELSE -CAST(l_quantity AS BIGINT) END AS delta,
+             l_shipdate, l_orderkey, l_linenumber
+      FROM lineitem),
+    arr AS (SELECT l_partkey,
+                   list(delta ORDER BY l_shipdate NULLS FIRST,
+                        l_orderkey, l_linenumber, delta) AS ds
+            FROM mv GROUP BY l_partkey)
+    SELECT l_partkey,
+           CAST(len(ds) AS INTEGER) AS n_moves,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), ds),
+                            (s, x) -> greatest(CAST(0 AS BIGINT), s + x))
+                AS BIGINT) AS final_balance
+    FROM arr
+"""
+
+
+@query("clamped_running_balance_parts", _BALANCE_SQL)
+def clamped_running_balance_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Inventory running balance CLAMPED at zero — receipts (returnflag
+    'N') add, issues subtract, and the balance can never go negative
+    (shortages are lost, not backordered). The clamp makes the recursion
+    NONLINEAR: ``s = max(0, s + delta)`` has no prefix-sum closed form,
+    so this is the sequential-fold escape hatch again (cf.
+    ``ewma_daily_counts_events``) with a non-algebraic step: fold the
+    per-part ordered delta array with an explicit zero seed
+    (``F.aggregate`` == DuckDB ``list_reduce`` over ``list_prepend``).
+
+    All-integer state (quantities are integral), so the fold is exact in
+    both engines; the move ordering is pinned by a full tie-break chain.
+    Per-part arrays are bounded by moves-per-part — the fold runs inside
+    ONE codegen'd expression after a single groupBy shuffle."""
+    li = table(spark, sf, "lineitem")
+    mv = li.select(
+        "l_partkey",
+        F.when(
+            F.col("l_returnflag") == "N", F.col("l_quantity").cast("bigint")
+        )
+        .otherwise(-F.col("l_quantity").cast("bigint"))
+        .alias("delta"),
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    arr = mv.groupBy("l_partkey").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("l_shipdate", "l_orderkey", "l_linenumber", "delta")
+                )
+            ),
+            lambda s: s["delta"],
+        ).alias("ds")
+    )
+    folded = F.aggregate(
+        F.col("ds"),
+        F.lit(0).cast("bigint"),
+        lambda s, x: F.greatest(F.lit(0).cast("bigint"), s + x),
+    )
+    return arr.select(
+        "l_partkey",
+        F.size("ds").cast("int").alias("n_moves"),
+        folded.cast("bigint").alias("final_balance"),
+    )

@@ -573,3 +573,58 @@ def test_spatial_pairs_match_brute_force(spark):
     finally:
         q5.table = orig
     assert got == expected
+
+
+# --------------------------------------------------------------------------
+# time-weighted average
+# --------------------------------------------------------------------------
+def test_twap_weights_by_interval_length(spark):
+    import _data_engineering_pipeline_project_spark.queries_ext5 as q5
+    from datetime import timedelta
+
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    # user 1: value 10 held 30s, value 2 held 10s, final value unweighted
+    rows = [
+        Row(event_id=1, ts=base, user_id=1, event_type="v",
+            value=10.0, props="{}"),
+        Row(event_id=2, ts=base + timedelta(seconds=30), user_id=1,
+            event_type="v", value=2.0, props="{}"),
+        Row(event_id=3, ts=base + timedelta(seconds=40), user_id=1,
+            event_type="v", value=99.0, props="{}"),
+    ]
+    ev = spark.createDataFrame(rows)
+    orig = q5.table
+    try:
+        q5.table = lambda sp, sf, name: ev
+        [r] = q5.time_weighted_avg_value_users(spark, SF).collect()
+    finally:
+        q5.table = orig
+    assert r["n_intervals"] == 2
+    assert r["total_sec"] == 40
+    assert r["twap"] == (10.0 * 30 + 2.0 * 10) / 40
+
+
+# --------------------------------------------------------------------------
+# clamped running balance
+# --------------------------------------------------------------------------
+def test_clamped_balance_never_negative(spark):
+    import _data_engineering_pipeline_project_spark.queries_ext5 as q5
+
+    # part 1: +5, -9 (clamps to 0), +3  → final 3 (unclamped would be -1)
+    rows = [
+        Row(l_partkey=1, l_quantity=5.0, l_returnflag="N",
+            l_shipdate=datetime(2024, 1, 1), l_orderkey=1, l_linenumber=1),
+        Row(l_partkey=1, l_quantity=9.0, l_returnflag="R",
+            l_shipdate=datetime(2024, 1, 2), l_orderkey=2, l_linenumber=1),
+        Row(l_partkey=1, l_quantity=3.0, l_returnflag="N",
+            l_shipdate=datetime(2024, 1, 3), l_orderkey=3, l_linenumber=1),
+    ]
+    li = spark.createDataFrame(rows)
+    orig = q5.table
+    try:
+        q5.table = lambda sp, sf, name: li
+        [r] = q5.clamped_running_balance_parts(spark, SF).collect()
+    finally:
+        q5.table = orig
+    assert r["n_moves"] == 3
+    assert r["final_balance"] == 3
