@@ -1690,3 +1690,50 @@ def clamped_running_balance_parts(spark: SparkSession, sf: str) -> DataFrame:
         F.size("ds").cast("int").alias("n_moves"),
         folded.cast("bigint").alias("final_balance"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling 7-day exact median (order statistics over a moving window)
+# --------------------------------------------------------------------------
+_ROLLMED_SQL = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, day,
+           CAST(y AS BIGINT) AS n_events,
+           round(median(y) OVER (PARTITION BY event_type
+                                 ORDER BY day - DATE '1970-01-01'
+                                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW),
+                 4) AS med_7d
+    FROM daily
+"""
+
+
+@query("rolling_median_value_7d", _ROLLMED_SQL)
+def rolling_median_value_7d(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling 7-day EXACT median of daily event counts per type — the
+    robust twin of a moving average (medians shrug off the single-day
+    spikes that drag a mean; cf. mad_outliers_events for the global
+    form). An order statistic over a moving event-time window is the
+    hard case for streaming systems; in batch it is a RANGE-framed
+    window over the DAILY aggregate — the frame walk is per-series and
+    the input relation is already days x types, so the window cost is
+    trivial regardless of raw event volume. Both engines interpolate
+    even-count medians identically (percentile_cont semantics);
+    integer-valued doubles keep the interpolation exact."""
+    ev = table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.datediff(F.col("day"), F.lit("1970-01-01")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        F.col("y").cast("bigint").alias("n_events"),
+        F.round(F.expr("percentile(y, 0.5)").over(w), 4).alias("med_7d"),
+    )
