@@ -1737,3 +1737,112 @@ def rolling_median_value_7d(spark: SparkSession, sf: str) -> DataFrame:
         F.col("y").cast("bigint").alias("n_events"),
         F.round(F.expr("percentile(y, 0.5)").over(w), 4).alias("med_7d"),
     )
+
+
+# --------------------------------------------------------------------------
+# Centroid silhouette: embedding-space class separation
+# --------------------------------------------------------------------------
+_SIL_SQL = """
+    WITH el AS (SELECT vec_id, label, t.i AS dim,
+                       CAST(embedding[t.i] AS DOUBLE) AS v
+                FROM embeddings,
+                     unnest(generate_series(1, len(embedding))) AS t(i)),
+    cen AS (SELECT label, dim,
+                   sum(CAST(round(v * 1e6) AS BIGINT)) AS s_micro,
+                   count(*) AS n
+            FROM el GROUP BY 1, 2),
+    c AS (SELECT label AS clabel, dim, s_micro / 1e6 / n AS cv FROM cen),
+    d AS (SELECT el.vec_id, el.label, c.clabel,
+                 sum(CAST(round((el.v - c.cv) * 1e6) AS BIGINT)
+                     * CAST(round((el.v - c.cv) * 1e6) AS BIGINT)) AS d2_fp
+          FROM el JOIN c ON el.dim = c.dim
+          GROUP BY 1, 2, 3),
+    ab AS (SELECT vec_id, label,
+                  min(CASE WHEN clabel = label THEN d2_fp END) AS a_fp,
+                  min(CASE WHEN clabel <> label THEN d2_fp END) AS b_fp
+           FROM d GROUP BY 1, 2),
+    sil AS (SELECT vec_id, label,
+                   CAST(round((sqrt(CAST(b_fp AS DOUBLE))
+                               - sqrt(CAST(a_fp AS DOUBLE)))
+                              / greatest(sqrt(CAST(a_fp AS DOUBLE)),
+                                         sqrt(CAST(b_fp AS DOUBLE)))
+                              * 1e6) AS BIGINT) AS s_micro
+            FROM ab WHERE b_fp IS NOT NULL AND (a_fp > 0 OR b_fp > 0))
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+           round(sum(s_micro) / 1e6 / count(*), 4) AS mean_silhouette
+    FROM sil GROUP BY label
+"""
+
+
+@query("silhouette_centroid_embeddings", _SIL_SQL)
+def silhouette_centroid_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Centroid silhouette per label — the cluster-separation diagnostic
+    (simplified silhouette: a = distance to OWN label centroid, b =
+    distance to the nearest OTHER centroid, s = (b-a)/max(a,b)) run
+    entirely in the relational domain:
+
+    - centroids are element-wise FIXED-POINT integer sums over the
+      exploded (vector, dim, value) relation — float mean accumulation
+      order can never perturb them;
+    - per-(vector, label) distances are sums of SQUARED fixed-point
+      residuals — exact int64, immune to partitioning;
+    - a/b selection is a conditional-min hash aggregate (no window);
+      the per-label mean goes through micro-unit integers.
+
+    At 100 TB the shape holds: centroids are |labels|x|dims| rows
+    (broadcast), the distance pass is one explode + equi-join on dim
+    with map-side partial aggregation, and nothing driver-side touches
+    vector data. sqrt is IEEE-correctly-rounded, hence engine-exact."""
+    emb = table(spark, sf, "embeddings")
+    el = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim0", "v0"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("v0").cast("double").alias("v"),
+    )
+    cen = el.groupBy("label", "dim").agg(
+        F.sum(F.round(F.col("v") * 1e6).cast("bigint")).alias("s_micro"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    c = cen.select(
+        F.col("label").alias("clabel"),
+        "dim",
+        (F.col("s_micro") / 1e6 / F.col("n")).alias("cv"),
+    )
+    resid = F.round((F.col("v") - F.col("cv")) * 1e6).cast("bigint")
+    d = (
+        el.join(F.broadcast(c), "dim")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum(resid * resid).alias("d2_fp"))
+    )
+    ab = d.groupBy("vec_id", "label").agg(
+        F.min(
+            F.when(F.col("clabel") == F.col("label"), F.col("d2_fp"))
+        ).alias("a_fp"),
+        F.min(
+            F.when(F.col("clabel") != F.col("label"), F.col("d2_fp"))
+        ).alias("b_fp"),
+    )
+    sa = F.sqrt(F.col("a_fp").cast("double"))
+    sb = F.sqrt(F.col("b_fp").cast("double"))
+    sil = (
+        ab.filter(
+            F.col("b_fp").isNotNull() & ((F.col("a_fp") > 0) | (F.col("b_fp") > 0))
+        )
+        .select(
+            "label",
+            F.round((sb - sa) / F.greatest(sa, sb) * 1e6)
+            .cast("bigint")
+            .alias("s_micro"),
+        )
+    )
+    return sil.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.round(F.sum("s_micro") / 1e6 / F.count(F.lit(1)), 4).alias(
+            "mean_silhouette"
+        ),
+    )

@@ -628,3 +628,30 @@ def test_clamped_balance_never_negative(spark):
         q5.table = orig
     assert r["n_moves"] == 3
     assert r["final_balance"] == 3
+
+
+# --------------------------------------------------------------------------
+# centroid silhouette
+# --------------------------------------------------------------------------
+def test_silhouette_separated_clusters_near_one(spark):
+    import _data_engineering_pipeline_project_spark.queries_ext5 as q5
+
+    # two tight, far-apart clusters → silhouette ≈ 1; interleaved labels
+    # on the SAME points → silhouette ≈ negative/zero.
+    rows = []
+    vid = 0
+    for label, base in ((0, 0.0), (1, 100.0)):
+        for j in range(10):
+            vid += 1
+            rows.append(
+                Row(vec_id=vid, embedding=[base + j * 0.01, base], label=label)
+            )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    orig = q5.table
+    try:
+        q5.table = lambda sp, sf, name: emb
+        out = {r["label"]: r["mean_silhouette"]
+               for r in q5.silhouette_centroid_embeddings(spark, SF).collect()}
+    finally:
+        q5.table = orig
+    assert out[0] > 0.99 and out[1] > 0.99
