@@ -1846,3 +1846,180 @@ def silhouette_centroid_embeddings(spark: SparkSession, sf: str) -> DataFrame:
             "mean_silhouette"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Right-to-erasure cascade report (GDPR-style subject deletion planning)
+# --------------------------------------------------------------------------
+_ERASURE_SQL = """
+    WITH subjects AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+    o AS (SELECT o_orderkey FROM orders
+          WHERE o_custkey IN (SELECT c_custkey FROM subjects)),
+    cnts AS (
+      SELECT 'lineitem' AS table_name, 1 AS cascade_rank,
+             (SELECT count(*) FROM lineitem
+              WHERE l_orderkey IN (SELECT o_orderkey FROM o)) AS n_rows_to_erase
+      UNION ALL
+      SELECT 'orders', 2, (SELECT count(*) FROM o)
+      UNION ALL
+      SELECT 'customer', 3, (SELECT count(*) FROM subjects)
+    )
+    SELECT table_name, cascade_rank, CAST(n_rows_to_erase AS BIGINT)
+             AS n_rows_to_erase
+    FROM cnts
+"""
+
+
+@query("gdpr_erasure_cascade_report", _ERASURE_SQL)
+def gdpr_erasure_cascade_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Right-to-erasure planning: for a data-subject set (customers with
+    key % 97 = 0), the per-table row counts a cascading hard-delete must
+    remove, in FK-safe order — children before parents, which is the
+    REVERSE of the schema registry's topological load order
+    (schema.py:load_order, M3). The compliance twin of the FK checks:
+    the same dimension-sized semi-join chain, used to plan deletes
+    instead of validate inserts.
+
+    Plan: subject keys are dimension-sized → both cascade hops are
+    broadcast LEFT-SEMI joins; each fact table is scanned once and
+    never shuffled. At 100 TB the counts become the delete predicates
+    of a MERGE/DELETE on the transactional table format (the SCD2
+    commit-protocol discussion in docs/SCALE.md applies verbatim)."""
+    from _data_engineering_pipeline_project_spark.schema import tpch_registry
+
+    reg = tpch_registry()
+    # children-before-parents: reverse topological order, restricted to
+    # the subject cascade
+    order = [t for t in reversed(reg.load_order()) if t in
+             ("lineitem", "orders", "customer")]
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders")
+    li = table(spark, sf, "lineitem")
+    subjects = c.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    sub_orders = o.join(
+        F.broadcast(subjects),
+        o["o_custkey"] == subjects["c_custkey"],
+        "left_semi",
+    ).select("o_orderkey")
+    sub_lines = li.join(
+        F.broadcast(sub_orders),
+        li["l_orderkey"] == sub_orders["o_orderkey"],
+        "left_semi",
+    )
+    counts = {
+        "lineitem": sub_lines.agg(F.count(F.lit(1)).alias("n")),
+        "orders": sub_orders.agg(F.count(F.lit(1)).alias("n")),
+        "customer": subjects.agg(F.count(F.lit(1)).alias("n")),
+    }
+    out = None
+    for rank, t in enumerate(order, start=1):
+        row = counts[t].select(
+            F.lit(t).alias("table_name"),
+            F.lit(rank).alias("cascade_rank"),
+            F.col("n").cast("bigint").alias("n_rows_to_erase"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Label-propagation communities (2 synchronized rounds, unrolled)
+# --------------------------------------------------------------------------
+def _lpa_round_sql(r: int) -> str:
+    prev = f"l{r - 1}"
+    return f"""
+    r{r} AS (SELECT e.a AS v, l.lab, sum(e.w) AS s
+             FROM edges e JOIN {prev} l ON l.v = e.b
+             GROUP BY 1, 2),
+    l{r} AS (SELECT v, lab FROM (
+               SELECT v, lab, row_number() OVER (PARTITION BY v
+                              ORDER BY s DESC, lab ASC) AS rn FROM r{r})
+             WHERE rn = 1)"""
+
+
+_LPA_SQL = (
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id NULLS FIRST) AS prev
+      FROM events),
+    ed0 AS (SELECT prev AS a, event_type AS b, count(*) AS w
+            FROM seq WHERE prev IS NOT NULL AND prev <> event_type
+            GROUP BY 1, 2),
+    edges AS (SELECT a, b, CAST(sum(w) AS BIGINT) AS w
+              FROM (SELECT a, b, w FROM ed0
+                    UNION ALL SELECT b, a, w FROM ed0)
+              GROUP BY 1, 2),
+    nodes AS (SELECT DISTINCT event_type AS v FROM events),
+    l0 AS (SELECT v, v AS lab FROM nodes),"""
+    + ",".join(_lpa_round_sql(r) for r in (1, 2))
+    + """
+    SELECT n.v AS event_type, coalesce(l2.lab, n.v) AS community
+    FROM nodes n LEFT JOIN l2 ON l2.v = n.v
+"""
+)
+
+
+@query("label_propagation_communities_events", _LPA_SQL)
+def label_propagation_communities_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Community detection via synchronous label propagation (Raghavan et
+    al. 2007) on the event-transition graph — two unrolled rounds, each a
+    weighted-majority vote over neighbor labels with a deterministic
+    (weight desc, label asc) tie-break, so the result is engine-exact
+    and oracle-checkable (the same unroll pattern as BOM explosion /
+    IVF Lloyd rounds; production depth iterates the identical plan with
+    localCheckpoint, cf. connected components).
+
+    Plan per round: one equi-join of the edge relation to the label
+    relation (label frame is node-sized → broadcast) + one hash
+    aggregate + a per-node rank window of width |labels(v's neighbors)|.
+    The fact table is touched once at edge extraction; rounds never
+    rescan it. Complements the graph family's CC (connectivity),
+    PageRank/HITS (centrality), triangles (cohesion) with COMMUNITIES."""
+    ev = table(spark, sf, "events")
+    w0 = Window.partitionBy("user_id").orderBy(
+        "ts", F.col("event_id").asc_nulls_first()
+    )
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w0).alias("prev")
+    )
+    ed0 = (
+        seq.filter(
+            F.col("prev").isNotNull() & (F.col("prev") != F.col("event_type"))
+        )
+        .groupBy(F.col("prev").alias("a"), F.col("event_type").alias("b"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = (
+        ed0.select("a", "b", "w")
+        .unionByName(
+            ed0.select(
+                F.col("b").alias("a"), F.col("a").alias("b"), "w"
+            )
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+    )
+    nodes = ev.select(F.col("event_type").alias("v")).distinct()
+    labels = nodes.select("v", F.col("v").alias("lab"))
+    for _ in range(2):
+        votes = (
+            edges.join(
+                F.broadcast(labels.select(F.col("v").alias("b"), "lab")), "b"
+            )
+            .groupBy(F.col("a").alias("v"), "lab")
+            .agg(F.sum("w").alias("s"))
+        )
+        wv = Window.partitionBy("v").orderBy(
+            F.col("s").desc(), F.col("lab").asc()
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select("v", "lab")
+        )
+    return nodes.join(labels, "v", "left").select(
+        F.col("v").alias("event_type"),
+        F.coalesce("lab", "v").alias("community"),
+    )

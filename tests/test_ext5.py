@@ -655,3 +655,59 @@ def test_silhouette_separated_clusters_near_one(spark):
     finally:
         q5.table = orig
     assert out[0] > 0.99 and out[1] > 0.99
+
+
+# --------------------------------------------------------------------------
+# GDPR erasure cascade
+# --------------------------------------------------------------------------
+def test_gdpr_cascade_order_children_first(spark):
+    import _data_engineering_pipeline_project_spark.queries_ext5 as q5
+
+    rows = {r["table_name"]: r.asDict()
+            for r in q5.gdpr_erasure_cascade_report(spark, SF).collect()}
+    assert rows["lineitem"]["cascade_rank"] < rows["orders"]["cascade_rank"]
+    assert rows["orders"]["cascade_rank"] < rows["customer"]["cascade_rank"]
+    # cascade counts are monotone in the hierarchy construction: every
+    # erased order belongs to an erased customer
+    assert rows["customer"]["n_rows_to_erase"] >= 1
+
+
+# --------------------------------------------------------------------------
+# label propagation communities
+# --------------------------------------------------------------------------
+def test_lpa_two_cliques_converge_to_two_communities(spark):
+    import _data_engineering_pipeline_project_spark.queries_ext5 as q5
+    from datetime import datetime, timedelta
+
+    # users 1-6 alternate within {A1,A2,A3}; users 7-12 within {B1,B2,B3};
+    # no cross traffic → two communities
+    rows = []
+    i = 0
+    base = datetime(2024, 1, 1)
+    for u in range(1, 7):
+        for j, t in enumerate(["A1", "A2", "A3", "A1", "A2", "A3"]):
+            i += 1
+            rows.append(Row(event_id=i, ts=base + timedelta(minutes=i),
+                            user_id=u, event_type=t, value=1.0, props="{}"))
+    for u in range(7, 13):
+        for j, t in enumerate(["B1", "B2", "B3", "B1", "B2", "B3"]):
+            i += 1
+            rows.append(Row(event_id=i, ts=base + timedelta(minutes=i),
+                            user_id=u, event_type=t, value=1.0, props="{}"))
+    ev = spark.createDataFrame(rows)
+    orig = q5.table
+    try:
+        q5.table = lambda sp, sf, name: ev
+        out = {r["event_type"]: r["community"]
+               for r in q5.label_propagation_communities_events(spark, SF).collect()}
+    finally:
+        q5.table = orig
+    # Synchronous LPA can oscillate within a symmetric clique (label
+    # cycling is the documented failure mode the async variant fixes), so
+    # the sound invariant after a fixed round count is SEPARATION: labels
+    # never cross the disconnected components.
+    a_comm = {out["A1"], out["A2"], out["A3"]}
+    b_comm = {out["B1"], out["B2"], out["B3"]}
+    assert a_comm <= {"A1", "A2", "A3"}
+    assert b_comm <= {"B1", "B2", "B3"}
+    assert not (a_comm & b_comm)
