@@ -2023,3 +2023,78 @@ def label_propagation_communities_events(spark: SparkSession, sf: str) -> DataFr
         F.col("v").alias("event_type"),
         F.coalesce("lab", "v").alias("community"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mutual information between event type and hour-of-day
+# --------------------------------------------------------------------------
+_MI_SQL = """
+    WITH base AS (SELECT event_type AS x,
+                         CAST(extract(hour FROM ts) AS INTEGER) AS y
+                  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+    n AS (SELECT count(*) AS n FROM base),
+    jxy AS (SELECT x, y, count(*) AS c FROM base GROUP BY 1, 2),
+    mx AS (SELECT x, count(*) AS cx FROM base GROUP BY 1),
+    my AS (SELECT y, count(*) AS cy FROM base GROUP BY 1),
+    terms AS (
+      SELECT j.x, j.y, j.c,
+             CAST(floor(ln((j.c * 1.0 * n.n) / (mx.cx * 1.0 * my.cy)) * 1e9)
+                  AS BIGINT) AS lr_nano
+      FROM jxy j JOIN mx ON mx.x = j.x JOIN my ON my.y = j.y, n)
+    SELECT round(sum(t.c * t.lr_nano) / 1e9 / max(n.n), 6) AS mi_nats,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(max(n.n) AS BIGINT) AS n_events
+    FROM terms t, n
+"""
+
+
+@query("mutual_information_type_hour", _MI_SQL)
+def mutual_information_type_hour(spark: SparkSession, sf: str) -> DataFrame:
+    """Mutual information I(event_type; hour-of-day) in nats — the
+    information-theoretic dependence audit (is traffic composition
+    time-of-day dependent?) that complements the chi-square independence
+    test with an effect-size measure.
+
+    I = Σ_xy p(x,y)·ln( p(x,y) / (p(x)p(y)) ), computed as exact integer
+    counts feeding ONE fixed-point log-ratio per contingency cell
+    (nano-nats — the cell count multiplies the fixed-point term, so the
+    sum stays exact int64 and partitioning cannot move the result).
+    Three hash aggregates over the fact table (joint, two marginals) —
+    the joint relation is |types|x24 cells, everything downstream is
+    broadcast-sized."""
+    ev = table(spark, sf, "events").filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    base = ev.select(
+        F.col("event_type").alias("x"),
+        F.hour("ts").cast("int").alias("y"),
+    )
+    n = base.agg(F.count(F.lit(1)).alias("n"))
+    jxy = base.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c"))
+    mx = base.groupBy("x").agg(F.count(F.lit(1)).alias("cx"))
+    my = base.groupBy("y").agg(F.count(F.lit(1)).alias("cy"))
+    terms = (
+        jxy.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "c",
+            F.floor(
+                F.ln(
+                    (F.col("c") * F.col("n")).cast("double")
+                    / (F.col("cx") * F.col("cy"))
+                )
+                * 1e9
+            )
+            .cast("bigint")
+            .alias("lr_nano"),
+            "n",
+        )
+    )
+    return terms.agg(
+        F.round(
+            F.sum(F.col("c") * F.col("lr_nano")) / 1e9 / F.max("n"), 6
+        ).alias("mi_nats"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.max("n").cast("bigint").alias("n_events"),
+    )

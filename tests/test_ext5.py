@@ -711,3 +711,37 @@ def test_lpa_two_cliques_converge_to_two_communities(spark):
     assert a_comm <= {"A1", "A2", "A3"}
     assert b_comm <= {"B1", "B2", "B3"}
     assert not (a_comm & b_comm)
+
+
+# --------------------------------------------------------------------------
+# mutual information
+# --------------------------------------------------------------------------
+def test_mutual_information_independent_vs_dependent(spark):
+    import _data_engineering_pipeline_project_spark.queries_ext5 as q5
+    from datetime import datetime
+
+    def ev(i, t, hour):
+        return Row(event_id=i, ts=datetime(2024, 1, 1 + i % 20, hour, 0, 0),
+                   user_id=1, event_type=t, value=1.0, props="{}")
+
+    # perfectly dependent: type A only at hour 1, type B only at hour 2
+    dep = spark.createDataFrame(
+        [ev(i, "A", 1) for i in range(50)] + [ev(i + 50, "B", 2) for i in range(50)]
+    )
+    # independent: both types uniformly at both hours
+    ind = spark.createDataFrame(
+        [ev(i, t, h) for i, (t, h) in enumerate(
+            [(t, h) for t in ("A", "B") for h in (1, 2)] * 25)]
+    )
+    orig = q5.table
+    try:
+        q5.table = lambda sp, sf, name: dep
+        [rd] = q5.mutual_information_type_hour(spark, SF).collect()
+        q5.table = lambda sp, sf, name: ind
+        [ri] = q5.mutual_information_type_hour(spark, SF).collect()
+    finally:
+        q5.table = orig
+    import math
+
+    assert abs(rd["mi_nats"] - math.log(2)) < 1e-4   # 1 bit of dependence
+    assert abs(ri["mi_nats"]) < 1e-4                 # independence → 0
