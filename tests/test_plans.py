@@ -534,3 +534,50 @@ def test_cdc_chunking_single_shuffle(spark):
     )
 
     assert exchange_count(content_defined_chunks_documents(spark, SF)) <= 1
+
+
+def test_twap_single_shuffle(spark):
+    """lead window and final aggregate share the user_id partitioning."""
+    from _data_engineering_pipeline_project_spark.plans.audit import (
+        exchange_count,
+    )
+    from _data_engineering_pipeline_project_spark.queries_ext5 import (
+        time_weighted_avg_value_users,
+    )
+
+    assert exchange_count(time_weighted_avg_value_users(spark, SF)) <= 1
+
+
+def test_silhouette_broadcasts_centroids(spark):
+    """The |labels| x |dims| centroid relation joins back by broadcast;
+    the exploded vector relation never shuffles for the distance pass."""
+    from _data_engineering_pipeline_project_spark.queries_ext5 import (
+        silhouette_centroid_embeddings,
+    )
+
+    assert broadcast_join_count(silhouette_centroid_embeddings(spark, SF)) >= 1
+
+
+def test_mutual_information_marginals_broadcast(spark):
+    from _data_engineering_pipeline_project_spark.queries_ext5 import (
+        mutual_information_type_hour,
+    )
+
+    assert broadcast_join_count(mutual_information_type_hour(spark, SF)) >= 2
+
+
+def test_gdpr_cascade_semi_joins_broadcast(spark):
+    """Subject keys are dimension-sized: both cascade hops must be
+    broadcast semi-joins (fact tables never shuffle)."""
+    from _data_engineering_pipeline_project_spark.plans.audit import (
+        explain_str,
+        _node_count,
+    )
+    from _data_engineering_pipeline_project_spark.queries_ext5 import (
+        gdpr_erasure_cascade_report,
+    )
+
+    plan = explain_str(gdpr_erasure_cascade_report(spark, SF))
+    assert _node_count(plan, "Exchange") == 0 or broadcast_join_count(
+        gdpr_erasure_cascade_report(spark, SF)
+    ) >= 2
