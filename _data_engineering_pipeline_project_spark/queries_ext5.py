@@ -2098,3 +2098,107 @@ def mutual_information_type_hour(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_cells"),
         F.max("n").cast("bigint").alias("n_events"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bounded all-pairs shortest paths (min-plus algebra, 3 hops)
+# --------------------------------------------------------------------------
+_APSP_SQL = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id NULLS FIRST) AS prev
+      FROM events),
+    ed0 AS (SELECT prev AS a, event_type AS b, count(*) AS c
+            FROM seq WHERE prev IS NOT NULL AND prev <> event_type
+            GROUP BY 1, 2),
+    edges AS (SELECT a, b, 1000000 // CAST(sum(c) AS BIGINT) AS w
+              FROM (SELECT a, b, c FROM ed0 UNION ALL SELECT b, a, c FROM ed0)
+              GROUP BY a, b),
+    d1 AS (SELECT a, b, min(w) AS d FROM edges GROUP BY 1, 2),
+    d2 AS (SELECT x.a, y.b, min(x.d + y.d) AS d
+           FROM d1 x JOIN d1 y ON x.b = y.a WHERE x.a <> y.b
+           GROUP BY 1, 2),
+    d3 AS (SELECT x.a, y.b, min(x.d + y.d) AS d
+           FROM d2 x JOIN d1 y ON x.b = y.a WHERE x.a <> y.b
+           GROUP BY 1, 2),
+    allp AS (SELECT a, b, d, 1 AS hops FROM d1
+             UNION ALL SELECT a, b, d, 2 FROM d2
+             UNION ALL SELECT a, b, d, 3 FROM d3),
+    best AS (SELECT a, b, d, hops,
+                    row_number() OVER (PARTITION BY a, b
+                                       ORDER BY d ASC, hops ASC) AS rn
+             FROM allp)
+    SELECT a AS type_from, b AS type_to, d AS dist_cost,
+           CAST(hops AS INTEGER) AS hops
+    FROM best WHERE rn = 1
+"""
+
+
+@query("shortest_paths_3hop_event_types", _APSP_SQL)
+def shortest_paths_3hop_event_types(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded all-pairs shortest paths over the event-transition graph
+    in the MIN-PLUS semiring: edge cost is inverse transition volume
+    (1e6 // count — rarely-taken transitions are "far"), and path
+    distance matrices compose as D_{k+1} = min(D_k ⊕ D_1) — each
+    composition ONE equi-join + min hash-aggregate, the semiring twin
+    of the BOM closure's (+,×) unroll. Three hops bound the recursion
+    (iterating to fixpoint = distributed Bellman-Ford with
+    localCheckpoint, same pattern as connected components).
+
+    All-integer costs (floor-divided) make min-plus sums exact; the
+    per-pair winner tie-breaks on hop count. The vertex set here is
+    type-cardinality, but the plan shape — join on the shared
+    intermediate vertex, partial-min map-side — is the one that scales
+    to entity-level graphs."""
+    ev = table(spark, sf, "events")
+    w0 = Window.partitionBy("user_id").orderBy(
+        "ts", F.col("event_id").asc_nulls_first()
+    )
+    seq = ev.select("event_type", F.lag("event_type").over(w0).alias("prev"))
+    ed0 = (
+        seq.filter(
+            F.col("prev").isNotNull() & (F.col("prev") != F.col("event_type"))
+        )
+        .groupBy(F.col("prev").alias("a"), F.col("event_type").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # integer floor-div edge costs (div, not /: exact cross-engine)
+    edges = (
+        ed0.select("a", "b", "c")
+        .unionByName(ed0.select(F.col("b").alias("a"), F.col("a").alias("b"), "c"))
+        .groupBy("a", "b")
+        .agg(F.expr("1000000 div sum(c)").cast("bigint").alias("w"))
+    )
+    d1 = edges.groupBy("a", "b").agg(F.min("w").alias("d"))
+
+    def compose(dk: DataFrame) -> DataFrame:
+        x = dk.select(F.col("a"), F.col("b").alias("m"), F.col("d").alias("dx"))
+        y = d1.select(F.col("a").alias("m"), F.col("b"), F.col("d").alias("dy"))
+        return (
+            x.join(y, "m")
+            .filter(F.col("a") != F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.min(F.col("dx") + F.col("dy")).alias("d"))
+        )
+
+    d2 = compose(d1)
+    d3 = compose(d2)
+    allp = (
+        d1.select("a", "b", "d", F.lit(1).alias("hops"))
+        .unionByName(d2.select("a", "b", "d", F.lit(2).alias("hops")))
+        .unionByName(d3.select("a", "b", "d", F.lit(3).alias("hops")))
+    )
+    wr = Window.partitionBy("a", "b").orderBy(
+        F.col("d").asc(), F.col("hops").asc()
+    )
+    return (
+        allp.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("a").alias("type_from"),
+            F.col("b").alias("type_to"),
+            F.col("d").alias("dist_cost"),
+            F.col("hops").cast("int").alias("hops"),
+        )
+    )

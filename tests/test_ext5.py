@@ -745,3 +745,55 @@ def test_mutual_information_independent_vs_dependent(spark):
 
     assert abs(rd["mi_nats"] - math.log(2)) < 1e-4   # 1 bit of dependence
     assert abs(ri["mi_nats"]) < 1e-4                 # independence → 0
+
+
+# --------------------------------------------------------------------------
+# min-plus shortest paths
+# --------------------------------------------------------------------------
+def test_shortest_paths_prefer_cheap_two_hop_over_expensive_direct(spark):
+    import _data_engineering_pipeline_project_spark.queries_ext5 as q5
+    from datetime import datetime, timedelta
+
+    # Construct transition counts: A-B heavy (100), B-C heavy (100),
+    # A-C rare (1). Direct A→C cost = 1e6; via B = 1e6/200 + 1e6/200
+    # (undirected sums double the counts) → far cheaper, hops=2.
+    rows = []
+    i = 0
+    base = datetime(2024, 1, 1)
+
+    def burst(seq_types, n):
+        nonlocal i
+        for rep in range(n):
+            for t in seq_types:
+                i += 1
+                rows.append(Row(event_id=i, ts=base + timedelta(seconds=i),
+                                user_id=1000 + rep + len(rows) * 0,
+                                event_type=t, value=1.0, props="{}"))
+
+    # per-user two-event sequences to control transition counts exactly
+    uid = 0
+    def pair(a, b, n):
+        nonlocal uid, i
+        for _ in range(n):
+            uid += 1
+            for t in (a, b):
+                i += 1
+                rows.append(Row(event_id=i, ts=base + timedelta(seconds=i),
+                                user_id=uid, event_type=t, value=1.0,
+                                props="{}"))
+
+    pair("A", "B", 100)
+    pair("B", "C", 100)
+    pair("A", "C", 1)
+    ev = spark.createDataFrame(rows)
+    orig = q5.table
+    try:
+        q5.table = lambda sp, sf, name: ev
+        out = {(r["type_from"], r["type_to"]): r.asDict()
+               for r in q5.shortest_paths_3hop_event_types(spark, SF).collect()}
+    finally:
+        q5.table = orig
+    ac = out[("A", "C")]
+    assert ac["hops"] == 2
+    assert ac["dist_cost"] == 2 * (1000000 // 100)
+    assert out[("A", "B")]["hops"] == 1
