@@ -2202,3 +2202,60 @@ def shortest_paths_3hop_event_types(spark: SparkSession, sf: str) -> DataFrame:
             F.col("hops").cast("int").alias("hops"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Native recursive CTE: unbounded-depth closure (Spark 4 WITH RECURSIVE)
+# --------------------------------------------------------------------------
+_BOM_REC_BODY = """
+    WITH RECURSIVE closure(ancestor, descendant, depth, path_qty) AS (
+      SELECT parent, child, 1, qty FROM {edges}
+      UNION ALL
+      SELECT c.ancestor, e.child, c.depth + 1, c.path_qty * e.qty
+      FROM closure c JOIN {edges} e ON c.descendant = e.parent
+      WHERE c.depth < 20
+    )
+    SELECT ancestor, descendant, CAST(depth AS INTEGER) AS depth,
+           CAST(path_qty AS BIGINT) AS path_qty
+    FROM closure
+"""
+
+_BOM_REC_SQL = (
+    """
+    WITH edges AS (
+      SELECT p_partkey AS child, p_partkey // 7 AS parent,
+             CAST((p_partkey % 3) + 1 AS BIGINT) AS qty
+      FROM part WHERE p_partkey // 7 >= 1
+        AND p_partkey // 7 IN (SELECT p_partkey FROM part))
+    """
+    + _BOM_REC_BODY.format(edges="edges").replace("WITH RECURSIVE", ", ")
+)
+# DuckDB needs RECURSIVE on the outermost WITH; splice it in:
+_BOM_REC_SQL = _BOM_REC_SQL.replace("WITH edges", "WITH RECURSIVE edges", 1)
+
+
+@query("bom_closure_recursive_cte", _BOM_REC_SQL)
+def bom_closure_recursive_cte(spark: SparkSession, sf: str) -> DataFrame:
+    """The SAME transitive closure as ``bom_explosion_parts``, but
+    UNBOUNDED depth through Spark 4's native ``WITH RECURSIVE`` — the
+    declarative recursion the unrolled variant approximates. Catalyst
+    executes the recursion as an iterated union of self-join steps (one
+    shuffle per level, terminating when the step produces no rows), so
+    the plan is the BOM unroll without a hand-written depth cap; the
+    ``depth < 20`` guard is the conventional cycle fuse. DuckDB runs the
+    identical recursive CTE as the oracle — both engines' fixpoints must
+    agree row-for-row, including multiplied path quantities."""
+    p = table(spark, sf, "part")
+    p.select("p_partkey").createOrReplaceTempView("__bom_part")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMP VIEW __bom_edges AS
+        SELECT p_partkey AS child, CAST(p_partkey / 7 AS BIGINT) AS parent,
+               CAST((p_partkey % 3) + 1 AS BIGINT) AS qty
+        FROM __bom_part
+        WHERE CAST(p_partkey / 7 AS BIGINT) >= 1
+          AND CAST(p_partkey / 7 AS BIGINT) IN
+                (SELECT p_partkey FROM __bom_part)
+        """
+    )
+    return spark.sql(_BOM_REC_BODY.format(edges="__bom_edges"))

@@ -797,3 +797,26 @@ def test_shortest_paths_prefer_cheap_two_hop_over_expensive_direct(spark):
     assert ac["hops"] == 2
     assert ac["dist_cost"] == 2 * (1000000 // 100)
     assert out[("A", "B")]["hops"] == 1
+
+
+# --------------------------------------------------------------------------
+# native recursive CTE closure
+# --------------------------------------------------------------------------
+def test_recursive_cte_reaches_depth_beyond_unrolled(spark):
+    import _data_engineering_pipeline_project_spark.queries_ext5 as q5
+
+    # keys up to 2500 give the chain 2401 → 343 → 49 → 7 → 1 (depth 4) —
+    # deeper than the 3-level unrolled variant can see.
+    parts = spark.createDataFrame([Row(p_partkey=k) for k in range(1, 2501)])
+    orig = q5.table
+    try:
+        q5.table = lambda sp, sf, name: parts
+        rows = q5.bom_closure_recursive_cte(spark, SF).collect()
+    finally:
+        q5.table = orig
+    by = {(r["ancestor"], r["descendant"]): r for r in rows}
+    r = by[(1, 2401)]
+    assert r["depth"] == 4
+    # path qty = product of (k%3)+1 along 2401→343→49→7: 2*2*2*2
+    assert r["path_qty"] == 16
+    assert max(x["depth"] for x in rows) == 4
