@@ -2259,3 +2259,70 @@ def bom_closure_recursive_cte(spark: SparkSession, sf: str) -> DataFrame:
         """
     )
     return spark.sql(_BOM_REC_BODY.format(edges="__bom_edges"))
+
+
+# --------------------------------------------------------------------------
+# SQL scalar UDF (Spark 4 CREATE FUNCTION ... RETURN expr)
+# --------------------------------------------------------------------------
+_SQL_UDF_SQL = """
+    SELECT o_orderstatus,
+           round(sum(round(o_totalprice * (1 - 0.04), 4)), 2) AS adj_revenue,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+"""
+
+
+@query("sql_udf_adjusted_revenue", _SQL_UDF_SQL)
+def sql_udf_adjusted_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL scalar UDF (Spark 4 ``CREATE FUNCTION ... RETURNS ... RETURN
+    expr``): the adjustment formula is registered ONCE as a catalog
+    function and reused by name — and because SQL UDFs are inlined into
+    the plan at analysis time, the executed plan is identical to writing
+    the expression inline (full codegen, no serialization wall — the
+    opposite of a Python UDF). The oracle states the inlined form, which
+    is exactly what Catalyst runs."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION __adj_rev(p DOUBLE) "
+        "RETURNS DOUBLE RETURN round(p * (1 - 0.04), 4)"
+    )
+    table(spark, sf, "orders").createOrReplaceTempView("__udf_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               round(sum(__adj_rev(o_totalprice)), 2) AS adj_revenue,
+               count(*) AS n_orders
+        FROM __udf_orders GROUP BY o_orderstatus
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# LATERAL correlated subquery: top-3 orders per customer segment sample
+# --------------------------------------------------------------------------
+_LATERAL_SQL = """
+    WITH c AS (SELECT c_custkey FROM customer WHERE c_custkey % 50 = 0)
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 3
+    ) t
+"""
+
+
+@query("lateral_top3_orders_per_customer", _LATERAL_SQL)
+def lateral_top3_orders_per_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated LATERAL subquery — the per-row-subquery operator
+    (every sampled customer pulls its own top-3 orders). Catalyst
+    DECORRELATES this into a ranked window over a join, so the executed
+    plan is the same shuffle-once shape as the window formulation —
+    LATERAL is surface, not a nested-loop sentence. Both engines
+    evaluate the identical SQL; the LIMIT's (price desc, orderkey asc)
+    ordering is a total order, so the 3 survivors are engine-exact."""
+    table(spark, sf, "customer").createOrReplaceTempView("__lat_customer")
+    table(spark, sf, "orders").createOrReplaceTempView("__lat_orders")
+    return spark.sql(
+        _LATERAL_SQL.replace("FROM customer", "FROM __lat_customer").replace(
+            "FROM orders", "FROM __lat_orders"
+        )
+    )
