@@ -435,3 +435,58 @@ class BatchMetricsListener:
 
     def __exit__(self, *exc) -> None:
         self.detach()
+
+
+def run_chained_window_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    checkpoint_dir: str,
+    out_dir: str,
+    small: str = "5 minutes",
+    big: str = "1 hour",
+    ts_col: str = "ts",
+) -> None:
+    """TWO chained event-time stateful aggregations in ONE streaming
+    query (Spark 3.4+ multiple-stateful-operator support): fine-grained
+    window counts roll up into coarse windows without leaving the
+    stream — the two-tier aggregation a 100 TB metrics pipeline runs as
+    one job instead of a stream + a batch compactor.
+
+    The second aggregation windows over ``window_time(w)`` (the
+    event-time column of the FIRST aggregation's result) — chaining
+    requires append-mode semantics, so a coarse window only emits once
+    the watermark passes its end: with a bounded drain
+    (``Trigger.AvailableNow``), the trailing window stays unemitted
+    exactly as it would in production (it is not yet final)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    fine = (
+        stream.withWatermark(ts_col, "0 seconds")
+        .groupBy(F.window(F.col(ts_col), small).alias("w5"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n5"))
+    )
+    coarse = (
+        fine.groupBy(
+            F.window(F.window_time("w5"), big).alias("wh"), "event_type"
+        )
+        .agg(F.sum("n5").alias("n"), F.count(F.lit(1)).alias("n_subwindows"))
+        .select(
+            F.col("wh.start").alias("hour_start"),
+            "event_type",
+            "n",
+            "n_subwindows",
+        )
+    )
+    q = (
+        coarse.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -507,3 +507,48 @@ def test_aggmaintainer_ignores_redelivered_batch(spark, tmp_path):
     m.merge_batch(b, 0)  # redelivery
     assert m.version == 1
     assert {r.k: (r.n, r.total) for r in m.result().collect()} == before
+
+
+def test_chained_window_rollup_two_stateful_operators(spark, tmp_path):
+    """Chained stateful aggregations (5-min windows → hourly rollup) in
+    one streaming query: closed hours match the batch recomputation;
+    the trailing (non-final) hour is withheld by append semantics."""
+    from datetime import datetime, timedelta
+
+    from _data_engineering_pipeline_project_spark.streaming.microbatch import (
+        run_chained_window_rollup,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    i = 0
+    # hours 0 and 1: events every 10 minutes; hour 2: one sentinel event
+    # whose watermark closes hour 1 (hour 2 itself stays open)
+    for h in (0, 1):
+        for m in range(0, 60, 10):
+            i += 1
+            rows.append((i, base + timedelta(hours=h, minutes=m), "click"))
+    rows.append((99, base + timedelta(hours=2, minutes=30), "click"))
+    df = spark.createDataFrame(rows, "event_id int, ts timestamp, event_type string")
+    # time-ordered files so the watermark advances across micro-batches
+    for n, r in enumerate(rows):
+        spark.createDataFrame([r], df.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    run_chained_window_rollup(
+        spark,
+        str(src),
+        df.schema,
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+    )
+    out = {
+        (r["hour_start"], r["event_type"]): (r["n"], r["n_subwindows"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert out[(base, "click")] == (6, 6)                      # hour 0
+    assert out[(base + timedelta(hours=1), "click")] == (6, 6)  # hour 1
+    # hour 2 not final → withheld
+    assert (base + timedelta(hours=2), "click") not in out
