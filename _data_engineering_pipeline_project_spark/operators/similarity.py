@@ -794,10 +794,13 @@ def pq_encode(
     )
     # argmin via min_by over struct (d2, code) — a hash aggregate that
     # partial-aggregates map-side and shuffles ONE row per (vector,
-    # subspace), vs the previous row_number window that sorted all ksub
-    # candidate rows per cell (ksub× the shuffle, plus the sort). The
-    # struct order (d2 asc, code asc) is exactly the window's tie-break,
-    # so results — and the SQL oracle — are unchanged.
+    # subspace), vs a row_number window that would sort all ksub
+    # candidate rows per cell. An array-domain argmin (transform over a
+    # collected codebook array) was MEASURED 2x SLOWER here: the
+    # 64-element lambda re-evaluates the fold-dot expression tree per
+    # element with no CSE — the documented no-CSE-inside-lambdas
+    # pitfall. The struct order (d2 asc, code asc) is the deterministic
+    # tie-break, identical in the SQL oracle.
     return (
         scored.groupBy(id_col, "subspace")
         .agg(
@@ -832,7 +835,10 @@ def pq_adc_topk(
     exact integer arithmetic — the ranking key ``s_fp`` is an integer,
     immune to accumulation order. Smallest distance wins; ties by
     neighbor id."""
-    cb = pq_codebooks(corpus, m, sub_dim, ksub, id_col, vec_col)
+    # cache the m×ksub codebook frame: BOTH the corpus encode and the
+    # query distance tables consume it, and each would otherwise re-run
+    # the TakeOrdered seed scan (measured ~2 s each at sf0.1)
+    cb = pq_codebooks(corpus, m, sub_dim, ksub, id_col, vec_col).cache()
     codes = pq_encode(corpus, cb, m, sub_dim, id_col, vec_col)
     qsub = _subspaces(
         queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col)),
@@ -895,7 +901,8 @@ def ivfpq_topk(
     assigned = ivf_assign(corpus, centroids, id_col, vec_col).select(
         id_col, "centroid_id"
     )
-    cb = pq_codebooks(corpus, m, sub_dim, ksub, id_col, vec_col)
+    # cached for the same two-consumer reason as pq_adc_topk
+    cb = pq_codebooks(corpus, m, sub_dim, ksub, id_col, vec_col).cache()
     codes = pq_encode(corpus, cb, m, sub_dim, id_col, vec_col)
 
     q = queries.select(
