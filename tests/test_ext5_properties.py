@@ -186,3 +186,137 @@ def test_windowed_funnel_matches_reference(spark, evs):
         q5.table = orig
     ref = _ref_funnel([(i, u, typ, t) for i, (u, typ, t) in enumerate(evs)])
     assert got == ref
+
+
+def _ref_clamped(rows):
+    """Reference clamped balance: fold max(0, s+delta) over moves sorted
+    by (shipdate, orderkey, linenumber, delta)."""
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for pk, d, sd, ok, ln in rows:
+        per[pk].append((sd, ok, ln, d))
+    out = {}
+    for pk, moves in per.items():
+        s = 0
+        for _, _, _, d in sorted(moves):
+            s = max(0, s + d)
+        out[pk] = (len(moves), s)
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    moves=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),    # part
+            st.integers(min_value=1, max_value=9),    # qty
+            st.booleans(),                            # receipt?
+            st.integers(min_value=1, max_value=5),    # day
+            st.integers(min_value=1, max_value=4),    # orderkey
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_clamped_balance_matches_reference(spark, moves):
+    from datetime import datetime
+
+    import _data_engineering_pipeline_project_spark.queries_ext5 as q5
+
+    rows = [
+        Row(
+            l_partkey=pk,
+            l_quantity=float(q),
+            l_returnflag="N" if rec else "R",
+            l_shipdate=datetime(2024, 1, day),
+            l_orderkey=ok,
+            l_linenumber=i + 1,
+        )
+        for i, (pk, q, rec, day, ok) in enumerate(moves)
+    ]
+    li = spark.createDataFrame(rows)
+    orig = q5.table
+    try:
+        q5.table = lambda sp, sf, name: li
+        got = {
+            r["l_partkey"]: (r["n_moves"], r["final_balance"])
+            for r in q5.clamped_running_balance_parts(spark, "unused").collect()
+        }
+    finally:
+        q5.table = orig
+    ref_rows = [
+        (pk, q if rec else -q, datetime(2024, 1, day), ok, i + 1)
+        for i, (pk, q, rec, day, ok) in enumerate(moves)
+    ]
+    from datetime import datetime
+
+    assert got == _ref_clamped(ref_rows)
+
+
+def _ref_kmv_ops(sets, k=64):
+    """Reference KMV set algebra from exact per-element md5 hashes."""
+    import hashlib
+
+    def h(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+
+    sk = {t: sorted({h(u) for u in us})[:k] for t, us in sets.items()}
+    out = {}
+    for a in sorted(sk):
+        for b in sorted(sk):
+            if a >= b:
+                continue
+            union = sorted(set(sk[a]) | set(sk[b]))[:k]
+            ni = sum(1 for x in union if x in set(sk[a]) and x in set(sk[b]))
+            nu = len(union)
+            eu = float(nu) if nu < k else (k - 1) * float(1 << 60) / union[-1]
+            jac = ni / nu
+            out[(a, b)] = (ni, round(eu, 4), round(jac, 4), round(jac * eu, 4))
+    return out
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    spec=st.dictionaries(
+        st.sampled_from(["A", "B", "C"]),
+        st.sets(st.integers(min_value=1, max_value=200), min_size=1, max_size=80),
+        min_size=2,
+        max_size=3,
+    )
+)
+def test_kmv_set_ops_match_reference(spark, spec):
+    from datetime import datetime
+
+    import _data_engineering_pipeline_project_spark.queries_ext5 as q5
+
+    rows, i = [], 0
+    for t, us in spec.items():
+        for u in us:
+            i += 1
+            rows.append(Row(event_id=i, ts=datetime(2024, 1, 1), user_id=u,
+                            event_type=t, value=1.0, props="{}"))
+    ev = spark.createDataFrame(rows)
+    orig = q5.table
+    try:
+        q5.table = lambda sp, sf, name: ev
+        got = {
+            (r["type_a"], r["type_b"]): (
+                r["n_inter_sketch"],
+                r["est_union"],
+                r["jaccard_est"],
+                r["est_inter"],
+            )
+            for r in q5.kmv_set_ops_event_types(spark, "unused").collect()
+        }
+    finally:
+        q5.table = orig
+    assert got == _ref_kmv_ops(spec)
