@@ -435,3 +435,51 @@ def vacuum_versions(table: "Scd2Table", keep_last: int = 2) -> list[str]:
             shutil.rmtree(path)
             removed.append(path)
     return removed
+
+
+def scd2_point_in_time(
+    snapshot: DataFrame,
+    history: DataFrame,
+    at_ts,
+    keys: list[str],
+    payload_cols: list[str],
+) -> DataFrame:
+    """Resolve the SCD2 table's state AS OF ``at_ts`` — the time-travel
+    read that makes the merge output queryable at any past instant
+    (the reference can only see its latest SQL-Server state; versioned
+    dimensions exist precisely to answer "what did this row look like
+    when the fact happened").
+
+    Candidate versions: archived rows valid over ``[valid_from,
+    valid_to)`` (alive during that interval regardless of WHY they were
+    archived) and current snapshot rows valid from ``updated_at`` on,
+    dead if tombstoned. The winner per key is the candidate with the
+    LATEST validity start ≤ ``at_ts`` — a ``max_by`` hash aggregate
+    (partial map-side, one row per key shuffled; no window sort), the
+    same argmax shape as pq_encode. Keys with no candidate (born later)
+    produce no row."""
+    at = F.lit(at_ts)
+    hist_c = history.filter(
+        (F.col("valid_from") <= at) & (F.col("valid_to") > at)
+    ).select(
+        *keys,
+        *payload_cols,
+        F.col("valid_from").alias("__vstart"),
+        F.lit(True).alias("alive"),
+    )
+    snap_c = snapshot.filter(F.col("updated_at") <= at).select(
+        *keys,
+        *payload_cols,
+        F.col("updated_at").alias("__vstart"),
+        (~F.col("is_deleted")).alias("alive"),
+    )
+    cand = hist_c.unionByName(snap_c)
+    payload = F.struct(*payload_cols, "alive")
+    return (
+        cand.groupBy(*keys)
+        .agg(
+            F.max_by(payload, F.col("__vstart")).alias("__p")
+        )
+        .select(*keys, *[F.col(f"__p.{c}").alias(c) for c in payload_cols],
+                F.col("__p.alive").alias("alive"))
+    )

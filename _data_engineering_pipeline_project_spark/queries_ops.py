@@ -1104,3 +1104,46 @@ def frequent_event_types(spark: SparkSession, sf: str) -> DataFrame:
     return freq.select(
         F.explode("event_type_freqItems").alias("event_type")
     ).orderBy("event_type")
+
+
+@query(
+    "scd2_point_in_time_brand",
+    f"""
+    WITH {_BATCHES_SQL}
+    SELECT 'at_batch1' AS probe, p_partkey, p_brand, TRUE AS alive
+    FROM b1 WHERE p_partkey % 10 = 1
+    UNION ALL
+    SELECT 'at_batch2' AS probe,
+           coalesce(b2.p_partkey, b1.p_partkey) AS p_partkey,
+           coalesce(b2.p_brand, b1.p_brand) AS p_brand,
+           (b2.p_partkey IS NOT NULL) AS alive
+    FROM b1 FULL OUTER JOIN b2 ON b1.p_partkey = b2.p_partkey
+    WHERE coalesce(b2.p_partkey, b1.p_partkey) % 10 = 1
+    """,
+)
+def scd2_point_in_time_brand(spark: SparkSession, sf: str) -> DataFrame:
+    """Time travel over the SCD2 merge output: the dimension state AS OF
+    each batch time, resolved from the FINAL (snapshot ∪ history)
+    artifacts by `scd2_point_in_time` (operators/scd2.py) — archived
+    versions answer for the interval they were alive, tombstones kill
+    keys only from their deletion time on, later-born keys are absent
+    earlier. The oracle reconstructs each probe's expected state
+    directly from the batch definitions, so the hash-match proves the
+    resolver inverts the merge exactly."""
+    from _data_engineering_pipeline_project_spark.operators.scd2 import (
+        scd2_point_in_time,
+    )
+
+    b1, b2 = _part_batches(spark, sf)
+    r1 = scd2_merge(b1, None, ["p_partkey"], _T1)
+    r2 = scd2_merge(b2, r1.snapshot, ["p_partkey"], _T2)
+    out = None
+    for label, ts in (("at_batch1", _T1), ("at_batch2", _T2)):
+        pit = scd2_point_in_time(
+            r2.snapshot, r2.history, ts, ["p_partkey"], ["p_brand"]
+        ).filter(F.col("p_partkey") % 10 == 1)
+        row = pit.select(
+            F.lit(label).alias("probe"), "p_partkey", "p_brand", "alive"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

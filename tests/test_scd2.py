@@ -302,3 +302,42 @@ def test_pointer_loss_on_delta_era_table_keeps_full_history(spark, tmp_path):
     t2.merge(spark.createDataFrame([(1, "a", 3.0)], SCHEMA), T3)
     t3 = Scd2Table(spark, d, ["id"])
     assert t3.history().count() == len(full) + 1
+
+
+def test_point_in_time_resolves_each_probe(spark):
+    """PIT resolver: unchanged/updated/deleted/inserted keys each resolve
+    correctly at three probe instants (before, between, after)."""
+    from datetime import datetime
+
+    from _data_engineering_pipeline_project_spark.operators.scd2 import (
+        scd2_merge,
+        scd2_point_in_time,
+    )
+
+    t1, t2 = datetime(2024, 1, 1), datetime(2024, 2, 1)
+    b1 = spark.createDataFrame(
+        [(1, "keep"), (2, "old"), (3, "gone")], "k int, v string"
+    )
+    b2 = spark.createDataFrame(
+        [(1, "keep"), (2, "new"), (4, "born")], "k int, v string"
+    )
+    r1 = scd2_merge(b1, None, ["k"], t1)
+    r2 = scd2_merge(b2, r1.snapshot, ["k"], t2)
+
+    def pit(ts):
+        return {
+            r["k"]: (r["v"], r["alive"])
+            for r in scd2_point_in_time(
+                r2.snapshot, r2.history, ts, ["k"], ["v"]
+            ).collect()
+        }
+
+    at1 = pit(t1)
+    assert at1 == {1: ("keep", True), 2: ("old", True), 3: ("gone", True)}
+    at2 = pit(t2)
+    assert at2[1] == ("keep", True)
+    assert at2[2] == ("new", True)
+    assert at2[3][1] is False          # tombstoned at t2
+    assert at2[4] == ("born", True)
+    before = pit(datetime(2023, 1, 1))
+    assert before == {}                # nothing existed yet
