@@ -124,6 +124,19 @@ EXTENSION_QUERIES = [
     "dedup_cluster_representatives",
     "content_defined_chunks_documents",
     "compression_ratio_documents",
+    "asof_forward_join_events",
+    "spatial_neighbor_pairs_customers",
+    "time_weighted_avg_value_users",
+    "clamped_running_balance_parts",
+    "rolling_median_value_7d",
+    "silhouette_centroid_embeddings",
+    "gdpr_erasure_cascade_report",
+    "label_propagation_communities_events",
+    "mutual_information_type_hour",
+    "shortest_paths_3hop_event_types",
+    "bom_closure_recursive_cte",
+    "lateral_top3_orders_per_customer",
+    "scd2_point_in_time_brand",
 ]
 
 BENCH_QUERIES = [
