@@ -2326,3 +2326,139 @@ def lateral_top3_orders_per_customer(spark: SparkSession, sf: str) -> DataFrame:
             "FROM orders", "FROM __lat_orders"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Curation pipeline v2: span dedup → dup-rate gate → content-defined chunks
+# --------------------------------------------------------------------------
+_CURATION_V2_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term,
+             unnest(generate_series(1, len(string_split_regex(trim(lower(text)),
+                                                              '\\s+')))) AS pos
+      FROM documents),
+    tokseq AS (SELECT doc_id, term,
+                      row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS seq
+               FROM tok WHERE length(term) > 0),
+    n AS (SELECT d.doc_id, coalesce(c.n, 0) AS n
+          FROM documents d
+          LEFT JOIN (SELECT doc_id, count(*) AS n FROM tokseq GROUP BY 1) c
+            USING (doc_id)),
+    grams AS (
+      SELECT doc_id, seq AS s,
+             term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w
+                  || ' ' || lead(term, 3) OVER w || ' ' || lead(term, 4) OVER w
+               AS gram
+      FROM tokseq WINDOW w AS (PARTITION BY doc_id ORDER BY seq)),
+    occ AS (SELECT doc_id, s, gram, doc_id * 1000000 + s AS k
+            FROM grams WHERE gram IS NOT NULL),
+    firsts AS (SELECT gram, min(k) AS k0 FROM occ GROUP BY 1),
+    dup AS (SELECT o.doc_id, o.s FROM occ o JOIN firsts f ON o.gram = f.gram
+            WHERE o.k <> f.k0),
+    covered AS (SELECT DISTINCT doc_id, pos FROM (
+      SELECT doc_id, unnest(generate_series(s, s + 4)) AS pos FROM dup)),
+    kept AS (SELECT t.doc_id, t.seq, t.term
+             FROM tokseq t LEFT JOIN covered c
+               ON t.doc_id = c.doc_id AND t.seq = c.pos
+             WHERE c.doc_id IS NULL),
+    stats AS (SELECT n.doc_id, n.n AS n_tokens,
+                     n.n - coalesce(k.kn, 0) AS n_removed
+              FROM n LEFT JOIN (SELECT doc_id, count(*) AS kn FROM kept
+                                GROUP BY 1) k USING (doc_id)),
+    survivors AS (SELECT doc_id FROM stats
+                  WHERE n_tokens >= 10
+                    AND n_removed * 1.0 / n_tokens <= 0.5),
+    ck AS (SELECT k.doc_id, k.term,
+                  row_number() OVER (PARTITION BY k.doc_id ORDER BY k.seq)
+                    AS seq
+           FROM kept k JOIN survivors s ON s.doc_id = k.doc_id),
+    g2 AS (SELECT doc_id, seq, term,
+                  lag(term, 2) OVER w2 || ' ' || lag(term, 1) OVER w2
+                    || ' ' || term AS gram
+           FROM ck WINDOW w2 AS (PARTITION BY doc_id ORDER BY seq)),
+    fl AS (SELECT doc_id, seq, term,
+                  CASE WHEN gram IS NOT NULL
+                        AND CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT)
+                            % 16 = 0
+                       THEN 1 ELSE 0 END AS b
+           FROM g2),
+    nb AS (SELECT doc_id, seq, term,
+                  coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY seq
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS chunk_no
+           FROM fl)
+    SELECT doc_id, CAST(chunk_no AS INTEGER) AS chunk_no,
+           string_agg(term, ' ' ORDER BY seq) AS chunk_text,
+           CAST(count(*) AS INTEGER) AS n_tokens
+    FROM nb GROUP BY doc_id, chunk_no
+"""
+
+
+@query("corpus_curation_v2_pipeline", _CURATION_V2_SQL)
+def corpus_curation_v2_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The wave-2 curation chain COMPOSED end to end, one lazy plan:
+    substring-level span dedup → duplication-rate gate (drop docs that
+    lost >50% of their tokens or are shorter than 10) → content-defined
+    chunking of the CLEANED text. One oracle pins the whole chain —
+    stage composition bugs (re-tokenization drift between stages,
+    off-by-one in re-sequencing after removal) fail the hash, not just
+    a stage in isolation.
+
+    Note the re-sequencing subtlety this query exists to pin: after
+    span removal the surviving tokens are RE-NUMBERED densely per doc
+    (row_number over the kept order), so the chunker's grams span
+    removal gaps exactly as they would in the rebuilt text."""
+    from _data_engineering_pipeline_project_spark.operators import ranking as R
+    from _data_engineering_pipeline_project_spark.operators.dedup import (
+        md5_hash60,
+    )
+
+    docs = table(spark, sf, "documents")
+    cleaned = C.remove_duplicate_spans(docs, k=_SPAN_K)
+    survivors = cleaned.filter(
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_removed") / F.col("n_tokens") <= 0.5)
+    ).select("doc_id", F.col("text_clean").alias("text"))
+    # chunk the cleaned text — same CDC rule as the standalone query
+    toks = R.positioned_tokens(survivors)
+    w = Window.partitionBy("doc_id").orderBy("seq")
+    g = toks.withColumn(
+        "gram",
+        F.when(
+            F.lag("term", 2).over(w).isNotNull(),
+            F.concat_ws(
+                " ",
+                F.lag("term", 2).over(w),
+                F.lag("term", 1).over(w),
+                F.col("term"),
+            ),
+        ),
+    )
+    fl = g.withColumn(
+        "b",
+        F.when(
+            F.col("gram").isNotNull() & (md5_hash60(F.col("gram")) % 16 == 0), 1
+        ).otherwise(0),
+    )
+    wc = (
+        Window.partitionBy("doc_id")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nb = fl.withColumn(
+        "chunk_no", F.coalesce(F.sum("b").over(wc), F.lit(0))
+    )
+    return (
+        nb.groupBy("doc_id", F.col("chunk_no").cast("int").alias("chunk_no"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seq", "term"))),
+                    lambda s: s["term"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        )
+    )
