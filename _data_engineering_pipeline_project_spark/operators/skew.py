@@ -95,3 +95,27 @@ def write_bucketed(
 
 def bucketed_table(spark: SparkSession, name: str) -> DataFrame:
     return spark.table(name)
+
+
+def cap_group_width(
+    df: DataFrame, group_col: str, max_width: int
+) -> DataFrame:
+    """Drop every row of groups wider than ``max_width`` — the
+    hyper-active-key guard for pair-expansion self-joins (item-item
+    cosine, co-occurrence, market basket): one customer with a 10^5-item
+    basket contributes 10^10 pairs, and no downstream aggregate recovers
+    that cost. Same DF-cap discipline as the hot-shingle filter
+    (operators/dedup.py:cap_shingle_df); the width census is one hash
+    aggregate, the cap an anti-join against the (tiny) hot-key set.
+
+    Dropping (rather than sampling) the hot groups is the documented
+    contract: hyper-active keys are bots/aggregators whose co-occurrence
+    signal is noise; keep them by salting the AGGREGATE instead if the
+    analysis needs them."""
+    hot = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .filter(F.col("__w") > max_width)
+        .select(group_col)
+    )
+    return df.join(F.broadcast(hot), group_col, "left_anti")

@@ -268,3 +268,26 @@ def test_hilbert_write_locality(spark, tmp_path):
         }
         assert cols["x"].max - cols["x"].min <= 32
         assert cols["y"].max - cols["y"].min <= 32
+
+
+def test_cap_group_width_bounds_pair_explosion(spark):
+    """The basket cap removes hyper-active keys entirely: pair volume
+    from the capped relation is bounded by max_width² per key."""
+    from _data_engineering_pipeline_project_spark.operators.skew import (
+        cap_group_width,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [("bot", f"i{i}") for i in range(50)] + [
+        ("u1", "a"), ("u1", "b"), ("u2", "a"), ("u2", "c")
+    ]
+    df = spark.createDataFrame(rows, "cust string, part string")
+    capped = cap_group_width(df, "cust", max_width=10)
+    keys = {r["cust"] for r in capped.select("cust").distinct().collect()}
+    assert keys == {"u1", "u2"}
+    pairs = capped.alias("a").join(
+        capped.alias("b"),
+        (F.col("a.cust") == F.col("b.cust"))
+        & (F.col("a.part") < F.col("b.part")),
+    )
+    assert pairs.count() == 2  # (a,b) for u1, (a,c) for u2 — no bot pairs
