@@ -1,14 +1,24 @@
-"""Round-3 extension queries (wave 2): deeper corpus-curation and
-pipeline-operations surface —
+"""Round-3 extension queries (wave 2): deeper corpus-curation,
+entity-resolution, temporal, graph, and governance surface —
 
 - exact duplicate-SPAN removal (suffix-array substring dedup re-expressed
-  as a k-gram occurrence relation, Lee et al. 2022);
-- naive-Bayes text classification (train + score as ONE declarative plan,
-  fixed-point log-likelihoods so the argmax is engine-exact);
-- column-level snapshot reconciliation (the data-engineering "diff
-  report" between two loads of the same table);
-- time-bounded funnel (ClickHouse ``windowFunnel`` semantics);
-- gaps-and-islands activity streaks.
+  as a k-gram occurrence relation, Lee et al. 2022) and the curation-v2
+  composite (span dedup → dup-rate gate → content-defined chunking);
+- naive-Bayes text classification (train + score as ONE declarative
+  plan); Fellegi-Sunter probabilistic record linkage (multi-pass
+  blocking, data-estimated m/u weights);
+- column-level snapshot reconciliation; GDPR erasure cascade planning;
+- time-bounded funnel (ClickHouse ``windowFunnel`` semantics),
+  gaps-and-islands streaks, time-weighted averages, rolling exact
+  medians, clamped running balances (nonlinear sequential fold);
+- incremental JOIN-view maintenance (delta-join algebra, decimal-exact);
+- Zipf/Heaps corpus statistics, mutual information, centroid
+  silhouette; distributed BPE merge training; zlib compression-ratio
+  quality (rows-only); KMV sketch set algebra;
+- BOM transitive closure (unrolled AND native WITH RECURSIVE),
+  2-round label propagation communities, min-plus 3-hop shortest
+  paths; grid-bucketed spatial neighbor pairs; forward as-of join;
+- Spark 4 SQL scalar UDFs and LATERAL correlated subqueries.
 
 Cross-engine parity conventions as in queries_ext4.py: integer arithmetic
 wherever possible; ``floor(ln(x)*1e6)`` fixed-point for log-scores so sums
