@@ -2472,3 +2472,46 @@ def corpus_curation_v2_pipeline(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).cast("int").alias("n_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Surrogate-key sequence gap audit
+# --------------------------------------------------------------------------
+_GAPS_SQL = """
+    WITH k AS (SELECT DISTINCT o_orderkey AS id FROM orders
+               WHERE o_orderkey % 7 <> 0),
+    nx AS (SELECT id, lead(id) OVER (ORDER BY id) AS next_id FROM k)
+    SELECT id + 1 AS gap_start, next_id - 1 AS gap_end,
+           CAST(next_id - id - 1 AS BIGINT) AS gap_len
+    FROM nx WHERE next_id - id > 1
+"""
+
+
+@query("id_sequence_gaps_orders", _GAPS_SQL)
+def id_sequence_gaps_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Surrogate-key continuity audit: every gap range in the order-key
+    sequence (the inverse of gaps-and-islands — lost loads, purged
+    batches, or generator skips show up as key holes; TPC-H's generator
+    leaves them by design, which makes real output here).
+
+    The lead window is GLOBAL (one ordering over distinct keys) — the
+    documented cluster-scale form buckets keys into fixed-width ranges
+    first (gap detection inside each bucket + boundary stitching, an
+    embarrassingly parallel two-pass), the same restructure as the
+    global-top-k → TakeOrdered note in docs/SCALE.md. At dimension-key
+    cardinality the single sort is the right call."""
+    o = table(spark, sf, "orders")
+    # simulate a purge (every 7th key deleted) so the audit has real
+    # gaps to find — the testdata generator emits contiguous keys
+    k = (
+        o.filter(F.col("o_orderkey") % 7 != 0)
+        .select(F.col("o_orderkey").alias("id"))
+        .distinct()
+    )
+    w = Window.orderBy("id")
+    nx = k.withColumn("next_id", F.lead("id").over(w))
+    return nx.filter(F.col("next_id") - F.col("id") > 1).select(
+        (F.col("id") + 1).alias("gap_start"),
+        (F.col("next_id") - 1).alias("gap_end"),
+        (F.col("next_id") - F.col("id") - 1).cast("bigint").alias("gap_len"),
+    )
