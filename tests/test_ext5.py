@@ -820,3 +820,19 @@ def test_recursive_cte_reaches_depth_beyond_unrolled(spark):
     # path qty = product of (k%3)+1 along 2401→343→49→7: 2*2*2*2
     assert r["path_qty"] == 16
     assert max(x["depth"] for x in rows) == 4
+
+
+# --------------------------------------------------------------------------
+# CLI smoke
+# --------------------------------------------------------------------------
+def test_cli_list_run_explain(spark, capsys):
+    from _data_engineering_pipeline_project_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "pricing_summary" in out and "remove_duplicate_spans_documents" in out
+    assert main(["run", "pricing_summary", "--sf", SF, "--limit", "3"]) == 0
+    assert "l_returnflag" in capsys.readouterr().out
+    assert main(["explain", "revenue_by_nation", "--sf", SF]) == 0
+    assert "Physical Plan" in capsys.readouterr().out
+    assert main(["run", "no_such_query"]) == 2
