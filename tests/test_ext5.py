@@ -836,3 +836,20 @@ def test_cli_list_run_explain(spark, capsys):
     assert main(["explain", "revenue_by_nation", "--sf", SF]) == 0
     assert "Physical Plan" in capsys.readouterr().out
     assert main(["run", "no_such_query"]) == 2
+
+
+# --------------------------------------------------------------------------
+# registry contract
+# --------------------------------------------------------------------------
+def test_registry_contract():
+    """Driver-contract invariants: every oracle key has a query, names
+    are unique and stable-sortable, and no oracle SQL is empty."""
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert all(callable(f) for f in qs.values())
+    assert all(isinstance(s, str) and s.strip() for s in os_.values())
+    # ≥ 90% of the surface is oracle-checked (the rest documented
+    # rows-only); regression guard against silently losing oracles
+    assert len(os_) / len(qs) >= 0.9
