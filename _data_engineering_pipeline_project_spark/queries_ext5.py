@@ -2515,3 +2515,94 @@ def id_sequence_gaps_orders(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("next_id") - 1).alias("gap_end"),
         (F.col("next_id") - F.col("id") - 1).cast("bigint").alias("gap_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# Pretraining token-budget allocation across sources
+# --------------------------------------------------------------------------
+_BUDGET_SQL = """
+    WITH tok AS (SELECT source,
+                        len(string_split_regex(trim(lower(text)), '\\s+'))
+                          AS n_tok
+                 FROM documents WHERE length(trim(text)) > 0),
+    avail AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tokens_available
+              FROM tok GROUP BY 1),
+    w AS (SELECT source, tokens_available,
+                 CAST(CASE WHEN source IN ('src0','src1','src2') THEN 3
+                      ELSE 1 END AS BIGINT) AS weight
+          FROM avail),
+    tot AS (SELECT CAST(sum(weight) AS BIGINT) AS wsum FROM w),
+    alloc AS (SELECT w.source, w.tokens_available, w.weight,
+                     (1000000 * w.weight) // t.wsum AS target_tokens
+              FROM w, tot t)
+    SELECT source, tokens_available, weight,
+           CAST(target_tokens AS BIGINT) AS target_tokens,
+           round(least(CAST(target_tokens AS DOUBLE) / tokens_available,
+                       CAST(4.0 AS DOUBLE)), 4) AS epochs_needed,
+           target_tokens > 4 * tokens_available AS infeasible
+    FROM alloc
+"""
+
+
+@query("token_budget_allocation_sources", _BUDGET_SQL)
+def token_budget_allocation_sources(spark: SparkSession, sf: str) -> DataFrame:
+    """Pretraining data-mixing plan: given a 1M-token budget and per-
+    source mixture weights (high-quality sources upweighted 3:1), compute
+    each source's token target, the number of EPOCHS of that source the
+    target implies (repetition count — the quantity the scaling-law
+    literature caps around 4), and an infeasibility flag where the
+    target exceeds the repeat cap. The allocation arithmetic every run
+    planner executes before sampling; the actual draw is
+    ``source_mixture_resample`` downstream.
+
+    One token-count aggregate over the corpus (map-side combined), then
+    dimension-sized arithmetic with the weight table and budget as
+    broadcast constants — integer floor-division allocations, one final
+    rounded ratio."""
+    docs = table(spark, sf, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    # raw-split token count == DuckDB's len(string_split_regex(...)):
+    # non-empty trimmed text splits on \s+ with no empty tokens
+    avail = (
+        docs.select(
+            "source",
+            F.size(F.split(F.lower(F.trim("text")), r"\s+")).alias("n_tok"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n_tok").cast("bigint").alias("tokens_available"))
+    )
+    w = avail.select(
+        "source",
+        "tokens_available",
+        F.when(F.col("source").isin("src0", "src1", "src2"), 3)
+        .otherwise(1)
+        .cast("bigint")
+        .alias("weight"),
+    )
+    tot = w.agg(F.sum("weight").alias("wsum"))
+    alloc = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens_available",
+        "weight",
+        F.expr("(1000000 * weight) div wsum").cast("bigint").alias(
+            "target_tokens"
+        ),
+    )
+    return alloc.select(
+        "source",
+        "tokens_available",
+        "weight",
+        "target_tokens",
+        F.round(
+            F.least(
+                F.col("target_tokens").cast("double")
+                / F.col("tokens_available"),
+                F.lit(4.0),
+            ),
+            4,
+        ).alias("epochs_needed"),
+        (F.col("target_tokens") > 4 * F.col("tokens_available")).alias(
+            "infeasible"
+        ),
+    )

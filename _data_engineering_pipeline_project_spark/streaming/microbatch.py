@@ -490,3 +490,69 @@ def run_chained_window_rollup(
         .start()
     )
     q.awaitTermination()
+
+
+def run_stream_stream_left_join(
+    spark: SparkSession,
+    left_dir: str,
+    right_dir: str,
+    schema: T.StructType,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+    query_name: str = "ss_left_join",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join with event-time bounds: matched
+    pairs emit like the inner join, and an UNMATCHED left row emits with
+    right-side NULLs — but only once the watermark proves no matching
+    right row can still arrive (left + join window + watermark delay all
+    passed). That deferred-null emission is the semantic difference from
+    the inner form, and the reason outer stream joins REQUIRE watermarks
+    on both sides: without the eviction bound the state store could
+    never declare a left row unmatched. A bounded drain therefore keeps
+    trailing left rows (whose window is still open) in state, exactly as
+    production would."""
+    # one file per micro-batch: outer-null emission happens during a
+    # LATER batch's state cleanup (after the watermark advanced), so a
+    # single-batch drain would never declare any left row unmatched
+    left = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(left_dir)
+        .withWatermark(ts_col, watermark)
+        .select(
+            F.col(key),
+            F.col(ts_col).alias("l_ts"),
+            F.col("event_id").alias("l_event_id"),
+        )
+    )
+    right = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(right_dir)
+        .withWatermark(ts_col, watermark)
+        .select(
+            F.col(key).alias(f"r_{key}"),
+            F.col(ts_col).alias("r_ts"),
+            F.col("event_id").alias("r_event_id"),
+        )
+    )
+    joined = left.join(
+        right,
+        (F.col(key) == F.col(f"r_{key}"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+        "leftOuter",
+    ).select(key, "l_event_id", "r_event_id", "l_ts", "r_ts")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -552,3 +552,48 @@ def test_chained_window_rollup_two_stateful_operators(spark, tmp_path):
     assert out[(base + timedelta(hours=1), "click")] == (6, 6)  # hour 1
     # hour 2 not final → withheld
     assert (base + timedelta(hours=2), "click") not in out
+
+
+def test_stream_stream_left_join_emits_null_for_expired_unmatched(spark, tmp_path):
+    """Outer stream join: matched lefts pair; an unmatched left whose
+    join window + watermark has EXPIRED emits with right-side nulls; a
+    trailing left whose window is still open emits nothing."""
+    from datetime import datetime, timedelta
+
+    from _data_engineering_pipeline_project_spark.streaming.microbatch import (
+        run_stream_stream_left_join,
+    )
+
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    schema = "event_id int, ts timestamp, user_id int"
+    ldir, rdir = tmp_path / "l", tmp_path / "r"
+    # left: u1 matched; u2 unmatched (old → will expire); u3 very late
+    # (watermark anchor — its own window stays open)
+    batches = [
+        [(1, base, 1), (2, base + timedelta(minutes=5), 2)],
+        [(3, base + timedelta(hours=6), 3)],       # advances the watermark
+        [(4, base + timedelta(hours=7), 4)],       # cleanup batch emits 2's null
+    ]
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(ldir))
+    # the global watermark is the MIN across both inputs — the right
+    # stream must also advance or no left row ever expires
+    rbatches = [
+        [(10, base + timedelta(minutes=10), 1)],
+        [(11, base + timedelta(hours=6), 99)],
+        [(12, base + timedelta(hours=7), 99)],
+    ]
+    for b in rbatches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(rdir))
+    out = run_stream_stream_left_join(
+        spark, str(ldir), str(rdir), schema,
+        query_name="ss_left_join_t",
+    ).collect()
+    got = {r["l_event_id"]: r["r_event_id"] for r in out}
+    assert got.get(1) == 10          # matched pair
+    assert 2 in got and got[2] is None   # expired unmatched → null emit
+    assert 3 not in got and 4 not in got   # windows still open → withheld
