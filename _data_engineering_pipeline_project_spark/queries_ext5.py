@@ -2606,3 +2606,85 @@ def token_budget_allocation_sources(spark: SparkSession, sf: str) -> DataFrame:
             "infeasible"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Quality-signal ensemble: one keep decision with explainable flags
+# --------------------------------------------------------------------------
+_ENSEMBLE_SQL = """
+    WITH tok AS (SELECT doc_id,
+                        unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                          AS term
+                 FROM documents),
+    tokf AS (SELECT doc_id, term FROM tok WHERE length(term) > 0),
+    counts AS (SELECT doc_id, count(*) AS n_tokens,
+                      count(DISTINCT term) AS n_distinct
+               FROM tokf GROUP BY 1),
+    w AS (SELECT doc_id,
+                 (CAST('0x' || substr(md5(term), 1, 15) AS BIGINT)
+                    % 1024 % 997) - 498 AS w
+          FROM tokf),
+    lin AS (SELECT doc_id, sum(w) AS wsum FROM w GROUP BY 1),
+    sig AS (SELECT c.doc_id, c.n_tokens,
+                   round(1.0 - c.n_distinct * 1.0 / c.n_tokens, 6) AS rep_ratio,
+                   l.wsum
+            FROM counts c JOIN lin l USING (doc_id))
+    SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, rep_ratio,
+           CAST(wsum AS BIGINT) AS lin_score,
+           (n_tokens < 20) AS flag_too_short,
+           (rep_ratio > 0.8) AS flag_repetitive,
+           (wsum <= 0) AS flag_low_quality,
+           NOT (n_tokens < 20 OR rep_ratio > 0.8 OR wsum <= 0) AS keep
+    FROM sig
+"""
+
+
+@query("quality_ensemble_documents", _ENSEMBLE_SQL)
+def quality_ensemble_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """The SHIPPING filter: three independent quality signals — length
+    gate, unigram repetition ratio (1 − distinct/total), hashed-linear
+    classifier score — combined into one keep decision with a named flag
+    per rejection reason (the explainability a curation run needs when
+    someone asks why 20% of a source vanished; cf. Gopher's rule
+    cascade). ONE token explode feeds all three signals (two hash
+    aggregates on doc_id, AQE co-partitioned); the flags are pure
+    projections. Each component also exists standalone
+    (token_counts / repetition / quality_classifier) — this query pins
+    their conjunction."""
+    docs = table(spark, sf, "documents")
+    tokf = docs.select(
+        "doc_id", F.explode(TS.tokens("text")).alias("term")
+    ).filter(F.length("term") > 0)
+    counts = tokf.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("term").alias("n_distinct"),
+    )
+    from _data_engineering_pipeline_project_spark.operators.dedup import (
+        md5_hash60,
+    )
+
+    lin = tokf.select(
+        "doc_id",
+        ((md5_hash60(F.col("term")) % 1024 % 997) - 498).alias("w"),
+    ).groupBy("doc_id").agg(F.sum("w").alias("wsum"))
+    sig = counts.join(lin, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            1.0 - F.col("n_distinct") / F.col("n_tokens"), 6
+        ).alias("rep_ratio"),
+        "wsum",
+    )
+    too_short = F.col("n_tokens") < 20
+    repetitive = F.col("rep_ratio") > 0.8
+    low_q = F.col("wsum") <= 0
+    return sig.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "rep_ratio",
+        F.col("wsum").cast("bigint").alias("lin_score"),
+        too_short.alias("flag_too_short"),
+        repetitive.alias("flag_repetitive"),
+        low_q.alias("flag_low_quality"),
+        (~(too_short | repetitive | low_q)).alias("keep"),
+    )
