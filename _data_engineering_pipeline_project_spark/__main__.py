@@ -27,6 +27,13 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--sf", default="/root/testdata/sf0.001")
         if c == "run":
             p.add_argument("--limit", type=int, default=20)
+        if c == "explain":
+            p.add_argument(
+                "--mode",
+                default="formatted",
+                choices=["formatted", "extended", "cost", "codegen"],
+                help="explain mode (cost = CBO row-count/size estimates)",
+            )
     args = ap.parse_args(argv)
 
     from _data_engineering_pipeline_project_spark import queries as q
@@ -50,7 +57,7 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("cli")
     df = q.QUERIES[args.query](spark, args.sf)
     if args.cmd == "explain":
-        df.explain("formatted")
+        df.explain(args.mode)
     else:
         df.show(args.limit, truncate=False)
     return 0
