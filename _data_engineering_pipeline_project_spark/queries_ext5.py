@@ -2688,3 +2688,92 @@ def quality_ensemble_documents(spark: SparkSession, sf: str) -> DataFrame:
         low_q.alias("flag_low_quality"),
         (~(too_short | repetitive | low_q)).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted Jaccard over near-dup candidate pairs
+# --------------------------------------------------------------------------
+def _weighted_jaccard_sql() -> str:
+    from _data_engineering_pipeline_project_spark.queries_ext import (
+        _MINHASH_PAIRS_CTES,
+    )
+
+    return f"""
+    WITH {_MINHASH_PAIRS_CTES},
+    tc AS (SELECT doc_id, term, count(*) AS c FROM (
+             SELECT doc_id,
+                    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+             FROM documents)
+           WHERE length(term) > 0 GROUP BY 1, 2),
+    a_side AS (SELECT p.doc_a, p.doc_b, t.term, t.c AS ca
+               FROM dup_pairs p JOIN tc t ON t.doc_id = p.doc_a),
+    b_side AS (SELECT p.doc_a, p.doc_b, t.term, t.c AS cb
+               FROM dup_pairs p JOIN tc t ON t.doc_id = p.doc_b),
+    u AS (SELECT coalesce(a.doc_a, b.doc_a) AS doc_a,
+                 coalesce(a.doc_b, b.doc_b) AS doc_b,
+                 coalesce(a.ca, 0) AS ca, coalesce(b.cb, 0) AS cb
+          FROM a_side a FULL OUTER JOIN b_side b
+            ON a.doc_a = b.doc_a AND a.doc_b = b.doc_b AND a.term = b.term)
+    SELECT doc_a, doc_b,
+           CAST(sum(least(ca, cb)) AS BIGINT) AS w_inter,
+           CAST(sum(greatest(ca, cb)) AS BIGINT) AS w_union,
+           round(sum(least(ca, cb)) * 1.0 / sum(greatest(ca, cb)), 6)
+             AS weighted_jaccard
+    FROM u GROUP BY 1, 2
+    """
+
+
+@query("weighted_jaccard_pairs_documents", _weighted_jaccard_sql())
+def weighted_jaccard_pairs_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """WEIGHTED Jaccard — Σ min(tf_a, tf_b) / Σ max(tf_a, tf_b) over term
+    FREQUENCIES — for every MinHash near-dup pair: the frequency-aware
+    refinement of set Jaccard (two docs sharing vocabulary but repeating
+    it very differently score lower), the similarity the weighted-MinHash
+    literature sketches and the natural second-stage verifier after
+    banding.
+
+    Cost discipline: the expensive per-pair term union runs ONLY on the
+    LSH-verified candidate pairs (pair-count scale, not corpus²); term
+    counts are one hash aggregate over the corpus, joined to the pair
+    relation per side, and the per-pair min/max sums are exact integers.
+    The pair frame is the memoized shared MinHash stage, so composing
+    this query with the other dedup queries pays for signatures once."""
+    from _data_engineering_pipeline_project_spark.queries_ext import (
+        _minhash_pairs_shared,
+    )
+
+    pairs = _minhash_pairs_shared(spark, sf).select("doc_a", "doc_b")
+    docs = table(spark, sf, "documents")
+    tc = (
+        docs.select("doc_id", F.explode(TS.tokens("text")).alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a_side = pairs.join(
+        tc.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("c", "ca"),
+        "doc_a",
+    )
+    b_side = pairs.join(
+        tc.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("c", "cb"),
+        "doc_b",
+    )
+    u = a_side.select("doc_a", "doc_b", "term", "ca").join(
+        b_side.select("doc_a", "doc_b", "term", "cb"),
+        ["doc_a", "doc_b", "term"],
+        "full_outer",
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    return u.groupBy("doc_a", "doc_b").agg(
+        F.sum(F.least("ca", "cb")).cast("bigint").alias("w_inter"),
+        F.sum(F.greatest("ca", "cb")).cast("bigint").alias("w_union"),
+        F.round(
+            F.sum(F.least("ca", "cb"))
+            / F.sum(F.greatest("ca", "cb")),
+            6,
+        ).alias("weighted_jaccard"),
+    )
