@@ -2777,3 +2777,86 @@ def weighted_jaccard_pairs_documents(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("weighted_jaccard"),
     )
+
+
+# --------------------------------------------------------------------------
+# Filtered ANN: metadata predicate + vector search
+# --------------------------------------------------------------------------
+_FILTERED_TOPK_SQL = """
+    WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+                      CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+             round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.query_id AND e.label = q.qlabel
+    )
+    SELECT query_id, neighbor_id, label, cosine, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+"""
+
+
+@query("embedding_topk_filtered", _FILTERED_TOPK_SQL)
+def embedding_topk_filtered(spark: SparkSession, sf: str) -> DataFrame:
+    """FILTERED vector search: top-5 neighbors restricted to the query's
+    own metadata class (here: same ``label``) — the feature that
+    separates a vector DATABASE from a vector index, and the one that
+    breaks naive post-filtering (filter-after-topk returns < k or empty
+    when the predicate is selective; this query filters BEFORE ranking,
+    so k survivors are guaranteed when the class has them).
+
+    In the relational engine the predicate is just a join condition on
+    the scoring stage — Catalyst pushes the label equality into the
+    broadcast hash join, so the scan skips non-matching vectors BEFORE
+    any dot product (the \"pre-filtered\" strategy; an IVF variant
+    inherits it by adding the predicate to the probe join). Scoring and
+    ranking reuse the family's rounded-cosine/neighbor-id contract."""
+    emb = table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("__qvec"),
+    )
+    from _data_engineering_pipeline_project_spark.functions.vectors import (
+        dot,
+        l2_norm,
+    )
+
+    c = emb.select(
+        "vec_id", "label", "embedding", l2_norm("embedding").alias("__cn")
+    )
+    scored = (
+        c.join(
+            F.broadcast(
+                q.withColumn("__qn", l2_norm("__qvec"))
+            ),
+            (F.col("label") == F.col("qlabel"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            F.round(
+                dot(F.col("embedding"), F.col("__qvec"))
+                / (F.col("__cn") * F.col("__qn")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "label", "cosine",
+                F.col("rnk").cast("int").alias("rnk"))
+    )
