@@ -2860,3 +2860,70 @@ def embedding_topk_filtered(spark: SparkSession, sf: str) -> DataFrame:
         .select("query_id", "neighbor_id", "label", "cosine",
                 F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+# --------------------------------------------------------------------------
+# Order-independent table content fingerprint
+# --------------------------------------------------------------------------
+_FPRINT_SQL = """
+    WITH h AS (
+      SELECT CAST('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR) || '|' ||
+               o_orderstatus || '|' ||
+               CAST(round(o_totalprice, 2) AS VARCHAR) || '|' ||
+               strftime(o_orderdate, '%Y-%m-%d')
+             ), 1, 15) AS BIGINT) AS rh
+      FROM orders)
+    SELECT count(*) AS n_rows,
+           CAST(sum(rh) % 1152921504606846976 AS BIGINT) AS content_sum,
+           CAST(bit_xor(rh) AS BIGINT) AS content_xor,
+           CAST(min(rh) AS BIGINT) AS h_min,
+           CAST(max(rh) AS BIGINT) AS h_max
+    FROM h
+"""
+
+
+@query("table_fingerprint_orders", _FPRINT_SQL)
+def table_fingerprint_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-independent CONTENT FINGERPRINT of a table: each row
+    canonicalizes to a string (pinned column order, pinned decimal/date
+    formatting), hashes to 60 bits, and the table digest is the
+    commutative fold (modular sum + XOR + extrema) of row hashes —
+    identical for ANY row order, partitioning, or engine, different with
+    overwhelming probability for any changed/missing/extra row. The
+    one-number answer to "are these two copies of the table the same?"
+    across a migration — the reference diffs snapshots row-by-row
+    (etl2:311); at 100 TB you compare 4 numbers computed scan-side, and
+    only drill into row-level reconciliation when they differ.
+
+    All four aggregates are commutative-associative integer folds —
+    map-side combined, one row per partition shuffled."""
+    o = table(spark, sf, "orders")
+    canonical = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round("o_totalprice", 2).cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+    )
+    from _data_engineering_pipeline_project_spark.operators.dedup import (
+        md5_hash60,
+    )
+
+    h = o.select(md5_hash60(canonical).alias("rh"))
+    return h.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        # 128-bit-exact sum (decimal38 here, HUGEINT in DuckDB) before
+        # the modulus — a bare int64 sum of 60-bit hashes overflows
+        (
+            F.sum(F.col("rh").cast("decimal(38,0)"))
+            % F.lit(1152921504606846976)
+        )
+        .cast("bigint")
+        .alias("content_sum"),
+        F.expr("bit_xor(rh)").cast("bigint").alias("content_xor"),
+        F.min("rh").cast("bigint").alias("h_min"),
+        F.max("rh").cast("bigint").alias("h_max"),
+    )
