@@ -853,3 +853,38 @@ def test_registry_contract():
     # ≥ 90% of the surface is oracle-checked (the rest documented
     # rows-only); regression guard against silently losing oracles
     assert len(os_) / len(qs) >= 0.9
+
+
+# --------------------------------------------------------------------------
+# table fingerprint
+# --------------------------------------------------------------------------
+def test_fingerprint_detects_single_row_mutation(spark):
+    import _data_engineering_pipeline_project_spark.queries_ext5 as q5
+    from datetime import datetime
+
+    rows = [
+        Row(o_orderkey=i, o_custkey=i % 5, o_orderstatus="O",
+            o_totalprice=100.0 + i, o_orderdate=datetime(2024, 1, 1),
+            o_orderpriority="1-URGENT")
+        for i in range(1, 200)
+    ]
+    base = spark.createDataFrame(rows)
+    mutated = spark.createDataFrame(
+        rows[:-1]
+        + [rows[-1].asDict() | {"o_totalprice": rows[-1]["o_totalprice"] + 0.01}]
+    )
+    orig = q5.table
+    try:
+        q5.table = lambda sp, sf, name: base
+        [fa] = q5.table_fingerprint_orders(spark, SF).collect()
+        q5.table = lambda sp, sf, name: mutated
+        [fb] = q5.table_fingerprint_orders(spark, SF).collect()
+        # order-independence: same rows reshuffled → identical digest
+        q5.table = lambda sp, sf, name: base.orderBy(F.rand(7)).repartition(8)
+        [fc] = q5.table_fingerprint_orders(spark, SF).collect()
+    finally:
+        q5.table = orig
+    assert fa["n_rows"] == fb["n_rows"]
+    assert fa["content_sum"] != fb["content_sum"]
+    assert fa["content_xor"] != fb["content_xor"]
+    assert fa.asDict() == fc.asDict()
