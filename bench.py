@@ -137,6 +137,14 @@ EXTENSION_QUERIES = [
     "bom_closure_recursive_cte",
     "lateral_top3_orders_per_customer",
     "scd2_point_in_time_brand",
+    "sql_udf_adjusted_revenue",
+    "id_sequence_gaps_orders",
+    "token_budget_allocation_sources",
+    "quality_ensemble_documents",
+    "weighted_jaccard_pairs_documents",
+    "embedding_topk_filtered",
+    "table_fingerprint_orders",
+    "corpus_curation_v2_pipeline",
 ]
 
 BENCH_QUERIES = [
