@@ -1242,9 +1242,14 @@ def dedup_cluster_representatives(spark: SparkSession, sf: str) -> DataFrame:
     corpus → broadcast), and the keep decision is a per-cluster window
     whose width is the cluster size."""
     from _data_engineering_pipeline_project_spark.operators import dedup as D
+    from _data_engineering_pipeline_project_spark.queries_ext import (
+        _minhash_pairs_shared,
+    )
 
     docs = table(spark, sf, "documents")
-    pairs = D.minhash_near_dup_pairs(docs, threshold=0.3)
+    # memoized shared MinHash stage — a run executing several dedup
+    # queries pays for signatures + banding + verify once
+    pairs = _minhash_pairs_shared(spark, sf)
     cc = D.connected_components(pairs)
     lab = docs.select("doc_id", "n_chars").join(
         cc.withColumnRenamed("id", "doc_id"), "doc_id", "left"

@@ -200,6 +200,7 @@ def main() -> None:
     from _data_engineering_pipeline_project_spark import queries_ext2  # noqa: F401
     from _data_engineering_pipeline_project_spark import queries_ext3  # noqa: F401
     from _data_engineering_pipeline_project_spark import queries_ext4  # noqa: F401
+    from _data_engineering_pipeline_project_spark import queries_ext5  # noqa: F401
     from _data_engineering_pipeline_project_spark import queries_ops  # noqa: F401
     from _data_engineering_pipeline_project_spark.session import get_spark
 
