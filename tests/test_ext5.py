@@ -888,3 +888,26 @@ def test_fingerprint_detects_single_row_mutation(spark):
     assert fa["content_sum"] != fb["content_sum"]
     assert fa["content_xor"] != fb["content_xor"]
     assert fa.asDict() == fc.asDict()
+
+
+# --------------------------------------------------------------------------
+# shared-stage memoization
+# --------------------------------------------------------------------------
+def test_minhash_pair_stage_is_memoized_per_session(spark):
+    """Queries composing the MinHash stage (near-dup, clusters,
+    representatives, weighted Jaccard) must share ONE cached pair frame
+    per (session, sf) — the contract that makes a multi-query dedup run
+    pay for signatures once."""
+    from _data_engineering_pipeline_project_spark.queries_ext import (
+        _minhash_pairs_shared,
+        clear_query_caches,
+    )
+
+    clear_query_caches()
+    a = _minhash_pairs_shared(spark, SF)
+    b = _minhash_pairs_shared(spark, SF)
+    assert a is b
+    clear_query_caches()
+    c = _minhash_pairs_shared(spark, SF)
+    assert c is not a
+    clear_query_caches()
