@@ -457,13 +457,24 @@ def test_cluster_representatives_keep_longest(spark):
                 lang="en", source="s", n_chars=90),
         ]
     )
-    orig = q5.table
+    # the query consumes the MEMOIZED shared MinHash stage, which reads
+    # through queries_ext's table import — patch both and flush the memo
+    import _data_engineering_pipeline_project_spark.queries_ext as qext
+    from _data_engineering_pipeline_project_spark.queries_ext import (
+        clear_query_caches,
+    )
+
+    orig, orig_ext = q5.table, qext.table
+    clear_query_caches()
     try:
         q5.table = lambda sp, sf, name: docs
+        qext.table = lambda sp, sf, name: docs
         out = {r["doc_id"]: r.asDict()
                for r in q5.dedup_cluster_representatives(spark, SF).collect()}
     finally:
         q5.table = orig
+        qext.table = orig_ext
+        clear_query_caches()
     assert out[1]["cluster"] == out[2]["cluster"] == 1
     assert out[2]["kept"] and not out[1]["kept"]   # doc 2 is longer
     assert out[3]["cluster"] == 3 and out[3]["kept"]
