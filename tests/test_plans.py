@@ -581,3 +581,28 @@ def test_gdpr_cascade_semi_joins_broadcast(spark):
     assert _node_count(plan, "Exchange") == 0 or broadcast_join_count(
         gdpr_erasure_cascade_report(spark, SF)
     ) >= 2
+
+
+def test_filtered_ann_broadcasts_queries(spark):
+    """The query set (with its metadata predicate) broadcasts; the corpus
+    scan is filtered before any dot product is evaluated."""
+    from _data_engineering_pipeline_project_spark.queries_ext5 import (
+        embedding_topk_filtered,
+    )
+
+    assert broadcast_join_count(embedding_topk_filtered(spark, SF)) >= 1
+
+
+def test_table_fingerprint_single_aggregation_pass(spark):
+    """Four commutative digests in ONE scan + one partial-agg exchange."""
+    from _data_engineering_pipeline_project_spark.plans.audit import (
+        exchange_count,
+        scan_summary,
+    )
+    from _data_engineering_pipeline_project_spark.queries_ext5 import (
+        table_fingerprint_orders,
+    )
+
+    df = table_fingerprint_orders(spark, SF)
+    assert exchange_count(df) <= 1
+    assert scan_summary(df)["scans"] == 1
