@@ -2932,3 +2932,60 @@ def table_fingerprint_orders(spark: SparkSession, sf: str) -> DataFrame:
         F.min("rh").cast("bigint").alias("h_min"),
         F.max("rh").cast("bigint").alias("h_max"),
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding table health audit
+# --------------------------------------------------------------------------
+_EMB_HEALTH_SQL = """
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+                      len(embedding) AS dim
+               FROM embeddings),
+    n AS (SELECT vec_id, label, dim,
+                 round(sqrt(list_dot_product(e, e)), 6) AS nrm
+          FROM v)
+    SELECT label,
+           count(*) AS n_vectors,
+           CAST(count(DISTINCT dim) AS INTEGER) AS n_distinct_dims,
+           CAST(max(dim) AS INTEGER) AS dim,
+           CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_norm,
+           round(min(nrm), 4) AS norm_min,
+           round(max(nrm), 4) AS norm_max,
+           round(quantile_cont(nrm, 0.5), 4) AS norm_median
+    FROM n GROUP BY label
+"""
+
+
+@query("embedding_health_audit", _EMB_HEALTH_SQL)
+def embedding_health_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """ML-data health check over the vector table — the embedding
+    counterpart of the relational profiler: per label, vector counts,
+    DIMENSIONALITY consistency (a mixed-dim table silently breaks every
+    dot product downstream), zero-norm degenerate vectors (cosine is
+    undefined — the NaN factory), and the norm distribution envelope
+    (collapsed or exploded norms flag a broken encoder checkpoint).
+    One scan, one hash aggregate; the median is exact per label
+    (percentile over the per-label norm set — label cardinality bounds
+    the sort)."""
+    from _data_engineering_pipeline_project_spark.functions.vectors import (
+        l2_norm,
+    )
+
+    emb = table(spark, sf, "embeddings")
+    n = emb.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(l2_norm("embedding"), 6).alias("nrm"),
+    )
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.countDistinct("dim").cast("int").alias("n_distinct_dims"),
+        F.max("dim").cast("int").alias("dim"),
+        F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero_norm"),
+        F.round(F.min("nrm"), 4).alias("norm_min"),
+        F.round(F.max("nrm"), 4).alias("norm_max"),
+        F.round(F.expr("percentile(nrm, 0.5)"), 4).alias("norm_median"),
+    )
