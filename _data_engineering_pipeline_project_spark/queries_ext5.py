@@ -2989,3 +2989,80 @@ def embedding_health_audit(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.max("nrm"), 4).alias("norm_max"),
         F.round(F.expr("percentile(nrm, 0.5)"), 4).alias("norm_median"),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental view maintenance WITH RETRACTIONS (signed multiplicities)
+# --------------------------------------------------------------------------
+_IVM_RETRACT_SQL = """
+    WITH final AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 4 <> 0)
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           round(CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+                      AS DOUBLE), 2) AS total_price
+    FROM final GROUP BY o_orderstatus
+"""
+
+
+@query("incremental_view_with_retractions", _IVM_RETRACT_SQL)
+def incremental_view_with_retractions(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental aggregate maintenance under a changelog with DELETES
+    and UPDATES — the signed-multiplicity (Z-relation) algebra: every
+    changelog row carries ±1, an update is delete(old)+insert(new), and
+    the maintained view is base-aggregate PLUS the signed delta
+    aggregate. Registered result = the MAINTAINED view; the oracle
+    recomputes the final state from scratch, so the hash-match proves
+    retraction arithmetic is exact (which it only can be because the
+    merged measures are COUNTs and DECIMAL sums — associative,
+    invertible; a MIN/MAX view is NOT retractable this way and needs
+    the full-state recompute path, cf. cdcmaint).
+
+    Changelog: every 4th order deleted, every 5th price-bumped (as
+    delete+insert). The delta pass touches only changed keys."""
+    o = table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    price_dec = F.round("o_totalprice", 2).cast("decimal(18,2)")
+    base = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_part"),
+        F.sum(price_dec).alias("p_part"),
+    )
+    deleted = o.filter(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderstatus", price_dec.alias("p"), F.lit(-1).alias("m")
+    )
+    upd = o.filter(
+        (F.col("o_orderkey") % 5 == 0) & (F.col("o_orderkey") % 4 != 0)
+    )
+    upd_del = upd.select("o_orderstatus", price_dec.alias("p"),
+                         F.lit(-1).alias("m"))
+    upd_ins = upd.select(
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") + 10.0, 2)
+        .cast("decimal(18,2)")
+        .alias("p"),
+        F.lit(1).alias("m"),
+    )
+    delta = (
+        deleted.unionByName(upd_del)
+        .unionByName(upd_ins)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("m").alias("n_part"),
+            F.sum(F.col("p") * F.col("m")).alias("p_part"),
+        )
+    )
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(F.sum("n_part").alias("n"), F.sum("p_part").alias("p"))
+        .filter(F.col("n") > 0)
+    )
+    return merged.select(
+        "o_orderstatus",
+        F.col("n").alias("n_orders"),
+        F.round(F.col("p").cast("double"), 2).alias("total_price"),
+    )
