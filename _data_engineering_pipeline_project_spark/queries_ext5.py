@@ -3066,3 +3066,68 @@ def incremental_view_with_retractions(spark: SparkSession, sf: str) -> DataFrame
         F.col("n").alias("n_orders"),
         F.round(F.col("p").cast("double"), 2).alias("total_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sweep-line interval concurrency: open orders in flight per day
+# --------------------------------------------------------------------------
+_SWEEP_SQL = """
+    WITH life AS (
+      SELECT o.o_orderkey,
+             CAST(o.o_orderdate AS DATE) AS d0,
+             CAST(coalesce(max(l.l_shipdate), o.o_orderdate) AS DATE) AS d1
+      FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate),
+    deltas AS (
+      SELECT d0 AS day, 1 AS delta FROM life
+      UNION ALL
+      SELECT d1 + 1 AS day, -1 AS delta FROM life),
+    daily AS (SELECT day, CAST(sum(delta) AS BIGINT) AS delta_net
+              FROM deltas GROUP BY day)
+    SELECT day, delta_net,
+           CAST(sum(delta_net) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_open
+    FROM daily
+"""
+
+
+@query("concurrent_open_orders_daily", _SWEEP_SQL)
+def concurrent_open_orders_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """SWEEP-LINE interval concurrency: how many orders are IN FLIGHT
+    (placed, not yet fully shipped) on each day — the interval-counting
+    pattern behind concurrent-users, sessions-in-flight, and
+    inventory-exposure questions. Each interval contributes +1 at its
+    start and −1 the day after its end; the daily net deltas prefix-sum
+    into the concurrency timeline — O(n) instead of the naive
+    day × interval range-join.
+
+    Interval ends need ONE aggregate over the fact table (max shipdate
+    per order, AQE co-partitioned with the orders join on the same
+    key); the running sum is a global window over EVENT-DATE
+    cardinality (~2.4k rows here) — the calendar, not the data, bounds
+    it; beyond calendar scale the two-pass per-bucket prefix sum
+    applies (same note as the id-gap audit)."""
+    o = table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    life = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left")
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("__maxship"))
+        .select(
+            F.col("o_orderdate").cast("date").alias("d0"),
+            F.coalesce("__maxship", "o_orderdate").cast("date").alias("d1"),
+        )
+    )
+    deltas = life.select(F.col("d0").alias("day"), F.lit(1).alias("delta")).unionByName(
+        life.select(F.date_add("d1", 1).alias("day"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("day").agg(
+        F.sum("delta").cast("bigint").alias("delta_net")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "delta_net",
+        F.sum("delta_net").over(w).cast("bigint").alias("n_open"),
+    )
