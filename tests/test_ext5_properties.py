@@ -320,3 +320,66 @@ def test_kmv_set_ops_match_reference(spark, spec):
     finally:
         q5.table = orig
     assert got == _ref_kmv_ops(spec)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    orders=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=20),   # start day
+            st.integers(min_value=0, max_value=10),   # duration days
+            st.integers(min_value=0, max_value=3),    # n lineitems
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_sweepline_concurrency_matches_bruteforce(spark, orders):
+    from datetime import datetime, timedelta
+
+    import _data_engineering_pipeline_project_spark.queries_ext5 as q5
+
+    base = datetime(2024, 1, 1)
+    orows, lrows = [], []
+    for i, (s, dur, nl) in enumerate(orders, start=1):
+        orows.append(
+            Row(o_orderkey=i, o_orderdate=base + timedelta(days=s),
+                o_custkey=1, o_orderstatus="O", o_totalprice=1.0,
+                o_orderpriority="1-X")
+        )
+        for j in range(nl):
+            lrows.append(
+                Row(l_orderkey=i, l_linenumber=j + 1,
+                    l_shipdate=base + timedelta(days=s + dur))
+            )
+    odf = spark.createDataFrame(orows)
+    ldf = (
+        spark.createDataFrame(lrows)
+        if lrows
+        else spark.createDataFrame([], "l_orderkey long, l_linenumber int, l_shipdate timestamp")
+    )
+    orig = q5.table
+    try:
+        q5.table = lambda sp, sf, name: odf if name == "orders" else ldf
+        got = {
+            r["day"]: r["n_open"]
+            for r in q5.concurrent_open_orders_daily(spark, "unused").collect()
+        }
+    finally:
+        q5.table = orig
+    # brute force: an order with lineitems is open [start, start+dur];
+    # without lineitems, open on its start day only
+    import datetime as dtmod
+
+    intervals = []
+    for i, (s, dur, nl) in enumerate(orders, start=1):
+        end = s + dur if nl else s
+        intervals.append((s, end))
+    for day, n_open in got.items():
+        d = (datetime(day.year, day.month, day.day) - base).days
+        expected = sum(1 for (s, e) in intervals if s <= d <= e)
+        assert n_open == expected, (day, n_open, expected)
