@@ -922,3 +922,31 @@ def test_minhash_pair_stage_is_memoized_per_session(spark):
     c = _minhash_pairs_shared(spark, SF)
     assert c is not a
     clear_query_caches()
+
+
+# --------------------------------------------------------------------------
+# collation contract
+# --------------------------------------------------------------------------
+def test_string_ordering_is_binary_and_matches_duckdb(spark):
+    """Load-bearing invariant behind every string tie-break in the
+    oracle suite: Spark's default UTF8_BINARY collation sorts by code
+    point, and DuckDB's default BINARY collation agrees — so window
+    orderings on strings are engine-identical. Pin it explicitly."""
+    import duckdb
+
+    vals = ["b", "B", "a", "á", "Z", "zz", "0", " ", "ab"]
+    sp = [
+        r["v"]
+        for r in spark.createDataFrame([(v,) for v in vals], "v string")
+        .orderBy("v")
+        .collect()
+    ]
+    dk = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT v FROM (VALUES "
+            + ",".join(f"('{v}')" for v in vals)
+            + ") t(v) ORDER BY v"
+        ).fetchall()
+    ]
+    assert sp == dk == sorted(vals)
