@@ -31,6 +31,23 @@ from _data_engineering_pipeline_project_spark.sources.sinks import (
 )
 
 
+def _execute_query_scalar(spark: SparkSession, url: str, sql: str):
+    """Run one scalar query through the JVM DriverManager (existence
+    probes); raises on missing tables."""
+    jvm = spark.sparkContext._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        stmt = conn.createStatement()
+        try:
+            rs = stmt.executeQuery(sql)
+            rs.next()
+            return rs.getLong(1)
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+
+
 def _execute_update(spark: SparkSession, url: str, sql: str) -> None:
     """Run one DML statement through the JVM's DriverManager (works for
     embedded Derby in the same JVM; any JDBC URL in general)."""
@@ -62,11 +79,27 @@ class JdbcIdempotentSink:
         self.url = url
         self.table = table
         self.driver = driver
-        self._table_exists = False
+        # existence is probed against the DATABASE, never tracked in
+        # driver memory: a restarted driver with a populated sink table
+        # would otherwise take the create-with-overwrite path on its
+        # first batch and WIPE prior committed batches
+        self._known_exists = False
+
+    def _table_exists(self) -> bool:
+        if self._known_exists:
+            return True
+        try:
+            _execute_query_scalar(
+                self.spark, self.url, f"SELECT count(*) FROM {self.table} WHERE 1=0"
+            )
+            self._known_exists = True
+            return True
+        except Exception:
+            return False
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         tagged = batch_df.withColumn("__batch_id", F.lit(batch_id))
-        if self._table_exists:
+        if self._table_exists():
             # idempotency: wipe any partial/previous copy of THIS batch
             _execute_update(
                 self.spark,
@@ -79,11 +112,11 @@ class JdbcIdempotentSink:
                 tagged, self.url, self.table, mode="append", driver=self.driver
             )
         else:
-            # first batch creates the table (overwrite → CREATE TABLE)
+            # very first batch ever creates the table
             write_jdbc(
                 tagged, self.url, self.table, mode="overwrite", driver=self.driver
             )
-            self._table_exists = True
+            self._known_exists = True
 
 
 def run_stream_jdbc_sink(

@@ -185,3 +185,32 @@ def test_streaming_jdbc_sink_idempotent_on_retry(spark, tmp_path):
     assert read_jdbc(spark, url, "stream_sink").count() == 4
     sink.process_batch(df2, 1)
     assert read_jdbc(spark, url, "stream_sink").count() == 3
+
+
+def test_streaming_jdbc_sink_restart_does_not_wipe(spark, tmp_path):
+    """A RESTARTED sink (fresh driver object, existing table) must take
+    the idempotent append path — not the create-with-overwrite path that
+    would wipe previously committed batches."""
+    from _data_engineering_pipeline_project_spark.sources.sinks import (
+        derby_url,
+        read_jdbc,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.jdbcsink import (
+        JdbcIdempotentSink,
+    )
+
+    url = derby_url(str(tmp_path / "derbydb2"))
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string")
+    sink = JdbcIdempotentSink(spark, url, "restart_sink")
+    sink.process_batch(df1, 0)
+    assert read_jdbc(spark, url, "restart_sink").count() == 2
+
+    # driver restart: brand-new sink object, no in-memory state
+    sink2 = JdbcIdempotentSink(spark, url, "restart_sink")
+    df2 = spark.createDataFrame([(3, "c")], "id int, name string")
+    sink2.process_batch(df2, 1)
+    back = read_jdbc(spark, url, "restart_sink")
+    assert back.count() == 3          # batch 0 SURVIVED the restart
+    # and the restarted sink is still retry-idempotent
+    sink2.process_batch(df2, 1)
+    assert read_jdbc(spark, url, "restart_sink").count() == 3
