@@ -3131,3 +3131,99 @@ def concurrent_open_orders_daily(spark: SparkSession, sf: str) -> DataFrame:
         "delta_net",
         F.sum("delta_net").over(w).cast("bigint").alias("n_open"),
     )
+
+
+# --------------------------------------------------------------------------
+# Point-in-time fact enrichment: reprice lineitems against a versioned list
+# --------------------------------------------------------------------------
+_PIT_PRICE_SQL = """
+    WITH versions AS (
+      SELECT p_partkey,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+             TIMESTAMP '1992-01-01 00:00:00' AS valid_from
+      FROM part
+      UNION ALL
+      SELECT p_partkey,
+             (CAST(round(p_retailprice * 100) AS BIGINT) * 105 + 50) // 100,
+             TIMESTAMP '1997-01-01 00:00:00'
+      FROM part WHERE p_partkey % 3 = 0),
+    priced AS (
+      SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_shipdate,
+             v.price_cents, v.valid_from,
+             row_number() OVER (PARTITION BY l.l_orderkey, l.l_linenumber,
+                                             l.l_partkey, l.l_shipdate,
+                                             l.l_quantity, l.l_suppkey
+                                ORDER BY v.valid_from DESC) AS rn
+      FROM lineitem l JOIN versions v
+        ON v.p_partkey = l.l_partkey AND v.valid_from <= l.l_shipdate)
+    SELECT CAST(extract(year FROM l_shipdate) AS INTEGER) AS ship_year,
+           count(*) AS n_lines,
+           round(sum(price_cents * CAST(l_quantity AS BIGINT)) / 100.0, 2)
+             AS repriced_revenue
+    FROM priced WHERE rn = 1
+    GROUP BY 1
+"""
+
+
+@query("pit_repriced_revenue_by_year", _PIT_PRICE_SQL)
+def pit_repriced_revenue_by_year(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time FACT enrichment: every lineitem repriced with the
+    price-list version valid AT ITS SHIP DATE (a versioned dimension
+    synthesized over the facts' own time domain: base prices from 1992,
+    +5% on a third of the catalog from 1997) — the textbook "was this
+    sold at the old or new price" warehouse join the SCD2 machinery
+    exists to answer.
+
+    The version resolution is the standard as-of shape on a versioned
+    dimension: equi-join on the part key with the validity inequality as
+    residual, then latest-version-wins per fact row (rank-1 window whose
+    width = versions-per-key, here ≤2 — bounded by dimension churn, not
+    fact volume). Revenue is decimal-exact: price and line totals round
+    at cents BEFORE the associative decimal sum."""
+    p = table(spark, sf, "part")
+    # exact integer CENTS: round(x*1.05, 2) lands on .xx5 halfway points
+    # where the engines' half-rounding rules diverge — the price bump is
+    # instead (cents*105 + 50) div 100, integer half-up in both engines
+    cents = F.round(F.col("p_retailprice") * 100).cast("bigint")
+    v1 = p.select(
+        "p_partkey",
+        cents.alias("price_cents"),
+        F.lit("1992-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+    )
+    v2 = (
+        p.filter(F.col("p_partkey") % 3 == 0)
+        .select(
+            "p_partkey",
+            ((cents * 105 + 50) / 100).cast("bigint").alias("price_cents"),
+            F.lit("1997-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        )
+    )
+    versions = v1.unionByName(v2)
+    li = table(spark, sf, "lineitem")
+    joined = li.join(
+        F.broadcast(versions),
+        (F.col("p_partkey") == F.col("l_partkey"))
+        & (F.col("valid_from") <= F.col("l_shipdate")),
+    )
+    w = Window.partitionBy(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_shipdate",
+        "l_quantity", "l_suppkey"
+    ).orderBy(F.col("valid_from").desc())
+    priced = joined.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        priced.groupBy(
+            F.year("l_shipdate").cast("int").alias("ship_year")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(
+                    F.col("price_cents") * F.col("l_quantity").cast("bigint")
+                )
+                / 100.0,
+                2,
+            ).alias("repriced_revenue"),
+        )
+    )
