@@ -3227,3 +3227,80 @@ def pit_repriced_revenue_by_year(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("repriced_revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Early-arriving facts: park, backfill, re-resolve
+# --------------------------------------------------------------------------
+_EARLY_FACTS_SQL = """
+    WITH dim_v1 AS (SELECT c_custkey, c_mktsegment FROM customer
+                    WHERE c_custkey % 3 <> 0),
+    dim_v2 AS (SELECT c_custkey, c_mktsegment FROM customer),
+    initial AS (
+      SELECT o.o_orderkey, d.c_custkey AS matched_key
+      FROM orders o LEFT JOIN dim_v1 d ON d.c_custkey = o.o_custkey),
+    resolved AS (
+      SELECT i.o_orderkey, d.c_custkey AS matched_key
+      FROM initial i
+      JOIN orders o ON o.o_orderkey = i.o_orderkey
+      LEFT JOIN dim_v2 d ON d.c_custkey = o.o_custkey
+      WHERE i.matched_key IS NULL)
+    SELECT 'initial' AS phase,
+           CAST(count(*) FILTER (WHERE matched_key IS NOT NULL) AS BIGINT)
+             AS n_matched,
+           CAST(count(*) FILTER (WHERE matched_key IS NULL) AS BIGINT)
+             AS n_parked
+    FROM initial
+    UNION ALL
+    SELECT 'after_backfill',
+           CAST(count(*) FILTER (WHERE matched_key IS NOT NULL) AS BIGINT),
+           CAST(count(*) FILTER (WHERE matched_key IS NULL) AS BIGINT)
+    FROM resolved
+"""
+
+
+@query("early_facts_park_and_backfill", _EARLY_FACTS_SQL)
+def early_facts_park_and_backfill(spark: SparkSession, sf: str) -> DataFrame:
+    """EARLY-ARRIVING FACTS: orders land before a third of the customer
+    dimension exists (v1), unmatched facts are PARKED instead of dropped
+    or inner-join-vanished, and when the dimension backfills (v2) only
+    the parked set re-joins — the retry loop every warehouse needs when
+    fact and dimension feeds race each other. The report pins both
+    phases: initial match/park split, and the parked set's resolution
+    after backfill (everything resolves here because v2 is complete;
+    production re-parks the remainder for the next cycle).
+
+    Plan: two broadcast left joins (the dimension is dimension-sized in
+    both versions); the second join's probe side is the PARKED subset
+    only — the re-resolution cost is proportional to what's missing,
+    never the full fact table. Cf. streaming/microbatch.py's
+    run_stream_refreshed_enrichment for the streaming twin."""
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    dim_v1 = c.filter(F.col("c_custkey") % 3 != 0).select(
+        "c_custkey", "c_mktsegment"
+    )
+    dim_v2 = c.select("c_custkey", "c_mktsegment")
+    initial = o.join(
+        F.broadcast(dim_v1), o["o_custkey"] == dim_v1["c_custkey"], "left"
+    ).select("o_orderkey", "o_custkey", F.col("c_custkey").alias("matched_key"))
+    parked = initial.filter(F.col("matched_key").isNull()).select(
+        "o_orderkey", "o_custkey"
+    )
+    resolved = parked.join(
+        F.broadcast(dim_v2), parked["o_custkey"] == dim_v2["c_custkey"], "left"
+    ).select(F.col("c_custkey").alias("matched_key"))
+
+    def phase(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.sum(F.when(F.col("matched_key").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_matched"),
+            F.sum(F.when(F.col("matched_key").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_parked"),
+        ).select(F.lit(label).alias("phase"), "n_matched", "n_parked")
+
+    return phase(initial, "initial").unionByName(
+        phase(resolved, "after_backfill")
+    )

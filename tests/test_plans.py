@@ -606,3 +606,21 @@ def test_table_fingerprint_single_aggregation_pass(spark):
     df = table_fingerprint_orders(spark, SF)
     assert exchange_count(df) <= 1
     assert scan_summary(df)["scans"] == 1
+
+
+def test_pit_repricing_broadcasts_versions(spark):
+    """The versioned price list is dimension-sized x versions-per-key —
+    it must broadcast; the fact table never shuffles for repricing."""
+    from _data_engineering_pipeline_project_spark.queries_ext5 import (
+        pit_repriced_revenue_by_year,
+    )
+
+    assert broadcast_join_count(pit_repriced_revenue_by_year(spark, SF)) >= 1
+
+
+def test_early_facts_both_joins_broadcast(spark):
+    from _data_engineering_pipeline_project_spark.queries_ext5 import (
+        early_facts_park_and_backfill,
+    )
+
+    assert broadcast_join_count(early_facts_park_and_backfill(spark, SF)) >= 2
