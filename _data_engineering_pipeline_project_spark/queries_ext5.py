@@ -3373,3 +3373,73 @@ def hhi_supplier_concentration_by_type(spark: SparkSession, sf: str) -> DataFram
             4,
         ).alias("hhi"),
     )
+
+
+# --------------------------------------------------------------------------
+# Pareto 80/20: smallest customer set covering 80% of revenue
+# --------------------------------------------------------------------------
+_PARETO_SQL = """
+    WITH rev AS (
+      SELECT o.o_custkey,
+             sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+                      AS DECIMAL(18,4))) AS r
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1),
+    tot AS (SELECT sum(r) AS t, count(*) AS n FROM rev),
+    ranked AS (SELECT r, row_number() OVER (ORDER BY r DESC, o_custkey) AS rk,
+                      sum(r) OVER (ORDER BY r DESC, o_custkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cum
+               FROM rev)
+    SELECT CAST(min(rk) AS BIGINT) AS n_customers_for_80pct,
+           CAST(max(t.n) AS BIGINT) AS n_customers_total,
+           round(CAST(min(rk) AS DOUBLE) / max(t.n) * 100, 2)
+             AS pct_of_customers
+    FROM ranked, tot t
+    WHERE cum * 10 >= t.t * 8
+"""
+
+
+@query("pareto_8020_customers", _PARETO_SQL)
+def pareto_8020_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """The Pareto 80/20 cut: how many top customers (and what share of
+    the base) cover 80% of revenue. The threshold test is
+    ``cum·10 ≥ total·8`` in the EXACT decimal domain — no share
+    division, so the boundary customer cannot flip between engines (a
+    ``cum/total ≥ 0.8`` double compare can, exactly at the boundary).
+    Cumulative revenue is a prefix sum over customers ranked by
+    (revenue desc, key) — customer-dimension cardinality, the same
+    deliberate global-window envelope as Gini/RFM, with the bucketed
+    two-pass as the beyond-dimension form."""
+    li = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                ).cast("decimal(18,4)")
+            ).alias("r")
+        )
+    )
+    tot = rev.agg(F.sum("r").alias("t"), F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("r").desc(), F.col("o_custkey"))
+    ranked = rev.select(
+        "r",
+        F.row_number().over(w).alias("rk"),
+        F.sum("r").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum"
+        ),
+    )
+    hit = ranked.crossJoin(F.broadcast(tot)).filter(
+        F.col("cum") * 10 >= F.col("t") * 8
+    )
+    return hit.agg(
+        F.min("rk").cast("bigint").alias("n_customers_for_80pct"),
+        F.max("n").cast("bigint").alias("n_customers_total"),
+        F.round(
+            F.min("rk").cast("double") / F.max("n") * 100, 2
+        ).alias("pct_of_customers"),
+    )
