@@ -2499,12 +2499,15 @@ def id_sequence_gaps_orders(spark: SparkSession, sf: str) -> DataFrame:
     batches, or generator skips show up as key holes; TPC-H's generator
     leaves them by design, which makes real output here).
 
-    The lead window is GLOBAL (one ordering over distinct keys) — the
-    documented cluster-scale form buckets keys into fixed-width ranges
-    first (gap detection inside each bucket + boundary stitching, an
-    embarrassingly parallel two-pass), the same restructure as the
-    global-top-k → TakeOrdered note in docs/SCALE.md. At dimension-key
-    cardinality the single sort is the right call."""
+    Bucketed two-pass (cluster-scale form, no global sort): keys are
+    binned into N_BUCKETS monotone fixed-width ranges (one cheap max()
+    pass sizes the key space), the lead runs per-bucket (hash-partitioned
+    window → N parallel per-group sorts over |keys|/N rows each), and
+    cross-bucket gaps are stitched from per-bucket (min, max) aggregates
+    — a frame of ≤ N_BUCKETS rows, so its lead window is trivially
+    small. Replaces the old global `Window.orderBy(id)` single-partition
+    sort that was the worst scaler in the 10× measurement
+    (docs/SCALE.md)."""
     o = table(spark, sf, "orders")
     # simulate a purge (every 7th key deleted) so the audit has real
     # gaps to find — the testdata generator emits contiguous keys
@@ -2513,13 +2516,50 @@ def id_sequence_gaps_orders(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("o_orderkey").alias("id"))
         .distinct()
     )
-    w = Window.orderBy("id")
-    nx = k.withColumn("next_id", F.lead("id").over(w))
-    return nx.filter(F.col("next_id") - F.col("id") > 1).select(
+    n_buckets = 64
+    # one fully-parallel pass for the key-space width; broadcast the
+    # single-row result so the bucket id is a map-side expression
+    hi = k.agg(F.max("id").alias("key_hi"))
+    binned = k.crossJoin(F.broadcast(hi)).withColumn(
+        "bucket",
+        # integer floor-div keeps the bucket monotone in id with no
+        # float rounding at 64-bit key range
+        (F.col("id") * n_buckets).cast("bigint")
+        / (F.col("key_hi") + 1),
+    ).withColumn("bucket", F.floor("bucket"))
+    # pass 1: gaps strictly inside a bucket — N parallel per-group sorts
+    within = Window.partitionBy("bucket").orderBy("id")
+    nx = binned.withColumn("next_id", F.lead("id").over(within))
+    intra = nx.filter(F.col("next_id") - F.col("id") > 1).select(
         (F.col("id") + 1).alias("gap_start"),
         (F.col("next_id") - 1).alias("gap_end"),
         (F.col("next_id") - F.col("id") - 1).cast("bigint").alias("gap_len"),
     )
+    # pass 2: stitch bucket boundaries from per-bucket envelopes — the
+    # frame is ≤ n_buckets rows, so the global lead here is O(N), not
+    # O(|keys|); empty buckets (fully purged ranges) are skipped over
+    # naturally because lead runs on non-empty buckets only
+    bounds = binned.groupBy("bucket").agg(
+        F.min("id").alias("b_lo"), F.max("id").alias("b_hi")
+    )
+    # next non-empty bucket's low bound via a triangular self-join — the
+    # frame is provably ≤ n_buckets rows so the O(N²) pairing is ≤ 64²
+    # comparisons, fully parallel, and keeps the whole stitch free of
+    # any single-partition WindowExec
+    nxt = (
+        bounds.alias("a")
+        .join(bounds.alias("b"), F.col("b.bucket") > F.col("a.bucket"))
+        .groupBy(F.col("a.bucket"), F.col("a.b_hi"))
+        .agg(F.min(F.col("b.b_lo")).alias("next_lo"))
+    )
+    inter = nxt.filter(F.col("next_lo") - F.col("b_hi") > 1).select(
+        (F.col("b_hi") + 1).alias("gap_start"),
+        (F.col("next_lo") - 1).alias("gap_end"),
+        (F.col("next_lo") - F.col("b_hi") - 1)
+        .cast("bigint")
+        .alias("gap_len"),
+    )
+    return intra.unionByName(inter)
 
 
 # --------------------------------------------------------------------------
