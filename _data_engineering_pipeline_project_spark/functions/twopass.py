@@ -1,0 +1,152 @@
+"""Bucketed two-pass prefix aggregation — exact global-order cumulative
+sums and row ranks WITHOUT a single-partition sort.
+
+The classic scale trap in prefix-style analytics (Pareto cuts, ECDFs,
+rank-sum tests, quantile scoring) is ``Window.orderBy(...)`` with no
+partition key: Spark moves every row to one partition and sorts it on a
+single core. This module ships the standard two-phase scan instead:
+
+1. **Bin** rows into ``buckets`` ranges with a bucket id that is a
+   MONOTONE function of the leading order column (fixed-width over the
+   observed [min, max], one fully-parallel pass). Monotone + equal-value
+   → same-bucket means per-bucket ordering by the full sort key is
+   globally consistent, and the binning is deterministic (no sampling —
+   re-computation of the frame can never disagree with itself, unlike
+   ``repartitionByRange`` whose reservoir-sampled boundaries are not
+   guaranteed stable across plan-subtree re-execution).
+2. **Local pass**: cumulative sums / row_number per bucket — a
+   hash-partitioned window, so the sort shards across the cluster with
+   |rows| / buckets rows per task.
+3. **Stitch**: per-bucket totals (≤ ``buckets`` rows) are paired with a
+   triangular self-join (≤ buckets² comparisons, broadcast) to form
+   each bucket's exclusive prefix offset; offsets broadcast-join back
+   and local + offset = exact global value.
+
+Worst case (all rows share one leading value) degrades to the single
+sort it replaces — never worse; typical case is embarrassingly
+parallel. Fixed-width binning is skew-sensitive on pathological
+leading-column distributions; an equi-depth refinement (approx-quantile
+boundaries) would only change performance, never results, because
+correctness needs only monotonicity.
+
+No counterpart in the reference (pandas cumsum over an in-memory frame,
+``project/etl2.py``-style); this is the Spark-native scale form that the
+global-window envelope queries cite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["bucketed_cumulative"]
+
+
+def bucketed_cumulative(
+    df: DataFrame,
+    order_cols: list[str],
+    sums: dict[str, str] | None = None,
+    rank_col: str | None = None,
+    count_col: str | None = None,
+    buckets: int = 32,
+) -> DataFrame:
+    """Add exact global-order prefix columns to ``df`` without a
+    single-partition WindowExec.
+
+    Parameters
+    ----------
+    order_cols : ascending sort key; the LEADING column must be numeric
+        (int / bigint / decimal / double) and non-null — it drives the
+        monotone bucket binning. For a descending leading key, pass its
+        negation (exact for int/decimal).
+    sums : {source_col: output_col} inclusive prefix sums over the
+        global order.
+    rank_col : optional output column for the global 1-based
+        row_number over the order.
+    count_col : optional output column holding the total row count
+        (handy for rank/total ratios downstream).
+    """
+    sums = sums or {}
+    lead = order_cols[0]
+
+    # pass 0: key-space envelope (fully parallel min/max), broadcast so
+    # the bucket id is a map-side expression
+    env = df.agg(
+        F.min(F.col(lead).cast("double")).alias("_tp_lo"),
+        F.max(F.col(lead).cast("double")).alias("_tp_hi"),
+    )
+    span = F.col("_tp_hi") - F.col("_tp_lo")
+    # monotone non-decreasing in the leading key (IEEE subtract/divide/
+    # multiply by a positive constant preserve order); equal keys always
+    # share a bucket, so full-key ordering inside a bucket is globally
+    # consistent
+    bkt = F.when(span <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (F.col(lead).cast("double") - F.col("_tp_lo")) / span * buckets
+            ),
+            F.lit(buckets - 1),
+        )
+    )
+    binned = (
+        df.crossJoin(F.broadcast(env))
+        .withColumn("_tp_bkt", bkt)
+        .drop("_tp_lo", "_tp_hi")
+    )
+
+    # pass 1: per-bucket local prefix values (hash-partitioned window —
+    # the sort shards across buckets)
+    ordering: list[Column] = [F.col(c) for c in order_cols]
+    w_cum = (
+        Window.partitionBy("_tp_bkt")
+        .orderBy(*ordering)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = binned
+    for src, dst in sums.items():
+        out = out.withColumn(dst, F.sum(src).over(w_cum))
+    if rank_col is not None:
+        out = out.withColumn(
+            rank_col,
+            F.row_number().over(
+                Window.partitionBy("_tp_bkt").orderBy(*ordering)
+            ),
+        )
+
+    # pass 2: per-bucket totals (≤ `buckets` rows) → exclusive prefix
+    # offsets via a triangular self-join (≤ buckets² pairs, broadcast,
+    # no WindowExec anywhere)
+    tot_aggs = [
+        F.sum(src).alias(f"_tp_t_{dst}") for src, dst in sums.items()
+    ]
+    tot_aggs.append(F.count(F.lit(1)).alias("_tp_t_cnt"))
+    tot = binned.groupBy("_tp_bkt").agg(*tot_aggs)
+    off_aggs = [
+        F.coalesce(F.sum(F.col(f"b._tp_t_{dst}")), F.lit(0)).alias(
+            f"_tp_o_{dst}"
+        )
+        for dst in sums.values()
+    ]
+    off_aggs.append(
+        F.coalesce(F.sum(F.col("b._tp_t_cnt")), F.lit(0)).alias("_tp_o_cnt")
+    )
+    off = (
+        tot.alias("a")
+        .join(tot.alias("b"), F.col("b._tp_bkt") < F.col("a._tp_bkt"), "left")
+        .groupBy(F.col("a._tp_bkt").alias("_tp_bkt"))
+        .agg(*off_aggs)
+    )
+
+    out = out.join(F.broadcast(off), "_tp_bkt")
+    for dst in sums.values():
+        out = out.withColumn(dst, F.col(dst) + F.col(f"_tp_o_{dst}")).drop(
+            f"_tp_o_{dst}"
+        )
+    if rank_col is not None:
+        out = out.withColumn(
+            rank_col, (F.col(rank_col) + F.col("_tp_o_cnt")).cast("bigint")
+        )
+    if count_col is not None:
+        n = tot.agg(F.sum("_tp_t_cnt").cast("bigint").alias(count_col))
+        out = out.crossJoin(F.broadcast(n))
+    return out.drop("_tp_bkt", "_tp_o_cnt")

@@ -21,10 +21,13 @@ Cross-engine parity conventions (same as queries.py / queries_ext3.py):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from _data_engineering_pipeline_project_spark.catalog import table
+from _data_engineering_pipeline_project_spark.functions.twopass import (
+    bucketed_cumulative,
+)
 from _data_engineering_pipeline_project_spark.operators import expectations as E
 from _data_engineering_pipeline_project_spark.operators import skyline as SK
 from _data_engineering_pipeline_project_spark.operators import textstats as TS
@@ -837,9 +840,11 @@ def ks_two_sample_events(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("is1").cast("bigint").alias("c1"),
         F.sum(F.lit(1) - F.col("is1")).cast("bigint").alias("c2"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = byv.select(
-        F.sum("c1").over(w).alias("f1"), F.sum("c2").over(w).alias("f2")
+    # ECDF prefix counts via the bucketed two-pass — the grid is bounded
+    # by the quantized value range, but at cluster scale even the grid
+    # should not serialize into one WindowExec partition
+    cum = bucketed_cumulative(byv, ["v"], sums={"c1": "f1", "c2": "f2"}).select(
+        "f1", "f2"
     )
     d = cum.crossJoin(F.broadcast(n)).agg(
         F.max(F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))).alias(
@@ -924,9 +929,10 @@ def mann_whitney_events(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("t"),
         F.sum("is1").cast("bigint").alias("t1"),
     )
-    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    cum = byv.select(
-        "t", "t1", F.coalesce(F.sum("t").over(w_prev), F.lit(0)).alias("before")
+    # exclusive prefix = inclusive two-pass cumsum minus the row's own
+    # count — same no-global-WindowExec shape as the KS query
+    cum = bucketed_cumulative(byv, ["v"], sums={"t": "_ct"}).select(
+        "t", "t1", (F.col("_ct") - F.col("t")).alias("before")
     )
     r = cum.agg(
         F.sum(
@@ -986,14 +992,15 @@ def rfm_segmentation_events(spark: SparkSession, sf: str) -> DataFrame:
     """RFM (recency / frequency / monetary) customer segmentation over
     purchase events: quintile scores per axis, composed into the
     classic 3-digit segment code. Monetary sums per-row cent-rounded
-    bigints (exact under any accumulation order); every ntile ORDER BY
-    carries user_id so quintile boundaries are fully deterministic.
-    The registered form uses exact global ntiles (one sort per axis
-    over the per-user frame — already aggregated, one row per user);
-    the 100 TB variant swaps ntile for approx_percentile cutpoints
-    broadcast-joined back, trading exact quintile boundaries for a
-    sort-free plan — documented here because the contract (score in
-    1..5 per axis) is the same.
+    bigints (exact under any accumulation order); every quintile
+    ordering carries user_id so boundaries are fully deterministic.
+    Quintiles are EXACT ntile(5) semantics (first n%5 buckets take the
+    extra row) but computed scale-safe: the bucketed two-pass
+    (`functions/twopass.py`) assigns each row its global rank per axis
+    with per-bucket windows + stitched offsets — no single-partition
+    sort at user cardinality — and the ntile arithmetic
+    ``i ≤ r·(b+1) ? ⌈i/(b+1)⌉ : r + ⌈(i−r·(b+1))/b⌉`` maps rank →
+    quintile identically to the SQL ntile in the oracle.
     """
     ev = table(spark, sf, "events")
     mx = ev.agg(F.max(F.to_date("ts")).alias("d1"))
@@ -1013,17 +1020,62 @@ def rfm_segmentation_events(spark: SparkSession, sf: str) -> DataFrame:
             "mon_cents",
         )
     )
-    r_sc = F.lit(6) - F.ntile(5).over(Window.orderBy("recency_days", "user_id"))
-    f_sc = F.ntile(5).over(Window.orderBy("frequency", "user_id"))
-    m_sc = F.ntile(5).over(Window.orderBy("mon_cents", "user_id"))
-    sc = p.select(
+    # cache the per-user frame: each two-pass rank references its input
+    # ~3× (envelope, local pass, totals); caching keeps that a re-read
+    # of the tiny aggregated frame, not a re-scan of events. Keyed by
+    # canonical plan, so repeated query invocations share one entry;
+    # evicted with the session's clearCache/eviction hook.
+    p = p.cache()
+    # three slim rank frames joined back on user_id — NOT nested helper
+    # calls, which would recompute the upstream exponentially
+    r_frame = bucketed_cumulative(
+        p.select("user_id", "recency_days"),
+        ["recency_days", "user_id"],
+        rank_col="_ri",
+        count_col="_n",
+    ).select("user_id", "_ri", "_n")
+    f_frame = bucketed_cumulative(
+        p.select("user_id", "frequency"),
+        ["frequency", "user_id"],
+        rank_col="_fi",
+    ).select("user_id", "_fi")
+    m_frame = bucketed_cumulative(
+        p.select("user_id", "mon_cents"),
+        ["mon_cents", "user_id"],
+        rank_col="_mi",
+    ).select("user_id", "_mi")
+    ranked = (
+        p.join(r_frame, "user_id")
+        .join(f_frame, "user_id")
+        .join(m_frame, "user_id")
+    )
+
+    def ntile5(i: Column) -> Column:
+        # exact ntile(5): base-size b = n div 5, first r = n mod 5
+        # buckets get b+1 rows; ceil-div in doubles is exact to 2^53
+        n = F.col("_n")
+        b = F.floor(n / 5)
+        r = n % 5
+        cut = r * (b + 1)
+        return (
+            F.when(i <= cut, F.ceil(i.cast("double") / (b + 1)))
+            .otherwise(
+                r
+                + F.ceil(
+                    (i - cut).cast("double") / F.greatest(b, F.lit(1))
+                )
+            )
+            .cast("int")
+        )
+
+    sc = ranked.select(
         "user_id",
         "recency_days",
         "frequency",
         "mon_cents",
-        r_sc.alias("r_score"),
-        f_sc.alias("f_score"),
-        m_sc.alias("m_score"),
+        (F.lit(6) - ntile5(F.col("_ri"))).alias("r_score"),
+        ntile5(F.col("_fi")).alias("f_score"),
+        ntile5(F.col("_mi")).alias("m_score"),
     )
     return sc.select(
         "user_id",

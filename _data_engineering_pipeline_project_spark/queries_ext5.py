@@ -31,6 +31,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from _data_engineering_pipeline_project_spark.catalog import table
+from _data_engineering_pipeline_project_spark.functions.twopass import (
+    bucketed_cumulative,
+)
 from _data_engineering_pipeline_project_spark.operators import curation as C
 from _data_engineering_pipeline_project_spark.operators import textstats as TS
 from _data_engineering_pipeline_project_spark.queries import query
@@ -3448,9 +3451,11 @@ def pareto_8020_customers(spark: SparkSession, sf: str) -> DataFrame:
     division, so the boundary customer cannot flip between engines (a
     ``cum/total ≥ 0.8`` double compare can, exactly at the boundary).
     Cumulative revenue is a prefix sum over customers ranked by
-    (revenue desc, key) — customer-dimension cardinality, the same
-    deliberate global-window envelope as Gini/RFM, with the bucketed
-    two-pass as the beyond-dimension form."""
+    (revenue desc, key), computed with the bucketed two-pass
+    (`functions/twopass.py`): rows bin by a monotone bucket on the
+    negated revenue, the cumsum+rank windows run per-bucket, and
+    cross-bucket offsets stitch from ≤32 per-bucket totals — no
+    single-partition WindowExec at customer cardinality."""
     li = table(spark, sf, "lineitem")
     o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
     rev = (
@@ -3465,14 +3470,14 @@ def pareto_8020_customers(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     tot = rev.agg(F.sum("r").alias("t"), F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy(F.col("r").desc(), F.col("o_custkey"))
-    ranked = rev.select(
-        "r",
-        F.row_number().over(w).alias("rk"),
-        F.sum("r").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
-            "cum"
-        ),
-    )
+    # descending revenue order via the exact decimal negation (the
+    # two-pass helper bins on an ascending leading key)
+    ranked = bucketed_cumulative(
+        rev.withColumn("_negr", -F.col("r")),
+        ["_negr", "o_custkey"],
+        sums={"r": "cum"},
+        rank_col="rk",
+    ).select("r", "rk", "cum")
     hit = ranked.crossJoin(F.broadcast(tot)).filter(
         F.col("cum") * 10 >= F.col("t") * 8
     )
