@@ -322,6 +322,7 @@ def clear_query_caches() -> None:
         except Exception:
             pass
     _MINHASH_PAIRS_CACHE.clear()
+    _CC_LABELS_CACHE.clear()  # checkpointed RDDs free on GC of the frames
     _BPE_MERGES_CACHE.clear()
 
 
@@ -333,6 +334,23 @@ def _minhash_pairs_shared(spark: SparkSession, sf: str) -> DataFrame:
             table(spark, sf, "documents"), threshold=0.3
         ).cache()
         _MINHASH_PAIRS_CACHE[key] = got
+    return got
+
+
+# connected-component labels over the shared pair graph, memoized beside
+# the pair stage (VERDICT r3 'Next' #4) — consumed by both
+# dedup_clusters_documents and dedup_cluster_representatives. The frame
+# connected_components returns is localCheckpoint-ed, so the memo hands
+# back an already-materialized RDD rather than re-running the iteration.
+_CC_LABELS_CACHE: dict = {}
+
+
+def _cc_labels_shared(spark: SparkSession, sf: str) -> DataFrame:
+    key = _session_key(spark, sf)
+    got = _CC_LABELS_CACHE.get(key)
+    if got is None:
+        got = D.connected_components(_minhash_pairs_shared(spark, sf))
+        _CC_LABELS_CACHE[key] = got
     return got
 
 
@@ -385,9 +403,11 @@ _MINHASH_PAIRS_CTES = f"""
 def dedup_clusters_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup CLUSTERS: transitive closure over the MinHash pair graph —
     iterative min-label propagation on Spark, a recursive CTE in the
-    oracle. Docs a~b, b~c share one cluster even if a,c never paired."""
-    pairs = D.minhash_near_dup_pairs(table(spark, sf, "documents"), threshold=0.3)
-    return D.connected_components(pairs)
+    oracle. Docs a~b, b~c share one cluster even if a,c never paired.
+    Labels come from the per-session memo (shared with
+    dedup_cluster_representatives), so a run executing both pays for
+    the pair stage + iteration once."""
+    return _cc_labels_shared(spark, sf)
 
 
 @query(

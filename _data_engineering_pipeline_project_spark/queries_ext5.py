@@ -615,6 +615,13 @@ def fellegi_sunter_linkage_parts(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(F.col("p_retailprice"))
         .alias("price_b"),
     )
+    # fan the probe side out to full parallelism BEFORE the block joins:
+    # the dimension scan is one parquet split, and a broadcast join
+    # inherits the probe side's partitioning — without this the ~1M-pair
+    # block expansion (wide blocks: low-cardinality brand/type/name
+    # vocabulary in the synthetic feed) serializes onto one core. One
+    # shuffle of the 10k-row feed buys 32-way candidate generation.
+    a = a.repartition(spark.sparkContext.defaultParallelism)
     c1 = a.join(
         b,
         (
@@ -628,19 +635,30 @@ def fellegi_sunter_linkage_parts(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("brand_a") == F.col("brand_b"))
         & (F.col("type_a") == F.col("type_b")),
     )
-    cand = c1.unionByName(c2).distinct()
-    lab = cand.select(
-        "key_a",
-        "key_b",
-        (F.levenshtein("name_a", "name_b", 3) .between(0, 3)).alias("g_name"),
-        (F.col("brand_a") == F.col("brand_b")).alias("g_brand"),
-        (F.col("type_a") == F.col("type_b")).alias("g_type"),
-        (F.abs(F.col("size_a") - F.col("size_b")) <= 1).alias("g_size"),
-        (F.abs(F.col("price_a") - F.col("price_b")) <= F.lit(0.1)).alias(
-            "g_price"
-        ),
-        (F.col("key_a") == F.col("true_key")).alias("is_match"),
-    ).cache()  # candidates feed BOTH the m/u aggregate and the scoring pass
+    def _agree(cand: DataFrame) -> DataFrame:
+        # agreement vector computed map-side INSIDE each blocking pass —
+        # the cross-block dedup then shuffles only (key_a, key_b, 6
+        # booleans) instead of the full 12-column attribute row (the
+        # flags are deterministic functions of the pair, so distinct
+        # over keys+flags ≡ distinct over the wide candidate row)
+        return cand.select(
+            "key_a",
+            "key_b",
+            (F.levenshtein("name_a", "name_b", 3).between(0, 3)).alias(
+                "g_name"
+            ),
+            (F.col("brand_a") == F.col("brand_b")).alias("g_brand"),
+            (F.col("type_a") == F.col("type_b")).alias("g_type"),
+            (F.abs(F.col("size_a") - F.col("size_b")) <= 1).alias("g_size"),
+            (F.abs(F.col("price_a") - F.col("price_b")) <= F.lit(0.1)).alias(
+                "g_price"
+            ),
+            (F.col("key_a") == F.col("true_key")).alias("is_match"),
+        )
+
+    lab = (
+        _agree(c1).unionByName(_agree(c2)).distinct().cache()
+    )  # candidates feed BOTH the m/u aggregate and the scoring pass
     fields = ("name", "brand", "type", "size", "price")
     aggs = [
         F.sum(F.when(F.col("is_match"), 1).otherwise(0)).alias("nm"),
@@ -1244,16 +1262,15 @@ def dedup_cluster_representatives(spark: SparkSession, sf: str) -> DataFrame:
     relation is duplicate-docs-sized, typically a small fraction of the
     corpus → broadcast), and the keep decision is a per-cluster window
     whose width is the cluster size."""
-    from _data_engineering_pipeline_project_spark.operators import dedup as D
     from _data_engineering_pipeline_project_spark.queries_ext import (
-        _minhash_pairs_shared,
+        _cc_labels_shared,
     )
 
     docs = table(spark, sf, "documents")
-    # memoized shared MinHash stage — a run executing several dedup
-    # queries pays for signatures + banding + verify once
-    pairs = _minhash_pairs_shared(spark, sf)
-    cc = D.connected_components(pairs)
+    # memoized shared MinHash stage AND its connected-component labels —
+    # a run executing several dedup queries pays for signatures +
+    # banding + verify + the label iteration once
+    cc = _cc_labels_shared(spark, sf)
     lab = docs.select("doc_id", "n_chars").join(
         cc.withColumnRenamed("id", "doc_id"), "doc_id", "left"
     ).select(

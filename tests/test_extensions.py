@@ -533,8 +533,12 @@ def test_lsh_dup_pairs_verifies_each_candidate_once(spark):
 def test_connected_components_long_path_converges(spark):
     """Diameter ≫ max_iters/2: plain min-label propagation moves one hop
     per round and would NOT converge in 20 iterations on a 64-node path;
-    pointer jumping must. Also pins the lineage bound: localCheckpoint
-    every 3 rounds keeps the final plan from compounding 2 joins/round."""
+    pointer jumping must. Also pins the lineage bound: labels are
+    localCheckpoint-ed EVERY round (caching alone leaves the logical
+    plan doubling per round through the pointer-jump self-join — r4
+    profiling showed plan rendering alone OOM-ing after 3 un-truncated
+    rounds), so the returned frame must be a bare materialized-RDD scan
+    with zero joins in its lineage."""
     n = 64
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
@@ -542,15 +546,10 @@ def test_connected_components_long_path_converges(spark):
     labels = D.connected_components(pairs, max_iters=20)
     got = {r["id"]: r["cluster"] for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}  # one component, min id 0
-    # bounded plan depth: a 20-round un-checkpointed loop compounds ~40
-    # joins into the final plan; with localCheckpoint every 3 rounds the
-    # lineage bottoms out at a materialized RDD scan within <=3 rounds
     plan = labels._jdf.queryExecution().optimizedPlan().toString()
-    assert "ExistingRDD" in plan  # checkpoint truncation happened
-    # <=3 un-checkpointed rounds × 3 joins each (duplicated inside cached
-    # plan printouts) stays ~20; an unbounded 20-round lineage exceeds 100
+    assert "LogicalRDD" in plan  # checkpoint truncation happened
     n_joins = plan.count("Join")
-    assert n_joins <= 40, f"lineage not truncated: {n_joins} joins in final plan"
+    assert n_joins == 0, f"lineage not truncated: {n_joins} joins in final plan"
 
 
 def test_connected_components_forest_and_reuse(spark):
