@@ -492,6 +492,45 @@ def run_chained_window_rollup(
     q.awaitTermination()
 
 
+def emit_watermark_heartbeat(
+    spark: SparkSession,
+    heartbeat_dir: str,
+    ts,
+    schema,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    sentinel_key=-(2**31),
+) -> None:
+    """Append one heartbeat row (``ts_col`` = ts, ``key_col`` = a
+    sentinel outside the real key domain, all else NULL) to a heartbeat
+    directory consumed by an idle-timeout-wrapped stream.
+
+    The operational half of idle-timeout watermarking: Spark's global
+    watermark is the MIN across a stateful operator's inputs, so a
+    stalled sparse side freezes outer-null emission for the whole join
+    (docs/SCALE.md). A scheduler (cron / foreachBatch maintainer) calls
+    this every idle-timeout period with ``wall_clock − max_allowed_skew``
+    while the source is idle. Mirrors Flink's ``withIdleness``
+    semantics composed from Spark primitives.
+
+    Why a SENTINEL key and not NULL: the equi-join compiles an
+    ``IsNotNull(key)`` pruning filter that Catalyst pushes below the
+    EventTimeWatermark node all the way into the heartbeat parquet scan
+    — a NULL-keyed heartbeat file is skipped entirely (its row-group
+    stats say all-null) and never advances the watermark (measured, r4).
+    A non-null key outside the live domain survives the pushdown,
+    reaches the watermark node, matches nothing, and is dropped by the
+    left-outer semantics."""
+    empty = spark.createDataFrame([], schema)
+    row = tuple(
+        ts if f.name == ts_col else (sentinel_key if f.name == key_col else None)
+        for f in empty.schema.fields
+    )
+    spark.createDataFrame([row], empty.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(heartbeat_dir)
+
+
 def run_stream_stream_left_join(
     spark: SparkSession,
     left_dir: str,
@@ -502,6 +541,7 @@ def run_stream_stream_left_join(
     within: str = "30 minutes",
     watermark: str = "1 hour",
     query_name: str = "ss_left_join",
+    idle_heartbeat_dir: str | None = None,
 ) -> DataFrame:
     """Stream-stream LEFT OUTER join with event-time bounds: matched
     pairs emit like the inner join, and an UNMATCHED left row emits with
@@ -512,7 +552,20 @@ def run_stream_stream_left_join(
     on both sides: without the eviction bound the state store could
     never declare a left row unmatched. A bounded drain therefore keeps
     trailing left rows (whose window is still open) in state, exactly as
-    production would."""
+    production would.
+
+    ``idle_heartbeat_dir``: idle-timeout watermarking for a SPARSE right
+    side. The global watermark is the min across inputs, so a right
+    stream with no traffic freezes left-null emission indefinitely
+    (docs/SCALE.md). When set, the right side is unioned with a
+    heartbeat file stream (see ``emit_watermark_heartbeat``) BEFORE the
+    single ``withWatermark`` — one watermark node sees the max event
+    time across real rows and heartbeats, so the join keeps expiring
+    left state while the real side is idle. Heartbeat rows carry a
+    sentinel key outside the live domain (see
+    ``emit_watermark_heartbeat`` for why NULL does not work) and
+    unmatched right rows are dropped by the left-outer semantics, so
+    the output is unaffected."""
     # one file per micro-batch: outer-null emission happens during a
     # LATER batch's state cleanup (after the watermark advanced), so a
     # single-batch drain would never declare any left row unmatched
@@ -533,13 +586,29 @@ def run_stream_stream_left_join(
         .schema(schema)
         .option("maxFilesPerTrigger", 1)
         .load(right_dir)
-        .withWatermark(ts_col, watermark)
         .select(
             F.col(key).alias(f"r_{key}"),
             F.col(ts_col).alias("r_ts"),
             F.col("event_id").alias("r_event_id"),
         )
     )
+    if idle_heartbeat_dir is not None:
+        hb = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(idle_heartbeat_dir)
+            .select(
+                F.col(key).alias(f"r_{key}"),
+                F.col(ts_col).alias("r_ts"),
+                F.col("event_id").alias("r_event_id"),
+            )
+        )
+        # union BEFORE the watermark: two separately-watermarked inputs
+        # would re-introduce the min-across-inputs freeze this exists
+        # to break
+        right = right.unionByName(hb)
+    right = right.withWatermark("r_ts", watermark)
     joined = left.join(
         right,
         (F.col(key) == F.col(f"r_{key}"))

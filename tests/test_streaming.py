@@ -597,3 +597,64 @@ def test_stream_stream_left_join_emits_null_for_expired_unmatched(spark, tmp_pat
     assert got.get(1) == 10          # matched pair
     assert 2 in got and got[2] is None   # expired unmatched → null emit
     assert 3 not in got and 4 not in got   # windows still open → withheld
+
+
+def test_stream_stream_left_join_idle_heartbeat_unfreezes_stalled_side(
+    spark, tmp_path
+):
+    """Idle-timeout watermarking (docs/SCALE.md operational risk): the
+    right stream STALLS after one early file, so the global-MIN
+    watermark freezes and no left row can ever expire — unless the
+    heartbeat wrapper advances the stalled side. With heartbeats the
+    expired unmatched left emits right-side nulls; the control run
+    without heartbeats emits nothing."""
+    from datetime import datetime, timedelta
+
+    from _data_engineering_pipeline_project_spark.streaming.microbatch import (
+        emit_watermark_heartbeat,
+        run_stream_stream_left_join,
+    )
+
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    schema = "event_id int, ts timestamp, user_id int"
+    ldir, rdir, hdir = tmp_path / "l", tmp_path / "r", tmp_path / "hb"
+    batches = [
+        [(1, base, 1), (2, base + timedelta(minutes=5), 2)],
+        [(3, base + timedelta(hours=6), 3)],   # left watermark advances
+        [(4, base + timedelta(hours=7), 4)],   # cleanup batch
+    ]
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(ldir))
+    # right: ONE early match, then silence — the stalled sparse side
+    spark.createDataFrame(
+        [(10, base + timedelta(minutes=10), 1)], schema
+    ).coalesce(1).write.mode("append").parquet(str(rdir))
+
+    # control: stalled right side freezes the watermark — nothing from
+    # the unmatched left no matter how far the left side advances
+    out = run_stream_stream_left_join(
+        spark, str(ldir), str(rdir), schema,
+        query_name="ss_lj_stalled",
+    ).collect()
+    assert {r["l_event_id"] for r in out} == {1}  # only the match
+
+    # idle-timeout run: the maintainer emitted heartbeats while the
+    # right source was idle (wall clock − allowed skew), sentinel-keyed
+    # (outside the live key domain) so they can never join
+    for hb_ts in (base + timedelta(hours=6), base + timedelta(hours=7)):
+        emit_watermark_heartbeat(spark, str(hdir), hb_ts, schema)
+    out = run_stream_stream_left_join(
+        spark, str(ldir), str(rdir), schema,
+        query_name="ss_lj_heartbeat",
+        idle_heartbeat_dir=str(hdir),
+    ).collect()
+    got = {r["l_event_id"]: r["r_event_id"] for r in out}
+    assert got.get(1) == 10              # match unaffected by heartbeats
+    assert 2 in got and got[2] is None   # stalled side no longer blocks expiry
+    assert 3 not in got and 4 not in got  # still-open windows withheld
+    assert None not in got               # heartbeat rows never surface
+    assert all(
+        r["user_id"] != -(2**31) for r in out
+    )  # sentinel never leaks into output
