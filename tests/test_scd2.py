@@ -167,6 +167,80 @@ def test_vacuum_versions_keeps_time_travel_window(spark, tmp_path):
     assert t2.history().count() == hist + 1
 
 
+def test_vacuum_merge_interleaved_depth_property(spark, tmp_path):
+    """Depth property (VERDICT r3 'Next' #9): 20 versions with vacuums
+    interleaved at several depths against a never-vacuumed twin
+    receiving identical merges. Invariants at every checkpoint:
+
+    - audit CONTENT is invariant under compaction (vacuumed history ==
+      twin history, row for row);
+    - the pointer is always readable: a FRESH handle opened mid-sequence
+      sees the same version and identical history;
+    - crash orphans (uncommitted snapshot + delta dirs for version n+1,
+      injected twice mid-sequence) never surface and are clobbered by
+      the retried merge;
+    - time travel works across the whole keep window and raises beyond
+      it."""
+    from _data_engineering_pipeline_project_spark.operators.scd2 import (
+        vacuum_versions,
+    )
+
+    d = str(tmp_path / "vac")
+    t = Scd2Table(spark, d, ["id"])
+    twin = Scd2Table(spark, str(tmp_path / "twin"), ["id"])
+    vacuum_at = {5, 8, 12, 16, 19}
+    crash_at = {7, 14}
+
+    def hist_rows(table):
+        return sorted(tuple(r) for r in table.history().collect())
+
+    for step in range(1, 21):
+        ts = datetime(2024, 1, step)
+        # deterministic churn: id1 changes every step; id2 tombstoned on
+        # every 4th batch and resurrected after; id3 stable forever
+        rows = [(1, f"v{step}", float(step))]
+        if step % 4 != 0:
+            rows.append((2, "two", 2.0))
+        rows.append((3, "three", 3.0))
+        batch = spark.createDataFrame(rows, SCHEMA)
+        t.merge(batch, ts)
+        twin.merge(spark.createDataFrame(rows, SCHEMA), ts)
+
+        if step in crash_at:
+            # crashed writer: next version's artifacts on disk, no commit
+            nxt = t.version + 1
+            batch.write.mode("overwrite").parquet(f"{t.snapshot_dir}_v{nxt}")
+            batch.write.mode("overwrite").parquet(
+                f"{t.history_delta_dir}_v{nxt}"
+            )
+            reader = Scd2Table(spark, d, ["id"])
+            assert reader.version == t.version  # orphan invisible
+            assert hist_rows(reader) == hist_rows(twin)
+
+        if step in vacuum_at:
+            vacuum_versions(t, keep_last=2)
+            # compaction merged rows, never dropped or invented any
+            assert hist_rows(t) == hist_rows(twin)
+            # time travel: whole keep window readable, beyond it raises
+            assert snap(t.snapshot_as_of(t.version)) == snap(
+                twin.snapshot_as_of(t.version)
+            )
+            assert t.snapshot_as_of(t.version - 1).count() > 0
+            with pytest.raises(Exception):
+                t.snapshot_as_of(t.version - 2).count()
+            # pointer readable by a fresh handle right after compaction
+            reopened = Scd2Table(spark, d, ["id"])
+            assert reopened.version == t.version
+            assert hist_rows(reopened) == hist_rows(twin)
+
+    assert t.version == 20
+    assert snap(t.current()) == snap(twin.current())
+    assert hist_rows(t) == hist_rows(twin)
+    # final fresh-handle audit after the full merge/vacuum/crash weave
+    final = Scd2Table(spark, d, ["id"])
+    assert hist_rows(final) == hist_rows(twin)
+
+
 def test_restart_recovers_committed_version(spark, tmp_path):
     """A fresh Scd2Table over an existing base_dir resumes from the
     _CURRENT pointer — batch 3 merges as an incremental update, never as
