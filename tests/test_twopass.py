@@ -1,0 +1,124 @@
+"""Unit + property tests for the bucketed two-pass prefix primitive
+(`functions/twopass.py`) — the scale-safe replacement for unpartitioned
+cumulative windows now load-bearing under pareto_8020_customers,
+rfm_segmentation_events, ks_two_sample_events and mann_whitney_events.
+
+The oracle inside each test is the very global-window plan the helper
+replaces, so equality here IS the semantic contract: same ranks, same
+prefix sums, for any bucket count, under ties, skew, negatives,
+doubles, and frames smaller than the bucket fan-out."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from _data_engineering_pipeline_project_spark.functions.twopass import (
+    bucketed_cumulative,
+)
+
+
+def _reference(spark, rows):
+    """Global-window oracle: rank + inclusive cumsum over (k, id)."""
+    df = spark.createDataFrame(rows, "id int, k int, x int")
+    w = Window.orderBy("k", "id")
+    ref = df.select(
+        "id",
+        F.row_number().over(w).alias("rk"),
+        F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cx"
+        ),
+    )
+    return {r["id"]: (r["rk"], r["cx"]) for r in ref.collect()}
+
+
+def _twopass(spark, rows, buckets):
+    df = spark.createDataFrame(rows, "id int, k int, x int")
+    out = bucketed_cumulative(
+        df, ["k", "id"], sums={"x": "cx"}, rank_col="rk", buckets=buckets
+    )
+    return {r["id"]: (r["rk"], r["cx"]) for r in out.collect()}
+
+
+def test_matches_global_window_with_ties_and_negatives(spark):
+    rows = [
+        (1, 5, 10),
+        (2, 5, -3),   # tie on leading key → same bucket, id breaks tie
+        (3, -7, 4),   # negative leading key
+        (4, 0, 0),
+        (5, 12, 7),
+        (6, 5, 1),    # triple tie
+    ]
+    for buckets in (1, 2, 4, 64):
+        assert _twopass(spark, rows, buckets) == _reference(spark, rows)
+
+
+def test_single_row_and_constant_key(spark):
+    assert _twopass(spark, [(1, 3, 9)], 8) == _reference(spark, [(1, 3, 9)])
+    # span == 0: every row lands in bucket 0 (degrades to the single
+    # sort it replaces — never worse, never wrong)
+    rows = [(i, 42, i) for i in range(1, 8)]
+    assert _twopass(spark, rows, 16) == _reference(spark, rows)
+
+
+def test_skewed_leading_key(spark):
+    # one hot value + a spread tail: hot bucket is wide but ordering and
+    # offsets stay exact
+    rows = [(i, 1, 1) for i in range(1, 20)] + [
+        (100, 1000, 5),
+        (101, 2000, 5),
+    ]
+    assert _twopass(spark, rows, 4) == _reference(spark, rows)
+
+
+def test_count_col_and_double_keys(spark):
+    df = spark.createDataFrame(
+        [(1, 0.5, 2), (2, 0.25, 3), (3, 1.75, 4)], "id int, k double, x int"
+    )
+    out = bucketed_cumulative(
+        df, ["k", "id"], sums={"x": "cx"}, rank_col="rk", count_col="n",
+        buckets=8,
+    )
+    got = {r["id"]: (r["rk"], r["cx"], r["n"]) for r in out.collect()}
+    assert got == {2: (1, 3, 3), 1: (2, 5, 3), 3: (3, 9, 3)}
+
+
+def test_no_unpartitioned_window_in_plan(spark):
+    """The helper's entire point: no single-partition WindowExec. Every
+    window in the physical plan must carry a partition spec."""
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), F.lit(1).alias("x")
+    )
+    out = bucketed_cumulative(
+        df, ["k", "id"], sums={"x": "cx"}, rank_col="rk", buckets=8
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            # a partitioned window spec lists partition expressions
+            # before the ORDER BY clause inside windowspecdefinition
+            assert "_tp_bkt" in line, f"unpartitioned window: {line}"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),  # leading key (ties!)
+            st.integers(min_value=-5, max_value=5),    # summed value
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    buckets=st.sampled_from([1, 3, 8, 32]),
+)
+def test_property_equals_global_window(spark, rows, buckets):
+    data = [(i, k, x) for i, (k, x) in enumerate(rows)]
+    assert _twopass(spark, data, buckets) == _reference(spark, data)
