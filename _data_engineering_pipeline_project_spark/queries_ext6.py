@@ -1,0 +1,210 @@
+"""Round-4 extension wave: EXACT distributed order statistics.
+
+The reference's pandas layer gets medians/quantiles "for free" from an
+in-memory sort (`project/data_quality_checker.py` computes describe()-
+style stats on a single node). At 100 TB an exact order statistic is a
+rank-selection problem: every query here assigns global ranks with the
+bucketed two-pass primitive (`functions/twopass.py` — per-bucket windows
++ stitched offsets, no single-partition sort) and then SELECTS the rows
+whose rank the statistic names. Approximate forms (percentile_approx)
+already exist elsewhere in the registry; this wave is the exact path,
+engine-portable by integer fixed-point arithmetic so the DuckDB oracles
+hash-match bit for bit.
+
+All ranks use the nearest-rank / lower-upper-median definitions written
+out explicitly in BOTH engines — never an engine's built-in median()
+whose interpolation rules could differ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from _data_engineering_pipeline_project_spark.catalog import table
+from _data_engineering_pipeline_project_spark.functions.twopass import (
+    bucketed_cumulative,
+)
+from _data_engineering_pipeline_project_spark.queries import query
+
+# --------------------------------------------------------------------------
+# Exact median without a global sort
+# --------------------------------------------------------------------------
+_MEDIAN_SQL = """
+    WITH c AS (SELECT o_orderkey,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+    rk AS (SELECT cents,
+                  row_number() OVER (ORDER BY cents, o_orderkey) AS r
+           FROM c),
+    sel AS (SELECT rk.cents FROM rk, n
+            WHERE rk.r = (n.n + 1) // 2 OR rk.r = n.n // 2 + 1)
+    SELECT max(n.n) AS n_orders,
+           round(sum(sel.cents) / (count(*) * 100.0), 2) AS median_price
+    FROM sel, n
+"""
+
+
+@query("exact_median_order_value", _MEDIAN_SQL)
+def exact_median_order_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact median order value by rank selection: cents-quantized
+    prices get global ranks from the bucketed two-pass (leading key =
+    cents, tie-break o_orderkey), then the lower-median rank ⌊(n+1)/2⌋
+    and upper-median rank ⌊n/2⌋+1 are filtered out and averaged (equal
+    when n is odd — the average of a row with itself). No engine
+    median() builtin on either side: the interpolation rule is THIS
+    arithmetic, identical in both. The selection filter runs map-side
+    over the ranked frame — the only ordered structure is per-bucket."""
+    o = table(spark, sf, "orders")
+    c = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    ranked = bucketed_cumulative(
+        c, ["cents", "o_orderkey"], rank_col="r", count_col="n"
+    )
+    sel = ranked.filter(
+        (F.col("r") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("r") == F.floor(F.col("n") / 2) + 1)
+    )
+    return sel.agg(
+        F.max("n").alias("n_orders"),
+        F.round(
+            F.sum("cents") / (F.count(F.lit(1)) * 100.0), 2
+        ).alias("median_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact nearest-rank percentiles of event values
+# --------------------------------------------------------------------------
+_PCTL_SQL = """
+    WITH q AS (SELECT event_id,
+                      CAST(round(value * 10000) AS BIGINT) AS v
+               FROM events WHERE value IS NOT NULL),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+    rk AS (SELECT v, row_number() OVER (ORDER BY v, event_id) AS r FROM q)
+    SELECT max(n.n) AS n_values,
+           round(max(CASE WHEN rk.r = greatest((25 * n.n + 99) // 100, 1)
+                          THEN rk.v END) / 10000.0, 4) AS p25,
+           round(max(CASE WHEN rk.r = greatest((50 * n.n + 99) // 100, 1)
+                          THEN rk.v END) / 10000.0, 4) AS p50,
+           round(max(CASE WHEN rk.r = greatest((75 * n.n + 99) // 100, 1)
+                          THEN rk.v END) / 10000.0, 4) AS p75,
+           round(max(CASE WHEN rk.r = greatest((90 * n.n + 99) // 100, 1)
+                          THEN rk.v END) / 10000.0, 4) AS p90
+    FROM rk, n
+    WHERE rk.r IN (greatest((25 * n.n + 99) // 100, 1),
+                   greatest((50 * n.n + 99) // 100, 1),
+                   greatest((75 * n.n + 99) // 100, 1),
+                   greatest((90 * n.n + 99) // 100, 1))
+"""
+
+
+@query("exact_percentiles_events_value", _PCTL_SQL)
+def exact_percentiles_events_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact nearest-rank percentiles (p25/p50/p75/p90) of the event
+    value distribution: rank r_p = max(⌈p·n⌉, 1) via integer ceil-div
+    (p·n + 99) // 100 — the classic nearest-rank definition, spelled
+    out identically in both engines. Values are 1e-4 fixed-point
+    bigints so rank ties and the final division are exact. One
+    two-pass ranking, one filter on four rank constants, one pivoting
+    aggregate — the percentile read is O(1) rows after the ranked
+    scan."""
+    ev = table(spark, sf, "events")
+    q = ev.filter(F.col("value").isNotNull()).select(
+        "event_id",
+        F.round(F.col("value") * 10000).cast("bigint").alias("v"),
+    )
+    ranked = bucketed_cumulative(
+        q, ["v", "event_id"], rank_col="r", count_col="n"
+    )
+
+    def rk(p: int):
+        return F.greatest(
+            F.floor((p * F.col("n") + 99) / 100).cast("bigint"), F.lit(1)
+        )
+
+    sel = ranked.filter(
+        (F.col("r") == rk(25))
+        | (F.col("r") == rk(50))
+        | (F.col("r") == rk(75))
+        | (F.col("r") == rk(90))
+    )
+    aggs = [F.max("n").alias("n_values")]
+    for p in (25, 50, 75, 90):
+        aggs.append(
+            F.round(
+                F.max(F.when(F.col("r") == rk(p), F.col("v"))) / 10000.0, 4
+            ).alias(f"p{p}")
+        )
+    return sel.agg(*aggs)
+
+
+# --------------------------------------------------------------------------
+# Lorenz curve deciles of customer revenue
+# --------------------------------------------------------------------------
+_LORENZ_SQL = """
+    WITH rev AS (
+      SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(cents) AS total FROM rev),
+    rk AS (SELECT cents,
+                  row_number() OVER (ORDER BY cents, o_custkey) AS r,
+                  sum(cents) OVER (ORDER BY cents, o_custkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM rev),
+    dec AS (SELECT CAST((rk.r - 1) * 10 // n.n + 1 AS INTEGER) AS decile,
+                   rk.cents, rk.cum, n.total
+            FROM rk, n)
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(cents) * 1.0 / max(total), 6) AS revenue_share,
+           round(max(cum) * 1.0 / max(total), 6) AS cum_revenue_share
+    FROM dec GROUP BY 1
+"""
+
+
+@query("lorenz_deciles_customers", _LORENZ_SQL)
+def lorenz_deciles_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Lorenz curve in deciles — the plotting companion of the Gini
+    family (`gini_revenue_by_segment`) and the corpus-concentration
+    view a data-mixing dashboard draws: customers ranked ascending by
+    revenue, decile d's revenue share and the cumulative share at the
+    decile boundary. Rank AND prefix sum come from ONE bucketed
+    two-pass call (rank + cumsum share the per-bucket window); the
+    decile id is pure integer arithmetic (r−1)·10 div n + 1, so both
+    engines bin identically even at decile-boundary ties. Output is 10
+    rows; the final groupBy is decile-sized."""
+    o = table(spark, sf, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    ranked = bucketed_cumulative(
+        rev,
+        ["cents", "o_custkey"],
+        sums={"cents": "cum"},
+        rank_col="r",
+        count_col="n",
+    )
+    tot = rev.agg(F.sum("cents").alias("total"))
+    dec = ranked.withColumn(
+        "decile",
+        (((F.col("r") - 1) * 10 / F.col("n")).cast("bigint") + 1).cast("int"),
+    )
+    return (
+        dec.crossJoin(F.broadcast(tot))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(F.sum("cents") / F.max("total"), 6).alias("revenue_share"),
+            F.round(F.max("cum") / F.max("total"), 6).alias(
+                "cum_revenue_share"
+            ),
+        )
+    )

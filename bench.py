@@ -145,6 +145,9 @@ EXTENSION_QUERIES = [
     "embedding_topk_filtered",
     "table_fingerprint_orders",
     "corpus_curation_v2_pipeline",
+    "exact_median_order_value",
+    "exact_percentiles_events_value",
+    "lorenz_deciles_customers",
 ]
 
 BENCH_QUERIES = [
@@ -201,6 +204,7 @@ def main() -> None:
     from _data_engineering_pipeline_project_spark import queries_ext3  # noqa: F401
     from _data_engineering_pipeline_project_spark import queries_ext4  # noqa: F401
     from _data_engineering_pipeline_project_spark import queries_ext5  # noqa: F401
+    from _data_engineering_pipeline_project_spark import queries_ext6  # noqa: F401
     from _data_engineering_pipeline_project_spark import queries_ops  # noqa: F401
     from _data_engineering_pipeline_project_spark.session import get_spark
 
