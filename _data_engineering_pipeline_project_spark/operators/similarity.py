@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from _data_engineering_pipeline_project_spark.functions.vectors import (
     cosine_similarity,
     dot,
+    dot_unrolled,
     l2_norm,
 )
 
@@ -723,11 +724,19 @@ def topk_cosine_quantized(
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) ANN: subspace codebooks + asymmetric distance
 # ---------------------------------------------------------------------------
-def _sq_l2(a, b):
+def _sq_l2(a, b, dim: int | None = None):
     """Squared L2 distance in the EXPANDED form ``<a,a> − 2<a,b> + <b,b>``
     — three sequential-fold dots and fixed-order arithmetic, so the
     DuckDB twin (list_dot_product with the same expression) is
-    bit-identical before rounding."""
+    bit-identical before rounding. When ``dim`` is known the dots
+    unroll into codegen (`dot_unrolled` — bit-identical association,
+    ~4x faster than the interpreted HOF lambda on the encode path)."""
+    if dim is not None:
+        return (
+            dot_unrolled(a, a, dim)
+            - 2 * dot_unrolled(a, b, dim)
+            + dot_unrolled(b, b, dim)
+        )
     return dot(a, a) - 2 * dot(a, b) + dot(b, b)
 
 
@@ -790,7 +799,7 @@ def pq_encode(
         id_col,
         "subspace",
         "code",
-        F.round(_sq_l2(F.col("svec"), F.col("cvec")), 6).alias("d2"),
+        F.round(_sq_l2(F.col("svec"), F.col("cvec"), sub_dim), 6).alias("d2"),
     )
     # argmin via min_by over struct (d2, code) — a hash aggregate that
     # partial-aggregates map-side and shuffles ONE row per (vector,
@@ -851,7 +860,7 @@ def pq_adc_topk(
         query_id_col,
         "subspace",
         "code",
-        F.round(F.round(_sq_l2(F.col("qsvec"), F.col("cvec")), 6) * 1000000)
+        F.round(F.round(_sq_l2(F.col("qsvec"), F.col("cvec"), sub_dim), 6) * 1000000)
         .cast("bigint")
         .alias("d2_fp"),
     )
@@ -928,7 +937,7 @@ def ivfpq_topk(
         query_id_col,
         "subspace",
         "code",
-        F.round(F.round(_sq_l2(F.col("qsvec"), F.col("cvec")), 6) * 1000000)
+        F.round(F.round(_sq_l2(F.col("qsvec"), F.col("cvec"), sub_dim), 6) * 1000000)
         .cast("bigint")
         .alias("d2_fp"),
     )
