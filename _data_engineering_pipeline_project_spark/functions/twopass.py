@@ -48,6 +48,7 @@ def bucketed_cumulative(
     sums: dict[str, str] | None = None,
     rank_col: str | None = None,
     count_col: str | None = None,
+    prev_maxes: dict[str, str] | None = None,
     buckets: int = 32,
 ) -> DataFrame:
     """Add exact global-order prefix columns to ``df`` without a
@@ -65,8 +66,14 @@ def bucketed_cumulative(
         row_number over the order.
     count_col : optional output column holding the total row count
         (handy for rank/total ratios downstream).
+    prev_maxes : {source_col: output_col} EXCLUSIVE prefix maxima
+        (running max over strictly-preceding rows; NULL on each
+        bucket-global first row) — max is associative, so the same
+        local-pass + prior-bucket-offset stitch applies, combined with
+        ``greatest`` instead of ``+``.
     """
     sums = sums or {}
+    prev_maxes = prev_maxes or {}
     lead = order_cols[0]
 
     # pass 0: key-space envelope (fully parallel min/max), broadcast so
@@ -105,6 +112,14 @@ def bucketed_cumulative(
     out = binned
     for src, dst in sums.items():
         out = out.withColumn(dst, F.sum(src).over(w_cum))
+    if prev_maxes:
+        w_prev = (
+            Window.partitionBy("_tp_bkt")
+            .orderBy(*ordering)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        for src, dst in prev_maxes.items():
+            out = out.withColumn(dst, F.max(src).over(w_prev))
     if rank_col is not None:
         out = out.withColumn(
             rank_col,
@@ -119,6 +134,9 @@ def bucketed_cumulative(
     tot_aggs = [
         F.sum(src).alias(f"_tp_t_{dst}") for src, dst in sums.items()
     ]
+    tot_aggs.extend(
+        F.max(src).alias(f"_tp_t_{dst}") for src, dst in prev_maxes.items()
+    )
     tot_aggs.append(F.count(F.lit(1)).alias("_tp_t_cnt"))
     tot = binned.groupBy("_tp_bkt").agg(*tot_aggs)
     off_aggs = [
@@ -127,6 +145,12 @@ def bucketed_cumulative(
         )
         for dst in sums.values()
     ]
+    off_aggs.extend(
+        # no coalesce: bucket 0 has NO prior-bucket max, and that NULL
+        # is meaningful (the bucket-global first row's exclusive max)
+        F.max(F.col(f"b._tp_t_{dst}")).alias(f"_tp_o_{dst}")
+        for dst in prev_maxes.values()
+    )
     off_aggs.append(
         F.coalesce(F.sum(F.col("b._tp_t_cnt")), F.lit(0)).alias("_tp_o_cnt")
     )
@@ -142,6 +166,13 @@ def bucketed_cumulative(
         out = out.withColumn(dst, F.col(dst) + F.col(f"_tp_o_{dst}")).drop(
             f"_tp_o_{dst}"
         )
+    for dst in prev_maxes.values():
+        # greatest() is null-skipping, so (local NULL, offset x) → x,
+        # (local y, offset NULL) → y, (NULL, NULL) → NULL — exactly the
+        # exclusive-prefix-max semantics across the bucket boundary
+        out = out.withColumn(
+            dst, F.greatest(F.col(dst), F.col(f"_tp_o_{dst}"))
+        ).drop(f"_tp_o_{dst}")
     if rank_col is not None:
         out = out.withColumn(
             rank_col, (F.col(rank_col) + F.col("_tp_o_cnt")).cast("bigint")

@@ -27,21 +27,25 @@ axes are mutually non-dominating — all kept.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from _data_engineering_pipeline_project_spark.functions.twopass import (
+    bucketed_cumulative,
+)
 
 
 def pareto_frontier_min_max(df: DataFrame, min_col: str, max_col: str) -> DataFrame:
     """Rows not dominated under (minimize ``min_col``, maximize
     ``max_col``). Returns the input columns unchanged."""
     per_x = df.groupBy(min_col).agg(F.max(max_col).alias("__best_y"))
-    # running best over STRICTLY cheaper x: rowsBetween(-inf, -1) over
-    # one-row-per-x frames ≡ rangeBetween strict-less on x
-    w = Window.orderBy(min_col).rowsBetween(Window.unboundedPreceding, -1)
-    frontier_x = per_x.select(
-        min_col,
-        "__best_y",
-        F.max("__best_y").over(w).alias("__prev_best"),
+    # running best over STRICTLY cheaper x: exclusive prefix max over
+    # one-row-per-x frames ≡ rangeBetween strict-less on x. Bucketed
+    # two-pass (functions/twopass.py) — the frame is distinct-x-sized,
+    # which at 100 TB can itself be large, so no single-partition
+    # WindowExec here either.
+    frontier_x = bucketed_cumulative(
+        per_x, [min_col], prev_maxes={"__best_y": "__prev_best"}
     ).filter(
         F.col("__prev_best").isNull() | (F.col("__prev_best") < F.col("__best_y"))
     )

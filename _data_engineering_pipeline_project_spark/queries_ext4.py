@@ -371,19 +371,19 @@ def kaplan_meier_conversion_events(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.lit(1) - F.col("censored")).cast("bigint").alias("d"),
         F.sum("censored").cast("bigint").alias("c"),
     )
-    w_prev = Window.orderBy("t_hours").rowsBetween(Window.unboundedPreceding, -1)
-    w_cur = Window.orderBy("t_hours").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    km = byd.crossJoin(F.broadcast(tot)).select(
+    # both cumulative stages run on the bucketed two-pass
+    # (functions/twopass.py): the duration grid is span-bounded but at
+    # cluster scale still should not serialize into one WindowExec.
+    # Exclusive cumsum = inclusive − own row (exact integers).
+    byd = byd.crossJoin(F.broadcast(tot)).withColumn(
+        "dc", F.col("d") + F.col("c")
+    ).cache()  # grid-sized; each two-pass references its input ~3x
+    km = bucketed_cumulative(byd, ["t_hours"], sums={"dc": "cum_dc"}).select(
         "t_hours",
         "d",
         "c",
         (
-            F.col("n0")
-            - F.coalesce(
-                F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)
-            )
+            F.col("n0") - (F.col("cum_dc") - F.col("dc"))
         ).alias("n_risk"),
     )
     f_fp = (
@@ -400,13 +400,29 @@ def kaplan_meier_conversion_events(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     hits_zero = F.when(F.col("d") >= F.col("n_risk"), F.lit(1)).otherwise(F.lit(0))
-    acc = km.select(
+    # f_fp is NULL exactly when the curve hits zero (d ≥ n_risk, d > 0),
+    # and hits_zero's sticky max forces survival = 0.0 from that point
+    # on — so coalescing the null to 0 before the cumsum cannot change
+    # any emitted survival value, while keeping the two-pass sum's
+    # null algebra trivial
+    km2 = km.select(
         "t_hours",
         "d",
         "c",
         "n_risk",
-        F.sum(f_fp).over(w_cur).alias("s_fp"),
-        F.max(hits_zero).over(w_cur).alias("z"),
+        F.coalesce(f_fp, F.lit(0)).alias("f0"),
+        hits_zero.alias("hz"),
+    ).cache()
+    acc = bucketed_cumulative(
+        km2, ["t_hours"], sums={"f0": "s_fp"}, prev_maxes={"hz": "pm_hz"}
+    ).select(
+        "t_hours",
+        "d",
+        "c",
+        "n_risk",
+        "s_fp",
+        # inclusive running max = greatest(own, exclusive prefix max)
+        F.greatest(F.col("hz"), F.col("pm_hz")).alias("z"),
     )
     return acc.select(
         F.col("t_hours").cast("bigint").alias("t_hours"),

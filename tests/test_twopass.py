@@ -103,6 +103,27 @@ def test_no_unpartitioned_window_in_plan(spark):
             assert "_tp_bkt" in line, f"unpartitioned window: {line}"
 
 
+def test_exclusive_prefix_max_matches_global_window(spark):
+    """prev_maxes: exclusive running max, NULL on the global first row,
+    identical to the rowsBetween(-inf, -1) window it replaces."""
+    rows = [(1, 5, 10), (2, 3, 40), (3, 3, 2), (4, 9, 1), (5, -2, 7)]
+    df = spark.createDataFrame(rows, "id int, k int, y int")
+    w = Window.orderBy("k", "id").rowsBetween(Window.unboundedPreceding, -1)
+    ref = {
+        r["id"]: r["pm"]
+        for r in df.select("id", F.max("y").over(w).alias("pm")).collect()
+    }
+    for buckets in (1, 2, 4, 64):
+        got = {
+            r["id"]: r["pm"]
+            for r in bucketed_cumulative(
+                df, ["k", "id"], prev_maxes={"y": "pm"}, buckets=buckets
+            ).collect()
+        }
+        assert got == ref
+    assert ref[5] is None  # smallest key: no strictly-preceding row
+
+
 @settings(
     max_examples=10,
     deadline=None,
