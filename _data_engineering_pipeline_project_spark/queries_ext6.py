@@ -208,3 +208,169 @@ def lorenz_deciles_customers(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Exact per-group median (partitioned rank selection)
+# --------------------------------------------------------------------------
+_GROUP_MEDIAN_SQL = """
+    WITH j AS (SELECT c.c_mktsegment AS seg,
+                      CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+                      o.o_orderkey
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    rk AS (SELECT seg, cents,
+                  row_number() OVER (PARTITION BY seg
+                                     ORDER BY cents, o_orderkey) AS r,
+                  count(*) OVER (PARTITION BY seg) AS n
+           FROM j)
+    SELECT seg AS c_mktsegment,
+           CAST(max(n) AS BIGINT) AS n_orders,
+           round(sum(cents) / (count(*) * 100.0), 2) AS median_price
+    FROM rk
+    WHERE r = (n + 1) // 2 OR r = n // 2 + 1
+    GROUP BY seg
+"""
+
+
+@query("group_median_order_value", _GROUP_MEDIAN_SQL)
+def group_median_order_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact median order value PER market segment — the grouped
+    companion of `exact_median_order_value`. Here the window IS
+    partitioned (by segment), so it shards across the cluster natively:
+    per-group rank selection needs no two-pass because the partition
+    key is the group. Lower/upper-median ranks averaged, same explicit
+    interpolation arithmetic as the global form."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("seg").orderBy("cents", "o_orderkey")
+    rk = j.select(
+        "seg",
+        "cents",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("seg")).alias("n"),
+    )
+    sel = rk.filter(
+        (F.col("r") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("r") == F.floor(F.col("n") / 2) + 1)
+    )
+    return sel.groupBy(F.col("seg").alias("c_mktsegment")).agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        F.round(F.sum("cents") / (F.count(F.lit(1)) * 100.0), 2).alias(
+            "median_price"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact weighted median (two-pass weight cumsum)
+# --------------------------------------------------------------------------
+_WMEDIAN_SQL = """
+    WITH x AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                      CAST(l_quantity AS BIGINT) AS wt,
+                      l_orderkey, l_linenumber
+               FROM lineitem),
+    tot AS (SELECT sum(wt) AS w FROM x),
+    cum AS (SELECT cents, wt,
+                   sum(wt) OVER (ORDER BY cents, l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cw
+            FROM x)
+    SELECT CAST(max(t.w) AS BIGINT) AS total_weight,
+           round(min(c.cents) / 100.0, 2) AS weighted_median_price
+    FROM cum c, tot t
+    WHERE 2 * c.cw >= t.w
+"""
+
+
+@query("weighted_median_lineitem_price", _WMEDIAN_SQL)
+def weighted_median_lineitem_price(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact QUANTITY-WEIGHTED median line price — the statistic a
+    data-mixing planner uses when rows carry unequal mass (tokens,
+    units, bytes): the smallest value whose cumulative weight reaches
+    half the total, ``min(x : 2·cumw(x) ≥ W)``, all in exact integer
+    weight arithmetic. The weight prefix sum is the bucketed two-pass
+    over (cents, orderkey, linenumber) — fact-table cardinality, so the
+    global-window form would single-partition-sort every line item."""
+    li = table(spark, sf, "lineitem")
+    x = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    tot = x.agg(F.sum("wt").alias("w"))
+    cum = bucketed_cumulative(
+        x, ["cents", "l_orderkey", "l_linenumber"], sums={"wt": "cw"}
+    )
+    hit = cum.crossJoin(F.broadcast(tot)).filter(
+        2 * F.col("cw") >= F.col("w")
+    )
+    return hit.agg(
+        F.max("w").cast("bigint").alias("total_weight"),
+        F.round(F.min("cents") / 100.0, 2).alias("weighted_median_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Functional-dependency audit (X -> Y violation mining)
+# --------------------------------------------------------------------------
+_FD_SQL = """
+    WITH g AS (SELECT l_partkey,
+                      count(DISTINCT l_suppkey) AS n_rhs,
+                      CAST(count(*) AS BIGINT) AS n_rows
+               FROM lineitem GROUP BY 1),
+    v AS (SELECT * FROM g WHERE n_rhs > 1),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n_lhs_total FROM g)
+    SELECT CAST(v.l_partkey AS BIGINT) AS l_partkey,
+           CAST(v.n_rhs AS INTEGER) AS n_distinct_suppliers,
+           v.n_rows,
+           round(CAST((SELECT count(*) FROM v) AS DOUBLE)
+                 / (SELECT n_lhs_total FROM s), 6) AS fd_violation_rate
+    FROM v
+    ORDER BY n_rhs DESC, l_partkey
+    LIMIT 20
+"""
+
+
+@query("fd_violations_part_supplier", _FD_SQL)
+def fd_violations_part_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """Functional-dependency audit — does ``l_partkey → l_suppkey``
+    hold? The schema-discovery / data-quality primitive the reference's
+    checker family implies but never ships (its checks are declared,
+    not mined; cf. `project/data_quality_checker.py`'s fixed rules):
+    one hash aggregate per candidate FD gives every violating LHS value
+    with its RHS fan-out, plus the corpus-level violation rate. The
+    top-20 cut is TakeOrdered; at 100 TB the aggregate is one shuffle
+    on the LHS key. (TPC-H parts ship from multiple suppliers, so the
+    FD is genuinely violated — real output, not an empty audit.)"""
+    li = table(spark, sf, "lineitem")
+    g = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").alias("n_rhs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    g = g.cache()  # feeds violations, the rate numerator AND denominator
+    stats = g.agg(
+        F.count(F.lit(1)).alias("n_lhs_total"),
+        F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0)).alias("n_viol"),
+    )
+    v = g.filter(F.col("n_rhs") > 1)
+    return (
+        v.crossJoin(F.broadcast(stats))
+        .orderBy(F.col("n_rhs").desc(), "l_partkey")
+        .limit(20)
+        .select(
+            F.col("l_partkey").cast("bigint").alias("l_partkey"),
+            F.col("n_rhs").cast("int").alias("n_distinct_suppliers"),
+            "n_rows",
+            F.round(
+                F.col("n_viol").cast("double") / F.col("n_lhs_total"), 6
+            ).alias("fd_violation_rate"),
+        )
+    )

@@ -148,6 +148,9 @@ EXTENSION_QUERIES = [
     "exact_median_order_value",
     "exact_percentiles_events_value",
     "lorenz_deciles_customers",
+    "group_median_order_value",
+    "weighted_median_lineitem_price",
+    "fd_violations_part_supplier",
 ]
 
 BENCH_QUERIES = [
