@@ -57,9 +57,10 @@ def bucketed_cumulative(
     Parameters
     ----------
     order_cols : ascending sort key; the LEADING column must be numeric
-        (int / bigint / decimal / double) and non-null — it drives the
-        monotone bucket binning. For a descending leading key, pass its
-        negation (exact for int/decimal).
+        (int / bigint / decimal / double) or string (binary collation),
+        and non-null — it drives the monotone bucket binning. For a
+        descending numeric leading key, pass its negation (exact for
+        int/decimal).
     sums : {source_col: output_col} inclusive prefix sums over the
         global order.
     rank_col : optional output column for the global 1-based
@@ -76,11 +77,37 @@ def bucketed_cumulative(
     prev_maxes = prev_maxes or {}
     lead = order_cols[0]
 
+    # numeric projection of the leading key for binning. Numerics cast
+    # to double (monotone; collisions only merge buckets). Strings use
+    # the first 7 bytes as a big-endian integer, ZERO-PADDED to fixed
+    # width — padding is what keeps the projection monotone under
+    # binary collation ("b" must outrank "aaa"); ties beyond 7 bytes
+    # simply share a bucket, which bucketing tolerates by construction.
+    from pyspark.sql.types import StringType
+
+    if isinstance(df.schema[lead].dataType, StringType):
+        # coalesce NULL → "": both sort first ascending (nulls-first ==
+        # empty-string-first), so they share bucket 0 and the true
+        # column still breaks the tie inside the bucket
+        key_expr = F.conv(
+            F.hex(
+                F.rpad(
+                    F.coalesce(F.col(lead), F.lit("")).cast("binary"),
+                    7,
+                    bytes(1),
+                )
+            ),
+            16,
+            10,
+        ).cast("double")
+    else:
+        key_expr = F.col(lead).cast("double")
+
     # pass 0: key-space envelope (fully parallel min/max), broadcast so
     # the bucket id is a map-side expression
     env = df.agg(
-        F.min(F.col(lead).cast("double")).alias("_tp_lo"),
-        F.max(F.col(lead).cast("double")).alias("_tp_hi"),
+        F.min(key_expr).alias("_tp_lo"),
+        F.max(key_expr).alias("_tp_hi"),
     )
     span = F.col("_tp_hi") - F.col("_tp_lo")
     # monotone non-decreasing in the leading key (IEEE subtract/divide/
@@ -89,9 +116,7 @@ def bucketed_cumulative(
     # consistent
     bkt = F.when(span <= 0, F.lit(0)).otherwise(
         F.least(
-            F.floor(
-                (F.col(lead).cast("double") - F.col("_tp_lo")) / span * buckets
-            ),
+            F.floor((key_expr - F.col("_tp_lo")) / span * buckets),
             F.lit(buckets - 1),
         )
     )

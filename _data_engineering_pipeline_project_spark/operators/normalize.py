@@ -16,7 +16,7 @@ it, and the fact table side only sees a broadcast hash join (no shuffle).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -33,14 +33,23 @@ def extract_dimension(
     ``index + 1`` depends on file order, etl2:211), and ``mapped`` is
     ``df`` with ``key_col`` attached via broadcast join (the reference's
     per-row dict ``apply``, etl2:213-217).
-    """
+
+    The numbering runs on the bucketed two-pass rank
+    (`functions/twopass.py`, string leading keys bin by zero-padded
+    byte prefix) — dimension cardinality is usually modest, but a
+    surrogate-keyed dimension extracted from a 100 TB fact table (user
+    dims, URL dims) is exactly where "dimension-sized" stops being
+    small, and the two-pass costs nothing extra when it is small."""
+    from _data_engineering_pipeline_project_spark.functions.twopass import (
+        bucketed_cumulative,
+    )
+
     dim = (
-        df.select(*dim_cols)
-        .dropDuplicates()
-        .withColumn(
-            key_col,
-            F.row_number().over(Window.orderBy(*[F.col(c) for c in dim_cols])),
+        bucketed_cumulative(
+            df.select(*dim_cols).dropDuplicates(), list(dim_cols),
+            rank_col=key_col,
         )
+        .withColumn(key_col, F.col(key_col).cast("int"))
         .select(key_col, *dim_cols)
     )
     mapped = df.join(F.broadcast(dim), on=dim_cols, how="left")
