@@ -7,11 +7,13 @@ dict lookup (reference project/etl2.py:204-243). The engine generalizes
 this to :func:`extract_dimension`: dedup the dimension attributes, assign
 deterministic surrogate keys, broadcast-join the mapping back.
 
-Scale note: surrogate keys via ``row_number`` over a global window are
-fine for DIMENSION tables (dedup first — cardinality is small by
-definition). For billion-row surrogate keys you'd switch to
-``zipWithIndex``-style partition-offset assignment; dimensions never need
-it, and the fact table side only sees a broadcast hash join (no shuffle).
+Scale note: surrogate keys are assigned with the bucketed two-pass rank
+(`functions/twopass.py`) — the DataFrame-native partition-offset
+assignment (per-bucket row_number + stitched offsets), so even a
+billion-row dimension (user dims, URL dims extracted from a 100 TB
+fact table) never funnels through a single-partition sort; the fact
+table side only sees a broadcast hash join (no shuffle) when the
+dimension is small, a regular hash join when it is not.
 """
 
 from __future__ import annotations
