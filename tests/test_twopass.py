@@ -143,3 +143,34 @@ def test_exclusive_prefix_max_matches_global_window(spark):
 def test_property_equals_global_window(spark, rows, buckets):
     data = [(i, k, x) for i, (k, x) in enumerate(rows)]
     assert _twopass(spark, data, buckets) == _reference(spark, data)
+
+
+def test_string_leading_key_matches_global_window(spark):
+    """String leading keys bin by zero-padded byte prefix — must stay
+    monotone under binary collation (the 'b' > 'aaa' case a non-padded
+    projection gets wrong), tolerate NULLs (sort-first like ''), and
+    agree with the global window rank exactly."""
+    rows = [
+        (1, "b"),
+        (2, "aaa"),
+        (3, "aab"),
+        (4, None),
+        (5, ""),
+        (6, "aaaaaaaaXXX"),   # ties beyond the 7-byte prefix share a bucket
+        (7, "aaaaaaaaYYY"),
+        (8, "b"),
+    ]
+    df = spark.createDataFrame(rows, "id int, k string")
+    w = Window.orderBy("k", "id")
+    ref = {
+        r["id"]: r["rk"]
+        for r in df.select("id", F.row_number().over(w).alias("rk")).collect()
+    }
+    for buckets in (1, 4, 64):
+        got = {
+            r["id"]: r["rk"]
+            for r in bucketed_cumulative(
+                df, ["k", "id"], rank_col="rk", buckets=buckets
+            ).collect()
+        }
+        assert got == ref
