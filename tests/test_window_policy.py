@@ -1,0 +1,82 @@
+"""Global-window policy pin (docs/SCALE.md): no registered query may
+carry an ORDERED UNPARTITIONED window over unbounded input. The bucketed
+two-pass (`functions/twopass.py`) exists precisely so prefix/rank work
+never single-partition-sorts; the only global-ordered windows allowed
+are the whitelisted bounded classes below — each over a frame whose size
+is fixed by a LIMIT, a seed count, or a value grid, never by row count.
+
+A new query that trips this test either adopts the two-pass or adds a
+whitelist entry with a justification the next reviewer can check.
+"""
+
+from __future__ import annotations
+
+import re
+
+SF = "/root/testdata/sf0.001"
+
+# query -> why its ordered-global window is bounded (frame-size proof)
+WHITELIST = {
+    # TakeOrdered pattern: orderBy().limit(N) FIRST, then rank the N
+    # survivors — the window input is ≤ N rows by construction
+    "bigram_pmi_top20": "rank after limit(20)",
+    "market_basket_part_pairs": "rank after limit(25)",
+    "seasonal_residual_events": "rank after limit(50)",
+    "top_customers_by_revenue": "rank after limit(10)",
+    "top_session_paths_events": "rank after limit(15)",
+    "hybrid_search_rrf": "3 ranks, each after limit(20)/limit(10)",
+    "rag_retrieval_pipeline": "3 ranks, each after limit(k)",
+    "vocab_coverage_top30": "rank + cum share after limit(30)",
+    # seed/centroid frames: deterministic TakeOrdered seeds, so the
+    # window input is ≤ num_centroids / ksub rows (8-64)
+    "embedding_topk_ivf": "seed row_number over ≤num_centroids rows",
+    "embedding_topk_ivf_refined": "seed windows per Lloyd round, ≤centroids",
+    "embedding_topk_ivfpq": "IVF seeds + PQ codebook seeds, ≤64 rows",
+    "embedding_topk_pq": "PQ codebook seeds, ≤ksub rows",
+    "semantic_dup_pairs_embeddings": "centroid seed frame, ≤centroids",
+    # value-grid frames: the ordered input is one row per distinct
+    # day — bounded by the calendar span, not the row count
+    "concurrent_open_orders_daily": "daily delta grid cumsum",
+}
+
+_WINDOW_RE = re.compile(r"Window \[(.*?)\], \[(.*?)\](?:, \[(.*?)\])?")
+
+
+def _global_ordered_windows(plan: str) -> list[str]:
+    out = []
+    for m in _WINDOW_RE.finditer(plan):
+        g = m.groups()
+        # two bracket groups where the second is an ORDERING (carries
+        # NULLS FIRST/LAST markers) = unpartitioned ordered window;
+        # partition-only windows (no ordering) shard fine
+        if g[2] is None and "NULLS" in (g[1] or ""):
+            out.append(m.group(0)[:120])
+    return out
+
+
+def test_registry_has_no_unwhitelisted_global_ordered_windows(spark):
+    import __spark_entry__ as entry
+
+    offenders: dict[str, list[str]] = {}
+    for name, fn in sorted(entry.queries().items()):
+        try:
+            plan = (
+                fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+            )
+        except Exception:
+            continue  # env-gated constructions surface in their own tests
+        hits = _global_ordered_windows(plan)
+        if hits and name not in WHITELIST:
+            offenders[name] = hits
+    assert not offenders, (
+        "global-ordered windows outside the whitelist — use the bucketed "
+        f"two-pass or whitelist with a bound proof: {offenders}"
+    )
+
+
+def test_whitelist_entries_still_exist(spark):
+    import __spark_entry__ as entry
+
+    registered = set(entry.queries())
+    stale = [q for q in WHITELIST if q not in registered]
+    assert not stale, f"whitelist entries for unregistered queries: {stale}"
