@@ -85,10 +85,28 @@ def exact_duplicate_groups(
     )
 
 
+def fan_out_if_narrow(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the input has fewer partitions
+    than the cluster has slots. Tokenize/shingle/hash stages are pure
+    map work — with a single-split source (one small parquet file, the
+    common shape of a dimension extract or a test corpus) they run on
+    ONE core until the first shuffle, which was measured to dominate
+    the dedup family at sf0.1. A source that is already wide (any real
+    multi-split corpus scan) is left untouched: repartitioning
+    terabytes of text to "parallelize" an already-parallel scan would
+    be a pure regression. Partition count comes from the file listing,
+    no job is triggered."""
+    dp = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < dp:
+        return df.repartition(dp)
+    return df
+
+
 def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     # two-step projection: tokenize ONCE into a column, then shingle over
     # the materialized array (tokenizing inside the shingle lambda would
     # re-split the text per element access — O(tokens²) per doc)
+    df = fan_out_if_narrow(df)
     toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
     return toked.select(
         F.col(id_col),
@@ -659,8 +677,14 @@ def simhash_near_dup_pairs(
     Hamming distance within buckets only."""
     # cache: the bucket self-join would otherwise evaluate the signature
     # UDF on BOTH sides (twice over the full corpus — the expensive stage;
-    # the cached frame is just (id, int64), tiny relative to the text)
-    sigs = df.select(F.col(id_col), simhash64(text_col).alias("sig")).cache()
+    # the cached frame is just (id, int64), tiny relative to the text).
+    # fan_out first: the Arrow UDF is pure map work and single-split
+    # sources would run it on one core
+    sigs = (
+        fan_out_if_narrow(df)
+        .select(F.col(id_col), simhash64(text_col).alias("sig"))
+        .cache()
+    )
     bands = sigs.select(
         id_col,
         "sig",
