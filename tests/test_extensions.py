@@ -796,3 +796,18 @@ def test_decode_image_seam_ungated_for_ppm_bmp():
     assert decode_image(_bmp24(img)) == (9, 5)
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG\r\n\x1a\n garbage")
+
+
+def test_fan_out_if_narrow_widens_only_narrow_inputs(spark):
+    """Single-split sources widen to defaultParallelism so expensive
+    map stages (tokenize/signature UDFs) don't run on one core; already
+    wide inputs pass through untouched (no gratuitous shuffle of a
+    parallel scan)."""
+    dp = spark.sparkContext.defaultParallelism
+    narrow = spark.createDataFrame([(i, f"t{i}") for i in range(100)],
+                                   "doc_id int, text string").coalesce(1)
+    widened = D.fan_out_if_narrow(narrow)
+    assert widened.rdd.getNumPartitions() == dp
+    assert widened.count() == 100  # round-robin repartition loses nothing
+    wide = narrow.repartition(dp + 4)
+    assert D.fan_out_if_narrow(wide) is wide  # untouched, same object
