@@ -33,13 +33,17 @@ def topk_cosine_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
     Ranking ties are broken by neighbor id; the similarity is rounded to 6
     digits BEFORE ranking so both engines rank identical values (double
     accumulation order can differ in the last ulp across engines).
-    """
+    ``dim``, when known, unrolls the pair-stage dot into codegen
+    (`dot_unrolled` — bit-identical association to the fold, the HOF
+    lambda is CodegenFallback and interpreted per element)."""
+    _dot = (lambda a, b: dot_unrolled(a, b, dim)) if dim else dot
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("__qvec"),
@@ -57,7 +61,7 @@ def topk_cosine_bruteforce(
             F.col(query_id_col),
             F.col(id_col).alias("neighbor_id"),
             F.round(
-                dot(F.col(vec_col), F.col("__qvec"))
+                _dot(F.col(vec_col), F.col("__qvec"))
                 / (F.col("__cn") * F.col("__qn")),
                 6,
             ).alias("cosine"),
@@ -105,6 +109,7 @@ def knn_label_vote(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    dim: int | None = None,
 ) -> DataFrame:
     """k-nearest-neighbor majority-vote classification over an embedding
     column — the label-propagation / weak-annotation primitive a corpus
@@ -118,7 +123,7 @@ def knn_label_vote(
     the top-k. Vote counts are exact ints — cross-engine exact given the
     top-k sets match."""
     knn = topk_cosine_bruteforce(
-        corpus, queries, k=k, id_col=id_col, vec_col=vec_col
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col, dim=dim
     )
     labels = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(label_col)
@@ -437,6 +442,7 @@ def semantic_dup_pairs(
     num_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs: cluster the corpus
     by nearest IVF centroid, then compute exact cosine only WITHIN each
@@ -474,7 +480,13 @@ def semantic_dup_pairs(
             F.col(f"a.{id_col}").alias("vec_a"),
             F.col(f"b.{id_col}").alias("vec_b"),
             F.round(
-                dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                (
+                    dot_unrolled(
+                        F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), dim
+                    )
+                    if dim
+                    else dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                )
                 / (F.col("a.__nrm") * F.col("b.__nrm")),
                 6,
             ).alias("cosine"),
@@ -590,7 +602,8 @@ def topk_cosine_lsh(
             F.col(query_id_col),
             F.col(id_col).alias("neighbor_id"),
             F.round(
-                dot(F.col(vec_col), F.col("__qvec"))
+                # dim is known here: unrolled codegen dot, fold-identical
+                dot_unrolled(F.col(vec_col), F.col("__qvec"), dim)
                 / (F.col("__cn") * F.col("__qn")),
                 6,
             ).alias("cosine"),

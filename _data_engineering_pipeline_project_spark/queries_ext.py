@@ -547,7 +547,7 @@ _TOPK_SQL = """
 def embedding_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     emb = table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return SIM.topk_cosine_bruteforce(emb, queries, k=5)
+    return SIM.topk_cosine_bruteforce(emb, queries, k=5, dim=64)
 
 
 @query(

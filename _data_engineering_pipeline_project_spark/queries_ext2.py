@@ -293,7 +293,9 @@ def knn_label_vote_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     """kNN majority-vote labels for every 25th vector against the rest
     of the corpus (weak-annotation primitive)."""
     emb = table(spark, sf, "embeddings")
-    return SIM.knn_label_vote(emb, emb.filter(F.col("vec_id") % 25 == 0), k=5)
+    return SIM.knn_label_vote(
+        emb, emb.filter(F.col("vec_id") % 25 == 0), k=5, dim=64
+    )
 
 
 # --------------------------------------------------------------------------
@@ -667,7 +669,8 @@ def semantic_dup_pairs_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs: IVF-cluster first, exact
     cosine only within clusters (quadratic stage bounded per cluster)."""
     return SIM.semantic_dup_pairs(
-        table(spark, sf, "embeddings"), threshold=0.4, num_centroids=16
+        table(spark, sf, "embeddings"), threshold=0.4, num_centroids=16,
+        dim=64,
     )
 
 
