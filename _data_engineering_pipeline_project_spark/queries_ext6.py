@@ -374,3 +374,88 @@ def fd_violations_part_supplier(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("fd_violation_rate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Theil index of revenue concentration per segment
+# --------------------------------------------------------------------------
+_THEIL_SQL = """
+    WITH bycust AS (
+      SELECT c.c_mktsegment AS seg,
+             sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS x
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, o.o_custkey),
+    tot AS (SELECT seg, sum(x) AS sx, CAST(count(*) AS BIGINT) AS n
+            FROM bycust GROUP BY 1),
+    terms AS (
+      SELECT b.seg,
+             CAST(b.x AS HUGEINT)
+               * CAST(floor(ln(b.x * t.n / CAST(t.sx AS DOUBLE)) * 1000000)
+                      AS BIGINT) AS t_fp
+      FROM bycust b JOIN tot t ON b.seg = t.seg)
+    SELECT t.seg AS c_mktsegment, t.n AS n_customers,
+           round(sum(s.t_fp) / (CAST(t.sx AS DOUBLE) * 1000000), 6)
+             AS theil_index
+    FROM terms s JOIN tot t ON s.seg = t.seg
+    GROUP BY 1, 2, t.sx
+"""
+
+
+@query("theil_index_revenue_by_segment", _THEIL_SQL)
+def theil_index_revenue_by_segment(spark: SparkSession, sf: str) -> DataFrame:
+    """Theil T index of per-customer revenue inequality inside each
+    market segment — completes the concentration family (Gini =
+    rank-based, Lorenz = the curve, HHI = share-squares, Theil =
+    entropy-based and DECOMPOSABLE across subgroups, which is why
+    mixture dashboards prefer it). T = Σ xᵢ·ln(xᵢ/μ) / Σxᵢ with
+    μ = Σx/n.
+
+    Parity engineering (same pattern as Kaplan-Meier's survival fold):
+    the only transcendental, ln(xᵢ·n/Σx), is evaluated once per
+    customer on an exactly-representable double ratio and immediately
+    floored to micro-nat fixed point — every remaining step
+    (xᵢ · t_fp products, the segment sum) is exact bigint arithmetic,
+    so accumulation order cannot move the hash. Two hash aggregates +
+    one broadcast join back; per-segment sums shard on the segment
+    key."""
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    bycust = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("x")
+        )
+    )
+    tot = bycust.groupBy("seg").agg(
+        F.sum("x").alias("sx"), F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    terms = bycust.join(F.broadcast(tot), "seg").select(
+        "seg",
+        # decimal domain for the product/sum (DuckDB: HUGEINT) — at
+        # fact scale Σ xᵢ·t_fp exceeds int64; identical integers convert
+        # to identical doubles at the final division
+        (
+            F.col("x").cast("decimal(38,0)")
+            * F.floor(
+                F.ln(
+                    F.col("x") * F.col("n") / F.col("sx").cast("double")
+                )
+                * 1000000
+            ).cast("bigint")
+        ).alias("t_fp"),
+    )
+    return (
+        terms.groupBy("seg")
+        .agg(F.sum("t_fp").alias("s_fp"))
+        .join(F.broadcast(tot), "seg")
+        .select(
+            F.col("seg").alias("c_mktsegment"),
+            F.col("n").alias("n_customers"),
+            F.round(
+                F.col("s_fp") / (F.col("sx").cast("double") * 1000000), 6
+            ).alias("theil_index"),
+        )
+    )
