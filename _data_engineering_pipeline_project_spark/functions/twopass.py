@@ -25,9 +25,19 @@ single core. This module ships the standard two-phase scan instead:
 Worst case (all rows share one leading value) degrades to the single
 sort it replaces — never worse; typical case is embarrassingly
 parallel. Fixed-width binning is skew-sensitive on pathological
-leading-column distributions; an equi-depth refinement (approx-quantile
-boundaries) would only change performance, never results, because
-correctness needs only monotonicity.
+leading-column distributions; pass ``equi_depth=True`` to derive the
+bucket boundaries from a one-shot driver-side ``approxQuantile`` of
+the leading key instead — the boundaries are embedded as LITERALS in
+the plan (still deterministic across plan-subtree re-execution, unlike
+``repartitionByRange``'s per-execution reservoir sample) and only ever
+change performance, never results, because correctness needs only
+monotonicity.
+
+NULL / NaN leading keys: a NULL key buckets to 0 (matching Spark's
+ascending nulls-first window ordering this primitive replaces) and a
+NaN double buckets to the LAST bucket (Spark orders NaN after every
+other value); NaN is likewise excluded from the [min, max] envelope so
+it cannot poison the span arithmetic.
 
 No counterpart in the reference (pandas cumsum over an in-memory frame,
 ``project/etl2.py``-style); this is the Spark-native scale form that the
@@ -50,6 +60,7 @@ def bucketed_cumulative(
     count_col: str | None = None,
     prev_maxes: dict[str, str] | None = None,
     buckets: int = 32,
+    equi_depth: bool = False,
 ) -> DataFrame:
     """Add exact global-order prefix columns to ``df`` without a
     single-partition WindowExec.
@@ -57,16 +68,26 @@ def bucketed_cumulative(
     Parameters
     ----------
     order_cols : ascending sort key; the LEADING column must be numeric
-        (int / bigint / decimal / double) or string (binary collation),
-        and non-null — it drives the monotone bucket binning. For a
-        descending numeric leading key, pass its negation (exact for
-        int/decimal).
+        (int / bigint / decimal / double) or string (binary collation) —
+        it drives the monotone bucket binning. NULL and NaN leading keys
+        are handled (NULL bins first, NaN last, matching Spark's window
+        ordering). For a descending numeric leading key, pass its
+        negation (exact for int/decimal).
     sums : {source_col: output_col} inclusive prefix sums over the
         global order.
     rank_col : optional output column for the global 1-based
         row_number over the order.
     count_col : optional output column holding the total row count
         (handy for rank/total ratios downstream).
+    equi_depth : derive bucket boundaries from a one-shot driver-side
+        ``approxQuantile`` over the leading key instead of fixed-width
+        [min, max] splitting. Costs one extra eager scan at plan-build
+        time, but keeps per-bucket row counts balanced under skewed
+        leading-key distributions (e.g. 99% of keys in a narrow range
+        plus far outliers, which collapses fixed-width binning into one
+        bucket). Boundaries are embedded as plan literals, so the
+        binning stays deterministic across plan-subtree re-execution.
+        Performance-only: any monotone binning yields identical results.
     prev_maxes : {source_col: output_col} EXCLUSIVE prefix maxima
         (running max over strictly-preceding rows; NULL on each
         bucket-global first row) — max is associative, so the same
@@ -103,28 +124,78 @@ def bucketed_cumulative(
     else:
         key_expr = F.col(lead).cast("double")
 
-    # pass 0: key-space envelope (fully parallel min/max), broadcast so
-    # the bucket id is a map-side expression
-    env = df.agg(
-        F.min(key_expr).alias("_tp_lo"),
-        F.max(key_expr).alias("_tp_hi"),
-    )
-    span = F.col("_tp_hi") - F.col("_tp_lo")
-    # monotone non-decreasing in the leading key (IEEE subtract/divide/
-    # multiply by a positive constant preserve order); equal keys always
-    # share a bucket, so full-key ordering inside a bucket is globally
-    # consistent
-    bkt = F.when(span <= 0, F.lit(0)).otherwise(
-        F.least(
-            F.floor((key_expr - F.col("_tp_lo")) / span * buckets),
-            F.lit(buckets - 1),
+    # NULL keys must bucket FIRST (Spark's ascending window ordering is
+    # nulls-first) and NaN doubles must bucket LAST (Spark orders NaN
+    # after every other value) — and NaN must stay out of the [min, max]
+    # envelope, where it would poison the span arithmetic. The string
+    # projection above never produces NULL (coalesced) or NaN (≤2^56
+    # integer), so these guards only ever fire on numeric leading keys.
+    finite_key = F.when(~F.isnan(key_expr), key_expr)
+
+    if equi_depth:
+        # one eager driver-side quantile scan; the boundaries become
+        # LITERALS in the plan, so (unlike repartitionByRange's
+        # per-execution reservoir sample) re-computation of the frame
+        # can never disagree with itself. Duplicated quantiles collapse
+        # — heavy values merge buckets, which bucketing tolerates.
+        probs = [i / buckets for i in range(1, buckets)]
+        bounds = sorted(
+            set(
+                df.select(finite_key.alias("_tp_k"))
+                .where(F.col("_tp_k").isNotNull())
+                .approxQuantile("_tp_k", probs, 0.001)
+            )
+            if probs
+            else []
         )
-    )
-    binned = (
-        df.crossJoin(F.broadcast(env))
-        .withColumn("_tp_bkt", bkt)
-        .drop("_tp_lo", "_tp_hi")
-    )
+        core = F.lit(0)
+        for b in bounds:
+            # Σ [key >= boundary] — monotone non-decreasing in the key,
+            # equal keys always share a bucket
+            core = core + (key_expr >= F.lit(float(b))).cast("int")
+        bkt = (
+            F.when(key_expr.isNull(), F.lit(0))
+            .when(F.isnan(key_expr), F.lit(len(bounds)))
+            .otherwise(core)
+        )
+        binned = df.withColumn("_tp_bkt", bkt)
+    else:
+        # pass 0: key-space envelope (fully parallel min/max), broadcast
+        # so the bucket id is a map-side expression
+        env = df.agg(
+            F.min(finite_key).alias("_tp_lo"),
+            F.max(finite_key).alias("_tp_hi"),
+        )
+        span = F.col("_tp_hi") - F.col("_tp_lo")
+        # monotone non-decreasing in the leading key (IEEE subtract/
+        # divide/multiply by a positive constant preserve order); equal
+        # keys always share a bucket, so full-key ordering inside a
+        # bucket is globally consistent. A degenerate span (empty/
+        # all-NULL input → NULL; single value → 0; ±Infinity endpoints
+        # → Infinity/NaN) collapses to one bucket: the degraded-to-one-
+        # sort worst case, never a correctness change.
+        degenerate = (
+            span.isNull()
+            | (span <= 0)
+            | F.isnan(span)
+            | (span == F.lit(float("inf")))
+        )
+        bkt = (
+            F.when(key_expr.isNull(), F.lit(0))
+            .when(F.isnan(key_expr), F.lit(buckets - 1))
+            .when(degenerate, F.lit(0))
+            .otherwise(
+                F.least(
+                    F.floor((key_expr - F.col("_tp_lo")) / span * buckets),
+                    F.lit(buckets - 1),
+                )
+            )
+        )
+        binned = (
+            df.crossJoin(F.broadcast(env))
+            .withColumn("_tp_bkt", bkt)
+            .drop("_tp_lo", "_tp_hi")
+        )
 
     # pass 1: per-bucket local prefix values (hash-partitioned window —
     # the sort shards across buckets)

@@ -5,7 +5,8 @@ The reference splits the raw ``geolocation`` table into
 ``drop_duplicates`` + ``index+1`` surrogate keys + a per-row ``apply``
 dict lookup (reference project/etl2.py:204-243). The engine generalizes
 this to :func:`extract_dimension`: dedup the dimension attributes, assign
-deterministic surrogate keys, broadcast-join the mapping back.
+deterministic surrogate keys, join the mapping back (AQE picks
+broadcast-hash when the dimension is measurably small; no forced hint).
 
 Scale note: surrogate keys are assigned with the bucketed two-pass rank
 (`functions/twopass.py`) — the DataFrame-native partition-offset
@@ -26,6 +27,7 @@ def extract_dimension(
     df: DataFrame,
     dim_cols: list[str],
     key_col: str,
+    broadcast: bool | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Split ``dim_cols`` out of ``df`` into a keyed dimension table.
 
@@ -33,15 +35,27 @@ def extract_dimension(
     ``dim_cols`` combination with surrogate ``key_col`` = row_number
     ordered by the attributes (deterministic — the reference's
     ``index + 1`` depends on file order, etl2:211), and ``mapped`` is
-    ``df`` with ``key_col`` attached via broadcast join (the reference's
-    per-row dict ``apply``, etl2:213-217).
+    ``df`` with ``key_col`` attached via an equi-join on the attributes
+    (the reference's per-row dict ``apply``, etl2:213-217).
+
+    ``broadcast`` controls the map-back join strategy:
+
+    - ``None`` (default) — NO hint; Catalyst/AQE picks broadcast-hash
+      when the dimension's measured size is under
+      ``spark.sql.autoBroadcastJoinThreshold`` and a shuffled hash/
+      sort-merge join otherwise. This is the only safe default at
+      100 TB: a billion-row dimension (user dims, URL dims extracted
+      from the fact table) force-broadcast would OOM every executor.
+    - ``True`` — force ``F.broadcast(dim)`` when the CALLER knows the
+      dimension is small (e.g. a fixed geography) and wants to skip
+      AQE's size estimation.
 
     The numbering runs on the bucketed two-pass rank
     (`functions/twopass.py`, string leading keys bin by zero-padded
     byte prefix) — dimension cardinality is usually modest, but a
-    surrogate-keyed dimension extracted from a 100 TB fact table (user
-    dims, URL dims) is exactly where "dimension-sized" stops being
-    small, and the two-pass costs nothing extra when it is small."""
+    surrogate-keyed dimension extracted from a 100 TB fact table is
+    exactly where "dimension-sized" stops being small, and the two-pass
+    costs nothing extra when it is small."""
     from _data_engineering_pipeline_project_spark.functions.twopass import (
         bucketed_cumulative,
     )
@@ -54,7 +68,8 @@ def extract_dimension(
         .withColumn(key_col, F.col(key_col).cast("int"))
         .select(key_col, *dim_cols)
     )
-    mapped = df.join(F.broadcast(dim), on=dim_cols, how="left")
+    dim_side = F.broadcast(dim) if broadcast else dim
+    mapped = df.join(dim_side, on=dim_cols, how="left")
     return dim, mapped
 
 

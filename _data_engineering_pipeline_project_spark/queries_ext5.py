@@ -2542,11 +2542,11 @@ def id_sequence_gaps_orders(spark: SparkSession, sf: str) -> DataFrame:
     hi = k.agg(F.max("id").alias("key_hi"))
     binned = k.crossJoin(F.broadcast(hi)).withColumn(
         "bucket",
-        # integer floor-div keeps the bucket monotone in id with no
-        # float rounding at 64-bit key range
-        (F.col("id") * n_buckets).cast("bigint")
-        / (F.col("key_hi") + 1),
-    ).withColumn("bucket", F.floor("bucket"))
+        # integral `div` keeps the bucket monotone in id with no float
+        # rounding at 64-bit key range (double `/` + floor loses ulps
+        # past 2^53)
+        F.expr(f"(id * {n_buckets}) div (key_hi + 1)"),
+    )
     # pass 1: gaps strictly inside a bucket — N parallel per-group sorts
     within = Window.partitionBy("bucket").orderBy("id")
     nx = binned.withColumn("next_id", F.lead("id").over(within))

@@ -64,9 +64,11 @@ def exact_median_order_value(spark: SparkSession, sf: str) -> DataFrame:
     ranked = bucketed_cumulative(
         c, ["cents", "o_orderkey"], rank_col="r", count_col="n"
     )
+    # `div` is Spark's EXACT integral division on bigints (DuckDB `//`)
+    # — floor(double-`/`) would diverge once n exceeds 2^53
     sel = ranked.filter(
-        (F.col("r") == F.floor((F.col("n") + 1) / 2))
-        | (F.col("r") == F.floor(F.col("n") / 2) + 1)
+        (F.col("r") == F.expr("(n + 1) div 2"))
+        | (F.col("r") == F.expr("n div 2") + 1)
     )
     return sel.agg(
         F.max("n").alias("n_orders"),
@@ -122,9 +124,9 @@ def exact_percentiles_events_value(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     def rk(p: int):
-        return F.greatest(
-            F.floor((p * F.col("n") + 99) / 100).cast("bigint"), F.lit(1)
-        )
+        # exact integral `div` (DuckDB `//`): p·n+99 can exceed 2^53 at
+        # 100 TB row counts, where floor(double-`/`) loses ulps
+        return F.greatest(F.expr(f"({p} * n + 99) div 100"), F.lit(1))
 
     sel = ranked.filter(
         (F.col("r") == rk(25))
@@ -195,7 +197,9 @@ def lorenz_deciles_customers(spark: SparkSession, sf: str) -> DataFrame:
     tot = rev.agg(F.sum("cents").alias("total"))
     dec = ranked.withColumn(
         "decile",
-        (((F.col("r") - 1) * 10 / F.col("n")).cast("bigint") + 1).cast("int"),
+        # exact integral `div` (DuckDB `//`) — double `/`+cast would
+        # misbin decile boundaries once (r−1)·10 exceeds 2^53
+        (F.expr("((r - 1) * 10) div n") + 1).cast("int"),
     )
     return (
         dec.crossJoin(F.broadcast(tot))
@@ -257,8 +261,8 @@ def group_median_order_value(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).over(Window.partitionBy("seg")).alias("n"),
     )
     sel = rk.filter(
-        (F.col("r") == F.floor((F.col("n") + 1) / 2))
-        | (F.col("r") == F.floor(F.col("n") / 2) + 1)
+        (F.col("r") == F.expr("(n + 1) div 2"))
+        | (F.col("r") == F.expr("n div 2") + 1)
     )
     return sel.groupBy(F.col("seg").alias("c_mktsegment")).agg(
         F.max("n").cast("bigint").alias("n_orders"),

@@ -54,6 +54,31 @@ def test_extract_dimension_deterministic(spark):
     assert got == {1: 2, 2: 1, 3: 2}
 
 
+def test_extract_dimension_no_forced_broadcast(spark):
+    """Scale contract: by default the dimension map-back carries NO
+    broadcast hint — a billion-row dimension extracted from a 100 TB
+    fact table must be allowed to hash/sort-merge join (AQE decides from
+    MEASURED size); only an explicit ``broadcast=True`` forces the hint."""
+    df = spark.createDataFrame(
+        [(1, "sp", "SP"), (2, "rj", "RJ")], "id int, city string, st string"
+    )
+    # the two-pass numbering legitimately broadcasts its envelope and
+    # ≤buckets-row offset aggregates, so count hints rather than demand
+    # zero: broadcast=True must add EXACTLY ONE more hint (the map-back
+    # dimension side), and the default must not carry it.
+    _, mapped = extract_dimension(df, ["city", "st"], "city_id")
+    _, forced = extract_dimension(
+        df, ["city", "st"], "city_id", broadcast=True
+    )
+    n_default = mapped._jdf.queryExecution().analyzed().toString().count(
+        "strategy=broadcast"
+    )
+    n_forced = forced._jdf.queryExecution().analyzed().toString().count(
+        "strategy=broadcast"
+    )
+    assert n_forced == n_default + 1, (n_default, n_forced)
+
+
 def test_normalize_geolocation(spark):
     geo = spark.createDataFrame(
         [

@@ -132,7 +132,10 @@ def test_exclusive_prefix_max_matches_global_window(spark):
 @given(
     rows=st.lists(
         st.tuples(
-            st.integers(min_value=-50, max_value=50),  # leading key (ties!)
+            st.one_of(                                 # leading key:
+                st.none(),                             # NULLs (bin first)
+                st.integers(min_value=-50, max_value=50),  # ties!
+            ),
             st.integers(min_value=-5, max_value=5),    # summed value
         ),
         min_size=1,
@@ -143,6 +146,133 @@ def test_exclusive_prefix_max_matches_global_window(spark):
 def test_property_equals_global_window(spark, rows, buckets):
     data = [(i, k, x) for i, (k, x) in enumerate(rows)]
     assert _twopass(spark, data, buckets) == _reference(spark, data)
+
+
+def test_null_numeric_leading_key_bins_first(spark):
+    """A NULL numeric leading key must rank exactly where the global
+    window puts it — FIRST (nulls-first ascending), not silently in the
+    last bucket (the F.least-skips-nulls trap)."""
+    rows = [(1, 5, 10), (2, None, 3), (3, -7, 4), (4, None, 1), (5, 12, 7)]
+    df = spark.createDataFrame(rows, "id int, k int, x int")
+    w = Window.orderBy("k", "id")
+    ref = {
+        r["id"]: (r["rk"], r["cx"])
+        for r in df.select(
+            "id",
+            F.row_number().over(w).alias("rk"),
+            F.sum("x")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("cx"),
+        ).collect()
+    }
+    for buckets in (1, 2, 4, 64):
+        for eq in (False, True):
+            got = {
+                r["id"]: (r["rk"], r["cx"])
+                for r in bucketed_cumulative(
+                    df,
+                    ["k", "id"],
+                    sums={"x": "cx"},
+                    rank_col="rk",
+                    buckets=buckets,
+                    equi_depth=eq,
+                ).collect()
+            }
+            assert got == ref, (buckets, eq)
+    # nulls really are the first ranks
+    assert {ref[2][0], ref[4][0]} == {1, 2}
+
+
+def test_nan_double_leading_key_bins_last(spark):
+    """NaN doubles order AFTER every value in Spark — and must not
+    poison the [min, max] envelope (NaN max would NaN the span)."""
+    rows = [
+        (1, 5.0, 1),
+        (2, float("nan"), 1),
+        (3, -7.5, 1),
+        (4, None, 1),
+        (5, float("nan"), 1),
+        (6, 120.25, 1),
+    ]
+    df = spark.createDataFrame(rows, "id int, k double, x int")
+    w = Window.orderBy("k", "id")
+    ref = {
+        r["id"]: (r["rk"], r["cx"])
+        for r in df.select(
+            "id",
+            F.row_number().over(w).alias("rk"),
+            F.sum("x")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("cx"),
+        ).collect()
+    }
+    for buckets in (1, 4, 64):
+        for eq in (False, True):
+            got = {
+                r["id"]: (r["rk"], r["cx"])
+                for r in bucketed_cumulative(
+                    df,
+                    ["k", "id"],
+                    sums={"x": "cx"},
+                    rank_col="rk",
+                    buckets=buckets,
+                    equi_depth=eq,
+                ).collect()
+            }
+            assert got == ref, (buckets, eq)
+    # NaN rows are the last ranks, NULL the first
+    assert ref[4][0] == 1
+    assert {ref[2][0], ref[5][0]} == {5, 6}
+
+
+def test_equi_depth_spreads_adversarial_skew(spark):
+    """The fixed-width soft spot: 99% of keys in [0, 1) plus far
+    outliers collapses [min, max] splitting into ONE hot bucket.
+    Equi-depth boundaries (approxQuantile literals) must restore
+    ≥ bucket-count-order parallelism on that distribution — and both
+    binnings must still agree with the global window exactly."""
+    n = 400
+    rows = [(i, (i % 97) / 100.0, 1) for i in range(n)] + [
+        (n + 1, 1.0e9, 5),
+        (n + 2, 2.0e9, 5),
+        (n + 3, 3.0e9, 5),
+        (n + 4, 4.0e9, 5),
+    ]
+    df = spark.createDataFrame(rows, "id int, k double, x int")
+
+    w = Window.orderBy("k", "id")
+    ref = {
+        r["id"]: (r["rk"], r["cx"])
+        for r in df.select(
+            "id",
+            F.row_number().over(w).alias("rk"),
+            F.sum("x")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("cx"),
+        ).collect()
+    }
+    for eq in (False, True):
+        got = {
+            r["id"]: (r["rk"], r["cx"])
+            for r in bucketed_cumulative(
+                df, ["k", "id"], sums={"x": "cx"}, rank_col="rk",
+                buckets=16, equi_depth=eq,
+            ).collect()
+        }
+        assert got == ref, eq
+
+    # parallelism check: the equi-depth boundary list IS the binning
+    # (bucket id = Σ [key >= boundary], literals in the plan). With
+    # fixed-width [min, max] splitting, the entire 99% hot range
+    # [0, 0.97) falls inside bucket 0 of 16 (width 2.5e8). Equi-depth
+    # must place ≥ 10 distinct interior boundaries INSIDE the hot range,
+    # i.e. the hot mass spreads across ≥ ~11 buckets.
+    probs = [i / 16 for i in range(1, 16)]
+    bounds = df.select(F.col("k").alias("_tp_k")).approxQuantile(
+        "_tp_k", probs, 0.001
+    )
+    hot = [b for b in sorted(set(bounds)) if b < 1.0]
+    assert len(hot) >= 10, sorted(set(bounds))
 
 
 def test_string_leading_key_matches_global_window(spark):
