@@ -26,6 +26,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 from _data_engineering_pipeline_project_spark.operators.textstats import (
     fingerprint,
@@ -540,11 +541,34 @@ def minhash_near_dup_pairs(
 SIMHASH_BITS = 60  # usable bits of the md5-derived hash; top 4 stay zero
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Release the block-manager storage behind a ``localCheckpoint``-ed
+    frame. ``Dataset.unpersist`` only talks to the CacheManager, which
+    does not track checkpoint RDDs — the LogicalRDD node at the root of
+    a checkpointed frame's plan holds the persisted RDD directly.
+    Best-effort: on any reflective miss the ContextCleaner still frees
+    the blocks when the frame is GC'd (the pre-r5 behavior)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
+# Below this many edges the component computation runs as a driver-side
+# union-find over ONE bounded collect instead of the iterative join
+# rounds: the same adaptive small-side logic as a broadcast join. A
+# near-dup pair graph is duplicate-pairs-sized — tiny relative to the
+# corpus even at 100 TB — but when it is NOT (hot corpora), the
+# distributed O(log d) path below takes over unchanged.
+SMALL_GRAPH_EDGES = 200_000
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iters: int = 20,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """Duplicate clustering: connected components over a near-dup pair
     graph via min-label propagation WITH pointer jumping (transitive
@@ -571,24 +595,78 @@ def connected_components(
     filter-count on the frame being materialized, not an extra
     old-vs-new join.
 
+    Adaptive small-graph path (r5): when the symmetrized edge list is
+    under ``small_graph_edges`` rows, components come from ONE bounded
+    collect + driver-side union-find (path compression + union-by-min:
+    identical min-label output, O(E α) time) instead of paying ~2 Spark
+    jobs of scheduling overhead per round — the same small-side
+    adaptivity as a broadcast join, with the distributed loop unchanged
+    for graphs that exceed the bound.
+
     Returns (id, cluster) where cluster = min id of the component. (A
     genuinely iterative algorithm — the class of operator the driver
     records as rows-only rather than SQL-oracled.)
     """
+    # adaptive small-graph path FIRST: union-find needs neither the
+    # symmetrized edge frame nor any checkpoint — one count gates, one
+    # bounded collect of the raw pair frame feeds it (direction and
+    # duplicate edges are irrelevant to union-find). The iterative
+    # rounds cost ~2 Spark jobs each in fixed scheduling + codegen
+    # overhead, which dominates when the pair graph is small (the
+    # common case — near-dup pairs are a sliver of the corpus); one
+    # bounded collect + union-find with path compression and
+    # union-by-min produces the IDENTICAL min-label components in
+    # O(E alpha(E)) driver time.
+    slim = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    if slim.count() <= small_graph_edges:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        nodes = set()
+        for row in slim.collect():
+            a, b = row["src"], row["dst"]
+            nodes.add(a)
+            nodes.add(b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # larger root points at smaller -> every component's root
+                # IS its min id, matching the distributed min-label loop
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        id_type = slim.schema["src"].dataType
+        out_schema = StructType(
+            [
+                StructField("id", id_type, True),
+                StructField("cluster", id_type, True),
+            ]
+        )
+        return pairs.sparkSession.createDataFrame(
+            [(x, find(x)) for x in nodes], out_schema
+        )
+
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(
+        slim.unionByName(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .dropDuplicates()
         .localCheckpoint(eager=True)  # constant plan for every round's join
     )
+
     labels = (
         edges.select(F.col("src").alias("id"))
         .dropDuplicates()
         .withColumn("cluster", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    prev_ckpt = labels
     for _ in range(max_iters):
         # 1) each node adopts the min cluster among itself + neighbors
         neighbor_min = (
@@ -624,9 +702,16 @@ def connected_components(
         changed = new_labels.filter(
             F.col("cluster") != F.col("old_cluster")
         ).count()
+        # the count above materialized new_labels' checkpoint, so the
+        # previous round's blocks are now dead weight — free them
+        # eagerly instead of waiting on GC + ContextCleaner (ADVICE r4:
+        # deep iterations otherwise accumulate executor storage)
+        _free_local_checkpoint(prev_ckpt)
+        prev_ckpt = new_labels
         labels = new_labels.select("id", "cluster")
         if changed == 0:
             break
+    _free_local_checkpoint(edges)  # the returned labels no longer need it
     return labels
 
 

@@ -333,6 +333,13 @@ def _minhash_pairs_shared(spark: SparkSession, sf: str) -> DataFrame:
         got = D.minhash_near_dup_pairs(
             table(spark, sf, "documents"), threshold=0.3
         ).cache()
+        # materialize EAGERLY: downstream consumers fan the lazy frame
+        # into multi-branch plans (CC symmetrizes it into a 2-way union)
+        # whose parallel stages can each recompute an unpopulated cache;
+        # one count pins the signatures+banding+verify pipeline to a
+        # single execution per (session, sf) even on a cold cache
+        # (VERDICT r4 #3)
+        got.count()
         _MINHASH_PAIRS_CACHE[key] = got
     return got
 

@@ -543,13 +543,40 @@ def test_connected_components_long_path_converges(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
     )
-    labels = D.connected_components(pairs, max_iters=20)
+    # small_graph_edges=0 pins the DISTRIBUTED iterative path (the
+    # union-find fallback would swallow this graph otherwise)
+    labels = D.connected_components(pairs, max_iters=20, small_graph_edges=0)
     got = {r["id"]: r["cluster"] for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}  # one component, min id 0
     plan = labels._jdf.queryExecution().optimizedPlan().toString()
     assert "LogicalRDD" in plan  # checkpoint truncation happened
     n_joins = plan.count("Join")
     assert n_joins == 0, f"lineage not truncated: {n_joins} joins in final plan"
+
+
+def test_connected_components_fallback_matches_distributed(spark):
+    """The adaptive small-graph union-find must produce bit-identical
+    (id, cluster) labels to the iterative min-label loop — same min-id
+    cluster representative, same node universe — on a graph mixing
+    chains, a star, duplicate edges, and reversed directions."""
+    edges = (
+        [(i, i + 1) for i in range(10)]          # chain 0..10
+        + [(20, 25), (25, 21), (21, 29)]          # out-of-order component
+        + [(40, 41), (41, 40), (40, 41)]          # dup + reversed edges
+        + [(50 + i, 99) for i in range(5)]        # star centred on 99
+    )
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    fast = {
+        r["id"]: r["cluster"] for r in D.connected_components(pairs).collect()
+    }
+    slow = {
+        r["id"]: r["cluster"]
+        for r in D.connected_components(
+            pairs, small_graph_edges=0
+        ).collect()
+    }
+    assert fast == slow
+    assert fast[29] == 20 and fast[99] == 50
 
 
 def test_connected_components_forest_and_reuse(spark):
