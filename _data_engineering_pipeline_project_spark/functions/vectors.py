@@ -1,14 +1,23 @@
 """Vector math over ``array<float/double>`` columns — pure Catalyst.
 
-Used by the similarity-search and embedding-dedup operators. All math is
-done with ``F.zip_with`` / ``F.aggregate`` higher-order functions: they
-execute inside whole-stage codegen on the JVM, so a brute-force cosine
-top-k over 100 TB of embeddings is a single scan + shuffle-free map, with
-only the top-k reduction shuffling.
+Used by the similarity-search and embedding-dedup operators. Two forms:
+
+- ``F.zip_with`` / ``F.aggregate`` higher-order functions (``dot``,
+  ``l2_norm``): JVM-side and shuffle-free, but CodegenFallback — Spark
+  interprets the lambda per element, per row (measured: ~5 of
+  pq_encode's 7 s at sf0.1). Fine for one-shot passes; NOT the hot-path
+  form.
+- ``dot_unrolled``: when the width is known, an explicit ``element_at``
+  chain that compiles into whole-stage codegen — the form every
+  hot-path caller (brute/LSH/PQ/semantic cosine) uses, ~30-40% faster
+  end to end. A brute-force cosine top-k over 100 TB of embeddings is
+  then a single codegen'd scan, with only the top-k reduction
+  shuffling.
 
 Elements are cast to double before accumulation and folded left-to-right
-(Spark's ``aggregate`` is a sequential fold), which makes results
-bit-deterministic for a given array order — required for oracle parity.
+(Spark's ``aggregate`` is a sequential fold; the unrolled chain adds in
+the same order), which makes results bit-deterministic for a given array
+order — required for oracle parity.
 """
 
 from __future__ import annotations

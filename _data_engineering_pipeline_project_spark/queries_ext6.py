@@ -301,18 +301,25 @@ def weighted_median_lineitem_price(spark: SparkSession, sf: str) -> DataFrame:
     half the total, ``min(x : 2·cumw(x) ≥ W)``, all in exact integer
     weight arithmetic. The weight prefix sum is the bucketed two-pass
     over (cents, orderkey, linenumber) — fact-table cardinality, so the
-    global-window form would single-partition-sort every line item."""
+    global-window form would single-partition-sort every line item.
+
+    r5 slope fix (VERDICT r4 #7): weights are pre-aggregated per
+    DISTINCT cents value before the two-pass, so the ranked frame is
+    value-domain-sized, not fact-sized. Equivalence: within one cents
+    value the cumulative weight only grows, so the smallest value whose
+    GROUP-END cumulative reaches W/2 is exactly the smallest row-level
+    ``min(x : 2·cumw(x) ≥ W)`` — the row-level tie-break columns never
+    influence which VALUE wins."""
     li = table(spark, sf, "lineitem")
     x = li.select(
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
         F.col("l_quantity").cast("bigint").alias("wt"),
-        "l_orderkey",
-        "l_linenumber",
     )
-    tot = x.agg(F.sum("wt").alias("w"))
-    cum = bucketed_cumulative(
-        x, ["cents", "l_orderkey", "l_linenumber"], sums={"wt": "cw"}
-    )
+    # one hash aggregate shrinks the frame by the value-collision factor
+    # (fact rows → distinct price points) before any ordered pass
+    byval = x.groupBy("cents").agg(F.sum("wt").alias("wt"))
+    tot = byval.agg(F.sum("wt").alias("w"))
+    cum = bucketed_cumulative(byval, ["cents"], sums={"wt": "cw"})
     hit = cum.crossJoin(F.broadcast(tot)).filter(
         2 * F.col("cw") >= F.col("w")
     )

@@ -625,3 +625,103 @@ def run_stream_stream_left_join(
     )
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def run_stream_stream_full_outer_join(
+    spark: SparkSession,
+    left_dir: str,
+    right_dir: str,
+    schema: T.StructType,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+    query_name: str = "ss_full_join",
+    left_heartbeat_dir: str | None = None,
+    right_heartbeat_dir: str | None = None,
+    sentinel_key=-(2**31),
+) -> DataFrame:
+    """Stream-stream FULL OUTER join with event-time bounds: matched
+    pairs emit like the inner join; an unmatched row on EITHER side
+    emits with other-side NULLs once the watermark proves no partner can
+    still arrive. The global-MIN watermark freeze documented for the
+    left join (docs/SCALE.md) afflicts BOTH directions here — a stalled
+    left freezes right-null emission and vice versa — so the idle
+    heartbeat wrapper accepts a heartbeat directory PER SIDE, each
+    unioned with its real stream BEFORE that side's single
+    ``withWatermark`` (VERDICT r4 #8; see ``emit_watermark_heartbeat``
+    for the sentinel-key pushdown subtlety).
+
+    Unlike the left join — where unmatched right rows vanish by
+    definition — full-outer semantics would EMIT an expired heartbeat
+    row as an unmatched row. A post-join filter on the sentinel key
+    removes exactly those (the sentinel is outside the live key domain,
+    and a matched row always carries a live key on both sides), keeping
+    the output identical to a heartbeat-free run that never froze."""
+
+    def _side(src_dir, hb_dir, prefix):
+        s = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(src_dir)
+            .select(
+                F.col(key).alias(f"{prefix}_{key}"),
+                F.col(ts_col).alias(f"{prefix}_ts"),
+                F.col("event_id").alias(f"{prefix}_event_id"),
+            )
+        )
+        if hb_dir is not None:
+            hb = (
+                spark.readStream.format("parquet")
+                .schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .load(hb_dir)
+                .select(
+                    F.col(key).alias(f"{prefix}_{key}"),
+                    F.col(ts_col).alias(f"{prefix}_ts"),
+                    F.col("event_id").alias(f"{prefix}_event_id"),
+                )
+            )
+            # union BEFORE the watermark: two separately-watermarked
+            # inputs would re-introduce the min-across-inputs freeze
+            s = s.unionByName(hb)
+        return s.withWatermark(f"{prefix}_ts", watermark)
+
+    left = _side(left_dir, left_heartbeat_dir, "l")
+    right = _side(right_dir, right_heartbeat_dir, "r")
+    joined = (
+        left.join(
+            right,
+            (F.col(f"l_{key}") == F.col(f"r_{key}"))
+            & (F.col("r_ts") >= F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+            "fullOuter",
+        )
+        # drop expired HEARTBEAT rows (they surface as unmatched under
+        # full-outer semantics); real unmatched rows keep their NULL
+        # other side untouched
+        .filter(
+            (F.col(f"l_{key}").isNull() | (F.col(f"l_{key}") != sentinel_key))
+            & (
+                F.col(f"r_{key}").isNull()
+                | (F.col(f"r_{key}") != sentinel_key)
+            )
+        )
+        .select(
+            F.coalesce(F.col(f"l_{key}"), F.col(f"r_{key}")).alias(key),
+            "l_event_id",
+            "r_event_id",
+            "l_ts",
+            "r_ts",
+        )
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -151,7 +151,12 @@ EXTENSION_QUERIES = [
     "group_median_order_value",
     "weighted_median_lineitem_price",
     "fd_violations_part_supplier",
+    "theil_index_revenue_by_segment",
 ]
+# Registry queries not listed here or in BENCH_/TPCH_QUERIES are
+# bench-excluded by design (cheap single-shuffle shapes whose cost is a
+# subset of a listed query's); ALL registered queries run through the
+# driver's per-round correctness gate regardless.
 
 BENCH_QUERIES = [
     "pricing_summary",
@@ -213,6 +218,12 @@ def main() -> None:
 
     spark = get_spark("bench")
 
+    # load stamps: BENCH_r04 recorded 15.06 s for a block that measures
+    # 6.3 s idle — a contaminated run (driver-side contention) must be
+    # self-labeling, so the summary carries the 1-min loadavg before and
+    # after the headline block (VERDICT r4 #5)
+    load_before = round(os.getloadavg()[0], 2)
+
     # warm the JVM + parquet footers once so per-query times measure the
     # query, not first-touch JIT
     q.QUERIES["order_priority_count"](spark, sf_dir).count()
@@ -223,15 +234,18 @@ def main() -> None:
         fn = q.QUERIES.get(name)
         if fn is None:
             continue
-        # best of 2: the first run pays one-time codegen/JIT; steady-state
-        # throughput is what the 100 TB comparison cares about
+        # best of 3: the first run pays one-time codegen/JIT and any run
+        # can catch a contention spike; steady-state throughput is what
+        # the 100 TB comparison cares about
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             fn(spark, sf_dir).count()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
         total += best
+
+    load_after_headline = round(os.getloadavg()[0], 2)
 
     ext_timings: dict[str, float] = {}
     for name in EXTENSION_QUERIES:
@@ -255,9 +269,14 @@ def main() -> None:
         tpch_timings[name] = round(time.time() - t0, 3)
         tpch_total += tpch_timings[name]
 
-    # Full detail dump first (one long line — informational only), then a
-    # SHORT summary JSON as the very last line so tail-capture harnesses
-    # that keep only the final bytes of stdout still parse the headline.
+    # Full detail dump first (one long line — informational only), then
+    # the driver-contract summary as the very last line. The summary
+    # keeps the per-query dict (the driver's schema requires "queries")
+    # but drops the 130-entry extensions/tpch detail, so it stays an
+    # order of magnitude shorter than the detail line. "load" stamps the
+    # 1-min loadavg (before warm-up / after the headline block / at
+    # exit): a contaminated measurement labels itself.
+    loads = [load_before, load_after_headline, round(os.getloadavg()[0], 2)]
     print(
         json.dumps(
             {
@@ -268,6 +287,7 @@ def main() -> None:
                 "extensions": ext_timings,
                 "tpch": tpch_timings,
                 "tpch_total": round(tpch_total, 3),
+                "load": loads,
                 "sf": sf,
             }
         )
@@ -281,6 +301,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "tpch_total": round(tpch_total, 3),
+                "load": loads,
                 "sf": sf,
             }
         )

@@ -658,3 +658,67 @@ def test_stream_stream_left_join_idle_heartbeat_unfreezes_stalled_side(
     assert all(
         r["user_id"] != -(2**31) for r in out
     )  # sentinel never leaks into output
+
+
+def test_stream_stream_full_outer_join_heartbeats_both_sides(
+    spark, tmp_path
+):
+    """Full-outer idle-timeout (VERDICT r4 #8): the right stream stalls
+    after one early file AND the left stream carries an early unmatched
+    row — the global-MIN watermark freeze blocks null emission in BOTH
+    directions. The control run emits only the matched pair; with a
+    heartbeat stream on the stalled side, the expired unmatched LEFT row
+    emits right-side nulls and the expired unmatched RIGHT row emits
+    left-side nulls, and no sentinel row ever surfaces."""
+    from datetime import datetime, timedelta
+
+    from _data_engineering_pipeline_project_spark.streaming.microbatch import (
+        emit_watermark_heartbeat,
+        run_stream_stream_full_outer_join,
+    )
+
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    schema = "event_id int, ts timestamp, user_id int"
+    ldir, rdir, hdir = tmp_path / "l", tmp_path / "r", tmp_path / "hb"
+    # left: u1 matched, u2 unmatched (early -> expires), then watermark
+    # anchors that advance the LEFT side far ahead
+    for b in [
+        [(1, base, 1), (2, base + timedelta(minutes=5), 2)],
+        [(3, base + timedelta(hours=6), 3)],
+        [(4, base + timedelta(hours=7), 4)],
+    ]:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(ldir))
+    # right: the u1 match plus an early unmatched u9 row, then SILENCE
+    spark.createDataFrame(
+        [(10, base + timedelta(minutes=10), 1),
+         (11, base + timedelta(minutes=6), 9)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(rdir))
+
+    # control: frozen watermark -> only the matched pair appears
+    out = run_stream_stream_full_outer_join(
+        spark, str(ldir), str(rdir), schema,
+        query_name="ss_fo_stalled",
+    ).collect()
+    assert {(r["l_event_id"], r["r_event_id"]) for r in out} == {(1, 10)}
+
+    # heartbeats on the stalled right side unfreeze BOTH directions:
+    # the left unmatched row expires (right nulls) AND the right
+    # unmatched row expires (left nulls) because the left side already
+    # advanced via real rows
+    for hb_ts in (base + timedelta(hours=6), base + timedelta(hours=7)):
+        emit_watermark_heartbeat(spark, str(hdir), hb_ts, schema)
+    out = run_stream_stream_full_outer_join(
+        spark, str(ldir), str(rdir), schema,
+        query_name="ss_fo_heartbeat",
+        right_heartbeat_dir=str(hdir),
+    ).collect()
+    pairs = {(r["l_event_id"], r["r_event_id"]) for r in out}
+    assert (1, 10) in pairs              # match unaffected
+    assert (2, None) in pairs            # expired unmatched left
+    assert (None, 11) in pairs           # expired unmatched right
+    assert all(r["user_id"] != -(2**31) for r in out)  # no sentinel leak
+    got_left = {r["l_event_id"] for r in out}
+    assert 3 not in got_left and 4 not in got_left  # open windows withheld
