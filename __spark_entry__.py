@@ -24,6 +24,7 @@ from _data_engineering_pipeline_project_spark import queries_ext3 as _qext3  # n
 from _data_engineering_pipeline_project_spark import queries_ext4 as _qext4  # noqa: F401  (registers into _q.QUERIES/ORACLES)
 from _data_engineering_pipeline_project_spark import queries_ext5 as _qext5  # noqa: F401  (registers into _q.QUERIES/ORACLES)
 from _data_engineering_pipeline_project_spark import queries_ext6 as _qext6  # noqa: F401  (registers into _q.QUERIES/ORACLES)
+from _data_engineering_pipeline_project_spark import queries_ext7 as _qext7  # noqa: F401  (registers into _q.QUERIES/ORACLES)
 
 
 def entry(spark: SparkSession) -> DataFrame:

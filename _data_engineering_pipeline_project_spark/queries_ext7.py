@@ -1,0 +1,413 @@
+"""Round-5 extension wave: scale machinery + training-data plumbing.
+
+Five components, each the Spark-native answer to a 100 TB operational
+problem the reference's single-node pandas layer never meets
+(project/etl2.py loads ~1.5M rows in memory):
+
+- ``salted_revenue_by_brand`` — the explicit skew-salted join
+  (operators/skew.py), oracle-proven bit-identical to the plain join.
+- ``zorder_layout_orders`` — Morton-curve layout index
+  (functions/zorder.py), the write-side clustering that makes file-level
+  min/max skipping work on two dimensions at once.
+- ``deterministic_epoch_shuffle_documents`` — reproducible global
+  training-data shuffle: rank over a seeded content hash via the
+  bucketed two-pass (no single-partition sort), stable across cluster
+  size, partitioning, and engine.
+- ``bigram_lm_quality_documents`` — interpolated bigram language-model
+  scoring (CCNet-style quality filter, one model-estimation aggregate +
+  shuffle joins keyed on the n-gram).
+- ``maxsim_multivector_topk`` — ColBERT-style multi-vector late
+  interaction retrieval: per-sub-vector max, summed in exact fixed
+  point.
+
+All scoring follows the house parity rule: transcendentals/doubles are
+floored to fixed point per TERM, every accumulation after that is exact
+integer arithmetic, so hash-level oracle equality is insensitive to
+Spark's aggregation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from _data_engineering_pipeline_project_spark.catalog import table
+from _data_engineering_pipeline_project_spark.queries import query
+
+# --------------------------------------------------------------------------
+# Skew-salted join (operators/skew.py) — oracle: the PLAIN join
+# --------------------------------------------------------------------------
+_SALTED_SQL = """
+    SELECT p.p_brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                 / 10000.0, 2) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+"""
+
+
+@query("salted_revenue_by_brand", _SALTED_SQL)
+def salted_revenue_by_brand(spark: SparkSession, sf: str) -> DataFrame:
+    """Brand revenue through the 8-way SALTED join — the oracle is the
+    plain (unsalted) join, so a hash match proves the salting transform
+    is a pure physical rewrite: every fact row meets exactly one replica
+    of its dimension row, no row lost, none duplicated. Revenue is exact
+    integer micro-money (price_cents × (100 − disc_cents)) so the final
+    sum is order-insensitive. At scale the explode side costs
+    salts × |dim| rows while the hot fact key's rows fan across
+    ``salts`` shuffle partitions instead of one."""
+    from _data_engineering_pipeline_project_spark.operators.skew import (
+        salted_join,
+    )
+
+    li = table(spark, sf, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    p = table(spark, sf, "part").select("p_partkey", "p_brand")
+    j = salted_join(li, p, "l_partkey", "p_partkey", salts=8)
+    rev_fp = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    return (
+        j.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(F.sum(rev_fp) / 10000.0, 2).alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Z-order layout index (functions/zorder.py)
+# --------------------------------------------------------------------------
+def _zorder_sql() -> str:
+    from _data_engineering_pipeline_project_spark.functions.zorder import (
+        zorder2_sql,
+    )
+
+    z = zorder2_sql(
+        "(o_custkey % 256)",
+        "(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))"
+        " % 256)",
+        8,
+    )
+    return f"""
+    WITH z AS (
+      SELECT o_orderkey, o_custkey,
+             datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+               AS day_no,
+             {z} AS zval
+      FROM orders)
+    SELECT CAST(zval >> 10 AS INTEGER) AS zbucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           min(zval) AS zmin, max(zval) AS zmax,
+           CAST(min(o_custkey % 256) AS BIGINT) AS custlane_min,
+           CAST(max(o_custkey % 256) AS BIGINT) AS custlane_max,
+           CAST(min(day_no % 256) AS BIGINT) AS daylane_min,
+           CAST(max(day_no % 256) AS BIGINT) AS daylane_max
+    FROM z GROUP BY 1
+    """
+
+
+@query("zorder_layout_orders", _zorder_sql())
+def zorder_layout_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Layout audit of a z-ordered write of ``orders`` clustered on
+    (customer, order-day): the z-value interleaves 8 bits of each lane,
+    the coarse bucket (z >> 10, 64 ranges ≈ files) reports each would-be
+    file's min/max in BOTH lanes. The point the numbers make: every
+    bucket's customer-lane AND day-lane spans are ~1/8 of the domain
+    (√buckets), so min/max file skipping prunes on either predicate —
+    a single-column sort gives a tight span in one lane and the full
+    domain in the other. Exact 64-bit shift/mask arithmetic end to end;
+    at scale this expression (with 16-bit lanes over the real key
+    domains) feeds
+    ``repartitionByRange(zval).sortWithinPartitions(zval).write``."""
+    from _data_engineering_pipeline_project_spark.functions.zorder import (
+        zorder2,
+    )
+
+    o = table(spark, sf, "orders")
+    day_no = F.datediff(
+        F.col("o_orderdate"), F.to_date(F.lit("1992-01-01"))
+    )
+    z = o.select(
+        "o_orderkey",
+        F.pmod(F.col("o_custkey"), F.lit(256)).alias("custlane"),
+        F.pmod(day_no, F.lit(256)).alias("daylane"),
+    ).withColumn("zval", zorder2(F.col("custlane"), F.col("daylane"), 8))
+    return (
+        z.groupBy(F.shiftright(F.col("zval"), 10).cast("int").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("zval").alias("zmin"),
+            F.max("zval").alias("zmax"),
+            F.min("custlane").cast("bigint").alias("custlane_min"),
+            F.max("custlane").cast("bigint").alias("custlane_max"),
+            F.min("daylane").cast("bigint").alias("daylane_min"),
+            F.max("daylane").cast("bigint").alias("daylane_max"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic epoch shuffle (training-data ordering)
+# --------------------------------------------------------------------------
+_SHUFFLE_SQL = """
+    WITH e0 AS (SELECT doc_id,
+                       row_number() OVER (ORDER BY
+                         CAST('0x' || substr(md5('ep0:' ||
+                              CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+                         doc_id) AS pos_epoch0
+                FROM documents),
+    e1 AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY
+                    CAST('0x' || substr(md5('ep1:' ||
+                         CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+                    doc_id) AS pos_epoch1
+           FROM documents)
+    SELECT e0.doc_id, e0.pos_epoch0, e1.pos_epoch1
+    FROM e0 JOIN e1 ON e0.doc_id = e1.doc_id
+"""
+
+
+@query("deterministic_epoch_shuffle_documents", _SHUFFLE_SQL)
+def deterministic_epoch_shuffle_documents(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """Reproducible global training-data shuffle: each epoch's order is
+    the rank of a seeded content hash (md5 of ``seed:doc_id``), so the
+    permutation is a pure function of the data — identical on any
+    cluster size, partitioning, restart, or engine (``df.orderBy(rand)``
+    is none of those). Two epochs ship to show seed independence. The
+    rank itself is the bucketed two-pass (`functions/twopass.py`) over
+    the 60-bit hash — at 100 TB there is no single-partition sort, and
+    the hash key is uniform by construction, the two-pass's best case."""
+    from _data_engineering_pipeline_project_spark.functions.twopass import (
+        bucketed_cumulative,
+    )
+    from _data_engineering_pipeline_project_spark.operators.dedup import (
+        md5_hash60,
+    )
+
+    docs = table(spark, sf, "documents").select("doc_id")
+
+    def epoch(seed: str, out: str) -> DataFrame:
+        d = docs.select(
+            "doc_id",
+            md5_hash60(
+                F.concat(F.lit(seed + ":"), F.col("doc_id").cast("string"))
+            ).alias("__h"),
+        )
+        return bucketed_cumulative(
+            d, ["__h", "doc_id"], rank_col=out
+        ).select("doc_id", out)
+
+    return epoch("ep0", "pos_epoch0").join(epoch("ep1", "pos_epoch1"), "doc_id")
+
+
+# --------------------------------------------------------------------------
+# Interpolated bigram language-model quality scoring
+# --------------------------------------------------------------------------
+_BIGRAM_SQL = r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term,
+             unnest(generate_series(1,
+               len(string_split_regex(trim(lower(text)), '\s+')))) AS pos
+      FROM documents WHERE length(trim(text)) > 0),
+    big AS (SELECT doc_id, prev, term FROM (
+              SELECT doc_id, term, pos,
+                     lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+              FROM tok)
+            WHERE prev IS NOT NULL),
+    uni AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t,
+                   (SELECT CAST(count(*) AS BIGINT) FROM uni) AS v
+            FROM tok),
+    bi AS (SELECT prev, term, count(*) AS cb FROM big GROUP BY 1, 2),
+    ptot AS (SELECT prev, count(*) AS cp FROM big GROUP BY 1),
+    scored AS (
+      SELECT g.doc_id,
+             CAST(floor(ln(
+               CAST(0.75 AS DOUBLE) * ((bi.cb + 1)
+                 / CAST(ptot.cp + tot.v AS DOUBLE))
+               + CAST(0.25 AS DOUBLE) * ((uni.c + 1)
+                 / CAST(tot.t + tot.v AS DOUBLE))
+             ) * 1000000) AS BIGINT) AS lp_fp
+      FROM big g
+      JOIN bi ON g.prev = bi.prev AND g.term = bi.term
+      JOIN ptot ON g.prev = ptot.prev
+      JOIN uni ON g.term = uni.term
+      CROSS JOIN tot)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-sum(lp_fp) / (1000000.0 * count(*)), 6) AS nll_per_bigram
+    FROM scored GROUP BY 1
+"""
+
+
+@query("bigram_lm_quality_documents", _BIGRAM_SQL)
+def bigram_lm_quality_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style corpus quality scoring, one order up from the unigram
+    form (`unigram_lm_quality_documents`): per-bigram negative
+    log-likelihood under a Laplace-smoothed bigram model interpolated
+    with the unigram model, P = 0.75·P(w|prev) + 0.25·P(w). The model
+    IS the corpus (train-where-you-score, CCNet's trick for boilerplate
+    detection): one pass builds unigram + bigram + context counts (hash
+    aggregates keyed on the n-gram — never broadcast; a 100 TB corpus'
+    bigram table is itself fact-sized), the scoring pass joins them
+    back on the n-gram key. The single transcendental per DISTINCT
+    token pairing is floored to micro-nats before the per-doc sum, so
+    aggregation order cannot move the oracle hash."""
+    docs = table(spark, sf, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    from _data_engineering_pipeline_project_spark.operators.textstats import (
+        tokens,
+    )
+
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "term")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.withColumn("prev", F.lag("term").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("doc_id", "prev", "term")
+    )
+    uni = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+    ).crossJoin(
+        F.broadcast(
+            uni.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+        )
+    )
+    bi = big.groupBy("prev", "term").agg(F.count(F.lit(1)).alias("cb"))
+    ptot = big.groupBy("prev").agg(F.count(F.lit(1)).alias("cp"))
+    p_bi = (F.col("cb") + 1) / (F.col("cp") + F.col("v")).cast("double")
+    p_uni = (F.col("c") + 1) / (F.col("t") + F.col("v")).cast("double")
+    lp_fp = F.floor(
+        F.ln(F.lit(0.75) * p_bi + F.lit(0.25) * p_uni) * 1000000
+    ).cast("bigint")
+    scored = (
+        big.join(bi, ["prev", "term"])
+        .join(ptot, "prev")
+        .join(uni, "term")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", lp_fp.alias("lp_fp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(
+            -F.sum("lp_fp") / (1000000.0 * F.count(F.lit(1))), 6
+        ).alias("nll_per_bigram"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ColBERT-style multi-vector (MaxSim) retrieval
+# --------------------------------------------------------------------------
+_MAXSIM_SQL = """
+    WITH sub AS (
+      SELECT vec_id, s.i AS si,
+             CAST(embedding AS DOUBLE[])[s.i * 16 + 1 : s.i * 16 + 16] AS v
+      FROM embeddings, unnest(generate_series(0, 3)) AS s(i)),
+    q AS (SELECT vec_id AS query_id, si AS qi, v AS qv
+          FROM sub WHERE vec_id < 5),
+    cos AS (
+      SELECT q.query_id, d.vec_id AS neighbor_id, q.qi,
+             CAST(floor(list_dot_product(d.v, q.qv)
+               / (sqrt(list_dot_product(d.v, d.v))
+                  * sqrt(list_dot_product(q.qv, q.qv))) * 1000000)
+               AS BIGINT) AS cos_fp
+      FROM sub d, q WHERE d.vec_id <> q.query_id),
+    best AS (SELECT query_id, neighbor_id, qi, max(cos_fp) AS mx
+             FROM cos GROUP BY 1, 2, 3),
+    score AS (SELECT query_id, neighbor_id, sum(mx) AS score_fp
+              FROM best GROUP BY 1, 2)
+    SELECT query_id, neighbor_id,
+           round(score_fp / 1000000.0, 6) AS maxsim,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score_fp DESC, neighbor_id) AS rnk
+          FROM score)
+    WHERE rnk <= 5
+"""
+
+
+@query("maxsim_multivector_topk", _MAXSIM_SQL)
+def maxsim_multivector_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval: each vector is read as
+    FOUR 16-dim sub-vectors (token embeddings); a candidate's score is
+    Σ over query sub-vectors of the MAX cosine against any candidate
+    sub-vector. Per-sub-vector cosines use the codegen-unrolled dot
+    (`functions/vectors.py`) and are floored to 1e-6 fixed point BEFORE
+    max/sum, so both aggregates are exact integer arithmetic and the
+    ranking is a deterministic bigint comparison. This is the
+    brute-force oracle-checked baseline; the scale path swaps the
+    all-pairs candidate set for an IVF/LSH bucket join exactly as the
+    single-vector family does (`operators/similarity.py`) — MaxSim only
+    changes the SCORING of a candidate, not candidate generation."""
+    from _data_engineering_pipeline_project_spark.functions.vectors import (
+        dot_unrolled,
+    )
+
+    emb = table(spark, sf, "embeddings")
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("si"),
+                F.slice(
+                    F.col("embedding").cast("array<double>"), i * 16 + 1, 16
+                ).alias("v"),
+            )
+            for i in range(4)
+        ]
+    )
+    sub = emb.select(
+        "vec_id", F.explode(subs).alias("s")
+    ).select("vec_id", F.col("s.si").alias("si"), F.col("s.v").alias("v"))
+    q = sub.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("si").alias("qi"),
+        F.col("v").alias("qv"),
+    )
+    pairs = sub.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos_fp = F.floor(
+        dot_unrolled("v", "qv", 16)
+        / (
+            F.sqrt(dot_unrolled("v", "v", 16))
+            * F.sqrt(dot_unrolled("qv", "qv", 16))
+        )
+        * 1000000
+    ).cast("bigint")
+    best = (
+        pairs.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "qi",
+            cos_fp.alias("cos_fp"),
+        )
+        .groupBy("query_id", "neighbor_id", "qi")
+        .agg(F.max("cos_fp").alias("mx"))
+    )
+    score = best.groupBy("query_id", "neighbor_id").agg(
+        F.sum("mx").alias("score_fp")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_fp").desc(), F.col("neighbor_id")
+    )
+    return (
+        score.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("score_fp") / 1000000.0, 6).alias("maxsim"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -152,6 +152,11 @@ EXTENSION_QUERIES = [
     "weighted_median_lineitem_price",
     "fd_violations_part_supplier",
     "theil_index_revenue_by_segment",
+    "salted_revenue_by_brand",
+    "zorder_layout_orders",
+    "deterministic_epoch_shuffle_documents",
+    "bigram_lm_quality_documents",
+    "maxsim_multivector_topk",
 ]
 # Registry queries not listed here or in BENCH_/TPCH_QUERIES are
 # bench-excluded by design (cheap single-shuffle shapes whose cost is a
@@ -213,6 +218,7 @@ def main() -> None:
     from _data_engineering_pipeline_project_spark import queries_ext4  # noqa: F401
     from _data_engineering_pipeline_project_spark import queries_ext5  # noqa: F401
     from _data_engineering_pipeline_project_spark import queries_ext6  # noqa: F401
+    from _data_engineering_pipeline_project_spark import queries_ext7  # noqa: F401
     from _data_engineering_pipeline_project_spark import queries_ops  # noqa: F401
     from _data_engineering_pipeline_project_spark.session import get_spark
 
