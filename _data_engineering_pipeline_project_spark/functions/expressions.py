@@ -74,6 +74,42 @@ def keep_first(
     return kept, dups
 
 
+def keep_first_agg(
+    df: DataFrame, keys: list[str], order_by: list[str]
+) -> DataFrame:
+    """The KEPT side of :func:`keep_first` as a hash aggregate:
+    ``min_by(struct(payload), struct(order_by))`` per key.
+
+    Same result, different physical shape: the window form shuffles
+    every row and sorts each key's partition; the aggregate form
+    partial-aggregates MAP-SIDE, so the shuffle carries one candidate
+    row per (key, input-partition) — at 100 TB with a duplication
+    factor d, that is ~1/d of the bytes and no sort at all. Spark's
+    struct ordering compares fields left-to-right with NULLS FIRST,
+    matching the window's default ascending order (pinned by test with
+    null tie-break values).
+
+    Ascending ``order_by`` only, and the tie-break must be UNIQUE per
+    key (the house oracle-determinism requirement anyway — with a
+    non-unique tie-break ``min_by`` picks an arbitrary tied row where
+    ``row_number`` picks a stable-but-arbitrary one; neither survives
+    an engine comparison). Use :func:`keep_first` when the duplicate
+    side is needed too."""
+    payload = [c for c in df.columns if c not in keys]
+    agg = df.groupBy(*keys).agg(
+        F.min_by(
+            F.struct(*[F.col(c) for c in payload]),
+            F.struct(*[F.col(c) for c in order_by]),
+        ).alias("__first")
+    )
+    return agg.select(
+        *[
+            F.col(c) if c in keys else F.col(f"__first.{c}").alias(c)
+            for c in df.columns
+        ]
+    )
+
+
 def chronology_violation_expr(ts_cols: list[str]) -> Column:
     """Issue-string array for out-of-order lifecycle timestamps.
 

@@ -14,6 +14,17 @@ All bit arithmetic is exact 64-bit integer math (shift/and/or), so the
 DuckDB oracle of ``zorder_layout_orders`` reproduces values bit for
 bit. No counterpart in the reference (single-node pandas has no layout
 problem, project/etl2.py).
+
+Relation to ``operators/sampling.py:zorder_value`` (the write-path
+sibling): that form is an Arrow-batched numpy UDF spreading full 31-bit
+lanes — the right physical shape at WRITE time, where the z-value is
+computed once per row and a 124-term codegen expression would bloat the
+task binary. THIS form is the pure-Catalyst expression for moderate bit
+widths (≤16 per lane): no Python worker in the plan, and — being plain
+integer SQL — it has a DuckDB twin (:func:`zorder2_sql`), which is what
+lets the layout audit be oracle-checked rather than pytest-only. Same
+bit convention (x even, y odd) in both, pinned by
+``tests/test_ext7.py``.
 """
 
 from __future__ import annotations

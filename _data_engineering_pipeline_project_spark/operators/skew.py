@@ -1,71 +1,121 @@
-"""Skew-mitigation join primitives.
+"""Skew and co-location utilities.
 
-The classic 100 TB failure mode of an equi-join is ONE hot key: every
-row with that key lands in a single shuffle partition, and the stage is
-as slow as its widest task no matter how many executors exist. AQE's
-skew-join splitting handles the sort-merge case at runtime; this module
-ships the explicit SALTED form for when the planner cannot help —
-e.g. a hot build side that must replicate, or an aggregation-under-join
-pattern where the skew is known ahead of time.
+- **salted_join**: explicit skew mitigation for joins where one key
+  dominates (AQE's skew-join split handles sort-merge skew at runtime;
+  salting is the declarative form that also works for aggregations and
+  older planners). The skewed left side gets a random-but-deterministic
+  salt in [0, buckets); the right side is replicated ``buckets`` times;
+  the join key becomes (key, salt). Row multiplicity is unchanged.
 
-Shape: the fact side gains a deterministic per-row salt in [0, salts);
-the dimension side explodes into ``salts`` replicas (one per salt
-value); the join adds ``salt`` to the equi-key, so a hot key's rows
-spread across ``salts`` partitions while every fact row still meets
-exactly one replica of its dimension row. Results are BIT-IDENTICAL to
-the unsalted join — verified by the oracle of
-``salted_revenue_by_brand`` (plain-join SQL twin).
+- **salted_aggregate**: two-phase aggregation for skewed groupBy keys —
+  partial agg on (key, salt), final agg on key. Sums/counts compose
+  exactly; the helper takes the partial/final expression pairs.
 
-No counterpart in the reference (single-node pandas merges never skew,
-project/etl2.py); this is pure Spark scale machinery.
+- **write_bucketed / bucketed_table**: persist a table bucketed by its
+  join key so repeated joins on that key are shuffle-free (verified in
+  tests by the absence of Exchange under the join).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+_SALT_SAFE_HOW = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+
+
 def salted_join(
-    fact: DataFrame,
-    dim: DataFrame,
-    fact_key: str,
-    dim_key: str,
-    salts: int = 8,
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    buckets: int = 8,
     how: str = "inner",
 ) -> DataFrame:
-    """Equi-join ``fact ⋈ dim`` on ``fact_key == dim_key`` with an
-    ``salts``-way salt on the shuffle key.
+    """Equi-join with a salted key. Deterministic salt (hash of all left
+    columns) keeps re-runs reproducible — rand() would not be.
 
-    The salt is a DETERMINISTIC function of the entire fact row
-    (``xxhash64`` over all columns) — not ``rand()``/monotonic id, which
-    would change across plan-subtree re-execution and break exactly the
-    re-computation stability the engine guarantees everywhere else.
-    Identical duplicate rows share a salt; that only narrows the spread
-    when the hot key's rows are literal duplicates, in which case the
-    right fix is dedup, not salting.
+    Only left-preserving joins are allowed: the right side is exploded
+    into ``buckets`` copies, so any join that can emit UNMATCHED right
+    rows (right/full outer) would emit each of them ``buckets`` times.
+    For inner/left/semi/anti the replication is invisible — every left
+    row meets exactly one copy of each matching right row."""
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in _SALT_SAFE_HOW}:
+        raise ValueError(
+            f"salted_join supports left-preserving joins only, got how={how!r}: "
+            "the exploded right side would duplicate unmatched right rows"
+        )
+    salt = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(buckets))
+    l_salted = left.withColumn("__salt", salt)
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+    out = l_salted.join(r_salted, [*on, "__salt"], how)
+    return out.drop("__salt")
 
-    Cost model: the dimension side is scanned once and exploded
-    ``salts``× (rows, not bytes of the fact table) — cheap for any
-    dimension that fits a shuffle, and the fact side never replicates.
-    ``how`` supports ``inner`` and ``left`` (each fact row still meets
-    exactly one replica of its matching dim row, so outer semantics are
-    preserved; ``right``/``full`` would emit one unmatched row PER
-    REPLICA and are rejected)."""
-    if how not in ("inner", "left"):
-        raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salts)
-    ).cast("int")
-    f = fact.withColumn("__salt_f", salt)
-    d = dim.withColumn(
-        "__salt_d",
-        F.explode(F.array(*[F.lit(i) for i in range(salts)])),
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    partial_aggs: dict[str, object],
+    final_aggs: dict[str, object],
+    buckets: int = 8,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``partial_aggs``: alias → Column over the raw rows (runs on
+    (keys, salt)); ``final_aggs``: alias → Column over the partials (runs
+    on keys). E.g. partial {'s': sum(x), 'c': count(1)} and final
+    {'total': sum(s), 'n': sum(c)} computes skew-safe sum+count.
+    """
+    salt = F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(buckets * 64))
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(*[c.alias(a) for a, c in partial_aggs.items()])
     )
-    out = f.join(
-        d,
-        (F.col(fact_key) == F.col(dim_key))
-        & (F.col("__salt_f") == F.col("__salt_d")),
-        how,
+    return partial.groupBy(*keys).agg(
+        *[c.alias(a) for a, c in final_aggs.items()]
     )
-    return out.drop("__salt_f", "__salt_d")
+
+
+def write_bucketed(
+    df: DataFrame, name: str, bucket_cols: list[str], num_buckets: int = 8
+) -> None:
+    """Persist bucketed by the join key: subsequent joins between tables
+    bucketed the same way skip the shuffle entirely."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .format("parquet")
+        .saveAsTable(name)
+    )
+
+
+def bucketed_table(spark: SparkSession, name: str) -> DataFrame:
+    return spark.table(name)
+
+
+def cap_group_width(
+    df: DataFrame, group_col: str, max_width: int
+) -> DataFrame:
+    """Drop every row of groups wider than ``max_width`` — the
+    hyper-active-key guard for pair-expansion self-joins (item-item
+    cosine, co-occurrence, market basket): one customer with a 10^5-item
+    basket contributes 10^10 pairs, and no downstream aggregate recovers
+    that cost. Same DF-cap discipline as the hot-shingle filter
+    (operators/dedup.py:cap_shingle_df); the width census is one hash
+    aggregate, the cap an anti-join against the (tiny) hot-key set.
+
+    Dropping (rather than sampling) the hot groups is the documented
+    contract: hyper-active keys are bots/aggregators whose co-occurrence
+    signal is noise; keep them by salting the AGGREGATE instead if the
+    analysis needs them."""
+    hot = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .filter(F.col("__w") > max_width)
+        .select(group_col)
+    )
+    return df.join(F.broadcast(hot), group_col, "left_anti")

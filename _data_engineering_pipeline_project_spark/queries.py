@@ -23,7 +23,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from _data_engineering_pipeline_project_spark.catalog import table
-from _data_engineering_pipeline_project_spark.functions.expressions import keep_first
+from _data_engineering_pipeline_project_spark.functions.expressions import (
+    keep_first,
+    keep_first_agg,
+)
 from _data_engineering_pipeline_project_spark.operators import quality as Q
 from _data_engineering_pipeline_project_spark.operators.joins import snapshot_diff
 from _data_engineering_pipeline_project_spark.operators.normalize import (
@@ -123,10 +126,16 @@ def pk_dup_violations_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def pk_dedup_keep_first_lineitem(spark: SparkSession, sf: str) -> DataFrame:
-    """The cleaned side of the same check: first line per order."""
-    return Q.validate_primary_keys(
-        table(spark, sf, "lineitem"), ["l_orderkey"], order_by=_LINEITEM_TIEBREAK
-    ).cleaned
+    """The cleaned side of the same check: first line per order.
+
+    Physical shape (r5): the kept side alone needs no window — the
+    ``min_by``-struct hash aggregate (`functions/expressions.py:
+    keep_first_agg`) partial-aggregates map-side, shuffling ~one
+    candidate per (key, partition) instead of sorting every duplicate.
+    The violations side (`pk_dup_violations_lineitem_orderkey`) still
+    runs the ranked window, which needs every row."""
+    li = table(spark, sf, "lineitem").filter(F.col("l_orderkey").isNotNull())
+    return keep_first_agg(li, ["l_orderkey"], _LINEITEM_TIEBREAK)
 
 
 # --------------------------------------------------------------------------
@@ -278,14 +287,16 @@ def chronology_orders_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
     the TPC-H instantiation of the reference's 4-timestamp chain."""
     o = table(spark, sf, "orders")
     li = table(spark, sf, "lineitem")
-    agg = (
-        o.join(li, o.o_orderkey == li.l_orderkey, "inner")
-        .groupBy("o_orderkey", "o_orderdate")
-        .agg(
-            F.min("l_shipdate").alias("first_ship"),
-            F.max("l_shipdate").alias("last_ship"),
-        )
+    # pre-aggregate the fact side BEFORE the join (r5): min/max per
+    # orderkey partial-aggregates map-side, so the join input shrinks
+    # from |lineitem| to |orders| rows and both sides hash on the same
+    # key (no extra shuffle). Exact rewrite: min/max are
+    # order-insensitive and inner-join semantics are unchanged.
+    ship = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
     )
+    agg = o.select("o_orderkey", "o_orderdate").join(ship, "o_orderkey")
     return Q.check_chronological_order(
         agg, ["o_orderdate", "first_ship", "last_ship"]
     ).violations
@@ -346,11 +357,13 @@ def pattern_scan_documents(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def dedup_events_user_type(spark: SparkSession, sf: str) -> DataFrame:
-    """dropDuplicates with a deterministic keep-earliest tie-break."""
-    kept, _ = keep_first(
+    """dropDuplicates with a deterministic keep-earliest tie-break —
+    via the map-side-combining ``min_by`` aggregate (keep_first_agg;
+    the unorderable ``props`` map rides in the VALUE struct, which
+    min_by never compares)."""
+    return keep_first_agg(
         table(spark, sf, "events"), ["user_id", "event_type"], ["ts", "event_id"]
     )
-    return kept
 
 
 # --------------------------------------------------------------------------
@@ -480,23 +493,36 @@ def pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
-    """Star join: fact × 2 mid tables × 2 broadcast dims, then hash agg."""
+    """Star join: fact × 2 mid tables × 2 broadcast dims, then hash agg.
+
+    Scale shape (r5, same rewrite as ``top_customers_by_revenue``): the
+    fact side pre-aggregates per orderkey BEFORE the orders join — the
+    revenue sum partial-aggregates map-side and the join input shrinks
+    ~4× (lines per order), with both sides hashing on orderkey so AQE
+    co-partitions them. The per-nation sum then combines per-order
+    partials; rounding happens once at the end, as before (the sum's
+    combination order was never deterministic to begin with — the
+    4-decimal round is the engine-parity boundary either way)."""
     li = table(spark, sf, "lineitem")
     o = table(spark, sf, "orders")
     c = table(spark, sf, "customer")
     n = table(spark, sf, "nation")
     r = table(spark, sf, "region")
+    per_order = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "__rev"
+        ),
+        F.count(F.lit(1)).alias("__n"),
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        per_order.join(o.select("o_orderkey", "o_custkey"), "o_orderkey")
+        .join(c, F.col("o_custkey") == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name", "r_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue"),
-            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(F.sum("__rev"), 4).alias("revenue"),
+            F.sum("__n").alias("n_lineitems"),
         )
     )
 

@@ -56,17 +56,19 @@ def salted_revenue_by_brand(spark: SparkSession, sf: str) -> DataFrame:
     of its dimension row, no row lost, none duplicated. Revenue is exact
     integer micro-money (price_cents × (100 − disc_cents)) so the final
     sum is order-insensitive. At scale the explode side costs
-    salts × |dim| rows while the hot fact key's rows fan across
-    ``salts`` shuffle partitions instead of one."""
+    buckets × |dim| rows while a hot fact key's rows fan across
+    ``buckets`` shuffle partitions instead of one."""
     from _data_engineering_pipeline_project_spark.operators.skew import (
         salted_join,
     )
 
     li = table(spark, sf, "lineitem").select(
-        "l_partkey", "l_extendedprice", "l_discount"
+        F.col("l_partkey").alias("p_partkey"),
+        "l_extendedprice",
+        "l_discount",
     )
     p = table(spark, sf, "part").select("p_partkey", "p_brand")
-    j = salted_join(li, p, "l_partkey", "p_partkey", salts=8)
+    j = salted_join(li, p, on=["p_partkey"], buckets=8)
     rev_fp = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
         100 - F.round(F.col("l_discount") * 100).cast("bigint")
     )

@@ -216,3 +216,33 @@ def test_conform_to_schema_evolution(spark):
     out2, actions2 = conform_to_schema(big, bad_target, on_incompatible="null")
     assert out2.collect()[0]["id"] is None
     assert actions2[0].action == "nulled_incompatible"
+
+def test_keep_first_agg_matches_window_with_nulls(spark):
+    """keep_first_agg (min_by struct hash aggregate) must pick the SAME
+    row as the window row_number form, including NULL tie-break values
+    (struct ordering is NULLS FIRST, like the window's ascending
+    default) and null GROUP keys (SQL GROUP BY keeps them, like
+    partitionBy)."""
+    from _data_engineering_pipeline_project_spark.functions.expressions import (
+        keep_first,
+        keep_first_agg,
+    )
+
+    rows = [
+        (1, 5, "a"),
+        (1, None, "b"),   # NULL ts sorts FIRST -> the kept row for key 1
+        (1, 3, "c"),
+        (2, 7, "d"),
+        (None, 1, "e"),   # null key forms its own group
+        (None, 0, "f"),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts int, payload string")
+    win = {
+        (r["k"], r["payload"])
+        for r in keep_first(df, ["k"], ["ts", "payload"])[0].collect()
+    }
+    agg = {
+        (r["k"], r["payload"])
+        for r in keep_first_agg(df, ["k"], ["ts", "payload"]).collect()
+    }
+    assert agg == win == {(1, "b"), (2, "d"), (None, "f")}
