@@ -514,6 +514,44 @@ _FS_FEEDS = """
           FROM part WHERE p_partkey % 3 <> 0)
 """
 
+def _fs_feeds(spark: SparkSession, sf: str):
+    """The two deterministically-dirtied product feeds of the
+    record-linkage family (Spark twin of the ``_FS_FEEDS`` SQL CTEs) —
+    shared by ``fellegi_sunter_linkage_parts`` and the blocking-quality
+    audit (queries_ext8.py)."""
+    p = table(spark, sf, "part")
+    a = p.filter(F.col("p_partkey") % 2 != 0).select(
+        F.col("p_partkey").alias("key_a"),
+        F.lower("p_name").alias("name_a"),
+        F.col("p_brand").alias("brand_a"),
+        F.col("p_type").alias("type_a"),
+        F.col("p_size").alias("size_a"),
+        F.col("p_retailprice").alias("price_a"),
+    )
+    b = p.filter(F.col("p_partkey") % 3 != 0).select(
+        (F.col("p_partkey") + 1000000).alias("key_b"),
+        F.col("p_partkey").alias("true_key"),
+        F.when(
+            F.col("p_partkey") % 7 == 0, F.concat(F.lower("p_name"), F.lit(" xx"))
+        )
+        .otherwise(F.lower("p_name"))
+        .alias("name_b"),
+        F.when(F.col("p_partkey") % 11 == 0, F.lit("UNBRANDED"))
+        .otherwise(F.col("p_brand"))
+        .alias("brand_b"),
+        F.col("p_type").alias("type_b"),
+        F.when(F.col("p_partkey") % 13 == 0, F.col("p_size") + 1)
+        .otherwise(F.col("p_size"))
+        .alias("size_b"),
+        F.when(
+            F.col("p_partkey") % 5 == 0, F.col("p_retailprice") + F.lit(0.05)
+        )
+        .otherwise(F.col("p_retailprice"))
+        .alias("price_b"),
+    )
+    return a, b
+
+
 _FS_SQL = f"""
     WITH {_FS_FEEDS},
     c1 AS (SELECT a.*, b.* FROM a JOIN b
@@ -585,36 +623,7 @@ def fellegi_sunter_linkage_parts(spark: SparkSession, sf: str) -> DataFrame:
 
     The scoring join never touches the full cross product: cost is
     O(candidates), and every stage is a hash agg or broadcast join."""
-    p = table(spark, sf, "part")
-    a = p.filter(F.col("p_partkey") % 2 != 0).select(
-        F.col("p_partkey").alias("key_a"),
-        F.lower("p_name").alias("name_a"),
-        F.col("p_brand").alias("brand_a"),
-        F.col("p_type").alias("type_a"),
-        F.col("p_size").alias("size_a"),
-        F.col("p_retailprice").alias("price_a"),
-    )
-    b = p.filter(F.col("p_partkey") % 3 != 0).select(
-        (F.col("p_partkey") + 1000000).alias("key_b"),
-        F.col("p_partkey").alias("true_key"),
-        F.when(
-            F.col("p_partkey") % 7 == 0, F.concat(F.lower("p_name"), F.lit(" xx"))
-        )
-        .otherwise(F.lower("p_name"))
-        .alias("name_b"),
-        F.when(F.col("p_partkey") % 11 == 0, F.lit("UNBRANDED"))
-        .otherwise(F.col("p_brand"))
-        .alias("brand_b"),
-        F.col("p_type").alias("type_b"),
-        F.when(F.col("p_partkey") % 13 == 0, F.col("p_size") + 1)
-        .otherwise(F.col("p_size"))
-        .alias("size_b"),
-        F.when(
-            F.col("p_partkey") % 5 == 0, F.col("p_retailprice") + F.lit(0.05)
-        )
-        .otherwise(F.col("p_retailprice"))
-        .alias("price_b"),
-    )
+    a, b = _fs_feeds(spark, sf)
     # fan the probe side out to full parallelism BEFORE the block joins:
     # the dimension scan is one parquet split, and a broadcast join
     # inherits the probe side's partitioning — without this the ~1M-pair

@@ -1,0 +1,305 @@
+"""Round-5 wave 2: self-auditing data-discovery operators.
+
+Three queries that turn the engine's own machinery on itself — the
+audits a 100 TB curation deployment runs CONTINUOUSLY, because at that
+scale nobody can eyeball whether a blocking scheme still catches the
+duplicates or whether an assumed FK actually holds:
+
+- ``inclusion_dependency_audit`` — IND mining (is column A's value set
+  contained in column B's?), the foreign-key DISCOVERY primitive that
+  complements the FD audit (`queries_ext6.py:fd_violations_*`): FD
+  mines intra-table rules, IND mines inter-table reference structure.
+- ``lsh_recall_audit_documents`` — recall/precision of the banded
+  MinHash candidate generator against exact n-gram-Jaccard ground
+  truth: the quality gate for LSH parameter choices (bands × rows),
+  computed from the engine's own dedup operators.
+- ``blocking_quality_audit_parts`` — reduction ratio + pair
+  completeness of the record-linkage blocking scheme
+  (`queries_ext5.py` Fellegi-Sunter feeds): the two standard ER
+  blocking metrics, proving the multi-pass blocks shed ~99.9% of the
+  cross product while keeping ~all true matches reachable.
+
+All metrics are exact integer counts plus one final rounded division —
+hash-stable under any aggregation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from _data_engineering_pipeline_project_spark.catalog import table
+from _data_engineering_pipeline_project_spark.queries import query
+
+# --------------------------------------------------------------------------
+# Inclusion-dependency (IND) mining — FK discovery
+# --------------------------------------------------------------------------
+# (child_table, child_col, parent_table, parent_col) — five true TPC-H
+# reference edges plus the REVERSE of one (orders ⊆ lineitem is the
+# direction a naive miner gets wrong whenever an order has no lines)
+_IND_CANDIDATES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+]
+
+
+def _ind_sql() -> str:
+    parts = []
+    for ct, cc, pt, pc in _IND_CANDIDATES:
+        parts.append(
+            f"""
+    SELECT '{ct}.{cc}' AS child_col, '{pt}.{pc}' AS parent_col,
+           CAST(d.n AS BIGINT) AS n_distinct,
+           CAST(d.n - m.miss AS BIGINT) AS n_contained,
+           round((d.n - m.miss) * 1.0 / d.n, 6) AS containment,
+           m.miss = 0 AS holds
+    FROM (SELECT count(DISTINCT {cc}) AS n FROM {ct}
+          WHERE {cc} IS NOT NULL) d,
+         (SELECT count(*) AS miss FROM
+            (SELECT DISTINCT {cc} AS v FROM {ct} WHERE {cc} IS NOT NULL) c
+          WHERE NOT EXISTS (SELECT 1 FROM {pt} WHERE {pc} = c.v)) m"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query("inclusion_dependency_audit", _ind_sql())
+def inclusion_dependency_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """IND mining over candidate reference edges: for each
+    (child column, parent column) pair, how much of the child's distinct
+    value set the parent covers — ``holds`` = a true inclusion
+    dependency (an FK that would validate). Plan per candidate: one
+    column-pruned distinct on the child (the scan reads ONE column) +
+    one left-anti join against the parent's key — the same anti-join
+    shape as the FK validator (`operators/quality.py:78`), so a 100 TB
+    fact child costs one shuffle of its distinct keys, and candidates
+    are independent (union of parallel subplans). Complements the FD
+    audit (`fd_violations_part_supplier`): FD mines intra-table rules,
+    IND mines the join graph."""
+    out: DataFrame | None = None
+    for ct, cc, pt, pc in _IND_CANDIDATES:
+        child = (
+            table(spark, sf, ct)
+            .filter(F.col(cc).isNotNull())
+            .select(F.col(cc).alias("v"))
+            .distinct()
+        )
+        parent = table(spark, sf, pt).select(F.col(pc).alias("v")).distinct()
+        stats = (
+            child.join(parent, "v", "left_semi")
+            .agg(F.count(F.lit(1)).alias("hit"))
+            .crossJoin(
+                F.broadcast(child.agg(F.count(F.lit(1)).alias("n")))
+            )
+            .select(
+                F.lit(f"{ct}.{cc}").alias("child_col"),
+                F.lit(f"{pt}.{pc}").alias("parent_col"),
+                F.col("n").cast("bigint").alias("n_distinct"),
+                F.col("hit").cast("bigint").alias("n_contained"),
+                F.round(F.col("hit") / F.col("n"), 6).alias("containment"),
+                (F.col("hit") == F.col("n")).alias("holds"),
+            )
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out
+
+
+# --------------------------------------------------------------------------
+# LSH recall/precision audit against exact ground truth
+# --------------------------------------------------------------------------
+def _lsh_audit_sql() -> str:
+    from _data_engineering_pipeline_project_spark.queries_ext import (
+        _SHINGLES,
+        _TOKS,
+    )
+
+    return f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM tok),
+    hx AS (SELECT doc_id,
+                  CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)
+                    % 2147483647 AS x
+           FROM sh),
+    mh AS (SELECT doc_id, t.i AS i,
+                  min(((2 * t.i + 1) * x + (11 * t.i + 7)) % 2147483647) AS h
+           FROM hx, unnest(generate_series(0, 31)) AS t(i)
+           GROUP BY doc_id, t.i),
+    bands AS (SELECT doc_id, i // 2 AS band,
+                     string_agg(CAST(h AS VARCHAR), '-' ORDER BY i) AS sig
+              FROM mh GROUP BY doc_id, i // 2),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+              FROM sh x JOIN sh y
+                ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              GROUP BY 1, 2),
+    truth AS (SELECT i.doc_a, i.doc_b
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.doc_a
+              JOIN sizes sb ON sb.doc_id = i.doc_b
+              WHERE CAST(i.common AS DOUBLE)
+                    / (sa.n + sb.n - i.common) >= 0.3),
+    hit AS (SELECT count(*) AS h FROM truth t
+            WHERE EXISTS (SELECT 1 FROM cand c
+                          WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b))
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST(hit.h AS BIGINT) AS n_hit,
+           round(hit.h * 1.0 / (SELECT count(*) FROM truth), 6) AS recall,
+           round(hit.h * 1.0 / (SELECT count(*) FROM cand), 6) AS precision
+    FROM hit
+    """
+
+
+@query("lsh_recall_audit_documents", _lsh_audit_sql())
+def lsh_recall_audit_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall/precision of the banded MinHash candidate generator
+    (b=16, r=2) against EXACT 3-gram-Jaccard ≥ 0.3 ground truth — the
+    audit that justifies LSH parameters before anyone trusts the dedup
+    output. Ground truth is complete by construction: a pair with
+    Jaccard > 0 must share a shingle, so the shingle self-join universe
+    contains every qualifying pair. At 100 TB this audit runs on a
+    SAMPLE of the corpus (both operators are sample-invariant); the
+    plan shapes are the engine's own dedup stages (shared shingle
+    explode feeds signature aggregate AND ground-truth join), nothing
+    bespoke."""
+    from _data_engineering_pipeline_project_spark.operators import dedup as D
+
+    docs = table(spark, sf, "documents")
+    sh = D._shingle_table(docs, "doc_id", "text", 3).cache()
+    cand = D.lsh_candidate_pairs_wide(
+        D.minhash_wide_signatures(sh, "doc_id", 32), "doc_id", 32, 2
+    )
+    truth = D.ngram_jaccard_pairs(docs, threshold=0.3).select(
+        "doc_a", "doc_b"
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    n_cand = cand.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    n_hit = (
+        truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    )
+    return (
+        n_truth.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_truth"), 6).alias("recall"),
+            F.round(F.col("n_hit") / F.col("n_candidates"), 6).alias(
+                "precision"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# ER blocking-quality audit (reduction ratio + pair completeness)
+# --------------------------------------------------------------------------
+def _blocking_sql() -> str:
+    from _data_engineering_pipeline_project_spark.queries_ext5 import (
+        _FS_FEEDS,
+    )
+
+    return f"""
+    WITH {_FS_FEEDS},
+    c1 AS (SELECT a.key_a, b.key_b FROM a JOIN b
+             ON split_part(a.name_a, ' ', 1) = split_part(b.name_b, ' ', 1)
+            AND a.size_a = b.size_b),
+    c2 AS (SELECT a.key_a, b.key_b FROM a JOIN b
+             ON a.brand_a = b.brand_b AND a.type_a = b.type_b),
+    cand AS (SELECT DISTINCT * FROM
+               (SELECT * FROM c1 UNION ALL SELECT * FROM c2)),
+    truth AS (SELECT a.key_a, b.key_b FROM a JOIN b ON a.key_a = b.true_key),
+    na AS (SELECT CAST(count(*) AS BIGINT) AS n FROM a),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+    hit AS (SELECT count(*) AS h FROM truth t
+            WHERE EXISTS (SELECT 1 FROM cand c
+                          WHERE c.key_a = t.key_a AND c.key_b = t.key_b))
+    SELECT CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true_matches,
+           CAST(hit.h AS BIGINT) AS n_blocked_matches,
+           round(hit.h * 1.0 / (SELECT count(*) FROM truth), 6)
+             AS pair_completeness,
+           round(1 - (SELECT count(*) FROM cand) * 1.0
+                     / ((SELECT n FROM na) * (SELECT n FROM nb)), 6)
+             AS reduction_ratio
+    FROM hit
+    """
+
+
+@query("blocking_quality_audit_parts", _blocking_sql())
+def blocking_quality_audit_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """The two standard entity-resolution blocking metrics for the
+    Fellegi-Sunter feeds' multi-pass blocking scheme:
+
+    - **reduction ratio** — fraction of the |a|×|b| cross product the
+      blocks discard (the whole point of blocking: at 100 TB the cross
+      product is un-runnable, so this number IS the feasibility proof);
+    - **pair completeness** — fraction of TRUE matches that survive
+      into some block (recall of candidate generation; a fast blocking
+      scheme that drops matches silently poisons every downstream m/u
+      estimate).
+
+    Truth pairs come from the construction's known key mapping (in
+    production: a labeled sample). Every stage is an equi-join or
+    count; the audit costs no more than one linkage run."""
+    from _data_engineering_pipeline_project_spark.queries_ext5 import _fs_feeds
+
+    a, b = _fs_feeds(spark, sf)
+    a = a.cache()
+    b = b.cache()
+    c1 = a.join(
+        b,
+        (
+            F.split_part(F.col("name_a"), F.lit(" "), F.lit(1))
+            == F.split_part(F.col("name_b"), F.lit(" "), F.lit(1))
+        )
+        & (F.col("size_a") == F.col("size_b")),
+    ).select("key_a", "key_b")
+    c2 = a.join(
+        b,
+        (F.col("brand_a") == F.col("brand_b"))
+        & (F.col("type_a") == F.col("type_b")),
+    ).select("key_a", "key_b")
+    cand = c1.unionByName(c2).distinct()
+    truth = a.join(b, F.col("key_a") == F.col("true_key")).select(
+        "key_a", "key_b"
+    )
+    n_cand = cand.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    n_truth = truth.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true_matches")
+    )
+    n_hit = (
+        truth.join(cand, ["key_a", "key_b"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_blocked_matches"))
+    )
+    na = a.agg(F.count(F.lit(1)).cast("bigint").alias("na"))
+    nb = b.agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    return (
+        n_cand.crossJoin(F.broadcast(n_truth))
+        .crossJoin(F.broadcast(n_hit))
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "n_candidates",
+            "n_true_matches",
+            "n_blocked_matches",
+            F.round(
+                F.col("n_blocked_matches") / F.col("n_true_matches"), 6
+            ).alias("pair_completeness"),
+            F.round(
+                1 - F.col("n_candidates") / (F.col("na") * F.col("nb")), 6
+            ).alias("reduction_ratio"),
+        )
+    )

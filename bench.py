@@ -157,6 +157,9 @@ EXTENSION_QUERIES = [
     "deterministic_epoch_shuffle_documents",
     "bigram_lm_quality_documents",
     "maxsim_multivector_topk",
+    "inclusion_dependency_audit",
+    "lsh_recall_audit_documents",
+    "blocking_quality_audit_parts",
 ]
 # Registry queries not listed here or in BENCH_/TPCH_QUERIES are
 # bench-excluded by design (cheap single-shuffle shapes whose cost is a
@@ -219,6 +222,7 @@ def main() -> None:
     from _data_engineering_pipeline_project_spark import queries_ext5  # noqa: F401
     from _data_engineering_pipeline_project_spark import queries_ext6  # noqa: F401
     from _data_engineering_pipeline_project_spark import queries_ext7  # noqa: F401
+    from _data_engineering_pipeline_project_spark import queries_ext8  # noqa: F401
     from _data_engineering_pipeline_project_spark import queries_ops  # noqa: F401
     from _data_engineering_pipeline_project_spark.session import get_spark
 
