@@ -216,3 +216,44 @@ def test_repetition_ratio_bounds(spark, texts):
         assert r["total_ngrams"] >= r["distinct_ngrams"] >= 1
         if r["total_ngrams"] == r["distinct_ngrams"]:
             assert r["repeat_ratio"] == 0.0
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 5)),    # group key (+None)
+            st.one_of(st.none(), st.integers(-9, 9)),   # ts tie-break (+None)
+            st.integers(0, 10**6),                      # unique payload id
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_keep_first_agg_equals_window_form(spark, rows):
+    """Property: the min_by-struct hash aggregate (keep_first_agg) picks
+    the SAME surviving row per key as the window row_number form, for
+    any mix of NULL keys and NULL tie-break values — the (ts, payload)
+    pair is unique per row, so both forms are deterministic and must
+    agree exactly."""
+    from _data_engineering_pipeline_project_spark.functions.expressions import (
+        keep_first,
+        keep_first_agg,
+    )
+
+    # make payload unique (the determinism precondition both forms share)
+    data = [(k, ts, i) for i, (k, ts, _) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k int, ts int, pid int")
+    win = {
+        (r["k"], r["ts"], r["pid"])
+        for r in keep_first(df, ["k"], ["ts", "pid"])[0].collect()
+    }
+    agg = {
+        (r["k"], r["ts"], r["pid"])
+        for r in keep_first_agg(df, ["k"], ["ts", "pid"]).collect()
+    }
+    assert agg == win

@@ -54,23 +54,53 @@ def _global_ordered_windows(plan: str) -> list[str]:
     return out
 
 
-def test_registry_has_no_unwhitelisted_global_ordered_windows(spark):
+_PLAN_CACHE: dict[str, str] = {}
+
+
+def _registry_plans(spark) -> dict[str, str]:
+    """Physical plan of every registered query, built ONCE per test
+    session (the policy tests below all read from this map)."""
+    if _PLAN_CACHE:
+        return _PLAN_CACHE
     import __spark_entry__ as entry
 
-    offenders: dict[str, list[str]] = {}
     for name, fn in sorted(entry.queries().items()):
         try:
-            plan = (
+            _PLAN_CACHE[name] = (
                 fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
             )
         except Exception:
             continue  # env-gated constructions surface in their own tests
+    return _PLAN_CACHE
+
+
+def test_registry_has_no_unwhitelisted_global_ordered_windows(spark):
+    offenders: dict[str, list[str]] = {}
+    for name, plan in _registry_plans(spark).items():
         hits = _global_ordered_windows(plan)
         if hits and name not in WHITELIST:
             offenders[name] = hits
     assert not offenders, (
         "global-ordered windows outside the whitelist — use the bucketed "
         f"two-pass or whitelist with a bound proof: {offenders}"
+    )
+
+
+def test_registry_has_no_cartesian_products(spark):
+    """No registered query may compile to a CartesianProductExec — the
+    all-pairs physical join that is quadratic in ROW COUNT and the
+    classic 100 TB killer. (`crossJoin` against a broadcast single-row
+    aggregate compiles to BroadcastNestedLoopJoin with a 1-row build
+    side, which is a per-row constant and NOT flagged here; an
+    unbroadcastable cross join degrades to CartesianProduct and IS.)"""
+    offenders = [
+        name
+        for name, plan in _registry_plans(spark).items()
+        if "CartesianProduct" in plan
+    ]
+    assert not offenders, (
+        f"CartesianProductExec in physical plans: {offenders} — broadcast "
+        "the small side or re-shape the join"
     )
 
 
