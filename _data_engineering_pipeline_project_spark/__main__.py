@@ -42,6 +42,9 @@ def main(argv: list[str] | None = None) -> int:
     from _data_engineering_pipeline_project_spark import queries_ext3  # noqa: F401
     from _data_engineering_pipeline_project_spark import queries_ext4  # noqa: F401
     from _data_engineering_pipeline_project_spark import queries_ext5  # noqa: F401
+    from _data_engineering_pipeline_project_spark import queries_ext6  # noqa: F401
+    from _data_engineering_pipeline_project_spark import queries_ext7  # noqa: F401
+    from _data_engineering_pipeline_project_spark import queries_ext8  # noqa: F401
     from _data_engineering_pipeline_project_spark import queries_ops  # noqa: F401
 
     if args.cmd == "list":
