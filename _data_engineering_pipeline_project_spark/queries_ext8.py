@@ -303,3 +303,147 @@ def blocking_quality_audit_parts(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("reduction_ratio"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Length-bucketed batch shaping (inference/training batch layout)
+# --------------------------------------------------------------------------
+_BATCH_SIZE = 8
+
+_LENBATCH_SQL = rf"""
+    WITH t AS (SELECT doc_id,
+                      len(list_filter(string_split_regex(trim(lower(text)),
+                                                         '\s+'),
+                                      x -> length(x) > 0)) AS n_tokens
+               FROM documents),
+    b AS (SELECT doc_id, n_tokens,
+                 CAST(floor(ln(greatest(n_tokens, 1)) / ln(2)) AS INTEGER)
+                   AS len_bucket
+          FROM t),
+    r AS (SELECT doc_id, n_tokens, len_bucket,
+                 row_number() OVER (PARTITION BY len_bucket
+                                    ORDER BY n_tokens, doc_id) AS rn
+          FROM b)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, len_bucket,
+           CAST((rn - 1) // {_BATCH_SIZE} AS BIGINT) AS batch_in_bucket
+    FROM r
+"""
+
+
+@query("length_bucketed_batches_documents", _LENBATCH_SQL)
+def length_bucketed_batches_documents(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """Length-bucketed batch shaping — the inference/training layout
+    step that kills padding waste: documents group into power-of-two
+    token-length buckets (⌊log2 n⌋), and within each bucket consecutive
+    length-sorted runs of ``_BATCH_SIZE`` form a batch, so every batch
+    pads to ≈ its own max, not the corpus max. The window is PARTITIONED
+    by bucket (≈60 buckets shard the sort); batch ids are exact integer
+    arithmetic over the in-bucket rank. Unlike FFD packing
+    (`pack_training_sequences`, partition-dependent, rows-only) this
+    layout is a pure function of the data — fully oracle-checked."""
+    from _data_engineering_pipeline_project_spark.operators.textstats import (
+        tokens,
+    )
+    from pyspark.sql import Window
+
+    docs = table(spark, sf, "documents")
+    toks = F.filter(tokens(F.col("text")), lambda x: F.length(x) > 0)
+    t = docs.select("doc_id", F.size(toks).alias("n_tokens"))
+    b = t.withColumn(
+        "len_bucket",
+        F.floor(
+            F.log(2.0, F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"))
+        ).cast("int"),
+    )
+    w = Window.partitionBy("len_bucket").orderBy("n_tokens", "doc_id")
+    return (
+        b.withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "len_bucket",
+            F.expr(f"(rn - 1) div {_BATCH_SIZE}").alias("batch_in_bucket"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Semantic decontamination (embedding-level benchmark leakage)
+# --------------------------------------------------------------------------
+_SEMDECON_SQL = """
+    WITH v AS (SELECT vec_id, label,
+                      CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    bench AS (SELECT vec_id AS bench_id, e FROM v WHERE vec_id % 29 = 0),
+    corpus AS (SELECT vec_id, e FROM v WHERE vec_id % 29 <> 0),
+    hits AS (
+      SELECT c.vec_id, b.bench_id,
+             CAST(floor(list_dot_product(c.e, b.e)
+               / (sqrt(list_dot_product(c.e, c.e))
+                  * sqrt(list_dot_product(b.e, b.e))) * 1000000)
+               AS BIGINT) AS cos_fp
+      FROM corpus c, bench b),
+    best AS (SELECT vec_id, cos_fp AS max_cos_fp,
+                    bench_id AS nearest_bench
+             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY cos_fp DESC, bench_id ASC) AS rn
+                   FROM hits)
+             WHERE rn = 1)
+    SELECT vec_id, nearest_bench,
+           round(max_cos_fp / 1000000.0, 6) AS max_cosine
+    FROM best WHERE max_cos_fp >= 350000
+"""
+
+
+@query("semantic_decontamination_embeddings", _SEMDECON_SQL)
+def semantic_decontamination_embeddings(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """Embedding-level decontamination — the semantic complement of the
+    n-gram form (`decontaminate_corpus`): a corpus vector whose cosine
+    against ANY benchmark vector reaches the leakage threshold
+    (0.35 here — sized to the synthetic embeddings' similarity range;
+    production uses ~0.9 on real encoder outputs) is flagged with its nearest
+    benchmark id (paraphrased leakage that shares no 4-gram). Benchmark
+    set broadcast against a single corpus scan (the brute path — at
+    100 TB the candidate set comes from the IVF/LSH bucket join exactly
+    like every other member of the similarity family); cosines floored
+    to 1e-6 fixed point BEFORE the max, so the per-vector reduce and the
+    deterministic nearest-bench tie-break (max cos, then LOWEST bench
+    id) are exact integer arithmetic."""
+    from _data_engineering_pipeline_project_spark.functions.vectors import (
+        dot_unrolled,
+    )
+
+    emb = table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    bench = emb.filter(F.col("vec_id") % 29 == 0).select(
+        F.col("vec_id").alias("bench_id"), F.col("e").alias("be")
+    )
+    corpus = emb.filter(F.col("vec_id") % 29 != 0)
+    cos_fp = F.floor(
+        dot_unrolled("e", "be", 64)
+        / (
+            F.sqrt(dot_unrolled("e", "e", 64))
+            * F.sqrt(dot_unrolled("be", "be", 64))
+        )
+        * 1000000
+    ).cast("bigint")
+    hits = corpus.crossJoin(F.broadcast(bench)).select(
+        "vec_id", "bench_id", cos_fp.alias("cos_fp")
+    )
+    best = hits.groupBy("vec_id").agg(
+        F.max("cos_fp").alias("max_cos_fp"),
+        F.max_by(
+            F.col("bench_id"),
+            F.struct(F.col("cos_fp"), (-F.col("bench_id")).alias("nb")),
+        ).alias("nearest_bench"),
+    )
+    return best.filter(F.col("max_cos_fp") >= 350000).select(
+        "vec_id",
+        "nearest_bench",
+        F.round(F.col("max_cos_fp") / 1000000.0, 6).alias("max_cosine"),
+    )

@@ -160,6 +160,8 @@ EXTENSION_QUERIES = [
     "inclusion_dependency_audit",
     "lsh_recall_audit_documents",
     "blocking_quality_audit_parts",
+    "length_bucketed_batches_documents",
+    "semantic_decontamination_embeddings",
 ]
 # Registry queries not listed here or in BENCH_/TPCH_QUERIES are
 # bench-excluded by design (cheap single-shuffle shapes whose cost is a
