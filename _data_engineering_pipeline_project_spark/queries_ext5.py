@@ -3481,7 +3481,13 @@ def pareto_8020_customers(spark: SparkSession, sf: str) -> DataFrame:
     (`functions/twopass.py`): rows bin by a monotone bucket on the
     negated revenue, the cumsum+rank windows run per-bucket, and
     cross-bucket offsets stitch from ≤32 per-bucket totals — no
-    single-partition WindowExec at customer cardinality."""
+    single-partition WindowExec at customer cardinality. Revenue is the
+    textbook right-skewed leading key (a long tail of small customers
+    compresses into a sliver of the [min, max] range), so this query
+    uses the two-pass's ``equi_depth`` binning: bucket boundaries come
+    from one approxQuantile pass and land as plan literals, keeping
+    per-bucket row counts balanced regardless of the distribution
+    (performance-only — monotone binning never changes results)."""
     li = table(spark, sf, "lineitem")
     o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
     rev = (
@@ -3503,6 +3509,7 @@ def pareto_8020_customers(spark: SparkSession, sf: str) -> DataFrame:
         ["_negr", "o_custkey"],
         sums={"r": "cum"},
         rank_col="rk",
+        equi_depth=True,
     ).select("r", "rk", "cum")
     hit = ranked.crossJoin(F.broadcast(tot)).filter(
         F.col("cum") * 10 >= F.col("t") * 8
