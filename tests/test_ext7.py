@@ -109,3 +109,78 @@ def test_epoch_shuffle_is_permutation_and_decorrelated(spark, tmp_path):
     p1 = sorted(r["pos_epoch1"] for r in out)
     assert p0 == list(range(1, n + 1)) and p1 == list(range(1, n + 1))
     assert any(r["pos_epoch0"] != r["pos_epoch1"] for r in out)
+
+
+def test_semantic_decontamination_flags_planted_leak(spark):
+    """A corpus vector IDENTICAL to a benchmark vector must be flagged
+    with cosine 1.0 against that benchmark id — the planted-leak case
+    the operator exists for (the sf oracles only see near-random
+    similarities)."""
+    import _data_engineering_pipeline_project_spark.queries_ext8 as q8
+    from _data_engineering_pipeline_project_spark.catalog import table
+
+    sf = "/root/testdata/sf0.001"
+    emb = table(spark, sf, "embeddings")
+    # vec 29 is in the benchmark split (29 % 29 == 0); plant its vector
+    # under a corpus id (id 30 -> corpus split)
+    bench_vec = emb.filter(F.col("vec_id") == 29).first()
+    planted = spark.createDataFrame(
+        [(10_001, bench_vec["embedding"], 0)],
+        emb.schema,
+    )
+    import _data_engineering_pipeline_project_spark.catalog as cat
+
+    # run the same pipeline inline on the augmented frame
+    union = emb.unionByName(planted)
+    e = union.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    bench = e.filter(F.col("vec_id") % 29 == 0).select(
+        F.col("vec_id").alias("bench_id"), F.col("e").alias("be")
+    )
+    corpus = e.filter(F.col("vec_id") % 29 != 0)
+    from _data_engineering_pipeline_project_spark.functions.vectors import (
+        dot_unrolled,
+    )
+
+    cos_fp = F.floor(
+        dot_unrolled("e", "be", 64)
+        / (
+            F.sqrt(dot_unrolled("e", "e", 64))
+            * F.sqrt(dot_unrolled("be", "be", 64))
+        )
+        * 1000000
+    ).cast("bigint")
+    best = (
+        corpus.crossJoin(F.broadcast(bench))
+        .select("vec_id", "bench_id", cos_fp.alias("c"))
+        .groupBy("vec_id")
+        .agg(F.max("c").alias("m"), F.max_by("bench_id", "c").alias("nb"))
+        .filter(F.col("m") >= 999999)
+        .collect()
+    )
+    hits = {r["vec_id"]: (r["nb"], r["m"]) for r in best}
+    assert 10_001 in hits and hits[10_001][0] == 29
+    assert hits[10_001][1] >= 999999  # cosine 1.0 up to fixed-point floor
+
+
+def test_length_bucketed_batches_invariants(spark):
+    """Batch-shaping semantics beyond the oracle hash: every batch
+    holds ≤ BATCH_SIZE docs, all docs in a batch share the power-of-two
+    length bucket (so padding waste is bounded by 2× within any batch),
+    and every document appears exactly once."""
+    import _data_engineering_pipeline_project_spark.queries_ext8 as q8
+
+    sf = "/root/testdata/sf0.001"
+    out = q8.length_bucketed_batches_documents(spark, sf).collect()
+    from collections import defaultdict
+
+    batches = defaultdict(list)
+    for r in out:
+        batches[(r["len_bucket"], r["batch_in_bucket"])].append(r)
+    assert len({r["doc_id"] for r in out}) == len(out)
+    for (bucket, _), members in batches.items():
+        assert len(members) <= q8._BATCH_SIZE
+        for m in members:
+            assert m["len_bucket"] == bucket
+            assert (1 << bucket) <= max(m["n_tokens"], 1) < (1 << (bucket + 1))
