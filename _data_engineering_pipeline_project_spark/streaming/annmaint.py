@@ -17,9 +17,11 @@ loop from the engine's own IVF operators (`operators/similarity.py`):
   max_by partial agg — the batch shuffles one row per vector) then an
   APPEND to parquet **partitioned by centroid_id**. The directory
   layout IS the inverted list: no compaction or pointer protocol is
-  needed for correctness because files are immutable and list
-  membership never changes (pair with
-  `streaming/compactmaint.py` per-partition when small files accrete).
+  needed for CORRECTNESS because files are immutable and list
+  membership never changes. Small-file accretion in hot lists is a
+  performance concern this class does not yet address — the fix is a
+  per-list layout-only rewrite with the versioned-generation + pointer
+  protocol of `streaming/compactmaint.py` (future work, not claimed).
 - **search** — probe the ``nprobe`` nearest centroids per query, then
   scan ONLY those list partitions: the ``centroid_id IN (...)`` filter
   lands in the scan's PartitionFilters (pinned by test), so a search
