@@ -116,7 +116,6 @@ def test_semantic_decontamination_flags_planted_leak(spark):
     with cosine 1.0 against that benchmark id — the planted-leak case
     the operator exists for (the sf oracles only see near-random
     similarities)."""
-    import _data_engineering_pipeline_project_spark.queries_ext8 as q8
     from _data_engineering_pipeline_project_spark.catalog import table
 
     sf = "/root/testdata/sf0.001"
@@ -128,8 +127,6 @@ def test_semantic_decontamination_flags_planted_leak(spark):
         [(10_001, bench_vec["embedding"], 0)],
         emb.schema,
     )
-    import _data_engineering_pipeline_project_spark.catalog as cat
-
     # run the same pipeline inline on the augmented frame
     union = emb.unionByName(planted)
     e = union.select(
