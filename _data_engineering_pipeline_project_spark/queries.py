@@ -482,7 +482,9 @@ def pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     "revenue_by_nation",
     """
     SELECT n.n_name, r.r_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                 / 10000.0, 4) AS revenue,
            count(*) AS n_lineitems
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -499,19 +501,26 @@ def revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
     fact side pre-aggregates per orderkey BEFORE the orders join — the
     revenue sum partial-aggregates map-side and the join input shrinks
     ~4× (lines per order), with both sides hashing on orderkey so AQE
-    co-partitions them. The per-nation sum then combines per-order
-    partials; rounding happens once at the end, as before (the sum's
-    combination order was never deterministic to begin with — the
-    4-decimal round is the engine-parity boundary either way)."""
+    co-partitions them.
+
+    Parity at ANY scale (ADVICE r5): revenue accumulates as exact
+    integer micro-money — price_cents × (100 − disc_cents), the
+    ``salted_revenue_by_brand`` pattern — so both the per-order partial
+    and the per-nation combine are associative int64 sums whose result
+    cannot drift with row count or aggregation-tree shape; the single
+    divide + round happens once at the end in both engines. (The
+    previous double-precision sum matched the oracle only up to FP
+    error that GROWS with the row count — a latent large-SF flake.)"""
     li = table(spark, sf, "lineitem")
     o = table(spark, sf, "orders")
     c = table(spark, sf, "customer")
     n = table(spark, sf, "nation")
     r = table(spark, sf, "region")
+    rev_fp = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
     per_order = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "__rev"
-        ),
+        F.sum(rev_fp).alias("__rev_fp"),
         F.count(F.lit(1)).alias("__n"),
     )
     return (
@@ -521,7 +530,7 @@ def revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name", "r_name")
         .agg(
-            F.round(F.sum("__rev"), 4).alias("revenue"),
+            F.round(F.sum("__rev_fp") / 10000.0, 4).alias("revenue"),
             F.sum("__n").alias("n_lineitems"),
         )
     )

@@ -609,7 +609,11 @@ def fellegi_sunter_linkage_parts(spark: SparkSession, sf: str) -> DataFrame:
       record escaping one block key through a perturbed field is caught
       by the other; never a theta join. Block-key cardinality governs
       width (documented: real catalogs add phonetic/sorted-neighborhood
-      keys the same way, one equi-join each).
+      keys the same way, one equi-join each). The passes are made
+      DISJOINT by re-evaluating pass 1's predicate as a map-side filter
+      on pass 2's output, so the union needs no candidate-wide DISTINCT
+      — the standard multi-pass dedup trick, and at 100 TB the
+      difference between a full candidate shuffle and none.
     - AGREEMENT VECTORS per candidate: bounded levenshtein on name,
       equality on brand/type, tolerance bands on size/price — all
       JVM-side expressions.
@@ -631,25 +635,32 @@ def fellegi_sunter_linkage_parts(spark: SparkSession, sf: str) -> DataFrame:
     # vocabulary in the synthetic feed) serializes onto one core. One
     # shuffle of the 10k-row feed buys 32-way candidate generation.
     a = a.repartition(spark.sparkContext.defaultParallelism)
-    c1 = a.join(
-        b,
-        (
-            F.split_part(F.col("name_a"), F.lit(" "), F.lit(1))
-            == F.split_part(F.col("name_b"), F.lit(" "), F.lit(1))
-        )
-        & (F.col("size_a") == F.col("size_b")),
-    )
+    block1 = (
+        F.split_part(F.col("name_a"), F.lit(" "), F.lit(1))
+        == F.split_part(F.col("name_b"), F.lit(" "), F.lit(1))
+    ) & (F.col("size_a") == F.col("size_b"))
+    c1 = a.join(b, block1)
+    # DISJOINT multi-pass blocking (r6): pass 2 excludes any pair that
+    # pass 1 already emitted, via the SAME predicate evaluated map-side
+    # on the joined row (null-safe: a NULL block-1 predicate means the
+    # pair cannot have come from the block-1 equi-join, so it stays).
+    # Within a pass, feed keys are unique, so an equi-join emits each
+    # (key_a, key_b) at most once — the union below is therefore
+    # duplicate-free BY CONSTRUCTION and the candidate-wide DISTINCT
+    # (previously the single largest shuffle in this query: ~1.15M
+    # 8-column rows at sf0.1 for a ~0.7% cross-block overlap) vanishes.
+    # The whole plan is now two broadcast joins + map-side projections;
+    # the only shuffle left is the 1-row m/u aggregate exchange.
     c2 = a.join(
         b,
         (F.col("brand_a") == F.col("brand_b"))
         & (F.col("type_a") == F.col("type_b")),
-    )
+    ).filter(~F.coalesce(block1, F.lit(False)))
     def _agree(cand: DataFrame) -> DataFrame:
         # agreement vector computed map-side INSIDE each blocking pass —
-        # the cross-block dedup then shuffles only (key_a, key_b, 6
-        # booleans) instead of the full 12-column attribute row (the
-        # flags are deterministic functions of the pair, so distinct
-        # over keys+flags ≡ distinct over the wide candidate row)
+        # the passes are disjoint, so the union needs no dedup and the
+        # flags (deterministic functions of the pair) are computed
+        # exactly once per unique candidate pair
         return cand.select(
             "key_a",
             "key_b",
@@ -666,7 +677,7 @@ def fellegi_sunter_linkage_parts(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     lab = (
-        _agree(c1).unionByName(_agree(c2)).distinct().cache()
+        _agree(c1).unionByName(_agree(c2)).cache()
     )  # candidates feed BOTH the m/u aggregate and the scoring pass
     fields = ("name", "brand", "type", "size", "price")
     aggs = [
@@ -2551,10 +2562,14 @@ def id_sequence_gaps_orders(spark: SparkSession, sf: str) -> DataFrame:
     hi = k.agg(F.max("id").alias("key_hi"))
     binned = k.crossJoin(F.broadcast(hi)).withColumn(
         "bucket",
-        # integral `div` keeps the bucket monotone in id with no float
-        # rounding at 64-bit key range (double `/` + floor loses ulps
-        # past 2^53)
-        F.expr(f"(id * {n_buckets}) div (key_hi + 1)"),
+        # integral `div` by a precomputed bucket WIDTH keeps the bucket
+        # monotone in id with no float rounding AND no overflow: the
+        # multiply-first form (id * N) div (hi + 1) silently wraps for
+        # id > 2^63/N (~2^58 at N=64), breaking monotonicity exactly
+        # where it can't be seen (ADVICE r5). id div width never
+        # multiplies; it yields at most N+1 buckets, which the stitch
+        # pass is indifferent to.
+        F.expr(f"id div ((key_hi div {n_buckets}) + 1)"),
     )
     # pass 1: gaps strictly inside a bucket — N parallel per-group sorts
     within = Window.partitionBy("bucket").orderBy("id")
