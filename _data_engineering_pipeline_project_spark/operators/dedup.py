@@ -608,17 +608,26 @@ def connected_components(
     records as rows-only rather than SQL-oracled.)
     """
     # adaptive small-graph path FIRST: union-find needs neither the
-    # symmetrized edge frame nor any checkpoint — one count gates, one
-    # bounded collect of the raw pair frame feeds it (direction and
-    # duplicate edges are irrelevant to union-find). The iterative
+    # symmetrized edge frame nor any checkpoint — ONE bounded collect
+    # (``limit(bound+1)``) both gates and feeds it (direction and
+    # duplicate edges are irrelevant to union-find). The pre-r7 form
+    # was count-then-collect (VERDICT r6 #5): the count materialized
+    # the expensive upstream pair pipeline a second time whenever it
+    # was not cached, and under recompute of a nondeterministic source
+    # the collect could see more rows than the gate did. The single
+    # limit-collect is atomic — the gate decides on exactly the rows
+    # union-find consumes — and bounded: at most bound+1 rows ever
+    # reach the driver, even on a huge graph (which then takes the
+    # distributed path below, paying one extra scan only in the case
+    # where the scan is a sliver of the iteration cost). The iterative
     # rounds cost ~2 Spark jobs each in fixed scheduling + codegen
     # overhead, which dominates when the pair graph is small (the
-    # common case — near-dup pairs are a sliver of the corpus); one
-    # bounded collect + union-find with path compression and
-    # union-by-min produces the IDENTICAL min-label components in
-    # O(E alpha(E)) driver time.
+    # common case — near-dup pairs are a sliver of the corpus);
+    # union-find with path compression and union-by-min produces the
+    # IDENTICAL min-label components in O(E alpha(E)) driver time.
     slim = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    if slim.count() <= small_graph_edges:
+    head = slim.limit(small_graph_edges + 1).collect()
+    if len(head) <= small_graph_edges:
         parent: dict = {}
 
         def find(x):
@@ -630,7 +639,7 @@ def connected_components(
             return root
 
         nodes = set()
-        for row in slim.collect():
+        for row in head:
             a, b = row["src"], row["dst"]
             nodes.add(a)
             nodes.add(b)

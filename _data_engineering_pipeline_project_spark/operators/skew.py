@@ -32,20 +32,34 @@ def salted_join(
     buckets: int = 8,
     how: str = "inner",
 ) -> DataFrame:
-    """Equi-join with a salted key. Deterministic salt (hash of all left
-    columns) keeps re-runs reproducible — rand() would not be.
+    """Equi-join with a salted key.
+
+    The salt mixes a hash of every left column WITH the row's stable
+    intra-split ordinal (``monotonically_increasing_id``): content alone
+    is not enough — a hot key whose rows are BYTE-IDENTICAL duplicates
+    (the classic skew shape: a default/sentinel row repeated millions of
+    times) hashes every copy into ONE salt bucket, reproducing exactly
+    the hot partition salting exists to break (VERDICT r6 #6). The
+    ordinal spreads identical copies round-robin across buckets while
+    staying deterministic for a fixed input layout (mid is a pure
+    function of split index × position — re-running the same scan gives
+    the same salts; a different split layout gives different salts but
+    the SAME join result, since the salt only routes left rows and each
+    left row still meets exactly one copy of each matching right row).
 
     Only left-preserving joins are allowed: the right side is exploded
     into ``buckets`` copies, so any join that can emit UNMATCHED right
     rows (right/full outer) would emit each of them ``buckets`` times.
-    For inner/left/semi/anti the replication is invisible — every left
-    row meets exactly one copy of each matching right row."""
+    For inner/left/semi/anti the replication is invisible."""
     if how.lower().replace("_", "") not in {h.replace("_", "") for h in _SALT_SAFE_HOW}:
         raise ValueError(
             f"salted_join supports left-preserving joins only, got how={how!r}: "
             "the exploded right side would duplicate unmatched right rows"
         )
-    salt = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(buckets))
+    salt = F.pmod(
+        F.hash(*[F.col(c) for c in left.columns], F.monotonically_increasing_id()),
+        F.lit(buckets),
+    )
     l_salted = left.withColumn("__salt", salt)
     r_salted = right.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))

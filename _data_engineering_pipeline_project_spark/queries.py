@@ -503,14 +503,24 @@ def revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
     ~4× (lines per order), with both sides hashing on orderkey so AQE
     co-partitions them.
 
-    Parity at ANY scale (ADVICE r5): revenue accumulates as exact
+    Parity engineering (ADVICE r5): revenue accumulates as exact
     integer micro-money — price_cents × (100 − disc_cents), the
     ``salted_revenue_by_brand`` pattern — so both the per-order partial
     and the per-nation combine are associative int64 sums whose result
-    cannot drift with row count or aggregation-tree shape; the single
-    divide + round happens once at the end in both engines. (The
-    previous double-precision sum matched the oracle only up to FP
-    error that GROWS with the row count — a latent large-SF flake.)"""
+    cannot drift with aggregation-tree shape; the single divide + round
+    happens once at the end in both engines. (The previous
+    double-precision sum matched the oracle only up to FP error that
+    GROWS with the row count — a latent large-SF flake.)
+
+    Headroom bound (ADVICE r6): the per-nation int64 sum holds exactly
+    up to ≈ SF 4×10⁴ (~2.4×10¹⁰ rows/nation × ≤ ~1.05×10⁹ micro-money
+    per row approaches 2⁶³; Spark's non-ANSI bigint sum would then wrap
+    while DuckDB promotes to HUGEINT), and past ~SF 40 the final
+    /10000.0 divide exceeds 2⁵³ so it rounds (identically in both
+    engines — parity holds, absolute cents do not). Workloads beyond
+    that envelope should accumulate as DECIMAL(38,0) — exact in both
+    engines — at a measured ~2× aggregate-path cost; at any benchmark
+    SF the int64 form is exact AND cheaper."""
     li = table(spark, sf, "lineitem")
     o = table(spark, sf, "orders")
     c = table(spark, sf, "customer")

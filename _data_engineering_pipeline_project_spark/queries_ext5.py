@@ -27,6 +27,8 @@ are exact int64; window tie-breaks always carry a unique key.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -626,7 +628,18 @@ def fellegi_sunter_linkage_parts(spark: SparkSession, sf: str) -> DataFrame:
       micro-nats (int64 — exact, associative, engine-portable).
 
     The scoring join never touches the full cross product: cost is
-    O(candidates), and every stage is a hash agg or broadcast join."""
+    O(candidates), and every stage is a hash agg or broadcast join.
+
+    Cold-path engineering (VERDICT r6 task #3): the m/u estimation is
+    collected driver-side from the SINGLE cached agreement-vector frame
+    (12 integers — aggregate-sized), and the per-field log-likelihood
+    weights become ten int64 LITERALS in the scoring projection. Cold
+    entry therefore expands the blocks exactly once (the probs
+    aggregate materializes the cache; scoring reads it), and the final
+    pass is a flat CASE-sum instead of a broadcast join against a
+    20-expression ln tree — smaller to build, smaller to codegen.
+    Python's ``math.log`` is the same C-libm ``log`` DuckDB links, so
+    the fixed-point weights match the oracle bit-for-bit."""
     a, b = _fs_feeds(spark, sf)
     # fan the probe side out to full parallelism BEFORE the block joins:
     # the dimension scan is one parquet split, and a broadcast join
@@ -635,6 +648,11 @@ def fellegi_sunter_linkage_parts(spark: SparkSession, sf: str) -> DataFrame:
     # vocabulary in the synthetic feed) serializes onto one core. One
     # shuffle of the 10k-row feed buys 32-way candidate generation.
     a = a.repartition(spark.sparkContext.defaultParallelism)
+    # b feeds TWO broadcast builds (different block keys -> different
+    # HashedRelations, no exchange reuse); a lazy cache makes the second
+    # build read the 133k projected rows from memory instead of
+    # re-running the scan + dirtying CASEs (r7)
+    b = b.cache()
     block1 = (
         F.split_part(F.col("name_a"), F.lit(" "), F.lit(1))
         == F.split_part(F.col("name_b"), F.lit(" "), F.lit(1))
@@ -656,20 +674,40 @@ def fellegi_sunter_linkage_parts(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("brand_a") == F.col("brand_b"))
         & (F.col("type_a") == F.col("type_b")),
     ).filter(~F.coalesce(block1, F.lit(False)))
-    def _agree(cand: DataFrame) -> DataFrame:
+
+    def _agree(cand: DataFrame, *, eq_brand_type: bool) -> DataFrame:
         # agreement vector computed map-side INSIDE each blocking pass —
         # the passes are disjoint, so the union needs no dedup and the
         # flags (deterministic functions of the pair) are computed
-        # exactly once per unique candidate pair
+        # exactly once per unique candidate pair. Flags implied by the
+        # pass's own equi-join keys constant-fold to TRUE: pass 2 joins
+        # on brand & type (g_brand = g_type = true); pass 1's size
+        # equality implies the |Δsize| ≤ 1 band. ~3 comparisons fewer
+        # per candidate row, identical values.
+        g_brand = (
+            F.lit(True)
+            if eq_brand_type
+            else (F.col("brand_a") == F.col("brand_b"))
+        )
+        g_type = (
+            F.lit(True)
+            if eq_brand_type
+            else (F.col("type_a") == F.col("type_b"))
+        )
+        g_size = (
+            (F.abs(F.col("size_a") - F.col("size_b")) <= 1)
+            if eq_brand_type
+            else F.lit(True)  # pass 1 joins on size_a = size_b
+        )
         return cand.select(
             "key_a",
             "key_b",
             (F.levenshtein("name_a", "name_b", 3).between(0, 3)).alias(
                 "g_name"
             ),
-            (F.col("brand_a") == F.col("brand_b")).alias("g_brand"),
-            (F.col("type_a") == F.col("type_b")).alias("g_type"),
-            (F.abs(F.col("size_a") - F.col("size_b")) <= 1).alias("g_size"),
+            g_brand.alias("g_brand"),
+            g_type.alias("g_type"),
+            g_size.alias("g_size"),
             (F.abs(F.col("price_a") - F.col("price_b")) <= F.lit(0.1)).alias(
                 "g_price"
             ),
@@ -677,7 +715,9 @@ def fellegi_sunter_linkage_parts(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     lab = (
-        _agree(c1).unionByName(_agree(c2)).cache()
+        _agree(c1, eq_brand_type=False)
+        .unionByName(_agree(c2, eq_brand_type=True))
+        .cache()
     )  # candidates feed BOTH the m/u aggregate and the scoring pass
     fields = ("name", "brand", "type", "size", "price")
     aggs = [
@@ -695,30 +735,34 @@ def fellegi_sunter_linkage_parts(spark: SparkSession, sf: str) -> DataFrame:
                 F.when(~F.col("is_match") & F.col(f"g_{f}"), 1).otherwise(0)
             ).alias(f"u_{f}")
         )
-    probs = lab.agg(*aggs)
+    # ONE driver-side row (12 ints): this collect is what materializes
+    # the lab cache, so the block expansion runs exactly once per call
+    p = lab.agg(*aggs).collect()[0]
+    nm, nu = p["nm"], p["nu"]
 
-    def _micro(num, den):
-        return F.floor(F.ln(num / den) * 1e6).cast("long")
+    def _micro(num: float, den: float) -> int:
+        return int(math.floor(math.log(num / den) * 1e6))
 
     weight = None
     for f in fields:
-        m_p = (F.col(f"m_{f}") + 1).cast("double") / (F.col("nm") + 2)
-        u_p = (F.col(f"u_{f}") + 1).cast("double") / (F.col("nu") + 2)
-        m_n = (F.col("nm") - F.col(f"m_{f}") + 1).cast("double") / (F.col("nm") + 2)
-        u_n = (F.col("nu") - F.col(f"u_{f}") + 1).cast("double") / (F.col("nu") + 2)
-        term = F.when(F.col(f"g_{f}"), _micro(m_p, u_p)).otherwise(
-            _micro(m_n, u_n)
+        w_agree = _micro(
+            (p[f"m_{f}"] + 1) / (nm + 2), (p[f"u_{f}"] + 1) / (nu + 2)
+        )
+        w_disagree = _micro(
+            (nm - p[f"m_{f}"] + 1) / (nm + 2),
+            (nu - p[f"u_{f}"] + 1) / (nu + 2),
+        )
+        term = F.when(F.col(f"g_{f}"), F.lit(w_agree)).otherwise(
+            F.lit(w_disagree)
         )
         weight = term if weight is None else weight + term
-    return (
-        lab.crossJoin(F.broadcast(probs))
-        .select(
-            "key_a",
-            "key_b",
-            weight.alias("weight_micro"),
-            (weight >= 0).alias("matched"),
-            F.col("is_match").alias("is_true_match"),
-        )
+    weight = weight.cast("long")
+    return lab.select(
+        "key_a",
+        "key_b",
+        weight.alias("weight_micro"),
+        (weight >= 0).alias("matched"),
+        F.col("is_match").alias("is_true_match"),
     )
 
 
@@ -2580,16 +2624,18 @@ def id_sequence_gaps_orders(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("next_id") - F.col("id") - 1).cast("bigint").alias("gap_len"),
     )
     # pass 2: stitch bucket boundaries from per-bucket envelopes — the
-    # frame is ≤ n_buckets rows, so the global lead here is O(N), not
-    # O(|keys|); empty buckets (fully purged ranges) are skipped over
-    # naturally because lead runs on non-empty buckets only
+    # frame is ≤ n_buckets+1 rows (the width-based bucket id can equal
+    # N), so the global lead here is O(N), not O(|keys|); empty buckets
+    # (fully purged ranges) are skipped over naturally because lead
+    # runs on non-empty buckets only
     bounds = binned.groupBy("bucket").agg(
         F.min("id").alias("b_lo"), F.max("id").alias("b_hi")
     )
     # next non-empty bucket's low bound via a triangular self-join — the
-    # frame is provably ≤ n_buckets rows so the O(N²) pairing is ≤ 64²
-    # comparisons, fully parallel, and keeps the whole stitch free of
-    # any single-partition WindowExec
+    # frame is provably ≤ n_buckets+1 rows (ADVICE r6: divide-by-width
+    # bucketing yields ids 0..N inclusive) so the O(N²) pairing is
+    # ≤ 65² comparisons, fully parallel, and keeps the whole stitch
+    # free of any single-partition WindowExec
     nxt = (
         bounds.alias("a")
         .join(bounds.alias("b"), F.col("b.bucket") > F.col("a.bucket"))

@@ -156,21 +156,37 @@ def _lsh_audit_sql() -> str:
     """
 
 
-@query("lsh_recall_audit_documents", _lsh_audit_sql())
-def lsh_recall_audit_documents(spark: SparkSession, sf: str) -> DataFrame:
+def lsh_recall_audit(
+    spark: SparkSession, sf: str, sample_fraction: float = 1.0
+) -> DataFrame:
     """Recall/precision of the banded MinHash candidate generator
     (b=16, r=2) against EXACT 3-gram-Jaccard ≥ 0.3 ground truth — the
     audit that justifies LSH parameters before anyone trusts the dedup
     output. Ground truth is complete by construction: a pair with
     Jaccard > 0 must share a shingle, so the shingle self-join universe
-    contains every qualifying pair. At 100 TB this audit runs on a
-    SAMPLE of the corpus (both operators are sample-invariant); the
-    plan shapes are the engine's own dedup stages (shared shingle
-    explode feeds signature aggregate AND ground-truth join), nothing
-    bespoke."""
+    contains every qualifying pair.
+
+    ``sample_fraction`` (VERDICT r6 task #5) makes the 100 TB contract
+    ENFORCEABLE instead of prose: the exact ground truth is
+    corpus-quadratic in hot shingles, so at scale the audit runs on a
+    deterministic hash sample of the corpus
+    (`operators/sampling.py:hash_sample` on doc_id — engine-portable,
+    consistent: the 10% sample is a subset of the 50% one). Both the
+    candidate generator and the ground truth see the SAME sampled
+    document set, so recall/precision remain well-defined audit
+    statistics of the LSH parameters (pair similarity is a pairwise
+    property — sampling documents subsamples pairs without biasing
+    which candidates the bands produce for surviving pairs). At
+    fraction 1.0 the plan is byte-identical to the unsampled audit
+    (no filter is added), which is the oracle-checked registered form."""
     from _data_engineering_pipeline_project_spark.operators import dedup as D
+    from _data_engineering_pipeline_project_spark.operators.sampling import (
+        hash_sample,
+    )
 
     docs = table(spark, sf, "documents")
+    if sample_fraction < 1.0:
+        docs = hash_sample(docs, "doc_id", sample_fraction)
     sh = D._shingle_table(docs, "doc_id", "text", 3).cache()
     cand = D.lsh_candidate_pairs_wide(
         D.minhash_wide_signatures(sh, "doc_id", 32), "doc_id", 32, 2
@@ -199,6 +215,14 @@ def lsh_recall_audit_documents(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+@query("lsh_recall_audit_documents", _lsh_audit_sql())
+def lsh_recall_audit_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Registered full-corpus form of :func:`lsh_recall_audit`
+    (sample_fraction=1.0 — the exact, oracle-checked audit; the sampled
+    form is the documented scale path, pinned by pytest)."""
+    return lsh_recall_audit(spark, sf, sample_fraction=1.0)
 
 
 # --------------------------------------------------------------------------
@@ -397,26 +421,15 @@ _SEMDECON_SQL = """
 """
 
 
-@query("semantic_decontamination_embeddings", _SEMDECON_SQL)
-def semantic_decontamination_embeddings(
-    spark: SparkSession, sf: str
-) -> DataFrame:
-    """Embedding-level decontamination — the semantic complement of the
-    n-gram form (`decontaminate_corpus`): a corpus vector whose cosine
-    against ANY benchmark vector reaches the leakage threshold
-    (0.35 here — sized to the synthetic embeddings' similarity range;
-    production uses ~0.9 on real encoder outputs) is flagged with its nearest
-    benchmark id (paraphrased leakage that shares no 4-gram). Benchmark
-    set broadcast against a single corpus scan (the brute path — at
-    100 TB the candidate set comes from the IVF/LSH bucket join exactly
-    like every other member of the similarity family); cosines floored
-    to 1e-6 fixed point BEFORE the max, so the per-vector reduce and the
-    deterministic nearest-bench tie-break (max cos, then LOWEST bench
-    id) are exact integer arithmetic."""
-    from _data_engineering_pipeline_project_spark.functions.vectors import (
-        dot_unrolled,
-    )
+# bench sets up to this many vectors take the exact broadcast-brute path
+# (a real benchmark suite is thousands of rows — ~100k × 64 floats is a
+# ~25 MB broadcast, comfortably under executor budgets); anything larger
+# is corpus-scale contamination screening and routes through the IVF
+# candidate join, whose per-stage width never depends on |bench|
+_SEMDECON_BENCH_BROADCAST_MAX = 100_000
 
+
+def _semdecon_frames(spark: SparkSession, sf: str):
     emb = table(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -424,17 +437,13 @@ def semantic_decontamination_embeddings(
         F.col("vec_id").alias("bench_id"), F.col("e").alias("be")
     )
     corpus = emb.filter(F.col("vec_id") % 29 != 0)
-    cos_fp = F.floor(
-        dot_unrolled("e", "be", 64)
-        / (
-            F.sqrt(dot_unrolled("e", "e", 64))
-            * F.sqrt(dot_unrolled("be", "be", 64))
-        )
-        * 1000000
-    ).cast("bigint")
-    hits = corpus.crossJoin(F.broadcast(bench)).select(
-        "vec_id", "bench_id", cos_fp.alias("cos_fp")
-    )
+    return emb, bench, corpus
+
+
+def _semdecon_score(hits: DataFrame) -> DataFrame:
+    """(vec_id, bench_id, cos_fp) candidates → flagged vectors: max
+    fixed-point cosine per corpus vector, deterministic nearest-bench
+    tie-break (max cos, then LOWEST bench id), leak threshold 0.35."""
     best = hits.groupBy("vec_id").agg(
         F.max("cos_fp").alias("max_cos_fp"),
         F.max_by(
@@ -447,3 +456,164 @@ def semantic_decontamination_embeddings(
         "nearest_bench",
         F.round(F.col("max_cos_fp") / 1000000.0, 6).alias("max_cosine"),
     )
+
+
+def _semdecon_cos_fp(a: str, b: str):
+    from _data_engineering_pipeline_project_spark.functions.vectors import (
+        dot_unrolled,
+    )
+
+    return F.floor(
+        dot_unrolled(a, b, 64)
+        / (
+            F.sqrt(dot_unrolled(a, a, 64))
+            * F.sqrt(dot_unrolled(b, b, 64))
+        )
+        * 1000000
+    ).cast("bigint")
+
+
+@query("semantic_decontamination_embeddings", _SEMDECON_SQL)
+def semantic_decontamination_embeddings(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """Embedding-level decontamination — the semantic complement of the
+    n-gram form (`decontaminate_corpus`): a corpus vector whose cosine
+    against ANY benchmark vector reaches the leakage threshold
+    (0.35 here — sized to the synthetic embeddings' similarity range;
+    production uses ~0.9 on real encoder outputs) is flagged with its
+    nearest benchmark id (paraphrased leakage that shares no 4-gram).
+    Cosines floored to 1e-6 fixed point BEFORE the max, so the
+    per-vector reduce and the deterministic nearest-bench tie-break
+    (max cos, then LOWEST bench id) are exact integer arithmetic.
+
+    TWO physical paths behind a bench-size gate (VERDICT r6 task #4 —
+    the pre-r7 form always broadcast the bench side, which here grows
+    with the corpus):
+
+    - |bench| ≤ ``_SEMDECON_BENCH_BROADCAST_MAX``: EXACT broadcast
+      brute — one corpus scan × broadcast bench, the right plan for a
+      real (fixed-size) benchmark suite. This is the oracle-checked
+      registered form at every test scale.
+    - larger bench: IVF candidate join
+      (:func:`semantic_decontamination_ivf` — corpus assigned to its
+      nearest seed centroid, bench probing nprobe lists, candidates an
+      EQUI-join on centroid_id with no bench-sized broadcast). That
+      path is itself registered + oracle-checked as
+      ``semantic_decontamination_ivf_embeddings``.
+
+    The gate costs one count of the (tiny) bench filter — metadata-
+    cheap relative to either path."""
+    _, bench, corpus = _semdecon_frames(spark, sf)
+    if bench.count() > _SEMDECON_BENCH_BROADCAST_MAX:
+        return semantic_decontamination_ivf(spark, sf)
+    hits = corpus.crossJoin(F.broadcast(bench)).select(
+        "vec_id", "bench_id", _semdecon_cos_fp("e", "be").alias("cos_fp")
+    )
+    return _semdecon_score(hits)
+
+
+_SEMDECON_IVF_SQL = """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    seeds AS (SELECT vec_id, e AS cvec, md5(CAST(vec_id AS VARCHAR)) AS h
+              FROM v ORDER BY h, vec_id LIMIT 8),
+    cent AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER)
+                      AS centroid_id, cvec
+             FROM seeds),
+    bench AS (SELECT vec_id AS bench_id, e FROM v WHERE vec_id % 29 = 0),
+    corpus AS (SELECT vec_id, e FROM v WHERE vec_id % 29 <> 0),
+    cscore AS (SELECT c.vec_id, ct.centroid_id,
+                      round(list_dot_product(c.e, ct.cvec)
+                            / (sqrt(list_dot_product(c.e, c.e))
+                               * sqrt(list_dot_product(ct.cvec, ct.cvec))),
+                            6) AS cos
+               FROM corpus c, cent ct),
+    cassign AS (SELECT vec_id, centroid_id FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, centroid_id) AS rn
+                  FROM cscore) WHERE rn = 1),
+    bscore AS (SELECT b.bench_id, ct.centroid_id,
+                      round(list_dot_product(b.e, ct.cvec)
+                            / (sqrt(list_dot_product(b.e, b.e))
+                               * sqrt(list_dot_product(ct.cvec, ct.cvec))),
+                            6) AS cos
+               FROM bench b, cent ct),
+    bprobe AS (SELECT bench_id, centroid_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY bench_id
+                             ORDER BY cos DESC, centroid_id) AS rn
+                 FROM bscore) WHERE rn <= 2),
+    cand AS (SELECT a.vec_id, p.bench_id
+             FROM cassign a JOIN bprobe p USING (centroid_id)),
+    hits AS (SELECT cd.vec_id, cd.bench_id,
+                    CAST(floor(list_dot_product(c.e, b.e)
+                      / (sqrt(list_dot_product(c.e, c.e))
+                         * sqrt(list_dot_product(b.e, b.e))) * 1000000)
+                      AS BIGINT) AS cos_fp
+             FROM cand cd
+             JOIN corpus c ON c.vec_id = cd.vec_id
+             JOIN bench b ON b.bench_id = cd.bench_id),
+    best AS (SELECT vec_id, cos_fp AS max_cos_fp,
+                    bench_id AS nearest_bench
+             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY cos_fp DESC, bench_id ASC) AS rn
+                   FROM hits)
+             WHERE rn = 1)
+    SELECT vec_id, nearest_bench,
+           round(max_cos_fp / 1000000.0, 6) AS max_cosine
+    FROM best WHERE max_cos_fp >= 350000
+"""
+
+
+@query("semantic_decontamination_ivf_embeddings", _SEMDECON_IVF_SQL)
+def semantic_decontamination_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """The corpus-scale decontamination path (VERDICT r6 task #4):
+    candidates come from the engine's IVF stages
+    (`operators/similarity.py`) instead of a bench-sized broadcast —
+
+    - the CORPUS is assigned to its single nearest seed centroid
+      (``ivf_assign``: broadcast 8-row centroid table + max_by partial
+      aggregate — one shuffled row per corpus vector);
+    - the BENCH side probes its ``nprobe=2`` nearest lists (same
+      rounded-cosine/row_number ranking as ``topk_cosine_ivf``);
+    - candidates are the centroid_id EQUI-join of the two — left
+      unhinted, so the planner shuffles both sides by centroid_id (or
+      AQE broadcasts a genuinely small side at runtime); NOTHING in the
+      plan forces a broadcast that grows with either corpus or bench
+      (pinned by plan test).
+
+    Per-candidate scoring, fixed-point flooring, per-vector max, and
+    tie-breaks are identical to the exact form; the approximation is
+    only WHICH pairs are considered (a corpus vector whose list no
+    bench vector probes is unflagged). All stages are deterministic
+    (md5 seeds, 6-digit rounding before every rank), so the DuckDB
+    oracle reproduces the probed candidate set bit-for-bit."""
+    from pyspark.sql import Window
+
+    from _data_engineering_pipeline_project_spark.operators.similarity import (
+        _nearest_centroid_scores,
+        ivf_assign,
+        ivf_seed_centroids,
+    )
+
+    emb, bench, corpus = _semdecon_frames(spark, sf)
+    centroids = ivf_seed_centroids(emb, 8, "vec_id", "e")
+    assigned = ivf_assign(corpus, centroids, "vec_id", "e")
+    wq = Window.partitionBy("bench_id").orderBy(
+        F.col("__cos").desc(), F.col("centroid_id")
+    )
+    probes = (
+        _nearest_centroid_scores(
+            bench.select(F.col("bench_id"), F.col("be").alias("e")),
+            centroids,
+            "bench_id",
+            "e",
+        )
+        .withColumn("__rnk", F.row_number().over(wq))
+        .filter(F.col("__rnk") <= 2)
+        .select("bench_id", F.col("e").alias("be"), "centroid_id")
+    )
+    hits = assigned.join(probes, "centroid_id").select(
+        "vec_id", "bench_id", _semdecon_cos_fp("e", "be").alias("cos_fp")
+    )
+    return _semdecon_score(hits)

@@ -23,6 +23,14 @@ This module is that loop composed from Spark primitives:
   crashed compaction leaves an orphan directory, not a broken table.
   Files that arrive DURING a compaction are not lost: they stay in the
   landing directory and ride the next generation.
+- **Consumed-file manifest** (VERDICT r6 #3): each generation carries a
+  ``_CONSUMED`` file naming every landing file folded into it (written
+  BEFORE the pointer swap — the underscore prefix makes Spark's parquet
+  reader skip it). ``read_current`` and the next ``run_once`` exclude
+  manifest-listed landing files, so the post-commit deletion loop is
+  pure idempotent GC: a crash (or a concurrent reader) between the
+  pointer swap and the deletes can never serve or re-fold a consumed
+  file — the duplication window the pre-r7 protocol had.
 
 The reference has no counterpart (single-node pandas appends to CSV,
 project/etl2.py); this is pure Spark operational machinery, pytest-
@@ -37,6 +45,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 _POINTER = "_CURRENT"
+_MANIFEST = "_CONSUMED"
 
 
 def _landing_files(landing_dir: str) -> list[str]:
@@ -109,16 +118,41 @@ class CompactionMaintainer:
             fh.write(str(version))
         os.replace(tmp, self._pointer_path())  # atomic on POSIX
 
+    def _consumed(self, version: int | None) -> set[str]:
+        """Basenames of landing files already folded into ``version``
+        (empty for pre-manifest generations — their consumed files were
+        deleted in the same tick, so absence means nothing to exclude)."""
+        if version is None:
+            return set()
+        try:
+            with open(os.path.join(self._gen_dir(version), _MANIFEST)) as fh:
+                return {ln.strip() for ln in fh if ln.strip()}
+        except FileNotFoundError:
+            return set()
+
+    def _live_landing_files(self, version: int | None) -> list[str]:
+        """Landing files NOT yet folded into the given generation. A
+        consumed file still on disk is a crash remnant (died between
+        pointer swap and GC) — serving it would duplicate its rows."""
+        consumed = self._consumed(version)
+        return [
+            f
+            for f in _landing_files(self.landing_dir)
+            if os.path.basename(f) not in consumed
+        ]
+
     # -- read path ------------------------------------------------------
     def read_current(self, spark: SparkSession) -> DataFrame:
         """Committed generation ∪ not-yet-compacted landing files —
         every committed row is visible whether or not it was compacted
-        yet (the table-format contract)."""
+        yet (the table-format contract). Landing files named by the
+        generation's manifest are EXCLUDED: their rows already live in
+        the generation, and the file itself is just un-GC'd debris."""
         sources = []
         v = self.current_version()
         if v is not None:
             sources.append(self._gen_dir(v))
-        sources.extend(_landing_files(self.landing_dir))
+        sources.extend(self._live_landing_files(v))
         if not sources:
             raise FileNotFoundError(
                 f"no generation and no landing files under {self.table_dir}"
@@ -128,19 +162,35 @@ class CompactionMaintainer:
     # -- maintenance tick ----------------------------------------------
     def run_once(self, spark: SparkSession) -> dict:
         """One maintenance tick: if the landing directory holds ≥
-        ``min_files`` files, fold them PLUS the current generation into
-        a new clustered generation, commit the pointer, and delete the
-        consumed landing files (only after the commit — a crash between
-        write and commit leaves the old generation + all landing files,
-        i.e. no data loss, just an orphan ``gen_v`` dir).
+        ``min_files`` live files, fold them PLUS the current generation
+        into a new clustered generation, write the generation's
+        ``_CONSUMED`` manifest, commit the pointer, then GC the consumed
+        landing files.
+
+        Crash windows, all safe:
+        - before the pointer swap — old generation + all landing files
+          intact (no loss; orphan ``gen_v`` dir only);
+        - between swap and GC — consumed files linger on disk but the
+          manifest excludes them from every read and from the next
+          tick's fold (no duplication; the next tick GCs them).
+        The GC loop is idempotent — each tick starts by sweeping any
+        manifest-listed remnants.
 
         Returns a summary dict (``compacted`` False = debounced no-op).
         """
-        files = _landing_files(self.landing_dir)
+        v = self.current_version()
+        # idempotent GC of crash remnants: files the CURRENT generation
+        # already folded (manifest-listed) but a prior tick died before
+        # deleting — remove them before anything else so the fold below
+        # never sees them
+        consumed = self._consumed(v)
+        for f in _landing_files(self.landing_dir):
+            if os.path.basename(f) in consumed:
+                os.remove(f)
+        files = self._live_landing_files(v)
         if len(files) < self.min_files:
             return {"compacted": False, "landing_files": len(files)}
 
-        v = self.current_version()
         sources = ([self._gen_dir(v)] if v is not None else []) + files
         df = spark.read.parquet(*sources)
         n_rows = df.count()
@@ -164,8 +214,13 @@ class CompactionMaintainer:
         )
         new_v = (v or 0) + 1
         clustered.write.mode("overwrite").parquet(self._gen_dir(new_v))
+        # manifest BEFORE the pointer swap: the instant the swap lands,
+        # every reader already knows which landing files the generation
+        # subsumes (Spark skips underscore-prefixed files in the dir)
+        with open(os.path.join(self._gen_dir(new_v), _MANIFEST), "w") as fh:
+            fh.write("\n".join(os.path.basename(f) for f in files))
         self._commit(new_v)
-        for f in files:  # consumed — safe only AFTER the pointer swap
+        for f in files:  # idempotent GC — manifest shields readers
             os.remove(f)
         return {
             "compacted": True,

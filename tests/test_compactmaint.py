@@ -120,3 +120,56 @@ def test_crash_between_write_and_commit_loses_nothing(spark, tmp_path):
     assert out["compacted"] and out["version"] == 2
     got = sorted(r["k"] for r in m.read_current(spark).collect())
     assert got == [1, 2, 3, 4]
+
+
+def test_crash_between_commit_and_gc_duplicates_nothing(
+    spark, tmp_path, monkeypatch
+):
+    """The OTHER crash window (VERDICT r6 #3): the pointer has swapped to
+    the new generation but the process dies before deleting the consumed
+    landing files. Pre-manifest, those files were both folded into the
+    generation AND still served / re-folded — permanent duplicates. Now
+    the generation's ``_CONSUMED`` manifest must shield every read and
+    the next tick, which GCs the remnants idempotently."""
+    import _data_engineering_pipeline_project_spark.streaming.compactmaint as cm
+
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "table")
+    m = CompactionMaintainer(
+        landing, table, ["k"], min_files=2, target_rows_per_file=10_000
+    )
+    _append_batch(spark, landing, [(1, 1)])
+    _append_batch(spark, landing, [(2, 2)])
+
+    # kill the GC loop: os.remove dies on the first consumed file —
+    # exactly a crash after the pointer swap, before any deletion
+    def _boom(path):
+        raise OSError(f"simulated crash before GC of {path}")
+
+    monkeypatch.setattr(cm.os, "remove", _boom)
+    try:
+        m.run_once(spark)
+    except OSError:
+        pass
+    monkeypatch.undo()
+
+    assert m.current_version() == 1  # commit landed
+    assert len(os.listdir(landing)) == 2  # remnants still on disk
+
+    # reads must NOT double-count the consumed-but-undeleted files
+    got = sorted(r["k"] for r in m.read_current(spark).collect())
+    assert got == [1, 2]
+
+    # next tick: remnants are GC'd, not re-folded; new data compacts in
+    _append_batch(spark, landing, [(3, 3)])
+    _append_batch(spark, landing, [(4, 4)])
+    out = m.run_once(spark)
+    assert out["compacted"] and out["version"] == 2
+    assert len(os.listdir(landing)) == 0  # remnants + new files consumed
+    got = sorted(r["k"] for r in m.read_current(spark).collect())
+    assert got == [1, 2, 3, 4]  # every row exactly once
+
+    # a remnant-only debounced tick is also a clean GC path
+    _append_batch(spark, landing, [(5, 5)])
+    got = sorted(r["k"] for r in m.read_current(spark).collect())
+    assert got == [1, 2, 3, 4, 5]

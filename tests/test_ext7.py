@@ -37,9 +37,32 @@ def test_salted_join_spreads_hot_key(spark):
     transform isn't splitting the skew at all — same salt expression as
     operators/skew.py:salted_join."""
     fact = spark.createDataFrame([(1, i) for i in range(64)], "k int, v int")
-    salt = F.pmod(F.hash(*[F.col(c) for c in fact.columns]), F.lit(8))
+    salt = F.pmod(
+        F.hash(*[F.col(c) for c in fact.columns], F.monotonically_increasing_id()),
+        F.lit(8),
+    )
     n_lanes = fact.select(salt.alias("s")).distinct().count()
     assert n_lanes >= 4, n_lanes
+
+
+def test_salted_join_spreads_byte_identical_duplicates(spark):
+    """The degenerate hot key salting exists for (VERDICT r6 #6): every
+    row of the hot key is a BYTE-IDENTICAL duplicate (sentinel/default
+    rows), so a content-only salt puts all of them in ONE bucket. The
+    ordinal-mixed salt must spread them across ≥ buckets/2 lanes while
+    leaving join semantics untouched (row multiplicity preserved)."""
+    buckets = 8
+    fact = spark.createDataFrame([(1, 0)] * 64, "k int, v int")
+    salt = F.pmod(
+        F.hash(*[F.col(c) for c in fact.columns], F.monotonically_increasing_id()),
+        F.lit(buckets),
+    )
+    n_lanes = fact.select(salt.alias("s")).distinct().count()
+    assert n_lanes >= buckets // 2, n_lanes
+    # multiplicity: each of the 64 identical left rows matches once
+    dim = spark.createDataFrame([(1, "a")], "k int, name string")
+    out = salted_join(fact, dim, on=["k"], buckets=buckets).collect()
+    assert len(out) == 64 and all(r["name"] == "a" for r in out)
 
 
 def test_zorder2_interleave_exact(spark):
@@ -159,6 +182,113 @@ def test_semantic_decontamination_flags_planted_leak(spark):
     hits = {r["vec_id"]: (r["nb"], r["m"]) for r in best}
     assert 10_001 in hits and hits[10_001][0] == 29
     assert hits[10_001][1] >= 999999  # cosine 1.0 up to fixed-point floor
+
+
+def test_lsh_recall_audit_sample_fraction(spark):
+    """The audit's 100 TB contract is now a PARAMETER (VERDICT r6 task
+    #5): at sample_fraction=0.5 the audit runs over the deterministic
+    hash-sampled half of the corpus — truth-pair count can only shrink
+    (sampled docs ⊂ full docs ⇒ sampled pairs ⊂ full pairs), candidate
+    count can only shrink, and the metrics stay well-formed. At 1.0 the
+    plan is the registered oracle-checked form."""
+    from _data_engineering_pipeline_project_spark.queries_ext8 import (
+        lsh_recall_audit,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    full = lsh_recall_audit(spark, sf, sample_fraction=1.0).collect()[0]
+    half = lsh_recall_audit(spark, sf, sample_fraction=0.5).collect()[0]
+    assert half["n_truth"] <= full["n_truth"]
+    assert half["n_candidates"] <= full["n_candidates"]
+    assert half["n_hit"] <= half["n_truth"]
+    if half["n_truth"]:
+        assert 0.0 <= half["recall"] <= 1.0
+    if half["n_candidates"]:
+        assert 0.0 <= half["precision"] <= 1.0
+    # subset property of the sampled TRUTH pairs: every sampled truth
+    # pair must also be a full-corpus truth pair (pair similarity is a
+    # pure pairwise function — sampling docs only subsets the universe)
+    from _data_engineering_pipeline_project_spark.catalog import table
+    from _data_engineering_pipeline_project_spark.operators import dedup as D
+    from _data_engineering_pipeline_project_spark.operators.sampling import (
+        hash_sample,
+    )
+
+    docs = table(spark, sf, "documents")
+    full_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    samp_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.ngram_jaccard_pairs(
+            hash_sample(docs, "doc_id", 0.5), threshold=0.3
+        ).collect()
+    }
+    assert samp_pairs <= full_pairs
+
+
+def test_semdecon_ivf_no_forced_broadcast(spark):
+    """The IVF decontamination path (VERDICT r6 task #4) must not FORCE
+    any broadcast that scales with corpus or bench: with the planner's
+    size-based broadcasting disabled, the only BroadcastExchanges left
+    are the two explicit 8-row centroid-table hints (corpus assignment
+    + bench probing); the (assigned ⋈ probes) candidate join plans as a
+    shuffle join. The brute path under the same config still broadcasts
+    its bench side — the hint the gate exists to avoid at scale."""
+    from _data_engineering_pipeline_project_spark.plans.audit import explain_str
+    from _data_engineering_pipeline_project_spark.queries_ext8 import (
+        semantic_decontamination_ivf,
+    )
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = semantic_decontamination_ivf(spark, "/root/testdata/sf0.001")
+        plan = explain_str(df)
+        # formatted explain lists every node twice (tree + detail);
+        # count distinct node ids. Exactly the two centroid broadcasts:
+        import re
+
+        n_bcast = len(re.findall(r"\(\d+\) BroadcastExchange", plan))
+        assert n_bcast == 2, plan
+        # the candidate equi-join shuffles (no forced broadcast side)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_semdecon_ivf_flags_subset_of_brute(spark):
+    """IVF candidates are a subset of all (corpus, bench) pairs, so the
+    probed path can only under-flag, never over-flag: every IVF-flagged
+    vector is brute-flagged, and its probed max cosine never exceeds
+    the exact max."""
+    from _data_engineering_pipeline_project_spark.queries_ext8 import (
+        semantic_decontamination_embeddings,
+        semantic_decontamination_ivf,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    brute = {
+        r["vec_id"]: r["max_cosine"]
+        for r in semantic_decontamination_embeddings(spark, sf).collect()
+    }
+    ivf = {
+        r["vec_id"]: r["max_cosine"]
+        for r in semantic_decontamination_ivf(spark, sf).collect()
+    }
+    assert ivf, "IVF path flagged nothing at sf0.001 — test is vacuous"
+    for vid, cos in ivf.items():
+        assert vid in brute and cos <= brute[vid] + 1e-9
 
 
 def test_length_bucketed_batches_invariants(spark):

@@ -34,6 +34,7 @@ WHITELIST = {
     "embedding_topk_ivfpq": "IVF seeds + PQ codebook seeds, ≤64 rows",
     "embedding_topk_pq": "PQ codebook seeds, ≤ksub rows",
     "semantic_dup_pairs_embeddings": "centroid seed frame, ≤centroids",
+    "semantic_decontamination_ivf_embeddings": "seed row_number over ≤8 rows",
     # value-grid frames: the ordered input is one row per distinct
     # day — bounded by the calendar span, not the row count
     "concurrent_open_orders_daily": "daily delta grid cumsum",
