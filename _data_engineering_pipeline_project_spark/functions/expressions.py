@@ -26,6 +26,28 @@ EMOJI_PATTERN = (
 )
 
 
+def money_cents(col: Column | str) -> Column:
+    """Exact integer cents of a NONNEGATIVE, exactly-2-decimal money
+    double (TPC-H prices/discounts): ``trunc(x*100 + 0.5)`` via a plain
+    bigint cast.
+
+    Equivalent to ``round(x*100)`` for this value class — the true
+    product is an integer n, the double lands within ±ulp of n, and
+    n+0.5±ulp truncates to n — but ~2× cheaper in the aggregate hot
+    path: Spark's ``Round`` on DoubleType allocates a ``BigDecimal``
+    per row (valueOf + setScale HALF_UP), while this is a codegen
+    multiply-add-cast with no allocation (measured 0.36 s → 0.17 s for
+    the sf0.1 lineitem revenue sum; oracle-parity bit-identical on
+    every row, and the DuckDB oracle keeps ``round()``).
+
+    NOT valid for negative values (cast truncates toward zero — the
+    +0.5 would round them the wrong way) or for columns that are not
+    exactly 2-decimal (e.g. ``events.value``): those keep ``F.round``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (c * 100 + F.lit(0.5)).cast("bigint")
+
+
 def any_null(cols: list[str]) -> Column:
     """True when ANY of ``cols`` is NULL.
 

@@ -26,6 +26,7 @@ from _data_engineering_pipeline_project_spark.catalog import table
 from _data_engineering_pipeline_project_spark.functions.expressions import (
     keep_first,
     keep_first_agg,
+    money_cents,
 )
 from _data_engineering_pipeline_project_spark.operators import quality as Q
 from _data_engineering_pipeline_project_spark.operators.joins import snapshot_diff
@@ -526,8 +527,8 @@ def revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
     c = table(spark, sf, "customer")
     n = table(spark, sf, "nation")
     r = table(spark, sf, "region")
-    rev_fp = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
-        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    rev_fp = money_cents("l_extendedprice") * (
+        100 - money_cents("l_discount")
     )
     per_order = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
         F.sum(rev_fp).alias("__rev_fp"),

@@ -25,6 +25,9 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from _data_engineering_pipeline_project_spark.catalog import table
+from _data_engineering_pipeline_project_spark.functions.expressions import (
+    money_cents,
+)
 from _data_engineering_pipeline_project_spark.functions.twopass import (
     bucketed_cumulative,
 )
@@ -1153,7 +1156,7 @@ def gini_revenue_by_segment(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("c_mktsegment", "o_custkey")
         .agg(
             F.sum(
-                F.round(F.col("o_totalprice") * 100).cast("bigint")
+                money_cents("o_totalprice")
             ).alias("x")
         )
     )

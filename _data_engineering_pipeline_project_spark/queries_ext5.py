@@ -33,6 +33,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from _data_engineering_pipeline_project_spark.catalog import table
+from _data_engineering_pipeline_project_spark.functions.expressions import (
+    money_cents,
+)
 from _data_engineering_pipeline_project_spark.functions.twopass import (
     bucketed_cumulative,
 )
@@ -3314,7 +3317,7 @@ def pit_repriced_revenue_by_year(spark: SparkSession, sf: str) -> DataFrame:
     # exact integer CENTS: round(x*1.05, 2) lands on .xx5 halfway points
     # where the engines' half-rounding rules diverge — the price bump is
     # instead (cents*105 + 50) div 100, integer half-up in both engines
-    cents = F.round(F.col("p_retailprice") * 100).cast("bigint")
+    cents = money_cents("p_retailprice")
     v1 = p.select(
         "p_partkey",
         cents.alias("price_cents"),

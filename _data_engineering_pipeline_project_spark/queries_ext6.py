@@ -22,6 +22,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from _data_engineering_pipeline_project_spark.catalog import table
+from _data_engineering_pipeline_project_spark.functions.expressions import (
+    money_cents,
+)
 from _data_engineering_pipeline_project_spark.functions.twopass import (
     bucketed_cumulative,
 )
@@ -59,7 +62,7 @@ def exact_median_order_value(spark: SparkSession, sf: str) -> DataFrame:
     o = table(spark, sf, "orders")
     c = o.select(
         "o_orderkey",
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        money_cents("o_totalprice").alias("cents"),
     )
     ranked = bucketed_cumulative(
         c, ["cents", "o_orderkey"], rank_col="r", count_col="n"
@@ -183,7 +186,7 @@ def lorenz_deciles_customers(spark: SparkSession, sf: str) -> DataFrame:
     rows; the final groupBy is decile-sized."""
     o = table(spark, sf, "orders")
     rev = o.groupBy("o_custkey").agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+        F.sum(money_cents("o_totalprice")).alias(
             "cents"
         )
     )
@@ -250,7 +253,7 @@ def group_median_order_value(spark: SparkSession, sf: str) -> DataFrame:
     c = table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
     j = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
         F.col("c_mktsegment").alias("seg"),
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        money_cents("o_totalprice").alias("cents"),
         "o_orderkey",
     )
     w = Window.partitionBy("seg").orderBy("cents", "o_orderkey")
@@ -312,7 +315,7 @@ def weighted_median_lineitem_price(spark: SparkSession, sf: str) -> DataFrame:
     influence which VALUE wins."""
     li = table(spark, sf, "lineitem")
     x = li.select(
-        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        money_cents("l_extendedprice").alias("cents"),
         F.col("l_quantity").cast("bigint").alias("wt"),
     )
     # one hash aggregate shrinks the frame by the value-collision factor
@@ -436,7 +439,7 @@ def theil_index_revenue_by_segment(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
         .agg(
             F.sum(
-                F.round(F.col("o_totalprice") * 100).cast("bigint")
+                money_cents("o_totalprice")
             ).alias("x")
         )
     )

@@ -32,6 +32,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from _data_engineering_pipeline_project_spark.catalog import table
+from _data_engineering_pipeline_project_spark.functions.expressions import (
+    money_cents,
+)
 from _data_engineering_pipeline_project_spark.queries import query
 
 # --------------------------------------------------------------------------
@@ -69,8 +72,8 @@ def salted_revenue_by_brand(spark: SparkSession, sf: str) -> DataFrame:
     )
     p = table(spark, sf, "part").select("p_partkey", "p_brand")
     j = salted_join(li, p, on=["p_partkey"], buckets=8)
-    rev_fp = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
-        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    rev_fp = money_cents("l_extendedprice") * (
+        100 - money_cents("l_discount")
     )
     return (
         j.groupBy("p_brand")

@@ -162,6 +162,7 @@ EXTENSION_QUERIES = [
     "blocking_quality_audit_parts",
     "length_bucketed_batches_documents",
     "semantic_decontamination_embeddings",
+    "semantic_decontamination_ivf_embeddings",
 ]
 # Registry queries not listed here or in BENCH_/TPCH_QUERIES are
 # bench-excluded by design (cheap single-shuffle shapes whose cost is a
