@@ -975,11 +975,19 @@ def waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     NOT EXISTS over the same fact table.
 
     Spark-first rewrite: instead of two self-joins (what a naive EXISTS
-    translation produces — three scans of lineitem shuffled twice), compute
-    per-order supplier counts ONCE (n_supp, n_late_supp) and filter on
-    (n_supp > 1 AND n_late_supp == 1). One groupBy shuffle on l_orderkey,
-    reused by the join back (AQE co-partitions); supplier dim broadcast.
-    At 100 TB this is the difference between 2 and 4 full fact shuffles."""
+    translation produces — three scans of lineitem shuffled twice), the
+    fact join is computed ONCE and collapsed to one row per
+    (order, supplier) with a map-side-combining `max(is_late)` agg;
+    per-order counts (n_supp, n_late_supp) come from a window over that
+    already-reduced frame, so qualifying rows filter in place with NO
+    join back to the fact. Two key-local shuffles total (the (order,
+    supplier) hash agg, then the per-order window repartition of the
+    REDUCED frame); supplier dim broadcast. After the n_late_supp == 1
+    filter exactly one row per qualifying order survives, so numwait is
+    a plain count — no distinct agg. At 100 TB this is the difference
+    between 2 reduced-frame shuffles and 4 full fact shuffles."""
+    from pyspark.sql import Window
+
     li = table(spark, sf, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
@@ -988,31 +996,41 @@ def waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey", "o_orderdate")
     )
-    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
-        "is_late",
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    per_ls = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            )
+            .cast("int")
+            .alias("late"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("late"))
     )
-    per_order = j.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_ls.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("late").over(w).alias("n_late_supp"),
     )
     return (
-        j.filter(F.col("is_late"))
-        .select("l_orderkey", "l_suppkey")
-        .join(
-            per_order.filter(
-                (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
-            ).select("l_orderkey"),
-            "l_orderkey",
+        flagged.filter(
+            (F.col("late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
         )
         .join(
             F.broadcast(table(spark, sf, "supplier")),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .groupBy("s_name")
-        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
     )
 
 

@@ -1,11 +1,14 @@
-"""10× key-offset scale-up measurement (docs/SCALE.md protocol).
+"""Key-offset scale-up measurement (docs/SCALE.md protocol).
 
-Replicates chosen fact tables 10× with key offsets (PK/FK semantics
-preserved) into a temp dir, then times selected queries at 1× vs 10×
+Replicates chosen fact tables N× with key offsets (PK/FK semantics
+preserved) into a temp dir, then times selected queries at 1× vs N×
 and prints the wall-clock ratio — the per-query scale-shape check the
 SCALE.md measurements use. Usage:
 
-    python tools/measure_scaleup.py <query> [<query> ...]
+    python tools/measure_scaleup.py [--factor N] <query> [<query> ...]
+
+Default factor is 10 (the round-1..5 protocol); --factor 100 replays
+sf0.1's facts at ~sf10 (lineitem 60M rows) for the deeper slope check.
 """
 
 from __future__ import annotations
@@ -28,24 +31,64 @@ FACTS = {
     "lineitem": ["l_orderkey"],
     "customer": ["c_custkey"],
     "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
 }
-DIMS = ["region", "nation", "supplier", "part", "documents", "embeddings"]
+DIMS = ["region", "nation", "supplier", "part"]
+
+
+def _mutate(t: str, df):
+    """Per-replica content perturbation for corpus tables: replica 0 is
+    byte-identical to the source (so 1× results still hold), later
+    replicas get a tiny deterministic content shift. Without this,
+    N× replication would make every document/vector an EXACT N-way
+    duplicate — near-dup pair output would grow as N², measuring the
+    data's degeneracy, not the engine's scaling."""
+    if t == "documents":
+        return df.withColumn(
+            "text",
+            F.when(F.col("_rep") == 0, F.col("text")).otherwise(
+                F.concat(
+                    F.col("text"),
+                    F.lit(" r"),
+                    F.col("_rep").cast("string"),
+                )
+            ),
+        )
+    if t == "embeddings":
+        # shift element 0 by 0.01·rep — keeps vectors plausible while
+        # breaking exact duplication; dtype preserved (array<float>)
+        elem_t = dict(df.dtypes)["embedding"]
+        return df.withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(
+                    i == 0,
+                    x + F.col("_rep").cast("double") * F.lit(0.01),
+                ).otherwise(x),
+            ).cast(elem_t),
+        )
+    return df
 
 
 def build_replicated(spark, out_dir: str, factor: int = 10) -> None:
     for t, keys in FACTS.items():
         src = spark.read.parquet(f"{SF_DIR}/{t}.parquet")
         offs = {k: src.agg(F.max(k)).collect()[0][0] + 1 for k in keys}
-        parts = []
-        for i in range(factor):
-            rep = src
-            for k, off in offs.items():
-                rep = rep.withColumn(k, F.col(k) + F.lit(i * off))
-            parts.append(rep)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        out.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+        # one crossJoin against a factor-row replica index instead of
+        # factor chained unions — the plan stays O(1) in `factor`, so
+        # --factor 100 doesn't pay a 100-branch analysis/codegen cost
+        reps = F.broadcast(
+            spark.range(factor).select(F.col("id").alias("_rep"))
+        )
+        out = src.crossJoin(reps)
+        for k, off in offs.items():
+            out = out.withColumn(k, F.col(k) + F.col("_rep") * F.lit(off))
+        out = _mutate(t, out)
+        out.drop("_rep").repartition(
+            max(32, factor * src.rdd.getNumPartitions() // 4)
+        ).write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
     for t in DIMS:
         src = f"{SF_DIR}/{t}.parquet"
         if os.path.exists(src):
@@ -58,15 +101,22 @@ def main() -> None:
     import __spark_entry__ as entry
     from _data_engineering_pipeline_project_spark.session import get_spark
 
-    names = sys.argv[1:]
+    argv = sys.argv[1:]
+    factor = 10
+    if argv and argv[0] == "--factor":
+        factor = int(argv[1])
+        argv = argv[2:]
+    names = argv
     spark = get_spark("scaleup")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
-    rep_dir = tempfile.mkdtemp(prefix="repl10_")
+    rep_dir = tempfile.mkdtemp(prefix=f"repl{factor}_")
     try:
         t0 = time.time()
-        build_replicated(spark, rep_dir)
-        print(f"replicated 10x in {time.time() - t0:.1f}s -> {rep_dir}")
+        build_replicated(spark, rep_dir, factor)
+        print(
+            f"replicated {factor}x in {time.time() - t0:.1f}s -> {rep_dir}"
+        )
         for name in names:
             fn = qs[name]
             fn(spark, SF_DIR).count()  # warm
@@ -78,7 +128,7 @@ def main() -> None:
             fn(spark, rep_dir).count()
             big = time.time() - t0
             print(
-                f"{name}: 1x={base:.2f}s 10x={big:.2f}s "
+                f"{name}: 1x={base:.2f}s {factor}x={big:.2f}s "
                 f"ratio={big / max(base, 1e-9):.2f}x"
             )
     finally:
