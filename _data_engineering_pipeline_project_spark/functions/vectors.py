@@ -5,14 +5,23 @@ Used by the similarity-search and embedding-dedup operators. Two forms:
 - ``F.zip_with`` / ``F.aggregate`` higher-order functions (``dot``,
   ``l2_norm``): JVM-side and shuffle-free, but CodegenFallback — Spark
   interprets the lambda per element, per row (measured: ~5 of
-  pq_encode's 7 s at sf0.1). Fine for one-shot passes; NOT the hot-path
-  form.
+  pq_encode's 7 s at sf0.1). The interpreted loop is TIGHT, though —
+  see the context rule below.
 - ``dot_unrolled``: when the width is known, an explicit ``element_at``
-  chain that compiles into whole-stage codegen — the form every
-  hot-path caller (brute/LSH/PQ/semantic cosine) uses, ~30-40% faster
-  end to end. A brute-force cosine top-k over 100 TB of embeddings is
-  then a single codegen'd scan, with only the top-k reduction
-  shuffling.
+  chain that compiles into whole-stage codegen, ~30-40% faster end to
+  end in codegen'd stages (the equi-join LSH/PQ paths; measured again
+  r7: pq topk 4.7 s unrolled vs 7.2 s HOF).
+
+CONTEXT RULE (measured r7): which form wins depends on whether the
+stage actually reaches whole-stage codegen. Above a
+BroadcastNestedLoopJoin — every non-equi corpus×queries scorer (brute
+top-k, semantic decon brute, MaxSim) — codegen does NOT apply, the
+unrolled chain is interpreted node-by-node, and the HOF fold is ~3×
+FASTER (sf0.1 brute scan: 1.3 s HOF vs 4.8 s unrolled). Both forms are
+the same left-to-right fold from the 0.0 seed, so they are
+bit-identical and interchangeable per call site on performance alone.
+Rule: equi-join / projection stages → ``dot_unrolled``; BNLJ stages →
+``dot``.
 
 Elements are cast to double before accumulation and folded left-to-right
 (Spark's ``aggregate`` is a sequential fold; the unrolled chain adds in

@@ -40,10 +40,15 @@ def topk_cosine_bruteforce(
     Ranking ties are broken by neighbor id; the similarity is rounded to 6
     digits BEFORE ranking so both engines rank identical values (double
     accumulation order can differ in the last ulp across engines).
-    ``dim``, when known, unrolls the pair-stage dot into codegen
-    (`dot_unrolled` — bit-identical association to the fold, the HOF
-    lambda is CodegenFallback and interpreted per element)."""
-    _dot = (lambda a, b: dot_unrolled(a, b, dim)) if dim else dot
+    ``dim`` is accepted for API stability but deliberately UNUSED: the
+    corpus×queries join is non-equi (BroadcastNestedLoopJoin), which is
+    outside whole-stage codegen, so the unrolled ``element_at`` chain
+    runs interpreted node-by-node and measures ~3× SLOWER than the HOF
+    fold's tight interpreted loop (sf0.1: 4.8 s vs 1.3 s for the scan).
+    Both forms are the same left-to-right fold from the 0.0 seed —
+    bit-identical doubles — so the choice is pure performance; unrolled
+    stays the right form in codegen'd stages (equi-join LSH/PQ paths)."""
+    _dot = dot
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("__qvec"),

@@ -347,17 +347,20 @@ def maxsim_multivector_topk(spark: SparkSession, sf: str) -> DataFrame:
     """ColBERT-style late-interaction retrieval: each vector is read as
     FOUR 16-dim sub-vectors (token embeddings); a candidate's score is
     Σ over query sub-vectors of the MAX cosine against any candidate
-    sub-vector. Per-sub-vector cosines use the codegen-unrolled dot
-    (`functions/vectors.py`) and are floored to 1e-6 fixed point BEFORE
+    sub-vector. The pair stage is a BroadcastNestedLoopJoin (outside
+    whole-stage codegen), so cosines use the HOF fold — the unrolled
+    element_at chain runs interpreted there and measures slower; both
+    are the same left-to-right fold, bit-identical doubles. Per-side
+    norms are evaluated once per sub-vector ROW below the join (same
+    sqrt-of-self-dot double as inline). Cosines are floored to 1e-6
+    fixed point BEFORE
     max/sum, so both aggregates are exact integer arithmetic and the
     ranking is a deterministic bigint comparison. This is the
     brute-force oracle-checked baseline; the scale path swaps the
     all-pairs candidate set for an IVF/LSH bucket join exactly as the
     single-vector family does (`operators/similarity.py`) — MaxSim only
     changes the SCORING of a candidate, not candidate generation."""
-    from _data_engineering_pipeline_project_spark.functions.vectors import (
-        dot_unrolled,
-    )
+    from _data_engineering_pipeline_project_spark.functions.vectors import dot
 
     emb = table(spark, sf, "embeddings")
     subs = F.array(
@@ -373,22 +376,23 @@ def maxsim_multivector_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
     sub = emb.select(
         "vec_id", F.explode(subs).alias("s")
-    ).select("vec_id", F.col("s.si").alias("si"), F.col("s.v").alias("v"))
+    ).select(
+        "vec_id",
+        F.col("s.si").alias("si"),
+        F.col("s.v").alias("v"),
+        F.sqrt(dot("s.v", "s.v")).alias("__vn"),
+    )
     q = sub.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("si").alias("qi"),
         F.col("v").alias("qv"),
+        F.col("__vn").alias("__qn"),
     )
     pairs = sub.crossJoin(F.broadcast(q)).filter(
         F.col("vec_id") != F.col("query_id")
     )
     cos_fp = F.floor(
-        dot_unrolled("v", "qv", 16)
-        / (
-            F.sqrt(dot_unrolled("v", "v", 16))
-            * F.sqrt(dot_unrolled("qv", "qv", 16))
-        )
-        * 1000000
+        dot("v", "qv") / (F.col("__vn") * F.col("__qn")) * 1000000
     ).cast("bigint")
     best = (
         pairs.select(
