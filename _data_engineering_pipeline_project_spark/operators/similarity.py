@@ -700,12 +700,6 @@ def topk_cosine_quantized(
             )
         ).alias("__amax")
     )
-    qz = quantize_int8(corpus, id_col, vec_col, amax_df=corpus_amax)
-    qq = quantize_int8(
-        queries, id_col, vec_col, amax_df=corpus_amax
-    ).select(
-        F.col(id_col).alias(query_id_col), F.col("qvec").alias("__qvec")
-    )
     # int dot products / int norms — exact integer math until the ratio
     dot = F.aggregate(
         F.zip_with("qvec", "__qvec", lambda a, b: a.cast("long") * b.cast("long")),
@@ -719,12 +713,25 @@ def topk_cosine_quantized(
             lambda acc, x: acc + x,
         ).cast("double")
     )
+    # norms hoisted below the BroadcastNestedLoopJoin: evaluated once
+    # per ROW (sqrt of the same exact-integer self-dot, so the per-pair
+    # double is unchanged) instead of once per pair
+    qz = quantize_int8(corpus, id_col, vec_col, amax_df=corpus_amax).withColumn(
+        "__cn", norm(F.col("qvec"))
+    )
+    qq = quantize_int8(
+        queries, id_col, vec_col, amax_df=corpus_amax
+    ).select(
+        F.col(id_col).alias(query_id_col),
+        F.col("qvec").alias("__qvec"),
+        norm(F.col("qvec")).alias("__qn"),
+    )
     scored = (
         qz.join(F.broadcast(qq), F.col(query_id_col) != F.col(id_col))
         .select(
             F.col(query_id_col),
             F.col(id_col).alias("neighbor_id"),
-            F.round(dot / (norm(F.col("qvec")) * norm(F.col("__qvec"))), 6).alias(
+            F.round(dot / (F.col("__cn") * F.col("__qn")), 6).alias(
                 "cosine"
             ),
         )

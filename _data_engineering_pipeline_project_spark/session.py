@@ -43,7 +43,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 16 MB, not the 64 MB this shipped with: the plan-time threshold
+        # compares against ESTIMATED (compressed) sizes, and a hash
+        # relation built from 64 MB of compressed shuffle output can
+        # expand past the driver/executor heap share — measured: a 100×
+        # documents scale-up run died in notEnoughMemoryToBuildAndBroadcast
+        # when AQE auto-broadcast an ~8M-row exploded-bands side the
+        # estimate called small. 16 MB compressed ≈ 100-200 MB built —
+        # safe on any executor profile. Every join the engine WANTS
+        # broadcast is explicitly hinted (or behind an adaptive gate), so
+        # this only bounds the optimizer's speculative conversions.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -40,18 +40,26 @@ DIMS = ["region", "nation", "supplier", "part"]
 def _mutate(t: str, df):
     """Per-replica content perturbation for corpus tables: replica 0 is
     byte-identical to the source (so 1× results still hold), later
-    replicas get a tiny deterministic content shift. Without this,
+    replicas get a deterministic content shift. Without this,
     N× replication would make every document/vector an EXACT N-way
     duplicate — near-dup pair output would grow as N², measuring the
-    data's degeneracy, not the engine's scaling."""
+    data's degeneracy, not the engine's scaling. For documents the
+    shift must touch EVERY token, not just append a suffix: a 3-shingle
+    Jaccard between a document and its suffix-perturbed replica is
+    ~0.99, so suffixing still yields N² NEAR-dup pairs (measured: the
+    100× minhash run built a ~25M-pair candidate set and died in an
+    AQE broadcast). Tagging every token drops cross-replica Jaccard to
+    ~0 while keeping within-replica dup structure identical to 1×."""
     if t == "documents":
         return df.withColumn(
             "text",
             F.when(F.col("_rep") == 0, F.col("text")).otherwise(
-                F.concat(
+                F.regexp_replace(
                     F.col("text"),
-                    F.lit(" r"),
-                    F.col("_rep").cast("string"),
+                    F.lit(r"(\S+)"),
+                    F.concat(
+                        F.lit("$1r"), F.col("_rep").cast("string")
+                    ),
                 )
             ),
         )
