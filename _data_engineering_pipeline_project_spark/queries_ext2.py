@@ -994,6 +994,57 @@ def pii_redacted_documents(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "text_normalize_documents",
+    r"""
+    WITH norm AS (
+      SELECT doc_id, text,
+             lower(trim(regexp_replace(
+               regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),
+               '\s+', ' ', 'g'))) AS norm_text
+      FROM documents)
+    SELECT doc_id,
+           md5(norm_text) AS norm_fp,
+           CAST(length(text) - length(norm_text) AS BIGINT)
+             AS chars_removed,
+           (text <> norm_text) AS was_changed
+    FROM norm
+    """,
+)
+def text_normalize_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic text normalization — the cleanup pass a curation
+    pipeline runs before tokenization/dedup (C4/CCNet-style): control
+    characters stripped to spaces, whitespace runs collapsed to one
+    space, trimmed, lowercased. Unicode NFC/NFKC folding is documented
+    out of scope: neither engine ships ICU normalization offline, and a
+    pandas-UDF unicodedata pass would have no SQL oracle — the regexp
+    form is the cross-engine-exact core. The oracle compares md5 of the
+    normalized text (the full string round-trips through the hash, the
+    ``pii_redacted_documents`` pattern) plus the exact removed-char
+    count. Pure regexp_replace chain inside codegen; shuffle-free at
+    any corpus size."""
+    d = table(spark, sf, "documents")
+    norm = F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.col("text"), r"[\x00-\x1f\x7f]", " "
+                ),
+                r"\s+",
+                " ",
+            )
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_fp"),
+        (F.length("text") - F.length(norm))
+        .cast("bigint")
+        .alias("chars_removed"),
+        (F.col("text") != norm).alias("was_changed"),
+    )
+
+
+@query(
     "cm_frequency_top_users_events",
     """
     WITH rows_ AS (SELECT CAST(user_id AS VARCHAR) AS item

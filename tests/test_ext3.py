@@ -695,3 +695,43 @@ def test_hits_star_graph_hub_vs_authority(spark):
     assert r["x"].hub == 0.0 and r["y"].hub == 0.0
     assert r["y"].authority == 1.0  # heavier edge wins the max
     assert 0 < r["x"].authority < 1
+
+
+def test_text_normalize_planted_edges(spark, tmp_path):
+    """Control chars -> space, whitespace runs collapse, trim,
+    lowercase; already-clean text is unchanged (was_changed False,
+    chars_removed 0); non-ASCII letters survive untouched."""
+    import pyspark.sql.functions as F
+
+    from _data_engineering_pipeline_project_spark.queries_ext2 import (
+        text_normalize_documents,
+    )
+
+    rows = [
+        (1, "Hello\tWorld\x01\x02  again "),  # tab+ctrl+runs+trailing
+        (2, "clean text"),                      # fixed point
+        (3, "  MiXeD Case\n\nLines  "),
+        (4, "café Über"),             # non-ASCII preserved
+    ]
+    spark.createDataFrame(rows, "doc_id int, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in text_normalize_documents(spark, str(tmp_path)).collect()
+    }
+    exp = {
+        1: "hello world again",
+        2: "clean text",
+        3: "mixed case lines",
+        4: "café über",
+    }
+    md5 = {
+        k: spark.range(1).select(F.md5(F.lit(v))).collect()[0][0]
+        for k, v in exp.items()
+    }
+    for k, v in exp.items():
+        assert out[k].norm_fp == md5[k], (k, v)
+        assert out[k].chars_removed == len(rows[k - 1][1]) - len(v)
+    assert out[2].was_changed is False and out[2].chars_removed == 0
+    assert out[1].was_changed is True
