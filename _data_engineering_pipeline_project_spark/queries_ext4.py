@@ -491,7 +491,9 @@ def triangle_count_copurchase(spark: SparkSession, sf: str) -> DataFrame:
     ADAPTIVE BROADCAST GATE: the wedge stream is the dominant volume
     (Σ outdeg² rows — 41M at sf0.1 for 1.2M edges: co-purchase graphs
     are dense). When the EDGE set fits a broadcast relation
-    (n_edges ≤ 10M ≈ 300 MB hashed), both the wedge self-join and the
+    (n_edges ≤ 4M ≈ 160 MB hashed — conservative because TWO
+    edge-sized relations are live at once here), both the wedge
+    self-join and the
     closing membership probe broadcast the edge-sized side, so the
     wedge stream never shuffles — it flows map-side from the oriented
     scan through two broadcast hash joins into a partial count
@@ -522,7 +524,7 @@ def triangle_count_copurchase(spark: SparkSession, sf: str) -> DataFrame:
     )
     edges = edges.cache()
     n_edges = edges.count()  # needed for output; doubles as the gate
-    small = n_edges <= 10_000_000
+    small = n_edges <= 4_000_000
     hint = F.broadcast if small else (lambda df: df)
     deg = (
         edges.select(F.col("u").alias("n"))
