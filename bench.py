@@ -56,6 +56,7 @@ EXTENSION_QUERIES = [
     "attribution_last_touch_events",
     "weighted_sample_documents",
     "pii_redacted_documents",
+    "text_normalize_documents",
     "line_dedup_documents",
     "quality_classifier_documents",
     "lang_temperature_resample",
