@@ -143,6 +143,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.05,
     max_shingle_df: int | None = None,
+    shingle_table: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
@@ -159,8 +160,18 @@ def ngram_jaccard_pairs(
     capped form is itself oracle-checked as
     ``ngram_jaccard_pairs_df_capped``). Jaccard is then computed over
     the FILTERED shingle universe (sizes and intersections
-    consistently exclude hot shingles)."""
-    sh = _shingle_table(df, id_col, text_col, n)
+    consistently exclude hot shingles).
+
+    ``shingle_table`` lets a caller that already exploded (and usually
+    cached) the (id, shingle) table share it instead of paying the
+    tokenize+explode again — the ``minhash_signatures_from_shingles``
+    pattern; the LSH recall audit shares one table between its
+    candidate generator and this exact ground truth."""
+    sh = (
+        shingle_table
+        if shingle_table is not None
+        else _shingle_table(df, id_col, text_col, n)
+    )
     if max_shingle_df is not None:
         sh = drop_hot_shingles(sh, max_shingle_df)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))

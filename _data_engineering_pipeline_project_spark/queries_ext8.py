@@ -191,9 +191,12 @@ def lsh_recall_audit(
     cand = D.lsh_candidate_pairs_wide(
         D.minhash_wide_signatures(sh, "doc_id", 32), "doc_id", 32, 2
     )
-    truth = D.ngram_jaccard_pairs(docs, threshold=0.3).select(
-        "doc_a", "doc_b"
-    )
+    # the exact truth consumes the SAME cached shingle table as the
+    # candidate generator — one tokenize+explode for the whole audit
+    # (and the shared universe is by construction, not by convention)
+    truth = D.ngram_jaccard_pairs(
+        docs, threshold=0.3, shingle_table=sh
+    ).select("doc_a", "doc_b")
     n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
     n_cand = cand.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_candidates")

@@ -64,18 +64,26 @@ def _mutate(t: str, df):
             ),
         )
     if t == "embeddings":
-        # shift element 0 by 0.01·rep — keeps vectors plausible while
-        # breaking exact duplication; dtype preserved (array<float>)
+        # deterministic per-(replica, element) SIGN FLIPS: norm is
+        # preserved exactly and a balanced-random flip pattern drives
+        # cross-replica cosine to ~0. The first attempt (shift element
+        # 0 by 0.01·rep) left replicas at cosine ≈ 0.9999 — every
+        # vector became a 100-way near-dup, pair output went quadratic
+        # in the factor, and the LSH dup-pair run OOM'd measuring the
+        # data's degeneracy rather than the engine's slope.
         elem_t = dict(df.dtypes)["embedding"]
         return df.withColumn(
             "embedding",
-            F.transform(
-                "embedding",
-                lambda x, i: F.when(
-                    i == 0,
-                    x + F.col("_rep").cast("double") * F.lit(0.01),
-                ).otherwise(x),
-            ).cast(elem_t),
+            F.when(F.col("_rep") == 0, F.col("embedding")).otherwise(
+                F.transform(
+                    "embedding",
+                    lambda x, i: x
+                    * (
+                        1
+                        - 2 * (F.abs(F.hash(F.col("_rep"), i)) % 2)
+                    ).cast("double"),
+                ).cast(elem_t)
+            ),
         )
     return df
 
