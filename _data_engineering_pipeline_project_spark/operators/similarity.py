@@ -232,6 +232,7 @@ def lsh_dup_pairs(
     planes_per_band: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_width: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs, LSH-bucketed — the 100 TB path.
 
@@ -243,13 +244,36 @@ def lsh_dup_pairs(
     verify stage touches each candidate pair exactly once. Candidate
     recall is 1-(1-p^r)^B with p = 1-θ/π; same output contract as
     ``cosine_dup_pairs`` (the brute-force form, kept as the pytest
-    recall reference)."""
+    recall reference).
+
+    SCALING THE PARAMETERS (measured, r7): bucket width is
+    ~n/2^planes_per_band, so pair volume per band grows QUADRATICALLY
+    in the corpus at FIXED planes_per_band — a 100× corpus through the
+    registered 4-planes/16-bucket setting is ~10⁴× the pairs (the 200k-
+    vector run OOM'd on exactly that). The primary control is
+    planes_per_band ≈ log2(n / target_bucket_width); ``max_bucket_width``
+    is the hard backstop against residual skew (degenerate vectors that
+    pile into one sign pattern): buckets wider than the cap are DROPPED
+    before the self-join — the ``drop_hot_shingles`` move. Unlike hot
+    shingles, a wide LSH bucket can hold true pairs, so the cap trades
+    bounded work for recall on the skewed slice; pairs whose vectors
+    also share a non-capped band are still found (OR-construction)."""
     b = emb.select(
         F.col(id_col),
         F.posexplode(
             lsh_band_buckets(vec_col, dim, num_bands, planes_per_band)
         ).alias("band", "bucket"),
     ).cache()  # both self-join sides read it — bucket UDF runs ONCE
+    if max_bucket_width is not None:
+        wide = (
+            b.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__w"))
+            .filter(F.col("__w") > max_bucket_width)
+            .select("band", "bucket")
+        )
+        # anti join, not a width column + filter: the wide set is
+        # tiny (AQE broadcasts it) and the cached explode is reused
+        b = b.join(wide, ["band", "bucket"], "left_anti")
     cand = (
         b.alias("a")
         .join(

@@ -530,6 +530,29 @@ def test_lsh_dup_pairs_verifies_each_candidate_once(spark):
     assert [(r["vec_a"], r["vec_b"], r["cosine"]) for r in out] == [(1, 2, 1.0)]
 
 
+def test_lsh_dup_pairs_bucket_width_cap(spark):
+    """max_bucket_width drops degenerate buckets BEFORE the self-join:
+    a block of identical vectors (one sign pattern in every band) must
+    contribute no pairs under a cap smaller than the block, while a
+    narrow-bucket true pair elsewhere still comes through. Uncapped,
+    the block's quadratic pair set is present — the cap is the skew
+    backstop the operator docstring promises."""
+    block = [(i, [1.0] * 8) for i in range(40)]          # one wide bucket
+    pair = [(100, [-1.0] * 8), (101, [-1.0] * 8)]        # its own bucket
+    emb = spark.createDataFrame(
+        block + pair, "vec_id long, embedding array<float>"
+    )
+    capped = SIM.lsh_dup_pairs(
+        emb, dim=8, threshold=0.9, num_bands=4, planes_per_band=2,
+        max_bucket_width=10,
+    ).collect()
+    assert [(r["vec_a"], r["vec_b"]) for r in capped] == [(100, 101)]
+    uncapped = SIM.lsh_dup_pairs(
+        emb, dim=8, threshold=0.9, num_bands=4, planes_per_band=2
+    ).count()
+    assert uncapped == 40 * 39 // 2 + 1
+
+
 def test_connected_components_long_path_converges(spark):
     """Diameter ≫ max_iters/2: plain min-label propagation moves one hop
     per round and would NOT converge in 20 iterations on a 64-node path;
