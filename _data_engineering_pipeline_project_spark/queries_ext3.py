@@ -1539,9 +1539,13 @@ def market_basket_part_pairs(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
     li = table(spark, sf, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
+    # op feeds both pair-join sides, the order count, and the per-part
+    # supports; pc feeds two broadcast builds — uncached, the distinct
+    # ran 4x and the support aggregate 2x (the triangle/item-item
+    # multi-consumer pattern). Both are spill-safe caches.
+    op = li.select("l_orderkey", "l_partkey").distinct().cache()
     n = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    pc = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_p"))
+    pc = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_p")).cache()
     a = op.alias("a")
     b = op.alias("b")
     pairs = (
