@@ -60,18 +60,34 @@ def salted_revenue_by_brand(spark: SparkSession, sf: str) -> DataFrame:
     integer micro-money (price_cents × (100 − disc_cents)) so the final
     sum is order-insensitive. At scale the explode side costs
     buckets × |dim| rows while a hot fact key's rows fan across
-    ``buckets`` shuffle partitions instead of one."""
+    ``buckets`` shuffle partitions instead of one.
+
+    The salt is derived from lineitem's natural unique key
+    (l_orderkey, l_linenumber) — a pure content function, so a task
+    retry anywhere in the plan re-salts every row identically (ADVICE
+    r7: the ordinal-mixed default is positional and would need the
+    salted frame frozen first). The two key columns ride through the
+    join (~16 extra bytes/row on the fact side) and are dropped by the
+    aggregate's column pruning."""
     from _data_engineering_pipeline_project_spark.operators.skew import (
         salted_join,
     )
 
     li = table(spark, sf, "lineitem").select(
         F.col("l_partkey").alias("p_partkey"),
+        "l_orderkey",
+        "l_linenumber",
         "l_extendedprice",
         "l_discount",
     )
     p = table(spark, sf, "part").select("p_partkey", "p_brand")
-    j = salted_join(li, p, on=["p_partkey"], buckets=8)
+    j = salted_join(
+        li,
+        p,
+        on=["p_partkey"],
+        buckets=8,
+        unique_cols=["l_orderkey", "l_linenumber"],
+    )
     rev_fp = money_cents("l_extendedprice") * (
         100 - money_cents("l_discount")
     )

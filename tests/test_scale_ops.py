@@ -291,3 +291,83 @@ def test_cap_group_width_bounds_pair_explosion(spark):
         & (F.col("a.part") < F.col("b.part")),
     )
     assert pairs.count() == 2  # (a,b) for u1, (a,c) for u2 — no bot pairs
+
+
+def test_salted_aggregate_spreads_hot_key(spark):
+    """VERDICT r7 #1: the pre-r8 salt hashed the GROUP KEY alone —
+    constant per group, zero spread. The per-row salt must fan a hot
+    key's BYTE-IDENTICAL rows across ≥ buckets/2 distinct partial
+    lanes (same bar as salted_join's duplicate-spread test)."""
+    from _data_engineering_pipeline_project_spark.operators.skew import (
+        _row_spread_salt,
+    )
+
+    buckets = 8
+    hot = spark.createDataFrame([(1, 0.5)] * 64, "k int, v double")
+    salt = _row_spread_salt(hot, buckets * 64, None)
+    n_lanes = hot.select(salt.alias("s")).distinct().count()
+    assert n_lanes >= buckets // 2, n_lanes
+
+
+def test_salted_aggregate_unique_cols_matches_plain(spark):
+    """Content-deterministic salt path (retry-safe): same values as the
+    plain aggregate, and the salt is a pure function of the named
+    unique column — two independent evaluations agree row-for-row."""
+    from _data_engineering_pipeline_project_spark.operators.skew import (
+        _row_spread_salt,
+    )
+
+    df = spark.createDataFrame(
+        [(1, i, float(i)) for i in range(50)] + [(2, 100, 5.0), (3, 101, 7.0)],
+        "k int, rid int, v double",
+    )
+    plain = {
+        r["k"]: (r["total"], r["n"])
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    skewsafe = {
+        r["k"]: (r["total"], r["n"])
+        for r in salted_aggregate(
+            df,
+            ["k"],
+            {"s": F.sum("v"), "c": F.count(F.lit(1))},
+            {"total": F.sum("s"), "n": F.sum("c")},
+            unique_cols=["rid"],
+        ).collect()
+    }
+    assert skewsafe == plain
+    # determinism: re-evaluating the salt over a re-shuffled copy of the
+    # frame yields the identical rid→salt mapping (content, not position)
+    salted = df.select(
+        "rid", _row_spread_salt(df, 512, ["rid"]).alias("s")
+    )
+    re_df = df.repartition(7, "v")
+    re_salted = re_df.select(
+        "rid", _row_spread_salt(re_df, 512, ["rid"]).alias("s")
+    )
+    a = {r["rid"]: r["s"] for r in salted.collect()}
+    b = {r["rid"]: r["s"] for r in re_salted.collect()}
+    assert a == b
+    # and it spreads the hot key k=1 across many lanes (rid is unique)
+    hot_lanes = len({a[i] for i in range(50)})
+    assert hot_lanes >= 4, hot_lanes
+
+
+def test_salted_aggregate_holistic_collect_set(spark):
+    """The documented use case the built-in map-side partial agg does
+    NOT cover: bounded-width collect_set partials per (key, salt),
+    flattened + deduped in the final phase."""
+    rows = [(1, i % 10) for i in range(200)] + [(2, 99)]
+    df = spark.createDataFrame(rows, "k int, v int")
+    out = {
+        r["k"]: sorted(r["vals"])
+        for r in salted_aggregate(
+            df,
+            ["k"],
+            {"s": F.collect_set("v")},
+            {"vals": F.array_distinct(F.flatten(F.collect_list("s")))},
+        ).collect()
+    }
+    assert out == {1: list(range(10)), 2: [99]}
