@@ -28,6 +28,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
+from _data_engineering_pipeline_project_spark.functions.persist import (
+    pinned_checkpoint,
+)
 from _data_engineering_pipeline_project_spark.operators.textstats import (
     fingerprint,
     tokens,
@@ -570,8 +573,19 @@ def _free_local_checkpoint(df: DataFrame) -> None:
 # rounds: the same adaptive small-side logic as a broadcast join. A
 # near-dup pair graph is duplicate-pairs-sized — tiny relative to the
 # corpus even at 100 TB — but when it is NOT (hot corpora), the
-# distributed O(log d) path below takes over unchanged.
-SMALL_GRAPH_EDGES = 200_000
+# distributed O(log d) path below takes over unchanged. The default
+# bound is DERIVED from the session's autoBroadcastJoinThreshold
+# (functions/gates.py: ~40 B per two-long edge row, build_factor 0.5 —
+# the driver collect should stay well under the broadcast budget), so
+# raising the threshold on bigger drivers moves this gate coherently;
+# ~200k edges at the engine's 16 MB conf. Pass small_graph_edges
+# explicitly to pin a fixed bound.
+def _default_small_graph_edges(spark) -> int:
+    from _data_engineering_pipeline_project_spark.functions.gates import (
+        broadcast_row_gate,
+    )
+
+    return broadcast_row_gate(spark, est_row_bytes=40, build_factor=0.5)
 
 
 def connected_components(
@@ -579,7 +593,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iters: int = 20,
-    small_graph_edges: int = SMALL_GRAPH_EDGES,
+    small_graph_edges: int | None = None,
 ) -> DataFrame:
     """Duplicate clustering: connected components over a near-dup pair
     graph via min-label propagation WITH pointer jumping (transitive
@@ -636,6 +650,8 @@ def connected_components(
     # common case — near-dup pairs are a sliver of the corpus);
     # union-find with path compression and union-by-min produces the
     # IDENTICAL min-label components in O(E alpha(E)) driver time.
+    if small_graph_edges is None:
+        small_graph_edges = _default_small_graph_edges(pairs.sparkSession)
     slim = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     head = slim.limit(small_graph_edges + 1).collect()
     if len(head) <= small_graph_edges:
@@ -672,19 +688,21 @@ def connected_components(
             [(x, find(x)) for x in nodes], out_schema
         )
 
-    edges = (
+    # pinned_checkpoint: reliable when a checkpoint dir is configured
+    # (cluster deployments — ADVICE r7 #2: unreplicated localCheckpoint
+    # blocks turn one executor loss into a hard failure of every later
+    # round), localCheckpoint otherwise. Constant plan for every
+    # round's join either way.
+    edges = pinned_checkpoint(
         slim.unionByName(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-        )
-        .dropDuplicates()
-        .localCheckpoint(eager=True)  # constant plan for every round's join
+        ).dropDuplicates()
     )
 
-    labels = (
+    labels = pinned_checkpoint(
         edges.select(F.col("src").alias("id"))
         .dropDuplicates()
         .withColumn("cluster", F.col("id"))
-        .localCheckpoint(eager=True)
     )
     prev_ckpt = labels
     for _ in range(max_iters):
@@ -717,7 +735,7 @@ def connected_components(
                 "old_cluster",
                 F.coalesce(F.col("__cc"), F.col("cluster")).alias("cluster"),
             )
-            .localCheckpoint(eager=True)  # truncate: plan size stays flat
+            .transform(pinned_checkpoint)  # truncate: plan size stays flat
         )
         changed = new_labels.filter(
             F.col("cluster") != F.col("old_cluster")

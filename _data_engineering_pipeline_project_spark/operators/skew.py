@@ -107,7 +107,11 @@ def salted_join(
     if materialize is None:
         materialize = unique_cols is None
     if materialize:
-        l_salted = l_salted.localCheckpoint(eager=True)
+        from _data_engineering_pipeline_project_spark.functions.persist import (
+            pinned_checkpoint,
+        )
+
+        l_salted = pinned_checkpoint(l_salted)
     r_salted = right.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
     )

@@ -312,11 +312,68 @@ def _session_key(spark: SparkSession, sf: str) -> tuple:
     return (spark.sparkContext.applicationId, sf)
 
 
+# Per-CALL .cache() frames used inside single queries (item-item cosine,
+# market basket, triangle counting, Fellegi-Sunter, Kaplan-Meier, RFM):
+# the cache must stay alive until the DRIVER collects the (lazy) result,
+# so the query cannot unpersist before returning, and across a long
+# sweep every finished query's intermediates are dead weight
+# (ADVICE r7 #4: MEMORY_AND_DISK spills to disk rather than evicting, so
+# never-released caches grow local disk unboundedly). Each query
+# registers its cached intermediates here under (query, sf); registering
+# a DIFFERENT key releases every other key's frames, so at most one
+# query's per-call caches are live at a time. Re-registering the SAME
+# key replaces the list WITHOUT unpersisting: Spark's CacheManager keys
+# cache entries by analyzed plan, so a re-invocation's frames share the
+# previous generation's entries — unpersisting the "old" frames would
+# evict the data the new invocation just marked (and there is no growth
+# to bound: same plan → same entry).
+_QUERY_LOCAL_CACHES: dict = {}
+
+
+def track_query_caches(
+    spark: SparkSession, name: str, sf: str, frames: list
+) -> None:
+    """Register a query invocation's cached intermediates under
+    (session, query, sf), releasing every OTHER query's generation.
+
+    Caller contract: invoke at the END of query construction (after the
+    ``.cache()`` marks). The release of other queries' caches assumes
+    their results were already collected — interleaving lazy results
+    from two tracked queries degrades to recompute-without-cache, never
+    to wrong answers."""
+    app = spark.sparkContext.applicationId
+    key = (app, name, sf)
+
+    def _shared_with_new(df) -> bool:
+        # queries can cache IDENTICAL sub-plans (fellegi + the blocking
+        # audit both cache the _fs_feeds frames): the CacheManager entry
+        # is plan-keyed and shared, so unpersisting the old query's
+        # frame would evict the entry the NEW query just marked
+        try:
+            old_plan = df._jdf.queryExecution().analyzed()
+            return any(
+                old_plan.sameResult(f._jdf.queryExecution().analyzed())
+                for f in frames
+            )
+        except Exception:
+            return False
+
+    for other in [k for k in _QUERY_LOCAL_CACHES if k[0] == app and k != key]:
+        for df in _QUERY_LOCAL_CACHES.pop(other):
+            if _shared_with_new(df):
+                continue
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # owning session may already be stopped
+    _QUERY_LOCAL_CACHES[key] = list(frames)
+
+
 def clear_query_caches() -> None:
     """Eviction hook for the per-session memo caches: free every pair
     frame's checkpoint storage (best-effort — the owning session may
     already be stopped) and drop all entries, including BPE
-    vocabularies."""
+    vocabularies and per-call cached intermediates."""
     from _data_engineering_pipeline_project_spark.operators.dedup import (
         _free_local_checkpoint,
     )
@@ -329,13 +386,20 @@ def clear_query_caches() -> None:
     _MINHASH_PAIRS_CACHE.clear()
     _CC_LABELS_CACHE.clear()  # checkpointed RDDs free on GC of the frames
     _BPE_MERGES_CACHE.clear()
+    for frames in _QUERY_LOCAL_CACHES.values():
+        for df in frames:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+    _QUERY_LOCAL_CACHES.clear()
 
 
 def _minhash_pairs_shared(spark: SparkSession, sf: str) -> DataFrame:
     key = _session_key(spark, sf)
     got = _MINHASH_PAIRS_CACHE.get(key)
     if got is None:
-        # localCheckpoint, not cache+count (VERDICT r6 #1): both pin the
+        # checkpoint, not cache+count (VERDICT r6 #1): both pin the
         # signatures+banding+verify pipeline to ONE execution per
         # (session, sf), but a cache entry lives in the CacheManager —
         # a later ``spark.catalog.clearCache()`` silently evicts it
@@ -344,10 +408,19 @@ def _minhash_pairs_shared(spark: SparkSession, sf: str) -> DataFrame:
         # uncached pipeline. The checkpoint pins the MATERIALIZED RDD
         # into the plan itself: consumers scan stored blocks no matter
         # what happens to the cache manager. Eager — the memo never
-        # stores an unmaterialized frame.
-        got = D.minhash_near_dup_pairs(
-            table(spark, sf, "documents"), threshold=0.3
-        ).localCheckpoint(eager=True)
+        # stores an unmaterialized frame. Reliable when a checkpoint
+        # dir is configured (ADVICE r7 #2: unreplicated localCheckpoint
+        # blocks make an executor loss fatal to every later consumer on
+        # a real cluster), local otherwise — functions/persist.py.
+        from _data_engineering_pipeline_project_spark.functions.persist import (
+            pinned_checkpoint,
+        )
+
+        got = pinned_checkpoint(
+            D.minhash_near_dup_pairs(
+                table(spark, sf, "documents"), threshold=0.3
+            )
+        )
         _MINHASH_PAIRS_CACHE[key] = got
     return got
 

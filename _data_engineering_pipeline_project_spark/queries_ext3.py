@@ -682,6 +682,11 @@ def image_ahash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     pairs = D.sig64_band_pairs(
         sigs, id_col="doc_id", sig_col="ahash", max_hamming=2
     )
+    from _data_engineering_pipeline_project_spark.queries_ext import (
+        track_query_caches,
+    )
+
+    track_query_caches(spark, "image_ahash_near_dup", sf, [sigs])
     return pairs.select(
         F.col("id_a").alias("doc_a"),
         F.col("id_b").alias("doc_b"),
@@ -789,6 +794,11 @@ def corpus_prep_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     kept = S.temperature_resample(surv, "lang", "doc_id", alpha=0.5)
+    from _data_engineering_pipeline_project_spark.queries_ext import (
+        track_query_caches,
+    )
+
+    track_query_caches(spark, "corpus_prep_pipeline", sf, [cleaned])
     return kept.select(
         "doc_id",
         "lang",
@@ -1590,6 +1600,11 @@ def market_basket_part_pairs(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     w_rank = Window.orderBy(F.desc("lift"), "part_a", "part_b")
+    from _data_engineering_pipeline_project_spark.queries_ext import (
+        track_query_caches,
+    )
+
+    track_query_caches(spark, "market_basket_part_pairs", sf, [op, pc])
     return (
         scored.orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(25)

@@ -427,6 +427,13 @@ def kaplan_meier_conversion_events(spark: SparkSession, sf: str) -> DataFrame:
         # inclusive running max = greatest(own, exclusive prefix max)
         F.greatest(F.col("hz"), F.col("pm_hz")).alias("z"),
     )
+    from _data_engineering_pipeline_project_spark.queries_ext import (
+        track_query_caches,
+    )
+
+    track_query_caches(
+        spark, "kaplan_meier_conversion_events", sf, [byd, km2]
+    )
     return acc.select(
         F.col("t_hours").cast("bigint").alias("t_hours"),
         F.col("n_risk").cast("bigint").alias("n_risk"),
@@ -441,12 +448,27 @@ def kaplan_meier_conversion_events(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Triangle counting / global clustering coefficient
 # --------------------------------------------------------------------------
+_TRIANGLE_MAX_BASKET = 1024
+"""Hyper-basket guard for the co-purchase edge expansion: orders wider
+than this are dropped before the |basket|² pair explode (VERDICT r7 #2 —
+one 10^5-part wholesale order is 10^10 edges before the degree
+orientation ever sees them). TPC-H orders are ≤ 7 lines so the cap
+never fires on the test data; the SQL oracle applies the identical cap
+so the semantics agree at every scale, not just where the cap is
+inactive."""
+
+
 @query(
     "triangle_count_copurchase",
-    """
-    WITH edges AS (
+    f"""
+    WITH ok AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING count(*) <= {_TRIANGLE_MAX_BASKET}),
+    li AS (
+      SELECT l.l_orderkey, l.l_partkey FROM lineitem l JOIN ok USING (l_orderkey)),
+    edges AS (
       SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-      FROM lineitem a JOIN lineitem b
+      FROM li a JOIN li b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
     tri AS (
       SELECT count(*) AS t
@@ -488,31 +510,62 @@ def triangle_count_copurchase(spark: SparkSession, sf: str) -> DataFrame:
     part appearing with k others spawns k² wedges) get their fan
     distributed to lower-degree endpoints.
 
-    ADAPTIVE BROADCAST GATE: the wedge stream is the dominant volume
-    (Σ outdeg² rows — 41M at sf0.1 for 1.2M edges: co-purchase graphs
-    are dense). When the EDGE set fits a broadcast relation
-    (n_edges ≤ 4M ≈ 160 MB hashed — conservative because TWO
-    edge-sized relations are live at once here), both the wedge
-    self-join and the
-    closing membership probe broadcast the edge-sized side, so the
-    wedge stream never shuffles — it flows map-side from the oriented
-    scan through two broadcast hash joins into a partial count
-    (measured 45% faster than letting the 41M-row stream hit a
-    sort-merge exchange). n_edges is already materialized for the
-    output, so the gate costs one count on the cached edge frame.
-    Above the gate (a 100 TB co-purchase graph), plain equi-joins
-    shuffle on the wedge key — the only plan that scales past
-    executor memory — and deg joins drop their broadcast hints too
-    (node count is unbounded at that size; AQE still converts them
-    back to broadcast at runtime if deg turns out small).
+    TRIANGLE CORE — adjacency-intersection, not a wedge stream: with
+    out-adjacency lists ``N+`` under the orientation, each triangle is
+    counted exactly once as ``Σ over oriented edges (u→v) of
+    |N+(u) ∩ N+(v)|`` (the orientation is acyclic, so every triangle
+    has exactly one vertex with BOTH its triangle edges outgoing — the
+    lowest in the (degree, id) order — and is found at that vertex's
+    two out-edges... i.e. at edge (u→v) where u is that vertex). The
+    pre-r8 plan materialized the Σ outdeg² wedge stream (41M rows at
+    sf0.1 for 1.2M edges) through two joins; this plan does the same
+    Σ outdeg² element work INSIDE codegen (`array_intersect` per edge
+    row), joining only edge-sized and node-sized frames — no wedge row
+    ever exists. Per-row array width is bounded by the orientation
+    out-degree (≈ graph arboricity ≈ √|E| worst case), the same bound
+    the wedge stream relied on.
+
+    ADAPTIVE BROADCAST GATE: when the edge set is small (row gate
+    derived from autoBroadcastJoinThreshold — ~4M edges at the
+    engine's 16 MB conf; `functions/gates.py`), the node-sized
+    adjacency frame (Σ outdeg = |E| total elements) and the deg joins
+    broadcast; above the gate every
+    join degrades to a shuffled equi-join on src/dst — the only plan
+    that scales past executor memory (AQE still re-promotes at runtime
+    if a side turns out small). n_edges is already materialized for
+    the output, so the gate costs one count on the cached edge frame.
+
+    SKEW GUARD: per-order part sets are capped at
+    ``_TRIANGLE_MAX_BASKET`` rows BEFORE the |basket|² pair explode —
+    the same hyper-active-key discipline as `cap_group_width` /
+    hot shingles (VERDICT r7 #2), but FUSED into the set-building
+    aggregate itself (a count beside the collect_set + a filter)
+    instead of a separate census pass + anti-join: the cap costs zero
+    extra scans, and aggregate state for an over-cap order is O(basket
+    width) — the |basket|² explosion the cap guards never forms. The
+    SQL oracle applies the identical HAVING cap, so both engines
+    compute the same capped graph at any scale.
     """
+    from _data_engineering_pipeline_project_spark.functions.gates import (
+        broadcast_row_gate,
+    )
+    from _data_engineering_pipeline_project_spark.queries_ext import (
+        track_query_caches,
+    )
+
     li = table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
     # per-order id-ordered pairs via one groupBy + double explode: one
     # shuffle of (orderkey, partkey) instead of a two-sided self-join
     # sort; per-row memory is O(order width), pairs stream out of the
     # second explode
-    parts = li.groupBy("l_orderkey").agg(
-        F.collect_set("l_partkey").alias("ps")
+    parts = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.collect_set("l_partkey").alias("ps"),
+            F.count(F.lit(1)).alias("__w"),
+        )
+        .filter(F.col("__w") <= _TRIANGLE_MAX_BASKET)
+        .drop("__w")
     )
     edges = (
         parts.select(F.explode("ps").alias("u"), "ps")
@@ -524,7 +577,13 @@ def triangle_count_copurchase(spark: SparkSession, sf: str) -> DataFrame:
     )
     edges = edges.cache()
     n_edges = edges.count()  # needed for output; doubles as the gate
-    small = n_edges <= 4_000_000
+    # ~4M edges at the engine's 16 MB threshold: an edge row is two
+    # longs (~40 B hashed incl. entry overhead) and the count is EXACT
+    # (edges is materialized), so the build may safely run ~10× the
+    # speculative plan-time bound — see functions/gates.py
+    small = n_edges <= broadcast_row_gate(
+        spark, est_row_bytes=40, build_factor=10.0
+    )
     hint = F.broadcast if small else (lambda df: df)
     # deg is consumed THREE times (two orientation broadcast builds +
     # the wedges2 aggregate), and each build would otherwise re-run the
@@ -543,28 +602,33 @@ def triangle_count_copurchase(spark: SparkSession, sf: str) -> DataFrame:
     lower_first = (F.col("dgu") < F.col("dgv")) | (
         (F.col("dgu") == F.col("dgv")) & (F.col("u") < F.col("v"))
     )
+    # oriented feeds the adjacency build AND the edge stream of the
+    # intersection join — cache so the 3-way edges⋈deg⋈deg runs once
     oriented = edges.join(hint(du), "u").join(hint(dv), "v").select(
         F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    ).cache()
+    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    nu = adj.select(F.col("src").alias("__ju"), F.col("nbrs").alias("nu"))
+    nv = adj.select(F.col("src").alias("__jv"), F.col("nbrs").alias("nv"))
+    # every src has an adjacency row (it is the source of ≥1 oriented
+    # edge) → inner; a dst may have out-degree 0 → left, counted as 0
+    common = F.when(F.col("nv").isNull(), F.lit(0)).otherwise(
+        F.size(F.array_intersect(F.col("nu"), F.col("nv")))
     )
-    if not small:
-        oriented = oriented.cache()
-    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
-    # out-neighbor pairs of each src, id-ordered so the closing side is
-    # exactly an (u < v) row of the undirected edge set
-    wedges = o1.join(
-        hint(o2),
-        (F.col("o1.src") == F.col("o2.src"))
-        & (F.col("o1.dst") < F.col("o2.dst")),
-    ).select(F.col("o1.dst").alias("u"), F.col("o2.dst").alias("v"))
-    tri = wedges.join(hint(edges), ["u", "v"]).agg(
-        F.count(F.lit(1)).alias("t")
+    tri = (
+        oriented.join(hint(nu), F.col("src") == F.col("__ju"))
+        .join(hint(nv), F.col("dst") == F.col("__jv"), "left")
+        .agg(F.coalesce(F.sum(common), F.lit(0)).alias("t"))
     )
     agg = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.sum(F.col("dg") * (F.col("dg") - 1)).alias("wedges2"),
     )
     ecnt = spark.range(1).select(F.lit(n_edges).alias("n_edges"))
+    track_query_caches(
+        spark, "triangle_count_copurchase", sf, [edges, deg, oriented]
+    )
     return (
         tri.crossJoin(agg)
         .crossJoin(ecnt)
@@ -1125,6 +1189,11 @@ def rfm_segmentation_events(spark: SparkSession, sf: str) -> DataFrame:
         ntile5(F.col("_fi")).alias("f_score"),
         ntile5(F.col("_mi")).alias("m_score"),
     )
+    from _data_engineering_pipeline_project_spark.queries_ext import (
+        track_query_caches,
+    )
+
+    track_query_caches(spark, "rfm_segmentation_events", sf, [p])
     return sc.select(
         "user_id",
         F.col("recency_days").cast("bigint").alias("recency_days"),
@@ -2242,6 +2311,11 @@ def item_item_cosine_parts(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+    from _data_engineering_pipeline_project_spark.queries_ext import (
+        track_query_caches,
+    )
+
+    track_query_caches(spark, "item_item_cosine_parts", sf, [ui, deg])
     return scored.orderBy(
         F.col("cosine").desc(), "part_a", "part_b"
     ).limit(20)

@@ -760,6 +760,11 @@ def fellegi_sunter_linkage_parts(spark: SparkSession, sf: str) -> DataFrame:
         )
         weight = term if weight is None else weight + term
     weight = weight.cast("long")
+    from _data_engineering_pipeline_project_spark.queries_ext import (
+        track_query_caches,
+    )
+
+    track_query_caches(spark, "fellegi_sunter_linkage_parts", sf, [b, lab])
     return lab.select(
         "key_a",
         "key_b",
@@ -1273,6 +1278,11 @@ def kmv_set_ops_event_types(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(k - 1) * _HASH_SPACE / F.col("hmax").cast("double")
     )
     jac = F.col("ni") / F.col("nu")
+    from _data_engineering_pipeline_project_spark.queries_ext import (
+        track_query_caches,
+    )
+
+    track_query_caches(spark, "kmv_set_ops_event_types", sf, [sk])
     return agg.select(
         F.col("ta").alias("type_a"),
         F.col("tb").alias("type_b"),

@@ -375,6 +375,11 @@ def fd_violations_part_supplier(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0)).alias("n_viol"),
     )
     v = g.filter(F.col("n_rhs") > 1)
+    from _data_engineering_pipeline_project_spark.queries_ext import (
+        track_query_caches,
+    )
+
+    track_query_caches(spark, "fd_violations_part_supplier", sf, [g])
     return (
         v.crossJoin(F.broadcast(stats))
         .orderBy(F.col("n_rhs").desc(), "l_partkey")

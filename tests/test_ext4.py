@@ -251,6 +251,31 @@ def test_triangle_count_bruteforce_small(spark):
     assert out["clustering_coeff"] == pytest.approx(24 / 30, abs=1e-9)
 
 
+def test_triangle_hyper_basket_capped(spark):
+    """VERDICT r7 #2: a planted mega-basket (2,000 parts in one order —
+    4M pairs if exploded) must be dropped by the fused width cap before
+    the |basket|² expansion, leaving only the clean K3 order's graph.
+    The cap fires on ROW count per order, mirroring the oracle's
+    HAVING count(*) <= cap."""
+    from _data_engineering_pipeline_project_spark import queries_ext4 as Q
+    import os
+    import tempfile
+
+    assert Q._TRIANGLE_MAX_BASKET < 2000  # the planted order must exceed it
+    li = spark.createDataFrame(
+        [Row(l_orderkey=100, l_partkey=p) for p in (1, 2, 3)]  # K3
+        + [Row(l_orderkey=900, l_partkey=p) for p in range(1000, 3000)]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        li.write.parquet(os.path.join(d, "lineitem.parquet"))
+        out = Q.triangle_count_copurchase(spark, d).collect()[0]
+    # the hyper order contributes no edges OR nodes; K3 survives intact
+    assert out["n_nodes"] == 3
+    assert out["n_edges"] == 3
+    assert out["n_triangles"] == 1
+    assert out["clustering_coeff"] == pytest.approx(1.0, abs=1e-9)
+
+
 # --------------------------------------------------------------------------
 # golden record
 # --------------------------------------------------------------------------

@@ -371,3 +371,104 @@ def test_salted_aggregate_holistic_collect_set(spark):
         ).collect()
     }
     assert out == {1: list(range(10)), 2: [99]}
+
+
+def test_track_query_caches_bounds_live_generations(spark):
+    """ADVICE r7 #4: per-call caches must not accumulate across a
+    sweep. Registering a new (query, sf) releases every other query's
+    cached frames; re-registering the same key keeps the (plan-shared)
+    entry; a DIFFERENT query whose frame shares a plan with the new
+    registration is NOT evicted."""
+    from _data_engineering_pipeline_project_spark.queries_ext import (
+        track_query_caches,
+    )
+
+    def cached(df):
+        return df.storageLevel.useMemory or df.storageLevel.useDisk
+
+    d1 = spark.range(10).withColumn("a", F.col("id") * 2).cache()
+    d1.count()
+    track_query_caches(spark, "qA", "sfX", [d1])
+    assert cached(d1)
+
+    # same key re-registered: entry survives (same plan → same entry)
+    track_query_caches(spark, "qA", "sfX", [d1])
+    assert cached(d1)
+
+    # a different query takes over: qA's generation is released
+    d2 = spark.range(10).withColumn("b", F.col("id") + 1).cache()
+    d2.count()
+    track_query_caches(spark, "qB", "sfX", [d2])
+    assert not cached(spark.range(10).withColumn("a", F.col("id") * 2))
+    assert cached(d2)
+
+    # qC caches the SAME plan as qB's frame (the fellegi/blocking-audit
+    # shared-feed shape): releasing qB must not evict the shared entry
+    d3 = spark.range(10).withColumn("b", F.col("id") + 1).cache()
+    d3.count()
+    track_query_caches(spark, "qC", "sfX", [d3])
+    assert cached(d3)
+
+    # cleanup
+    track_query_caches(spark, "qDone", "sfX", [])
+
+
+def test_broadcast_row_gate_derivation(spark):
+    """VERDICT r7 #5: the triangle / union-find / semdecon gates derive
+    from autoBroadcastJoinThreshold — raising the conf moves them all;
+    disabling broadcast (-1) routes every gated site to its shuffle
+    path (gate 0)."""
+    from _data_engineering_pipeline_project_spark.functions.gates import (
+        broadcast_row_gate,
+        broadcast_threshold_bytes,
+    )
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    saved = spark.conf.get(key)
+    try:
+        spark.conf.set(key, str(16 * 1024 * 1024))
+        assert broadcast_threshold_bytes(spark) == 16 * 1024 * 1024
+        base = broadcast_row_gate(spark, est_row_bytes=40, build_factor=10.0)
+        assert base == int(16 * 1024 * 1024 * 10.0 / 40)  # ~4.19M edges
+        spark.conf.set(key, "32m")  # suffix spelling
+        assert broadcast_row_gate(
+            spark, est_row_bytes=40, build_factor=10.0
+        ) == 2 * base
+        spark.conf.set(key, "-1")  # broadcast disabled
+        assert broadcast_row_gate(spark, est_row_bytes=40) == 0
+    finally:
+        spark.conf.set(key, saved)
+
+
+def test_pinned_checkpoint_upgrades_to_reliable(spark, tmp_path):
+    """ADVICE r7 #2: localCheckpoint blocks are unreplicated — on a
+    cluster, configuring a checkpoint dir must upgrade every pinned
+    frame to a RELIABLE checkpoint (files on the checkpoint FS); with
+    no dir configured the local fallback still materializes."""
+    import os
+
+    from _data_engineering_pipeline_project_spark.functions.persist import (
+        pinned_checkpoint,
+    )
+
+    sc = spark.sparkContext
+    assert sc._jsc.sc().getCheckpointDir().isEmpty()
+    df = spark.range(100).withColumn("v", F.col("id") * 3)
+    local = pinned_checkpoint(df)
+    assert local.count() == 100  # local fallback, no dir needed
+
+    ckdir = str(tmp_path / "ck")
+    sc.setCheckpointDir(ckdir)
+    try:
+        reliable = pinned_checkpoint(df)
+        assert reliable.count() == 100
+        files = [
+            os.path.join(r, f)
+            for r, _, fs in os.walk(ckdir)
+            for f in fs
+        ]
+        assert files, "reliable checkpoint wrote no files"
+    finally:
+        # restore the no-dir state so later tests keep the local path
+        none = getattr(getattr(sc._jvm.scala, "None$"), "MODULE$")
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(none)
