@@ -512,8 +512,30 @@ def minhash_near_dup_pairs(
     if max_shingle_df is not None:
         sh = drop_hot_shingles(sh, max_shingle_df)
     sh = sh.cache()
+    # per-doc shingle counts ride the SAME hash aggregate as the
+    # signatures (one count beside the k min-hashes) instead of a
+    # separate groupBy over sh: one fewer shuffle stage to compile and
+    # run, and one fewer consumer racing to fill the sh cache. Counts
+    # are over the identical (possibly hot-filtered) shingle universe
+    # the signatures see, so verify semantics are unchanged.
+    x = md5_hash60(F.col("shingle")) % MERSENNE_P
+    wide = (
+        sh.withColumn("x", x)
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.min(
+                    ((F.lit(2 * i + 1)) * F.col("x") + F.lit(11 * i + 7))
+                    % MERSENNE_P
+                ).alias(f"h{i}")
+                for i in range(num_hashes)
+            ],
+            F.count(F.lit(1)).alias("n_sh"),
+        )
+        .cache()  # doc-sized; feeds banding + both verify size joins
+    )
     cands = lsh_candidate_pairs_wide(
-        minhash_wide_signatures(sh, id_col, num_hashes),
+        wide,
         id_col,
         num_hashes,
         rows_per_band,
@@ -521,7 +543,7 @@ def minhash_near_dup_pairs(
     # exact-Jaccard verification restricted to CANDIDATE pairs only — the
     # whole point of LSH is that the quadratic stage never touches
     # non-candidates (an all-pairs verify would defeat it at scale)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes = wide.select(id_col, "n_sh")
     sh_a = cands.join(
         sh.select(F.col(id_col).alias("doc_a"), "shingle"), "doc_a"
     )
