@@ -1513,10 +1513,22 @@ def cusum_changepoint_events(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Market-basket affinity (co-purchased part pairs, lift-ranked)
 # --------------------------------------------------------------------------
+_BASKET_MAX_WIDTH = 1024
+"""Hyper-basket guard for the market-basket pair expansion (same cap
+and rationale as triangle counting's `_TRIANGLE_MAX_BASKET` and the
+item-item `_COPURCHASE_MAX_BASKET`): orders wider than this are
+dropped before the |basket|² self-join; the oracle applies the
+identical HAVING cap. TPC-H orders are ≤ 7 lines — inactive on test
+data, semantics pinned at every scale."""
+
+
 @query(
     "market_basket_part_pairs",
-    """
-    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    f"""
+    WITH op0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    op AS (SELECT l_orderkey, l_partkey FROM op0 WHERE l_orderkey NOT IN (
+             SELECT l_orderkey FROM op0
+             GROUP BY l_orderkey HAVING count(*) > {_BASKET_MAX_WIDTH})),
     n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM op),
     pc AS (SELECT l_partkey, count(*) AS n_p FROM op GROUP BY 1),
     pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
@@ -1548,12 +1560,19 @@ def market_basket_part_pairs(spark: SparkSession, sf: str) -> DataFrame:
     the TakeOrdered ranking."""
     from pyspark.sql import Window
 
+    from _data_engineering_pipeline_project_spark.operators.skew import (
+        cap_group_width,
+    )
+
     li = table(spark, sf, "lineitem")
-    # op feeds both pair-join sides, the order count, and the per-part
-    # supports; pc feeds two broadcast builds — uncached, the distinct
-    # ran 4x and the support aggregate 2x (the triangle/item-item
-    # multi-consumer pattern). Both are spill-safe caches.
-    op = li.select("l_orderkey", "l_partkey").distinct().cache()
+    # op feeds the width census, both pair-join sides, the order count,
+    # and the per-part supports; pc feeds two broadcast builds —
+    # uncached, the distinct ran 4x and the support aggregate 2x (the
+    # triangle/item-item multi-consumer pattern). Both are spill-safe
+    # caches; the hyper-basket cap is a broadcast anti-join over the
+    # cached distinct frame, applied before every consumer.
+    op_raw = li.select("l_orderkey", "l_partkey").distinct().cache()
+    op = cap_group_width(op_raw, "l_orderkey", _BASKET_MAX_WIDTH)
     n = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     pc = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_p")).cache()
     a = op.alias("a")
@@ -1604,7 +1623,7 @@ def market_basket_part_pairs(spark: SparkSession, sf: str) -> DataFrame:
         track_query_caches,
     )
 
-    track_query_caches(spark, "market_basket_part_pairs", sf, [op, pc])
+    track_query_caches(spark, "market_basket_part_pairs", sf, [op_raw, pc])
     return (
         scored.orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(25)

@@ -2228,12 +2228,25 @@ def acf_daily_counts_events(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Item-item collaborative filtering (co-purchase cosine)
 # --------------------------------------------------------------------------
+_COPURCHASE_MAX_BASKET = 4096
+"""Hyper-active-customer guard for the item-item pair expansion: a
+customer whose distinct-part basket exceeds this is dropped before the
+cust self-join (a bot/aggregator account's co-occurrence signal is
+noise; one 10^5-part basket is 10^10 pairs). TPC-H customers buy ≲100
+distinct parts so the cap never fires on test data; the oracle applies
+the identical HAVING cap so both engines agree at any scale."""
+
+
 @query(
     "item_item_cosine_parts",
-    """
-    WITH ui AS (
+    f"""
+    WITH ui0 AS (
       SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    ui AS (
+      SELECT cust, part FROM ui0 WHERE cust NOT IN (
+        SELECT cust FROM ui0
+        GROUP BY cust HAVING count(*) > {_COPURCHASE_MAX_BASKET})),
     deg AS (SELECT part, CAST(count(*) AS BIGINT) AS buyers
             FROM ui GROUP BY part),
     co AS (
@@ -2263,23 +2276,31 @@ def item_item_cosine_parts(spark: SparkSession, sf: str) -> DataFrame:
     popular-item bias lift amplifies). The pair expansion self-joins on
     customer, so work is Σ (parts-per-customer)² — bounded by basket
     size, never by catalog size; the skew hardening at planet scale is
-    capping hyper-active customers (a DF cap, exactly like hot
-    shingles in the MinHash verify path). Integer counts everywhere;
-    one division + sqrt at output; top-20 via a deterministic
-    (cosine, part_a, part_b) TakeOrdered — no global sort materialized.
+    `cap_group_width` on hyper-active customers (APPLIED below, cap
+    mirrored in the oracle — exactly like hot shingles in the MinHash
+    verify path). Integer counts everywhere; one division + sqrt at
+    output; top-20 via a deterministic (cosine, part_a, part_b)
+    TakeOrdered — no global sort materialized.
     """
+    from _data_engineering_pipeline_project_spark.operators.skew import (
+        cap_group_width,
+    )
+
     li = table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
     o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
-    # ui feeds BOTH pair-join sides and the degree aggregate; deg feeds
-    # both per-part buyer joins — uncached, the join+distinct ran 3×
-    # and the aggregate 2×. Caching both (ui is the distinct purchase
-    # matrix, deg is part-sized; spill-safe) is a measured 5.2 → 3.1 s
-    # at sf0.1.
-    ui = (
+    # ui feeds the width census, BOTH pair-join sides and the degree
+    # aggregate; deg feeds both per-part buyer joins — uncached, the
+    # join+distinct ran 3× and the aggregate 2×. Caching both (ui is
+    # the distinct purchase matrix, deg is part-sized; spill-safe) is a
+    # measured 5.2 → 3.1 s at sf0.1. The hyper-customer cap is a
+    # broadcast anti-join over the cached matrix (census = one hash agg
+    # of it), so every downstream consumer sees the capped matrix.
+    ui_raw = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
         .distinct()
     ).cache()
+    ui = cap_group_width(ui_raw, "cust", _COPURCHASE_MAX_BASKET)
     deg = ui.groupBy("part").agg(
         F.count(F.lit(1)).cast("bigint").alias("buyers")
     ).cache()
@@ -2315,7 +2336,7 @@ def item_item_cosine_parts(spark: SparkSession, sf: str) -> DataFrame:
         track_query_caches,
     )
 
-    track_query_caches(spark, "item_item_cosine_parts", sf, [ui, deg])
+    track_query_caches(spark, "item_item_cosine_parts", sf, [ui_raw, deg])
     return scored.orderBy(
         F.col("cosine").desc(), "part_a", "part_b"
     ).limit(20)

@@ -735,3 +735,28 @@ def test_text_normalize_planted_edges(spark, tmp_path):
         assert out[k].chars_removed == len(rows[k - 1][1]) - len(v)
     assert out[2].was_changed is False and out[2].chars_removed == 0
     assert out[1].was_changed is True
+
+
+def test_market_basket_hyper_order_capped(spark):
+    """A planted wholesale order wider than _BASKET_MAX_WIDTH must be
+    dropped before the |basket|² pair self-join; the clean orders'
+    supports, n_orders, and lift are computed WITHOUT it."""
+    from _data_engineering_pipeline_project_spark import queries_ext3 as Q
+    import os
+    import tempfile
+
+    from pyspark.sql import Row
+
+    cap = Q._BASKET_MAX_WIDTH
+    # three clean orders of {10, 11} -> pair support 3 (passes n_ab>=3),
+    # n_orders=3, lift = (3/3)/((3/3)*(3/3)) = 1.0; the mega order
+    # would otherwise add itself to every count
+    li = spark.createDataFrame(
+        [Row(l_orderkey=k, l_partkey=p) for k in (1, 2, 3) for p in (10, 11)]
+        + [Row(l_orderkey=9, l_partkey=p) for p in range(10, 10 + cap + 50)]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        li.write.parquet(os.path.join(d, "lineitem.parquet"))
+        got = Q.market_basket_part_pairs(spark, d).collect()
+    assert [(r["part_a"], r["part_b"], r["n_ab"], r["n_a"], r["n_b"],
+             r["lift"]) for r in got] == [(10, 11, 3, 3, 3, 1.0)]

@@ -949,3 +949,32 @@ def test_quantile_normalization_properties(spark):
         assert all(
             srt[i]["pr"] <= srt[i + 1]["pr"] + 1e-12 for i in range(len(srt) - 1)
         )
+
+
+def test_item_item_hyper_customer_capped(spark):
+    """A planted bot customer with > _COPURCHASE_MAX_BASKET distinct
+    parts must be dropped before the cust self-join (its pairs would be
+    |basket|² noise); clean customers' cosines are unchanged."""
+    from _data_engineering_pipeline_project_spark import queries_ext4 as Q
+    import os
+    import tempfile
+
+    cap = Q._COPURCHASE_MAX_BASKET
+    # clean: customers 1 and 2 both buy parts {10, 11} -> one pair with
+    # common=2, buyers 2/2, cosine 1.0. Bot customer 9 buys cap+100
+    # distinct parts (incl. 10, 11 — would inflate their buyer counts).
+    li = spark.createDataFrame(
+        [Row(l_orderkey=1, l_partkey=p) for p in (10, 11)]
+        + [Row(l_orderkey=2, l_partkey=p) for p in (10, 11)]
+        + [Row(l_orderkey=9, l_partkey=p) for p in range(10, 10 + cap + 100)]
+    )
+    orders = spark.createDataFrame(
+        [Row(o_orderkey=1, o_custkey=1), Row(o_orderkey=2, o_custkey=2),
+         Row(o_orderkey=9, o_custkey=9)]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        li.write.parquet(os.path.join(d, "lineitem.parquet"))
+        orders.write.parquet(os.path.join(d, "orders.parquet"))
+        got = Q.item_item_cosine_parts(spark, d).collect()
+    assert [(r["part_a"], r["part_b"], r["common"], r["cosine"])
+            for r in got] == [(10, 11, 2, 1.0)]
