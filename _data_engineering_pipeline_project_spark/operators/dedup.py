@@ -98,10 +98,22 @@ def fan_out_if_narrow(df: DataFrame) -> DataFrame:
     the dedup family at sf0.1. A source that is already wide (any real
     multi-split corpus scan) is left untouched: repartitioning
     terabytes of text to "parallelize" an already-parallel scan would
-    be a pure regression. Partition count comes from the file listing,
-    no job is triggered."""
+    be a pure regression. Width comes from the FILE listing
+    (``inputFiles`` — metadata-only, ~2 ms; the previous
+    ``df.rdd.getNumPartitions()`` probe forced a full plan→RDD
+    conversion, ~200 ms on a cold session, for the same decision): a
+    source with ≥ defaultParallelism files is already wide, and a
+    source with fewer files either repartitions here or would have
+    been split by maxPartitionBytes into the same shuffle-bound plan.
+    Non-file sources (createDataFrame tests) report no files and fall
+    back to the RDD probe."""
     dp = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < dp:
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    width = len(files) if files else df.rdd.getNumPartitions()
+    if width < dp:
         return df.repartition(dp)
     return df
 
