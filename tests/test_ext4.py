@@ -978,3 +978,29 @@ def test_item_item_hyper_customer_capped(spark):
         got = Q.item_item_cosine_parts(spark, d).collect()
     assert [(r["part_a"], r["part_b"], r["common"], r["cosine"])
             for r in got] == [(10, 11, 2, 1.0)]
+
+
+def test_triangle_above_gate_shuffle_path_matches(spark):
+    """The above-gate plan (no broadcast hints — the 100 TB path) must
+    produce the identical count/coefficient as the broadcast plan.
+    Forced by disabling autoBroadcastJoinThreshold, which drives the
+    conf-derived edge gate to 0 (functions/gates.py)."""
+    from _data_engineering_pipeline_project_spark import queries_ext4 as Q
+    import os
+    import tempfile
+
+    li = spark.createDataFrame(
+        [Row(l_orderkey=100, l_partkey=p) for p in (1, 2, 3, 4)]
+        + [Row(l_orderkey=200, l_partkey=p) for p in (4, 5)]
+    )
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    saved = spark.conf.get(key)
+    with tempfile.TemporaryDirectory() as d:
+        li.write.parquet(os.path.join(d, "lineitem.parquet"))
+        try:
+            spark.conf.set(key, "-1")
+            out = Q.triangle_count_copurchase(spark, d).collect()[0]
+        finally:
+            spark.conf.set(key, saved)
+    assert (out["n_nodes"], out["n_edges"], out["n_triangles"]) == (5, 7, 4)
+    assert out["clustering_coeff"] == pytest.approx(24 / 30, abs=1e-9)

@@ -311,3 +311,45 @@ def test_length_bucketed_batches_invariants(spark):
         for m in members:
             assert m["len_bucket"] == bucket
             assert (1 << bucket) <= max(m["n_tokens"], 1) < (1 << (bucket + 1))
+
+
+def test_semdecon_auto_dispatches_on_derived_gate(spark):
+    """ADVICE r7 #3 follow-through: the registered exact form is
+    gate-free, and the size dispatch lives in
+    semantic_decontamination_auto — which must route to the IVF path
+    when the conf-derived bench gate is 0 (broadcast disabled) and to
+    the exact broadcast path at the engine default."""
+    from _data_engineering_pipeline_project_spark.queries_ext8 import (
+        semantic_decontamination_auto,
+        semantic_decontamination_embeddings,
+        semantic_decontamination_ivf,
+        _semdecon_bench_broadcast_max,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    saved = spark.conf.get(key)
+    try:
+        assert _semdecon_bench_broadcast_max(spark) > 0
+        exact = {
+            (r["vec_id"], r["max_cosine"])
+            for r in semantic_decontamination_auto(spark, sf).collect()
+        }
+        want_exact = {
+            (r["vec_id"], r["max_cosine"])
+            for r in semantic_decontamination_embeddings(spark, sf).collect()
+        }
+        assert exact == want_exact  # small bench -> exact path
+        spark.conf.set(key, "-1")  # broadcast disabled -> gate 0
+        assert _semdecon_bench_broadcast_max(spark) == 0
+        probed = {
+            (r["vec_id"], r["max_cosine"])
+            for r in semantic_decontamination_auto(spark, sf).collect()
+        }
+        want_probed = {
+            (r["vec_id"], r["max_cosine"])
+            for r in semantic_decontamination_ivf(spark, sf).collect()
+        }
+        assert probed == want_probed  # over-gate bench -> IVF path
+    finally:
+        spark.conf.set(key, saved)
