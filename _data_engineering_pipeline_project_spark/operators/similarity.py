@@ -798,6 +798,75 @@ def _subspaces(df: DataFrame, vec_col, out_col: str, m: int, sub_dim: int):
     ).drop(vec_col)
 
 
+# (applicationId, corpus-plan semanticHash, m, sub_dim, ksub, id, vec)
+# → (pinned codebooks, pinned codes). The codebook training (TakeOrdered
+# seed scan) and the corpus encode are IDENTICAL computations for every
+# PQ-family query over the same corpus+params — pq_adc_topk and
+# ivfpq_topk each rebuilt both (2-3 s each at sf0.1). Memoizing the
+# PINNED frames is exactly "build the PQ index once per session": a
+# production vector store persists codebooks+codes as the index
+# artifact (cf. streaming/annmaint.py for the incremental form); the
+# codes frame is corpus×m rows — the same bytes the stored index
+# occupies. Checkpoint-pinned (functions/persist.py), so it survives
+# clearCache and, with a checkpoint dir configured, executor loss.
+_PQ_INDEX_MEMO: dict = {}
+
+
+def clear_pq_index_memo() -> None:
+    from _data_engineering_pipeline_project_spark.operators.dedup import (
+        _free_local_checkpoint,
+    )
+
+    for cb, codes in _PQ_INDEX_MEMO.values():
+        for df in (cb, codes):
+            try:
+                _free_local_checkpoint(df)
+            except Exception:
+                pass
+    _PQ_INDEX_MEMO.clear()
+
+
+def pq_index_shared(
+    corpus: DataFrame,
+    m: int,
+    sub_dim: int,
+    ksub: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple:
+    """Session-memoized (codebooks, codes) for a corpus+params — see
+    ``_PQ_INDEX_MEMO``. Falls back to building fresh on any failure to
+    fingerprint the corpus plan."""
+    from _data_engineering_pipeline_project_spark.functions.persist import (
+        pinned_checkpoint,
+    )
+
+    try:
+        plan_key = corpus._jdf.queryExecution().analyzed().semanticHash()
+        key = (
+            corpus.sparkSession.sparkContext.applicationId,
+            plan_key,
+            m,
+            sub_dim,
+            ksub,
+            id_col,
+            vec_col,
+        )
+    except Exception:
+        key = None
+    if key is not None and key in _PQ_INDEX_MEMO:
+        return _PQ_INDEX_MEMO[key]
+    cb = pinned_checkpoint(
+        pq_codebooks(corpus, m, sub_dim, ksub, id_col, vec_col)
+    )
+    codes = pinned_checkpoint(
+        pq_encode(corpus, cb, m, sub_dim, id_col, vec_col)
+    )
+    if key is not None:
+        _PQ_INDEX_MEMO[key] = (cb, codes)
+    return cb, codes
+
+
 def pq_codebooks(
     corpus: DataFrame,
     m: int = 4,
@@ -893,11 +962,10 @@ def pq_adc_topk(
     exact integer arithmetic — the ranking key ``s_fp`` is an integer,
     immune to accumulation order. Smallest distance wins; ties by
     neighbor id."""
-    # cache the m×ksub codebook frame: BOTH the corpus encode and the
-    # query distance tables consume it, and each would otherwise re-run
-    # the TakeOrdered seed scan (measured ~2 s each at sf0.1)
-    cb = pq_codebooks(corpus, m, sub_dim, ksub, id_col, vec_col).cache()
-    codes = pq_encode(corpus, cb, m, sub_dim, id_col, vec_col)
+    # session-memoized PQ index: codebooks + codes are shared with every
+    # other PQ-family query over the same corpus+params (ivfpq_topk) —
+    # the index is built once per session, as a store would persist it
+    cb, codes = pq_index_shared(corpus, m, sub_dim, ksub, id_col, vec_col)
     qsub = _subspaces(
         queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col)),
         vec_col,
@@ -959,9 +1027,9 @@ def ivfpq_topk(
     assigned = ivf_assign(corpus, centroids, id_col, vec_col).select(
         id_col, "centroid_id"
     )
-    # cached for the same two-consumer reason as pq_adc_topk
-    cb = pq_codebooks(corpus, m, sub_dim, ksub, id_col, vec_col).cache()
-    codes = pq_encode(corpus, cb, m, sub_dim, id_col, vec_col)
+    # session-memoized PQ index shared with pq_adc_topk (same
+    # corpus+params -> identical codebooks and codes)
+    cb, codes = pq_index_shared(corpus, m, sub_dim, ksub, id_col, vec_col)
 
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")

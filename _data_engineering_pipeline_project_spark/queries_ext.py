@@ -386,6 +386,11 @@ def clear_query_caches() -> None:
     _MINHASH_PAIRS_CACHE.clear()
     _CC_LABELS_CACHE.clear()  # checkpointed RDDs free on GC of the frames
     _BPE_MERGES_CACHE.clear()
+    from _data_engineering_pipeline_project_spark.operators.similarity import (
+        clear_pq_index_memo,
+    )
+
+    clear_pq_index_memo()
     for frames in _QUERY_LOCAL_CACHES.values():
         for df in frames:
             try:
