@@ -510,6 +510,7 @@ def minhash_near_dup_pairs(
     rows_per_band: int = 2,
     threshold: float = 0.3,
     max_shingle_df: int | None = None,
+    shingle_table: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH pipeline: candidates from banding, then EXACT
     Jaccard verification of candidates only (false positives dropped,
@@ -519,11 +520,22 @@ def minhash_near_dup_pairs(
     from the shared shingle table before BOTH the signature aggregate
     and the candidate-verify joins — signatures and verification see the
     same filtered universe, and the verify stage's per-shingle bucket
-    width is bounded (see ``drop_hot_shingles``)."""
-    sh = _shingle_table(df, id_col, text_col, shingle_n)
-    if max_shingle_df is not None:
-        sh = drop_hot_shingles(sh, max_shingle_df)
-    sh = sh.cache()
+    width is bounded (see ``drop_hot_shingles``).
+
+    ``shingle_table`` lets a caller that already exploded (and pinned /
+    cached) the (id, shingle) table share it instead of paying the
+    tokenize+explode again — the query layer shares ONE pinned shingle
+    table per (session, corpus) across this pipeline and the LSH
+    recall audit. An already-materialized table is not re-cached."""
+    if shingle_table is not None:
+        sh = shingle_table
+        if max_shingle_df is not None:
+            sh = drop_hot_shingles(sh, max_shingle_df).cache()
+    else:
+        sh = _shingle_table(df, id_col, text_col, shingle_n)
+        if max_shingle_df is not None:
+            sh = drop_hot_shingles(sh, max_shingle_df)
+        sh = sh.cache()
     # per-doc shingle counts ride the SAME hash aggregate as the
     # signatures (one count beside the k min-hashes) instead of a
     # separate groupBy over sh: one fewer shuffle stage to compile and

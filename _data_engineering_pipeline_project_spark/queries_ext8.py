@@ -187,7 +187,17 @@ def lsh_recall_audit(
     docs = table(spark, sf, "documents")
     if sample_fraction < 1.0:
         docs = hash_sample(docs, "doc_id", sample_fraction)
-    sh = D._shingle_table(docs, "doc_id", "text", 3).cache()
+        sh = D._shingle_table(docs, "doc_id", "text", 3).cache()
+    else:
+        # full-corpus audit shares the session's ONE pinned shingle
+        # table with the MinHash pipeline (queries_ext) — the audit's
+        # candidate generator and exact ground truth both read it, so
+        # a bench run tokenizes the corpus once, not three times
+        from _data_engineering_pipeline_project_spark.queries_ext import (
+            shingle_table_shared,
+        )
+
+        sh = shingle_table_shared(spark, sf)
     cand = D.lsh_candidate_pairs_wide(
         D.minhash_wide_signatures(sh, "doc_id", 32), "doc_id", 32, 2
     )
@@ -209,7 +219,12 @@ def lsh_recall_audit(
         track_query_caches,
     )
 
-    track_query_caches(spark, "lsh_recall_audit", sf, [sh])
+    # only the SAMPLED path's per-call cache is tracked; the
+    # full-corpus path reads the session-pinned shared shingle table,
+    # which is owned by the memo layer (clear_query_caches)
+    track_query_caches(
+        spark, "lsh_recall_audit", sf, [sh] if sample_fraction < 1.0 else []
+    )
     return (
         n_truth.crossJoin(F.broadcast(n_cand))
         .crossJoin(F.broadcast(n_hit))
