@@ -1552,41 +1552,45 @@ data, semantics pinned at every scale."""
 )
 def market_basket_part_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Top-25 co-purchased part pairs by lift — market-basket mining.
-    The pair join is keyed on the ORDER (a.orderkey = b.orderkey with
-    part_a < part_b), so the quadratic stage is bounded by basket size
-    (~7 lines/order in TPC-H shape), never all-pairs over parts: at
-    100 TB the fan-out is Σ|basket|², linear in orders. Support counts
-    are exact ints; lift is an identical division chain rounded before
-    the TakeOrdered ranking."""
+    Pairs are enumerated WITHIN each order's distinct-part basket
+    (id-ordered, part_a < part_b), so the quadratic stage is bounded by
+    basket size (~7 lines/order in TPC-H shape, hyper-baskets capped),
+    never all-pairs over parts: at 100 TB the fan-out is Σ|basket|²,
+    linear in orders, streaming map-side out of the basket explode.
+    Support counts are exact ints; lift is an identical division chain
+    rounded before the TakeOrdered ranking."""
     from pyspark.sql import Window
 
+    li = table(spark, sf, "lineitem")
+    # ONE groupBy(l_orderkey).collect_set(l_partkey) replaces the
+    # distinct + census + order self-join (the triangle edge-generation
+    # shape, r8): the set IS the distinct basket, the hyper-basket cap
+    # is a size(ps) filter on the same aggregate (distinct-part count —
+    # exactly the oracle's HAVING count(*) over the distinct matrix),
+    # and pairs/supports/order-count all stream out of map-side
+    # explodes over the cached basket frame. No join build, per-row
+    # memory O(basket).
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .filter(F.size("ps") <= _BASKET_MAX_WIDTH)
+        .select("ps")
+    ).cache()
+    n = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    pc = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_p"))
+        .cache()
+    )
     from _data_engineering_pipeline_project_spark.operators.skew import (
-        cap_group_width,
+        explode_ordered_pairs,
     )
 
-    li = table(spark, sf, "lineitem")
-    # op feeds the width census, both pair-join sides, the order count,
-    # and the per-part supports; pc feeds two broadcast builds —
-    # uncached, the distinct ran 4x and the support aggregate 2x (the
-    # triangle/item-item multi-consumer pattern). Both are spill-safe
-    # caches; the hyper-basket cap is a broadcast anti-join over the
-    # cached distinct frame, applied before every consumer.
-    op_raw = li.select("l_orderkey", "l_partkey").distinct().cache()
-    op = cap_group_width(op_raw, "l_orderkey", _BASKET_MAX_WIDTH)
-    n = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    pc = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_p")).cache()
-    a = op.alias("a")
-    b = op.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        explode_ordered_pairs(baskets, "ps", "part_a", "part_b")
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= 3)
     )
@@ -1623,7 +1627,7 @@ def market_basket_part_pairs(spark: SparkSession, sf: str) -> DataFrame:
         track_query_caches,
     )
 
-    track_query_caches(spark, "market_basket_part_pairs", sf, [op_raw, pc])
+    track_query_caches(spark, "market_basket_part_pairs", sf, [baskets, pc])
     return (
         scored.orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(25)

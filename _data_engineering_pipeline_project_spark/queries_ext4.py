@@ -567,14 +567,11 @@ def triangle_count_copurchase(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("__w") <= _TRIANGLE_MAX_BASKET)
         .drop("__w")
     )
-    edges = (
-        parts.select(F.explode("ps").alias("u"), "ps")
-        .select(
-            "u",
-            F.explode(F.filter("ps", lambda y: y > F.col("u"))).alias("v"),
-        )
-        .distinct()
+    from _data_engineering_pipeline_project_spark.operators.skew import (
+        explode_ordered_pairs,
     )
+
+    edges = explode_ordered_pairs(parts, "ps", "u", "v").distinct()
     edges = edges.cache()
     n_edges = edges.count()  # needed for output; doubles as the gate
     # ~4M edges at the engine's 16 MB threshold: an edge row is two
@@ -2273,47 +2270,46 @@ def item_item_cosine_parts(spark: SparkSession, sf: str) -> DataFrame:
     ``common_buyers / sqrt(buyers_a · buyers_b)`` — the classic
     "customers who bought X also bought Y" scorer (the lift-ranked
     twin is `market_basket_part_pairs`; cosine damps the
-    popular-item bias lift amplifies). The pair expansion self-joins on
-    customer, so work is Σ (parts-per-customer)² — bounded by basket
-    size, never by catalog size; the skew hardening at planet scale is
-    `cap_group_width` on hyper-active customers (APPLIED below, cap
-    mirrored in the oracle — exactly like hot shingles in the MinHash
-    verify path). Integer counts everywhere; one division + sqrt at
-    output; top-20 via a deterministic (cosine, part_a, part_b)
-    TakeOrdered — no global sort materialized.
-    """
-    from _data_engineering_pipeline_project_spark.operators.skew import (
-        cap_group_width,
-    )
+    popular-item bias lift amplifies). Integer counts everywhere; one
+    division + sqrt at output; top-20 via a deterministic
+    (cosine, part_a, part_b) TakeOrdered — no global sort materialized.
 
+    PLAN (the triangle edge-generation shape, r8): ONE
+    ``groupBy(cust).collect_set(part)`` builds the per-customer basket
+    — the collect_set IS the (cust, part) distinct, so the pre-r8
+    distinct shuffle, the census pass, and the cust self-join all
+    collapse into this single aggregate. Pairs (id-ordered) and
+    per-part buyer counts then stream out of map-side explodes into
+    partial aggregates: work is still Σ (parts-per-customer)² — bounded
+    by basket size, never catalog size — but no join build ever
+    materializes, and per-row memory is O(basket). The hyper-customer
+    cap (skew hardening at planet scale) is a ``size(ps)`` filter on
+    the same aggregate — distinct-part count, exactly the oracle's
+    HAVING count(*) over the distinct matrix.
+    """
     li = table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
     o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
-    # ui feeds the width census, BOTH pair-join sides and the degree
-    # aggregate; deg feeds both per-part buyer joins — uncached, the
-    # join+distinct ran 3× and the aggregate 2×. Caching both (ui is
-    # the distinct purchase matrix, deg is part-sized; spill-safe) is a
-    # measured 5.2 → 3.1 s at sf0.1. The hyper-customer cap is a
-    # broadcast anti-join over the cached matrix (census = one hash agg
-    # of it), so every downstream consumer sees the capped matrix.
-    ui_raw = (
+    baskets = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
-        .distinct()
-    ).cache()
-    ui = cap_group_width(ui_raw, "cust", _COPURCHASE_MAX_BASKET)
-    deg = ui.groupBy("part").agg(
-        F.count(F.lit(1)).cast("bigint").alias("buyers")
-    ).cache()
-    a, b = ui.alias("a"), ui.alias("b")
+        .groupBy("cust")
+        .agg(F.collect_set("part").alias("ps"))
+        .filter(F.size("ps") <= _COPURCHASE_MAX_BASKET)
+        .select("ps")
+    ).cache()  # customer-sized; feeds the pair explode AND the degrees
+    deg = (
+        baskets.select(F.explode("ps").alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("buyers"))
+        .cache()
+    )
+    from _data_engineering_pipeline_project_spark.operators.skew import (
+        explode_ordered_pairs,
+    )
+
     co = (
-        a.join(
-            b,
-            (F.col("a.cust") == F.col("b.cust"))
-            & (F.col("a.part") < F.col("b.part")),
-        )
-        .groupBy(
-            F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b")
-        )
+        explode_ordered_pairs(baskets, "ps", "part_a", "part_b")
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
     )
     da = deg.select(F.col("part").alias("part_a"), F.col("buyers").alias("ba"))
@@ -2336,7 +2332,7 @@ def item_item_cosine_parts(spark: SparkSession, sf: str) -> DataFrame:
         track_query_caches,
     )
 
-    track_query_caches(spark, "item_item_cosine_parts", sf, [ui_raw, deg])
+    track_query_caches(spark, "item_item_cosine_parts", sf, [baskets, deg])
     return scored.orderBy(
         F.col("cosine").desc(), "part_a", "part_b"
     ).limit(20)

@@ -675,10 +675,13 @@ def test_market_basket_pair_join_is_order_keyed(spark):
     )
 
     plan = explain_str(market_basket_part_pairs(spark, _SF_PLAN))
-    # the pair stage must be an equi-join on the order key (quadratic
-    # only in basket size), never a cartesian/theta join over parts
+    # the pair stage streams out of the per-order basket explode
+    # (quadratic only in basket size), never a cartesian/theta join
+    # over parts — and since r8 there is no pair JOIN at all: pairs
+    # come from Generate(explode) over the collect_set aggregate
     assert "CartesianProduct" not in plan
     assert "l_orderkey" in plan
+    assert "collect_set" in plan and "explode" in plan
 
 
 def test_hits_star_graph_hub_vs_authority(spark):
