@@ -54,6 +54,12 @@ def get_spark(
         # broadcast is explicitly hinted (or behind an adaptive gate), so
         # this only bounds the optimizer's speculative conversions.
         .config("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
+        # deployments that opt into RELIABLE checkpoints (setCheckpointDir
+        # → functions/persist.py upgrades every pinned frame) would
+        # otherwise accumulate checkpoint files for the whole session;
+        # the reference-tracking cleaner deletes them when the
+        # checkpointed RDD is GC'd — a no-op under localCheckpoint
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
