@@ -28,6 +28,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
+from _data_engineering_pipeline_project_spark.functions.cachetrack import (
+    note_query_cache,
+)
 from _data_engineering_pipeline_project_spark.functions.persist import (
     pinned_checkpoint,
 )
@@ -380,7 +383,7 @@ def cross_minhash_near_dup(
     sh = _shingle_table(df, id_col, text_col, shingle_n)
     if max_shingle_df is not None:
         sh = drop_hot_shingles(sh, max_shingle_df)
-    sh = sh.cache()
+    sh = note_query_cache(sh.cache())
     banded = _band_frame(
         minhash_wide_signatures(sh, id_col, num_hashes),
         id_col,
@@ -530,12 +533,12 @@ def minhash_near_dup_pairs(
     if shingle_table is not None:
         sh = shingle_table
         if max_shingle_df is not None:
-            sh = drop_hot_shingles(sh, max_shingle_df).cache()
+            sh = note_query_cache(drop_hot_shingles(sh, max_shingle_df).cache())
     else:
         sh = _shingle_table(df, id_col, text_col, shingle_n)
         if max_shingle_df is not None:
             sh = drop_hot_shingles(sh, max_shingle_df)
-        sh = sh.cache()
+        sh = note_query_cache(sh.cache())
     # per-doc shingle counts ride the SAME hash aggregate as the
     # signatures (one count beside the k min-hashes) instead of a
     # separate groupBy over sh: one fewer shuffle stage to compile and
@@ -849,7 +852,7 @@ def simhash_near_dup_pairs(
     # the cached frame is just (id, int64), tiny relative to the text).
     # fan_out first: the Arrow UDF is pure map work and single-split
     # sources would run it on one core
-    sigs = (
+    sigs = note_query_cache(
         fan_out_if_narrow(df)
         .select(F.col(id_col), simhash64(text_col).alias("sig"))
         .cache()

@@ -18,6 +18,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from _data_engineering_pipeline_project_spark.functions.cachetrack import (
+    note_query_cache,
+)
 from _data_engineering_pipeline_project_spark.functions.vectors import (
     cosine_similarity,
     dot,
@@ -491,7 +494,7 @@ def semantic_dup_pairs(
     # rather than inline per PAIR (~n²/C evals of 2 array folds each):
     # sqrt(dot(v,v)) is the same double either way, so oracle parity is
     # untouched while the quadratic stage drops to one dot + one divide.
-    assigned = (
+    assigned = note_query_cache(
         ivf_assign(emb, centroids, id_col, vec_col)
         .withColumn("__nrm", l2_norm(vec_col))
         .cache()

@@ -17,6 +17,7 @@ value hash):
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,7 +43,44 @@ ORACLES: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        # The REGISTERED callable opens an ambient collection context so
+        # operator-INTERNAL cached frames (which fn cannot name — see
+        # functions/cachetrack.py) join this query's tracked generation
+        # and get released when the next query registers. Only the
+        # outermost registered call owns the context: composites that
+        # invoke other registered queries attribute every internal cache
+        # to the composite. The module-level symbol stays the raw fn, so
+        # direct calls (tests, intra-module composition) are untouched.
+        @functools.wraps(fn)
+        def tracked(spark: SparkSession, sf: str) -> DataFrame:
+            from _data_engineering_pipeline_project_spark.functions.cachetrack import (
+                _PENDING,
+            )
+
+            if _PENDING.get() is not None:  # nested: outer query owns it
+                return fn(spark, sf)
+            pending: list = []
+            token = _PENDING.set(pending)
+            try:
+                out = fn(spark, sf)
+            finally:
+                _PENDING.reset(token)
+            if pending:
+                from _data_engineering_pipeline_project_spark.queries_ext import (
+                    _QUERY_LOCAL_CACHES,
+                    track_query_caches,
+                )
+
+                key = (spark.sparkContext.applicationId, name, sf)
+                track_query_caches(
+                    spark,
+                    name,
+                    sf,
+                    list(_QUERY_LOCAL_CACHES.get(key, [])) + pending,
+                )
+            return out
+
+        QUERIES[name] = tracked
         if oracle is not None:
             ORACLES[name] = oracle
         return fn

@@ -413,6 +413,44 @@ def test_track_query_caches_bounds_live_generations(spark):
     track_query_caches(spark, "qDone", "sfX", [])
 
 
+def test_operator_internal_caches_join_query_generation(spark):
+    sf_dir = "/root/testdata/sf0.001"
+    """Operator-INTERNAL cached frames (the SimHash signature frame —
+    created inside ``simhash_near_dup_pairs``, invisible to the query
+    function) must be attributed to the invoking registered query's
+    generation and released when the next query registers, exactly like
+    query-level per-call caches (functions/cachetrack.py)."""
+    from _data_engineering_pipeline_project_spark import queries as q
+    from _data_engineering_pipeline_project_spark.queries_ext import (
+        _QUERY_LOCAL_CACHES,
+        track_query_caches,
+    )
+
+    app = spark.sparkContext.applicationId
+    key = (app, "simhash_near_dup_documents", sf_dir)
+    _QUERY_LOCAL_CACHES.pop(key, None)
+    q.QUERIES["simhash_near_dup_documents"](spark, sf_dir).count()
+    frames = _QUERY_LOCAL_CACHES.get(key)
+    assert frames, "internal signature cache was not attributed"
+    assert any(
+        f.storageLevel.useMemory or f.storageLevel.useDisk for f in frames
+    )
+
+    # next query's generation releases the signature frame
+    track_query_caches(spark, "qNext", sf_dir, [])
+    assert key not in _QUERY_LOCAL_CACHES
+    lvl = frames[0].storageLevel
+    assert not (lvl.useMemory or lvl.useDisk)
+
+    # library use outside a registered query stays untracked
+    from _data_engineering_pipeline_project_spark.catalog import table
+    from _data_engineering_pipeline_project_spark.operators import dedup as D
+
+    D.simhash_near_dup_pairs(table(spark, sf_dir, "documents"), max_hamming=8)
+    assert not any(k[1] == "simhash_near_dup_pairs" for k in _QUERY_LOCAL_CACHES)
+    track_query_caches(spark, "qDone2", sf_dir, [])
+
+
 def test_broadcast_row_gate_derivation(spark):
     """VERDICT r7 #5: the triangle / union-find / semdecon gates derive
     from autoBroadcastJoinThreshold — raising the conf moves them all;
