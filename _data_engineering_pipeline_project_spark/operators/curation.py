@@ -172,26 +172,46 @@ def pack_sequences(
     FFD inside a partition is the imperative step Spark expressions can't
     express. Per-partition packing costs at most one extra bin per
     partition vs a global pack, which is noise at scale. Docs longer than
-    ``max_len`` get a singleton bin (truncation is the caller's policy)."""
+    ``max_len`` get a singleton bin (truncation is the caller's policy).
+
+    The first-fit search is a leftmost-fit SEGMENT TREE over bin slots
+    (internal nodes hold the subtree's max remaining capacity; a
+    left-preferring root descent lands on the FIRST bin that fits), so
+    a partition packs in O(n log n) instead of the naive scan's
+    O(n × bins) — the term the r8 100× sweep surfaced as an 11.8× wall
+    ratio (quadratic in docs-per-partition; deployments also scale
+    ``num_partitions`` to bound it). The tree returns exactly the bin
+    the linear scan would, so assignments are byte-identical."""
     out_schema = f"{id_col} long, bin_id string, bin_fill long"
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         part = pdf["pid"].iloc[0]
         pdf = pdf.sort_values(len_col, ascending=False)
-        bins: list[int] = []  # remaining capacity
+        lens = pdf[len_col].clip(upper=max_len).astype("int64").tolist()
+        size = 1
+        while size < max(len(lens), 1):
+            size *= 2
+        tree = [0] * (2 * size)  # leaves: remaining capacity per bin slot
+        nbins = 0
         assign: list[int] = []
-        for ln in pdf[len_col].clip(upper=max_len):
-            placed = None
-            for b, rem in enumerate(bins):
-                if rem >= ln:
-                    placed = b
-                    bins[b] = rem - ln
-                    break
-            if placed is None:
-                bins.append(max_len - ln)
-                placed = len(bins) - 1
+        for ln in lens:
+            if nbins and tree[1] >= ln:
+                i = 1
+                while i < size:
+                    i = 2 * i if tree[2 * i] >= ln else 2 * i + 1
+                placed = i - size
+                tree[i] -= ln
+            else:
+                placed = nbins
+                nbins += 1
+                i = size + placed
+                tree[i] = max_len - ln
+            i //= 2
+            while i:
+                tree[i] = max(tree[2 * i], tree[2 * i + 1])
+                i //= 2
             assign.append(placed)
-        fills = [max_len - r for r in bins]
+        fills = [max_len - tree[size + b] for b in range(nbins)]
         return pd.DataFrame(
             {
                 id_col: pdf[id_col].values,

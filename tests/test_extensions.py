@@ -305,6 +305,57 @@ def test_pack_sequences_ffd(spark):
     assert all(fills[b] == sum(v) for b, v in by_bin.items())
 
 
+def test_pack_sequences_segment_tree_matches_naive_first_fit(spark):
+    """The leftmost-fit segment tree must return EXACTLY the bin the
+    naive linear first-fit scan would — assignment is part of the
+    operator's contract (deterministic per partitioning), so the
+    O(n log n) search may not change a single placement. Includes
+    zero-length and over-cap docs (the two edge shapes: fits-anywhere
+    and singleton-bin)."""
+    import random
+
+    from _data_engineering_pipeline_project_spark.operators.curation import (
+        pack_sequences,
+    )
+
+    rng = random.Random(20260815)
+    max_len = 512
+    # UNIQUE lengths: pandas sort_values is unstable, so equal lengths
+    # could legally permute between the operator's FFD order and this
+    # reference's — the placement contract is only defined per order
+    pool = [x for x in range(1, 1000) if x not in (512, 900)]
+    lens = rng.sample(pool, 497) + [0, 512, 900]
+    rng.shuffle(lens)
+    rows = list(enumerate(lens))
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: (r["bin_id"], r["bin_fill"])
+        for r in pack_sequences(df, max_len=max_len, num_partitions=1).collect()
+    }
+
+    # reference: the pre-r8 naive scan over the same FFD order
+    order = sorted(rows, key=lambda t: -t[1])
+    bins: list[int] = []
+    ref_assign = {}
+    for doc, ln in order:
+        ln = min(ln, max_len)
+        placed = None
+        for b, rem in enumerate(bins):
+            if rem >= ln:
+                placed, bins[b] = b, rem - ln
+                break
+        if placed is None:
+            bins.append(max_len - ln)
+            placed = len(bins) - 1
+        ref_assign[doc] = placed
+    ref_fills = [max_len - r for r in bins]
+
+    # same partition prefix on every bin id (single partition)
+    part = next(iter(got.values()))[0].rsplit("_", 1)[0]
+    for doc, b in ref_assign.items():
+        assert got[doc] == (f"{part}_{b}", ref_fills[b])
+
+
 def test_chunk_documents_edge_cases(spark):
     from _data_engineering_pipeline_project_spark.operators.curation import (
         chunk_documents,
