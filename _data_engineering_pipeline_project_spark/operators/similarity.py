@@ -870,6 +870,50 @@ def pq_index_shared(
     return cb, codes
 
 
+def save_pq_index(
+    corpus: DataFrame,
+    path: str,
+    m: int = 4,
+    sub_dim: int = 16,
+    ksub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the PQ index as a parquet artifact: ``path/codebooks``
+    (subspace, code, cvec — m·ksub rows), ``path/codes`` (id, subspace,
+    code — m rows per corpus vector, the 32×-compressed scan relation)
+    and ``path/params`` (one row pinning m/sub_dim/ksub and the column
+    names, so a loader cannot silently query with mismatched geometry).
+
+    This is the batch counterpart of the session memo
+    (``pq_index_shared``) and the incremental IVF maintainer
+    (streaming/annmaint.py): train the index ONCE in an offline job,
+    then any later session serves ``pq_adc_topk(index=load_pq_index())``
+    queries against the stored codes without touching a full-precision
+    vector — the codes relation is the only thing the query-time scan
+    reads, so at 100 TB the serving job's input is corpus/32."""
+    cb, codes = pq_index_shared(corpus, m, sub_dim, ksub, id_col, vec_col)
+    cb.write.mode("overwrite").parquet(f"{path}/codebooks")
+    codes.write.mode("overwrite").parquet(f"{path}/codes")
+    corpus.sparkSession.createDataFrame(
+        [(m, sub_dim, ksub, id_col, vec_col)],
+        "m int, sub_dim int, ksub int, id_col string, vec_col string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def load_pq_index(spark, path: str) -> tuple:
+    """Load a :func:`save_pq_index` artifact → (codebooks, codes,
+    params dict). Pass ``(codebooks, codes)`` to ``pq_adc_topk(...,
+    index=...)`` with the params row's geometry — the loaded frames are
+    plain parquet scans with no lineage back to the training corpus."""
+    params = spark.read.parquet(f"{path}/params").collect()[0].asDict()
+    return (
+        spark.read.parquet(f"{path}/codebooks"),
+        spark.read.parquet(f"{path}/codes"),
+        params,
+    )
+
+
 def pq_codebooks(
     corpus: DataFrame,
     m: int = 4,
@@ -952,6 +996,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    index: tuple | None = None,
 ) -> DataFrame:
     """Approximate top-k nearest neighbors via PQ asymmetric distance
     computation (ADC): each query precomputes a (subspace × code)
@@ -960,15 +1005,23 @@ def pq_adc_topk(
     table lookups on its stored codes. No full-precision vector is
     touched at query time: the scan reads only the code columns.
 
+    ``index``: an optional pre-built ``(codebooks, codes)`` pair — e.g.
+    from :func:`load_pq_index` — served as-is; ``m``/``sub_dim`` must
+    match the geometry the index was trained with (the artifact's
+    params row records it) and ``corpus`` is then never touched.
+
     Parity engineering: per-lookup distances are fixed-pointed
     (``round(d2,6)·1e6`` as bigint) so the per-pair sum over m terms is
     exact integer arithmetic — the ranking key ``s_fp`` is an integer,
     immune to accumulation order. Smallest distance wins; ties by
     neighbor id."""
-    # session-memoized PQ index: codebooks + codes are shared with every
-    # other PQ-family query over the same corpus+params (ivfpq_topk) —
-    # the index is built once per session, as a store would persist it
-    cb, codes = pq_index_shared(corpus, m, sub_dim, ksub, id_col, vec_col)
+    if index is not None:
+        cb, codes = index
+    else:
+        # session-memoized PQ index: codebooks + codes are shared with
+        # every other PQ-family query over the same corpus+params
+        # (ivfpq_topk) — built once per session, as a store persists it
+        cb, codes = pq_index_shared(corpus, m, sub_dim, ksub, id_col, vec_col)
     qsub = _subspaces(
         queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col)),
         vec_col,

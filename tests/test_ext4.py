@@ -725,6 +725,46 @@ def test_pq_codes_shape_and_recall(spark):
     assert hits / tot >= 0.5, f"PQ recall@5 collapsed: {hits}/{tot}"
 
 
+def test_pq_index_save_load_roundtrip(spark, tmp_path):
+    """The persisted PQ artifact must serve bit-identical results: save
+    the index, load it back (pure parquet scans, no lineage to the
+    corpus), and pq_adc_topk(index=...) must equal the fresh build.
+    Params row pins the trained geometry."""
+    from _data_engineering_pipeline_project_spark.operators.similarity import (
+        load_pq_index,
+        pq_adc_topk,
+        save_pq_index,
+    )
+    from _data_engineering_pipeline_project_spark.queries_ext4 import (
+        _PQ_K,
+        _PQ_M,
+        _PQ_SD,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "pq_index")
+    save_pq_index(emb, path, m=_PQ_M, sub_dim=_PQ_SD, ksub=_PQ_K)
+    cb, codes, params = load_pq_index(spark, path)
+    assert (params["m"], params["sub_dim"], params["ksub"]) == (
+        _PQ_M, _PQ_SD, _PQ_K,
+    )
+    assert params["id_col"] == "vec_id" and params["vec_col"] == "embedding"
+
+    fresh = pq_adc_topk(
+        emb, qs, k=5, m=_PQ_M, sub_dim=_PQ_SD, ksub=_PQ_K
+    ).collect()
+    served = pq_adc_topk(
+        emb, qs, k=5, m=params["m"], sub_dim=params["sub_dim"],
+        index=(cb, codes),
+    ).collect()
+    assert sorted(
+        [(r["query_id"], r["rnk"], r["neighbor_id"], r["approx_d2"]) for r in fresh]
+    ) == sorted(
+        [(r["query_id"], r["rnk"], r["neighbor_id"], r["approx_d2"]) for r in served]
+    )
+
+
 def test_profile_table_one_scan_and_values(spark):
     from _data_engineering_pipeline_project_spark import queries_ext4 as Q
 
