@@ -5,10 +5,12 @@ preserved) into a temp dir, then times selected queries at 1× vs N×
 and prints the wall-clock ratio — the per-query scale-shape check the
 SCALE.md measurements use. Usage:
 
-    python tools/measure_scaleup.py [--factor N] <query> [<query> ...]
+    python tools/measure_scaleup.py [--factor N] [--dims] <query> [<query> ...]
 
 Default factor is 10 (the round-1..5 protocol); --factor 100 replays
 sf0.1's facts at ~sf10 (lineitem 60M rows) for the deeper slope check.
+``--dims`` grows part/supplier instead of the facts (the
+entity-resolution scale axis — see DIM_FACTS).
 """
 
 from __future__ import annotations
@@ -35,6 +37,21 @@ FACTS = {
     "embeddings": ["vec_id"],
 }
 DIMS = ["region", "nation", "supplier", "part"]
+
+# --dims mode: grow the DIMENSION axis instead (part/supplier replicated
+# with key offsets; facts copied unreplicated). This is the scale axis
+# the entity-resolution family lives on (Fellegi-Sunter, blocking
+# audit, fuzzy name pairs run ON the part table); fact-FK-consuming
+# queries are NOT meaningful here (replicated dim rows are referenced
+# by no fact). Text fields get a per-replica tag for the same
+# anti-degeneracy reason documents do: untagged replicas would be
+# exact cross-replica matches and every block would fuse 100 replicas
+# into one quadratic candidate set — the data's degeneracy, not the
+# engine's slope.
+DIM_FACTS = {
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+}
 
 
 def _mutate(t: str, df):
@@ -63,6 +80,28 @@ def _mutate(t: str, df):
                 )
             ),
         )
+    if t == "part":
+        # tag every blocking-relevant text field (name tokens, brand,
+        # type) so blocks never span replicas; replica 0 byte-identical
+        tag = F.concat(F.lit("r"), F.col("_rep").cast("string"))
+        for c in ("p_name", "p_brand", "p_type"):
+            df = df.withColumn(
+                c,
+                F.when(F.col("_rep") == 0, F.col(c)).otherwise(
+                    F.regexp_replace(
+                        F.col(c), F.lit(r"(\S+)"), F.concat(F.lit("$1"), tag)
+                    )
+                ),
+            )
+        return df
+    if t == "supplier":
+        tag = F.concat(F.lit("r"), F.col("_rep").cast("string"))
+        return df.withColumn(
+            "s_name",
+            F.when(F.col("_rep") == 0, F.col("s_name")).otherwise(
+                F.concat(F.col("s_name"), tag)
+            ),
+        )
     if t == "embeddings":
         # deterministic per-(replica, element) SIGN FLIPS: norm is
         # preserved exactly and a balanced-random flip pattern drives
@@ -88,8 +127,16 @@ def _mutate(t: str, df):
     return df
 
 
-def build_replicated(spark, out_dir: str, factor: int = 10) -> None:
-    for t, keys in FACTS.items():
+def build_replicated(
+    spark, out_dir: str, factor: int = 10, dims_mode: bool = False
+) -> None:
+    facts = DIM_FACTS if dims_mode else FACTS
+    copied = (
+        [*FACTS, "region", "nation"]
+        if dims_mode
+        else DIMS
+    )
+    for t, keys in facts.items():
         src = spark.read.parquet(f"{SF_DIR}/{t}.parquet")
         offs = {k: src.agg(F.max(k)).collect()[0][0] + 1 for k in keys}
         # one crossJoin against a factor-row replica index instead of
@@ -105,7 +152,7 @@ def build_replicated(spark, out_dir: str, factor: int = 10) -> None:
         out.drop("_rep").repartition(
             max(32, factor * src.rdd.getNumPartitions() // 4)
         ).write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
-    for t in DIMS:
+    for t in copied:
         src = f"{SF_DIR}/{t}.parquet"
         if os.path.exists(src):
             spark.read.parquet(src).write.mode("overwrite").parquet(
@@ -119,9 +166,13 @@ def main() -> None:
 
     argv = sys.argv[1:]
     factor = 10
+    dims_mode = False
     if argv and argv[0] == "--factor":
         factor = int(argv[1])
         argv = argv[2:]
+    if argv and argv[0] == "--dims":
+        dims_mode = True
+        argv = argv[1:]
     names = argv
     spark = get_spark("scaleup")
     spark.sparkContext.setLogLevel("ERROR")
@@ -129,7 +180,7 @@ def main() -> None:
     rep_dir = tempfile.mkdtemp(prefix=f"repl{factor}_")
     try:
         t0 = time.time()
-        build_replicated(spark, rep_dir, factor)
+        build_replicated(spark, rep_dir, factor, dims_mode)
         print(
             f"replicated {factor}x in {time.time() - t0:.1f}s -> {rep_dir}"
         )
