@@ -414,12 +414,12 @@ def test_track_query_caches_bounds_live_generations(spark):
 
 
 def test_operator_internal_caches_join_query_generation(spark):
-    sf_dir = "/root/testdata/sf0.001"
     """Operator-INTERNAL cached frames (the SimHash signature frame —
     created inside ``simhash_near_dup_pairs``, invisible to the query
     function) must be attributed to the invoking registered query's
     generation and released when the next query registers, exactly like
     query-level per-call caches (functions/cachetrack.py)."""
+    sf_dir = "/root/testdata/sf0.001"
     from _data_engineering_pipeline_project_spark import queries as q
     from _data_engineering_pipeline_project_spark.queries_ext import (
         _QUERY_LOCAL_CACHES,
@@ -449,6 +449,50 @@ def test_operator_internal_caches_join_query_generation(spark):
     D.simhash_near_dup_pairs(table(spark, sf_dir, "documents"), max_hamming=8)
     assert not any(k[1] == "simhash_near_dup_pairs" for k in _QUERY_LOCAL_CACHES)
     track_query_caches(spark, "qDone2", sf_dir, [])
+
+
+def test_nested_registered_queries_share_outer_generation(spark):
+    """Nesting rule (functions/cachetrack.py): when a registered query
+    invokes another registered query, the INNER invocation inherits the
+    outer collection context — every operator-internal cache lands in
+    the OUTER query's generation, and nothing is released mid-build."""
+    from _data_engineering_pipeline_project_spark import queries as q
+    from _data_engineering_pipeline_project_spark.functions.cachetrack import (
+        note_query_cache,
+    )
+    from _data_engineering_pipeline_project_spark.queries_ext import (
+        _QUERY_LOCAL_CACHES,
+        track_query_caches,
+    )
+
+    app = spark.sparkContext.applicationId
+
+    @q.query("__test_inner")
+    def inner(sp, sf):
+        d = sp.range(5).withColumn("i", F.col("id") + 1).cache()
+        note_query_cache(d)
+        return d
+
+    @q.query("__test_outer")
+    def outer(sp, sf):
+        d = q.QUERIES["__test_inner"](sp, sf)
+        e = sp.range(5).withColumn("o", F.col("id") * 2).cache()
+        note_query_cache(e)
+        return d.join(e, "id")
+
+    try:
+        q.QUERIES["__test_outer"](spark, "sfN").count()
+        okey = (app, "__test_outer", "sfN")
+        ikey = (app, "__test_inner", "sfN")
+        assert ikey not in _QUERY_LOCAL_CACHES, "inner opened its own generation"
+        assert len(_QUERY_LOCAL_CACHES.get(okey, [])) == 2, (
+            "outer generation must hold BOTH caches (inner's included)"
+        )
+        track_query_caches(spark, "qDone3", "sfN", [])
+        assert okey not in _QUERY_LOCAL_CACHES
+    finally:
+        q.QUERIES.pop("__test_inner", None)
+        q.QUERIES.pop("__test_outer", None)
 
 
 def test_broadcast_row_gate_derivation(spark):
