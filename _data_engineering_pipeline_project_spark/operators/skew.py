@@ -126,6 +126,7 @@ def salted_aggregate(
     final_aggs: dict[str, object],
     buckets: int = 8,
     unique_cols: list[str] | None = None,
+    materialize: bool | None = None,
 ) -> DataFrame:
     """Two-phase skew-safe aggregation.
 
@@ -138,11 +139,22 @@ def salted_aggregate(
     lanes — the r7 form hashed the group key alone, which is constant
     per group and spread a hot key across exactly ONE partial group,
     VERDICT r7 #1), so a hot key's rows fan across up to ``buckets*64``
-    partial groups before the final per-key reduce. Pass ``unique_cols``
-    when ``df`` sits downstream of a shuffle (see the salt helper's
-    retry note); the default ordinal-mixed salt is not frozen here —
-    materializing an input-sized frame would defeat the helper — so it
-    is only retry-safe over deterministic scans.
+    partial groups before the final per-key reduce.
+
+    Retry safety (ADVICE r8 #1 — previously the unsafe form was the
+    default): the ordinal-mixed default salt is position-dependent, and
+    here it becomes a groupBy (shuffle) key, so a fetch-failure stage
+    recompute over shuffled input could re-salt rows and silently lose
+    or duplicate them in the partial aggregate (the SPARK-23207 class).
+    The default therefore FREEZES the salted frame with
+    ``pinned_checkpoint`` before aggregating, exactly as ``salted_join``
+    does (``materialize`` defaults to True when ``unique_cols`` is
+    None). Two opt-outs, both content-deterministic or explicit:
+    pass ``unique_cols`` (content salt — no materialization needed,
+    the form to prefer on a cluster), or pass ``materialize=False``
+    when the input is a deterministic scan (parquet + narrow ops) and
+    you accept loud job failure on executor loss over the cost of
+    materializing an input-sized frame.
 
     WHEN TO USE: Spark's hash aggregate already does map-side partial
     aggregation for algebraic functions (sum/count/min/max/avg), so for
@@ -156,10 +168,17 @@ def salted_aggregate(
     ``|hot key| / (buckets*64)``.
     """
     salt = _row_spread_salt(df, buckets * 64, unique_cols)
-    partial = (
-        df.withColumn("__salt", salt)
-        .groupBy(*keys, "__salt")
-        .agg(*[c.alias(a) for a, c in partial_aggs.items()])
+    salted = df.withColumn("__salt", salt)
+    if materialize is None:
+        materialize = unique_cols is None
+    if materialize:
+        from _data_engineering_pipeline_project_spark.functions.persist import (
+            pinned_checkpoint,
+        )
+
+        salted = pinned_checkpoint(salted)
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[c.alias(a) for a, c in partial_aggs.items()]
     )
     return partial.groupBy(*keys).agg(
         *[c.alias(a) for a, c in final_aggs.items()]
@@ -209,11 +228,24 @@ def cap_group_width(
 
 
 def explode_ordered_pairs(
-    df: DataFrame, set_col: str, a_col: str, b_col: str
+    df: DataFrame,
+    set_col: str,
+    a_col: str,
+    b_col: str,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """All id-ordered pairs (a < b) from an array column, streaming out
     of two map-side explodes — the pair-expansion core shared by
     triangle edge generation, item-item cosine, and market basket.
+
+    OUTPUT CONTRACT: carries ONLY ``(a_col, b_col)`` plus whatever the
+    caller names in ``keep_cols`` (e.g. the group key) — every other
+    input column is dropped (VERDICT r8 "what's wrong" #2: the implicit
+    drop was an API trap for callers needing the key alongside the
+    pairs). Duplicate array elements are removed up front
+    (``array_distinct`` — a no-op for the ``collect_set`` output all
+    current callers pass), so the output never contains a == b or
+    repeated pairs (ADVICE r8 #5).
 
     Shape matters: the obvious ``explode(filter(ps, y > a))`` form
     re-scans the array ONCE PER EMITTED ELEMENT (the lambda filter is
@@ -225,10 +257,15 @@ def explode_ordered_pairs(
     the sort, positional tails are automatically id-ordered, so no
     comparison predicate runs at all. Per-row memory stays O(|set|);
     pairs never materialize outside the streaming explode."""
+    carried = list(keep_cols or [])
     return (
-        df.select(F.array_sort(F.col(set_col)).alias("__ps"))
-        .select(F.posexplode("__ps").alias("__i", a_col), "__ps")
+        df.select(
+            *carried,
+            F.array_sort(F.array_distinct(F.col(set_col))).alias("__ps"),
+        )
+        .select(*carried, F.posexplode("__ps").alias("__i", a_col), "__ps")
         .select(
+            *carried,
             a_col,
             F.explode(
                 F.slice("__ps", F.col("__i") + F.lit(2), F.size("__ps"))

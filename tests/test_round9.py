@@ -1,0 +1,249 @@
+"""Round-9 regression tests: the VERDICT r8 / ADVICE r8 worklist.
+
+- fan_out_if_narrow must NOT force-shuffle a few-LARGE-files corpus
+  that FileScan already reads as many maxPartitionBytes splits
+  (VERDICT r8 "what's wrong" #1 / ADVICE #2).
+- salted_aggregate's default ordinal-mixed salt must be frozen before
+  it becomes a shuffle key (ADVICE #1, SPARK-23207 class).
+- explode_ordered_pairs: keep_cols pass-through + set semantics on
+  inputs with duplicate elements (VERDICT #2 minor / ADVICE #5).
+- PQ artifact served from a FRESH SparkSession (VERDICT next #5).
+- Delta MERGE seam is env-gated with a loud NotImplementedError and a
+  ready-to-enable e2e test (VERDICT next #7).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import re
+from datetime import datetime
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+PKG = Path(__file__).resolve().parent.parent / "_data_engineering_pipeline_project_spark"
+
+_HAVE_DELTA = importlib.util.find_spec("delta") is not None
+
+
+# --- fan_out_if_narrow width probe --------------------------------------
+
+
+def test_fan_out_skips_large_splittable_file(spark, tmp_path):
+    """One parquet file spanning many maxPartitionBytes splits is
+    ALREADY parallel at scan time — the helper must return it untouched
+    (no repartition = no full-corpus shuffle). Shrinks the split size
+    in-conf so a ~1 MB file stands in for a 2 GB one."""
+    from _data_engineering_pipeline_project_spark.operators import dedup as D
+
+    # md5 strings are incompressible; one output file
+    src = spark.range(30_000).select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.col("id").cast("string")).alias("text"),
+    )
+    path = str(tmp_path / "one_big_file")
+    src.coalesce(1).write.parquet(path)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+        scan = spark.read.parquet(path)
+        files = scan.inputFiles()
+        assert len(files) == 1  # the shape under test: few files, many splits
+        out = D.fan_out_if_narrow(scan)
+        assert out is scan, "few-large-files corpus was force-shuffled"
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    # same file under the DEFAULT split size is genuinely one split and
+    # must still widen (the original purpose of the helper)
+    scan2 = spark.read.parquet(path)
+    dp = spark.sparkContext.defaultParallelism
+    widened = D.fan_out_if_narrow(scan2)
+    assert widened is not scan2
+    assert widened.rdd.getNumPartitions() == dp
+    assert widened.count() == 30_000
+
+
+# --- explode_ordered_pairs contract --------------------------------------
+
+
+def test_explode_ordered_pairs_keep_cols_and_set_semantics(spark):
+    from _data_engineering_pipeline_project_spark.operators.skew import (
+        explode_ordered_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [("g1", [3, 1, 2, 3]), ("g2", [5, 5]), ("g3", [7])],
+        "g string, ps array<int>",
+    )
+    out = explode_ordered_pairs(df, "ps", "a", "b", keep_cols=["g"])
+    assert out.columns == ["g", "a", "b"]
+    got = sorted((r["g"], r["a"], r["b"]) for r in out.collect())
+    # duplicates removed up front: no a==b pair from [5,5], no repeated
+    # (1,3)/(2,3) from the doubled 3
+    assert got == [("g1", 1, 2), ("g1", 1, 3), ("g1", 2, 3)]
+    bare = explode_ordered_pairs(df, "ps", "a", "b")
+    assert bare.columns == ["a", "b"]  # documented drop-everything default
+
+
+# --- salted_aggregate retry safety ----------------------------------------
+
+
+def test_salted_aggregate_default_freezes_salted_frame(spark):
+    """ADVICE r8 #1: without unique_cols the positional salt becomes a
+    groupBy key, so the salted frame must be pinned (checkpoint →
+    LogicalRDD scan in the plan) exactly as salted_join does; the
+    explicit materialize=False opt-out keeps the raw lineage."""
+    from _data_engineering_pipeline_project_spark.operators.skew import (
+        salted_aggregate,
+    )
+
+    # spark.range → Range scan, so the ONLY possible LogicalRDD in any
+    # plan below is the checkpoint itself (createDataFrame would itself
+    # scan a LogicalRDD and mask the assertion)
+    df = spark.range(41).select(
+        F.when(F.col("id") < 40, F.lit(1)).otherwise(F.lit(2)).alias("k"),
+        F.when(F.col("id") < 40, F.col("id").cast("double"))
+        .otherwise(F.lit(9.0))
+        .alias("v"),
+    )
+    partial = {"s": F.sum("v"), "c": F.count(F.lit(1))}
+    final = {"total": F.sum("s"), "n": F.sum("c")}
+    pinned = salted_aggregate(df, ["k"], partial, final)
+    plan = pinned._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan, "default path did not freeze the salt"
+    unpinned = salted_aggregate(df, ["k"], partial, final, materialize=False)
+    plan2 = unpinned._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" not in plan2
+    want = {1: (sum(float(i) for i in range(40)), 40), 2: (9.0, 1)}
+    for frame in (pinned, unpinned):
+        got = {r["k"]: (r["total"], r["n"]) for r in frame.collect()}
+        assert got == want
+    # content salt needs no freeze: pure function of the named column
+    content = salted_aggregate(
+        df.withColumn("rid", F.col("v")), ["k"], partial, final,
+        unique_cols=["rid"],
+    )
+    plan3 = content._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" not in plan3
+
+
+def _call_spans(text: str, name: str):
+    """Source spans of `name(...)` calls (balanced-paren scan)."""
+    for m in re.finditer(rf"(?<!def ){name}\(", text):
+        i, depth = m.end() - 1, 0
+        for j in range(i, min(len(text), i + 4000)):
+            if text[j] == "(":
+                depth += 1
+            elif text[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    yield text[m.start(): j + 1]
+                    break
+
+
+def test_lint_ordinal_salt_call_sites_are_retry_safe():
+    """VERDICT r8 next #6: every in-package caller of the salt helpers
+    must be explicit about retry safety — pass unique_cols (content
+    salt), materialize (an explicit freeze decision), or be salted_join /
+    salted_aggregate themselves (which now both auto-freeze the default).
+    Guards future call sites; imports in tests are exempt by path."""
+    offenders = []
+    for py in PKG.rglob("*.py"):
+        if py.name == "skew.py":
+            continue  # the definitions themselves
+        text = py.read_text()
+        for fn in ("salted_aggregate", "_row_spread_salt"):
+            for span in _call_spans(text, fn):
+                if "unique_cols" not in span and "materialize" not in span:
+                    offenders.append((str(py), fn, span[:120]))
+    assert not offenders, offenders
+
+
+# --- PQ artifact from a fresh session --------------------------------------
+
+
+def test_load_pq_index_fresh_session_serves_identical(spark, tmp_path):
+    """VERDICT r8 next #5: the r8 round-trip test reused the training
+    session (whose memo still pinned the index). Here the memo is
+    cleared and a NEW SparkSession loads the artifact — the served
+    top-k must equal the training session's memoized result."""
+    from _data_engineering_pipeline_project_spark.operators.similarity import (
+        clear_pq_index_memo,
+        load_pq_index,
+        pq_adc_topk,
+        save_pq_index,
+    )
+    from _data_engineering_pipeline_project_spark.queries_ext4 import (
+        _PQ_K,
+        _PQ_M,
+        _PQ_SD,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "pq_artifact")
+    save_pq_index(emb, path, m=_PQ_M, sub_dim=_PQ_SD, ksub=_PQ_K)
+    expected = sorted(
+        (r["query_id"], r["rnk"], r["neighbor_id"], r["approx_d2"])
+        for r in pq_adc_topk(
+            emb, qs, k=5, m=_PQ_M, sub_dim=_PQ_SD, ksub=_PQ_K
+        ).collect()
+    )
+    clear_pq_index_memo()  # drop the training session's pinned frames
+    fresh = spark.newSession()
+    cb, codes, params = load_pq_index(fresh, path)
+    emb2 = fresh.read.parquet(f"{SF}/embeddings.parquet")
+    qs2 = emb2.filter(F.col("vec_id") < 5)
+    served = sorted(
+        (r["query_id"], r["rnk"], r["neighbor_id"], r["approx_d2"])
+        for r in pq_adc_topk(
+            emb2, qs2, k=5, m=params["m"], sub_dim=params["sub_dim"],
+            index=(cb, codes),
+        ).collect()
+    )
+    assert served == expected
+
+
+# --- Delta MERGE seam -------------------------------------------------------
+
+
+def test_scd2_merge_into_without_delta_raises_cleanly(spark, tmp_path):
+    if _HAVE_DELTA:
+        pytest.skip("delta-spark present; covered by the e2e test")
+    from _data_engineering_pipeline_project_spark.operators.scd2 import Scd2Table
+
+    t = Scd2Table(spark, str(tmp_path / "dl"), ["id"])
+    inc = spark.createDataFrame([(1, "a")], "id int, v string")
+    with pytest.raises(NotImplementedError):
+        t.merge_into(inc, datetime(2024, 1, 1))
+
+
+@pytest.mark.skipif(not _HAVE_DELTA, reason="delta-spark not on classpath")
+def test_scd2_merge_into_delta_e2e(spark, tmp_path):
+    """Ready-to-enable: with the jar present, the Delta path must match
+    the parquet-versioned path batch for batch (same snapshot rows, same
+    history rows) while touching only changed keys transactionally."""
+    from _data_engineering_pipeline_project_spark.operators.scd2 import Scd2Table
+
+    pk = ["id"]
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    b2 = spark.createDataFrame([(1, "a2"), (3, "c")], "id int, v string")
+    ts1, ts2 = datetime(2024, 1, 1), datetime(2024, 1, 2)
+
+    ref = Scd2Table(spark, str(tmp_path / "parquet"), pk)
+    ref.merge(b1, ts1)
+    ref.merge(b2, ts2)
+
+    dl = Scd2Table(spark, str(tmp_path / "delta"), pk)
+    dl.merge_into(b1, ts1)
+    dl.merge_into(b2, ts2)
+
+    snap = spark.read.format("delta").load(str(tmp_path / "delta" / "delta_snapshot"))
+    hist = spark.read.format("delta").load(str(tmp_path / "delta" / "delta_history"))
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(snap.select(*ref.current().columns)) == key(ref.current())
+    assert key(hist.select(*ref.history().columns)) == key(ref.history())
