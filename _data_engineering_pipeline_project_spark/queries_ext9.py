@@ -1,0 +1,74 @@
+"""Round-9: data-layout operators (Z-order clustering).
+
+``zorder_key_customers`` registers the Morton-key computation itself —
+quantize (acctbal, nationkey) to 16 bits each against the table's
+min/max, interleave to one 32-bit key — so the exact bit geometry the
+clustered write sorts by is oracle-checked against DuckDB (the same
+floor/shift/mask arithmetic in SQL). The WRITE path
+(``operators/layout.py:write_zordered``) and its file-statistics
+payoff are pinned by pytest (``tests/test_round9.py``): per-file
+min/max spans from parquet footers shrink from ~1.0 (round-robin) to
+≪ 1 per keyed dimension, which is precisely what a reader's row-group
+pruning consults.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from _data_engineering_pipeline_project_spark.catalog import table
+from _data_engineering_pipeline_project_spark.queries import query
+
+_ZBITS = 16
+
+
+def _z_sql_expr(qnames: list[str], bits: int) -> str:
+    n = len(qnames)
+    terms = [
+        f"((({q} >> {i}) & 1) << {i * n + j})"
+        for i in range(bits)
+        for j, q in enumerate(qnames)
+    ]
+    return " | ".join(terms)
+
+
+def _zorder_sql() -> str:
+    q = (
+        "CAST(floor((CAST({col} AS DOUBLE) - mn_{k}) * CAST(65535 AS DOUBLE)"
+        " / (mx_{k} - mn_{k})) AS BIGINT)"
+    )
+    return f"""
+WITH stats AS (
+  SELECT CAST(min(c_acctbal) AS DOUBLE) AS mn_a, CAST(max(c_acctbal) AS DOUBLE) AS mx_a,
+         CAST(min(c_nationkey) AS DOUBLE) AS mn_n, CAST(max(c_nationkey) AS DOUBLE) AS mx_n
+  FROM customer
+), quant AS (
+  SELECT c_custkey,
+         {q.format(col='c_acctbal', k='a')} AS qa,
+         {q.format(col='c_nationkey', k='n')} AS qn
+  FROM customer CROSS JOIN stats
+)
+SELECT c_custkey, CAST({_z_sql_expr(['qa', 'qn'], _ZBITS)} AS BIGINT) AS z_key
+FROM quant
+"""
+
+
+@query("zorder_key_customers", _zorder_sql())
+def zorder_key_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """The Morton key a z-ordered customer layout clusters by: each of
+    (c_acctbal, c_nationkey) quantized to [0, 65535] against the
+    table's min/max (one aggregate, broadcast back — no collect), bits
+    interleaved into one 64-bit key. Pure codegen'd column math — the
+    quantization is pinned to sub→mul→div in DOUBLE with an exact
+    floor, so DuckDB reproduces every bit (see operators/layout.py)."""
+    from _data_engineering_pipeline_project_spark.operators.layout import (
+        with_zorder_key,
+    )
+
+    c = table(spark, sf, "customer").select(
+        "c_custkey", "c_acctbal", "c_nationkey"
+    )
+    return with_zorder_key(
+        c, ["c_acctbal", "c_nationkey"], bits=_ZBITS, key_col="z_key"
+    ).select("c_custkey", "z_key")

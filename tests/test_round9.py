@@ -222,6 +222,51 @@ def test_scd2_merge_into_without_delta_raises_cleanly(spark, tmp_path):
         t.merge_into(inc, datetime(2024, 1, 1))
 
 
+# --- Z-order layout ---------------------------------------------------------
+
+
+def test_write_zordered_narrows_file_stat_spans(spark, tmp_path):
+    """The layout payoff, measured from the SAME parquet footer
+    statistics a reader's pruning consults: after a z-ordered write on
+    (c_acctbal, c_nationkey), every file's min/max span in EACH keyed
+    dimension is a fraction of the full range (a contiguous z-range of
+    fraction p spans ~sqrt(p) per dimension in 2D); a round-robin
+    write of the same rows spans ~the whole range in every file, so
+    nothing can ever be skipped."""
+    pytest.importorskip("pyarrow")
+    from _data_engineering_pipeline_project_spark.operators.layout import (
+        file_stat_spans,
+        write_zordered,
+    )
+
+    src = spark.read.parquet(f"{SF}/customer.parquet")
+    zpath, rpath = str(tmp_path / "zord"), str(tmp_path / "rrobin")
+    write_zordered(src, zpath, ["c_acctbal", "c_nationkey"], num_files=8)
+    src.repartition(8).write.parquet(rpath)
+
+    for col in ("c_acctbal", "c_nationkey"):
+        z = file_stat_spans(spark, zpath, col)
+        r = file_stat_spans(spark, rpath, col)
+        assert len(z) == 8 and len(r) == 8
+        zavg, ravg = sum(z) / len(z), sum(r) / len(r)
+        # round-robin: every file spans ~the whole range (188-row files
+        # can miss a few of nationkey's 25 distinct values, hence 0.75)
+        assert ravg > 0.75, (col, ravg)
+        assert zavg < 0.62, (col, zavg)  # z-order: ~sqrt(1/8) + quant noise
+        assert zavg < ravg / 1.5, (col, zavg, ravg)
+
+    # the layout changes bytes-on-disk order only, never content
+    a = sorted(map(tuple, spark.read.parquet(zpath).collect()))
+    b = sorted(map(tuple, src.collect()))
+    assert a == b
+    # and a selective 2-D predicate still answers identically
+    pred = (F.col("c_acctbal") > 5000) & (F.col("c_nationkey") < 5)
+    assert (
+        spark.read.parquet(zpath).filter(pred).count()
+        == src.filter(pred).count()
+    )
+
+
 @pytest.mark.skipif(not _HAVE_DELTA, reason="delta-spark not on classpath")
 def test_scd2_merge_into_delta_e2e(spark, tmp_path):
     """Ready-to-enable: with the jar present, the Delta path must match
