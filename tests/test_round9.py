@@ -259,11 +259,39 @@ def test_write_zordered_narrows_file_stat_spans(spark, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(zpath).collect()))
     b = sorted(map(tuple, src.collect()))
     assert a == b
-    # and a selective 2-D predicate still answers identically
-    pred = (F.col("c_acctbal") > 5000) & (F.col("c_nationkey") < 5)
+
+    # RUNTIME proof, not just footer stats: the scan's numOutputRows is
+    # what the parquet reader actually decoded AFTER row-group skipping
+    # on the pushed min/max filters — far fewer rows under the z layout
+    def scan_output_rows(path, pred):
+        df = spark.read.parquet(path).filter(pred)
+        df.collect()
+        def walk(node):
+            rows = []
+            for i in range(node.children().size()):
+                rows += walk(node.children().apply(i))
+            if "FileSourceScan" in node.getClass().getName():
+                it = node.metrics().iterator()
+                while it.hasNext():
+                    kv = it.next()
+                    if kv._1() == "numOutputRows":
+                        rows.append(kv._2().value())
+            return rows
+        return sum(walk(df._jdf.queryExecution().executedPlan()))
+
+    pred = (F.col("c_acctbal") > 9000) & (F.col("c_nationkey") < 3)
+    true_n = src.filter(pred).count()
+    z_rows = scan_output_rows(zpath, pred)
+    r_rows = scan_output_rows(rpath, pred)
+    assert z_rows >= true_n  # skipping never loses matches
+    # at 150 rows a 19-row round-robin file occasionally gets an
+    # accidental narrow span, so assert the RELATIVE skip, not that
+    # round-robin decodes everything (it does at sf0.1: 15000 vs 1860,
+    # measured in SCALE.md r9)
+    assert r_rows > src.count() / 2
+    assert z_rows < r_rows / 3, (z_rows, r_rows)
     assert (
-        spark.read.parquet(zpath).filter(pred).count()
-        == src.filter(pred).count()
+        spark.read.parquet(zpath).filter(pred).count() == true_n
     )
 
 
