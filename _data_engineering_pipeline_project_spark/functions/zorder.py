@@ -33,30 +33,46 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def zorder2(x: Column, y: Column, bits: int = 16) -> Column:
-    """Interleave the low ``bits`` bits of two non-negative integer
-    columns into a single z-value (x takes the even bit positions, y
-    the odd). 2·bits ≤ 62 keeps everything in a signed 64-bit lane.
+def zorderk(cols: list[Column], bits: int = 16) -> Column:
+    """Interleave the low ``bits`` bits of ``k = len(cols)`` non-negative
+    integer columns into a single z-value: bit i of column j lands at
+    position ``i·k + j`` (for k=2 that is the classic x-even / y-odd
+    convention). ``k·bits ≤ 62`` keeps everything in a signed 64-bit
+    lane.
 
-    The expression unrolls to ``2·bits`` shift-and-mask terms OR-ed via
+    The expression unrolls to ``k·bits`` shift-and-mask terms OR-ed via
     addition (the masked terms are disjoint, so ``+`` == ``|``) — fully
     inside whole-stage codegen, no UDF."""
+    k = len(cols)
+    if k * bits > 62:
+        raise ValueError(f"{k} cols x {bits} bits exceeds a signed 64-bit key")
     z: Column = F.lit(0).cast("bigint")
     for i in range(bits):
-        z = z + F.shiftleft(
-            F.shiftright(x.cast("bigint"), i).bitwiseAND(F.lit(1)), 2 * i
-        )
-        z = z + F.shiftleft(
-            F.shiftright(y.cast("bigint"), i).bitwiseAND(F.lit(1)), 2 * i + 1
-        )
+        for j, c in enumerate(cols):
+            z = z + F.shiftleft(
+                F.shiftright(c.cast("bigint"), i).bitwiseAND(F.lit(1)),
+                i * k + j,
+            )
     return z
 
 
-def zorder2_sql(x_expr: str, y_expr: str, bits: int = 16) -> str:
+def zorderk_sql(exprs: list[str], bits: int = 16) -> str:
     """The identical interleave as an ANSI-SQL string (DuckDB oracle
-    twin of :func:`zorder2` — same terms, same order)."""
-    terms = []
-    for i in range(bits):
-        terms.append(f"((({x_expr}) >> {i}) & 1) * {1 << (2 * i)}")
-        terms.append(f"((({y_expr}) >> {i}) & 1) * {1 << (2 * i + 1)}")
+    twin of :func:`zorderk` — same terms, same order)."""
+    k = len(exprs)
+    terms = [
+        f"((({e}) >> {i}) & 1) * {1 << (i * k + j)}"
+        for i in range(bits)
+        for j, e in enumerate(exprs)
+    ]
     return "(" + " + ".join(terms) + ")"
+
+
+def zorder2(x: Column, y: Column, bits: int = 16) -> Column:
+    """Two-column form of :func:`zorderk` (x even bits, y odd)."""
+    return zorderk([x, y], bits)
+
+
+def zorder2_sql(x_expr: str, y_expr: str, bits: int = 16) -> str:
+    """Two-column form of :func:`zorderk_sql`."""
+    return zorderk_sql([x_expr, y_expr], bits)

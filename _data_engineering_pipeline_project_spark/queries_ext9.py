@@ -1,15 +1,17 @@
-"""Round-9: data-layout operators (Z-order clustering).
+"""Round-9: quantized data-layout key (Z-order over arbitrary doubles).
 
-``zorder_key_customers`` registers the Morton-key computation itself —
-quantize (acctbal, nationkey) to 16 bits each against the table's
-min/max, interleave to one 32-bit key — so the exact bit geometry the
-clustered write sorts by is oracle-checked against DuckDB (the same
-floor/shift/mask arithmetic in SQL). The WRITE path
-(``operators/layout.py:write_zordered``) and its file-statistics
-payoff are pinned by pytest (``tests/test_round9.py``): per-file
-min/max spans from parquet footers shrink from ~1.0 (round-robin) to
-≪ 1 per keyed dimension, which is precisely what a reader's row-group
-pruning consults.
+``zorder_key_customers`` registers the QUANTIZED Morton-key computation
+(``operators/layout.py``) — (acctbal, nationkey) mapped to 16-bit lanes
+against the table's min/max, interleaved via the shared
+``functions/zorder.py:zorderk`` expression — so the exact bit geometry
+the clustered write sorts by is oracle-checked against DuckDB using the
+same module's SQL twin (``zorderk_sql``). The integer-lane sibling is
+``zorder_layout_orders`` (queries_ext7.py); what this query adds is the
+min/max quantization that makes real-valued columns z-orderable. The
+WRITE path (``layout.py:write_zordered_quantized``) and its payoff are
+pinned by pytest (``tests/test_round9.py``): footer min/max spans per
+file drop to ~sqrt(1/files) per dimension, and the scan METRIC shows
+row groups actually skipped at read time.
 """
 
 from __future__ import annotations
@@ -23,17 +25,11 @@ from _data_engineering_pipeline_project_spark.queries import query
 _ZBITS = 16
 
 
-def _z_sql_expr(qnames: list[str], bits: int) -> str:
-    n = len(qnames)
-    terms = [
-        f"((({q} >> {i}) & 1) << {i * n + j})"
-        for i in range(bits)
-        for j, q in enumerate(qnames)
-    ]
-    return " | ".join(terms)
-
-
 def _zorder_sql() -> str:
+    from _data_engineering_pipeline_project_spark.functions.zorder import (
+        zorderk_sql,
+    )
+
     q = (
         "CAST(floor((CAST({col} AS DOUBLE) - mn_{k}) * CAST(65535 AS DOUBLE)"
         " / (mx_{k} - mn_{k})) AS BIGINT)"
@@ -49,7 +45,7 @@ WITH stats AS (
          {q.format(col='c_nationkey', k='n')} AS qn
   FROM customer CROSS JOIN stats
 )
-SELECT c_custkey, CAST({_z_sql_expr(['qa', 'qn'], _ZBITS)} AS BIGINT) AS z_key
+SELECT c_custkey, CAST({zorderk_sql(['qa', 'qn'], _ZBITS)} AS BIGINT) AS z_key
 FROM quant
 """
 

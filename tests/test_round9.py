@@ -236,12 +236,14 @@ def test_write_zordered_narrows_file_stat_spans(spark, tmp_path):
     pytest.importorskip("pyarrow")
     from _data_engineering_pipeline_project_spark.operators.layout import (
         file_stat_spans,
-        write_zordered,
+        write_zordered_quantized,
     )
 
     src = spark.read.parquet(f"{SF}/customer.parquet")
     zpath, rpath = str(tmp_path / "zord"), str(tmp_path / "rrobin")
-    write_zordered(src, zpath, ["c_acctbal", "c_nationkey"], num_files=8)
+    write_zordered_quantized(
+        src, zpath, ["c_acctbal", "c_nationkey"], num_files=8
+    )
     src.repartition(8).write.parquet(rpath)
 
     for col in ("c_acctbal", "c_nationkey"):
