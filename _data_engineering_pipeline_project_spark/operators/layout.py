@@ -49,11 +49,16 @@ def quantized(col: Column, mn: Column, mx: Column, bits: int = 16) -> Column:
     ``floor((col - mn) * (2^bits - 1) / (mx - mn))`` computed in DOUBLE
     (sub → mul → div, an order any SQL engine reproduces bit-for-bit;
     the intermediate magnitude stays far under 2^53, so the floor is
-    exact). A zero span (constant column) maps everything to 0."""
+    exact). A zero span (constant column) maps everything to 0, and so
+    does a NULL value — NULLs cluster together at the curve origin
+    instead of producing NULL keys that range-partition arbitrarily
+    (mirrored as COALESCE in the SQL oracle)."""
     maxq = F.lit(float((1 << bits) - 1))
     span = mx.cast("double") - mn.cast("double")
     q = F.floor((col.cast("double") - mn.cast("double")) * maxq / span)
-    return F.when(span == 0, F.lit(0)).otherwise(q).cast("long")
+    return F.coalesce(
+        F.when(span == 0, F.lit(0)).otherwise(q).cast("long"), F.lit(0)
+    )
 
 
 def with_zorder_key(

@@ -31,8 +31,9 @@ def _zorder_sql() -> str:
     )
 
     q = (
-        "CAST(floor((CAST({col} AS DOUBLE) - mn_{k}) * CAST(65535 AS DOUBLE)"
-        " / (mx_{k} - mn_{k})) AS BIGINT)"
+        "COALESCE(CAST(floor((CAST({col} AS DOUBLE) - mn_{k})"
+        " * CAST(65535 AS DOUBLE)"
+        " / (mx_{k} - mn_{k})) AS BIGINT), 0)"
     )
     return f"""
 WITH stats AS (

@@ -208,6 +208,23 @@ def test_load_pq_index_fresh_session_serves_identical(spark, tmp_path):
     assert served == expected
 
 
+def test_zorder_key_nulls_cluster_at_origin(spark):
+    """NULL values in a keyed column must not produce NULL z-keys
+    (range partitioning would place them arbitrarily); they quantize to
+    lane 0 and cluster together at the curve origin."""
+    from _data_engineering_pipeline_project_spark.operators.layout import (
+        with_zorder_key,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 5), (2, None, 5), (3, 20.0, None), (4, None, None)],
+        "id int, a double, b int",
+    )
+    rows = {r["id"]: r["z_key"] for r in with_zorder_key(df, ["a", "b"]).collect()}
+    assert all(v is not None for v in rows.values())
+    assert rows[4] == 0  # both lanes null -> curve origin
+
+
 # --- Delta MERGE seam -------------------------------------------------------
 
 
