@@ -157,6 +157,101 @@ def bm25_scores(
     )
 
 
+def save_bm25_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_files: int | None = None,
+) -> None:
+    """Persist the BM25 inverted index as a parquet artifact — the
+    lexical sibling of the PQ vector artifact (``similarity.py:
+    save_pq_index``): tokenize the corpus ONCE in an offline job, then
+    any later session serves queries without touching a document.
+
+    Layout IS the index: ``path/postings`` (doc, term, tf) is written
+    range-clustered BY TERM (``repartitionByRange`` +
+    ``sortWithinPartitions`` — the same mechanics as
+    ``operators/layout.py``), so a query-time ``term IN (...)`` scan
+    row-group-skips straight to the query bag's postings instead of
+    decoding the corpus-sized relation; no auxiliary index structure,
+    just parquet min/max statistics doing inverted-list seeks.
+    ``path/dictionary`` (term, df), ``path/doclens`` (doc, dl),
+    ``path/stats`` (n_docs, avgdl) and ``path/params`` (column names,
+    so a loader can't mismatch) complete the artifact. At 100 TB the
+    serving job's input is the query terms' postings — the classic
+    inverted-index economics, relationally."""
+    spark = docs.sparkSession
+    toks = _token_relation(docs, text_col, id_col)
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n = num_files or spark.sparkContext.defaultParallelism
+    (
+        tf.repartitionByRange(n, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(f"{path}/postings")
+    )
+    # df per term == distinct docs per term == tf-relation rows per term
+    tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/dictionary")
+    dl = docs.select(F.col(id_col), TS.token_count(text_col).alias("dl"))
+    dl.write.mode("overwrite").parquet(f"{path}/doclens")
+    dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+    spark.createDataFrame(
+        [(id_col, text_col)], "id_col string, text_col string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def load_bm25_index(spark, path: str) -> dict:
+    """Load a :func:`save_bm25_index` artifact → dict of plain parquet
+    scans (postings, dictionary, doclens, stats) + the params row —
+    no lineage back to the corpus."""
+    return {
+        "postings": spark.read.parquet(f"{path}/postings"),
+        "dictionary": spark.read.parquet(f"{path}/dictionary"),
+        "doclens": spark.read.parquet(f"{path}/doclens"),
+        "stats": spark.read.parquet(f"{path}/stats"),
+        "params": spark.read.parquet(f"{path}/params").collect()[0].asDict(),
+    }
+
+
+def bm25_scores_from_index(
+    index: dict,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: int = 4,
+) -> DataFrame:
+    """BM25 totals served from a loaded index artifact — identical math
+    to :func:`bm25_scores` (same idf/tf-norm expressions over the same
+    exact integer inputs, so the served scores match the direct path
+    bit-for-bit; test-pinned), but the only corpus-sized relation read
+    is the term-clustered postings slice for the query bag."""
+    id_col = index["params"]["id_col"]
+    qset = [t.lower() for t in query_terms]
+    tf = index["postings"].filter(F.col("term").isin(qset))
+    df_ = index["dictionary"].filter(F.col("term").isin(qset))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    per_term = (
+        tf.join(df_, "term")
+        .join(index["doclens"], id_col)
+        .crossJoin(F.broadcast(index["stats"]))
+        .select(F.col(id_col), (idf * tf_norm).alias("contrib"))
+    )
+    return per_term.groupBy(id_col).agg(
+        F.round(F.sum("contrib"), round_digits).alias("bm25")
+    )
+
+
 def vocab_coverage(
     docs: DataFrame,
     top_n: int = 30,

@@ -208,6 +208,52 @@ def test_load_pq_index_fresh_session_serves_identical(spark, tmp_path):
     assert served == expected
 
 
+# --- BM25 index artifact ------------------------------------------------------
+
+
+def test_bm25_index_serves_identical_scores_fresh_session(spark, tmp_path):
+    """The lexical serving artifact (same discipline as the PQ index):
+    tokenize once offline, persist postings/dictionary/doclens/stats,
+    then a FRESH SparkSession serves BM25 from the artifact with scores
+    identical to the direct corpus-scanning path — and the query-time
+    postings scan decodes only the query bag's slice (row-group skip on
+    the term-clustered layout), not the corpus-sized relation."""
+    from _data_engineering_pipeline_project_spark.operators.ranking import (
+        bm25_scores,
+        bm25_scores_from_index,
+        load_bm25_index,
+        save_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    terms = ["the", "data", "pipeline"]
+    expected = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in bm25_scores(docs, terms).collect()
+    )
+    path = str(tmp_path / "bm25_index")
+    save_bm25_index(docs, path, num_files=16)
+
+    fresh = spark.newSession()
+    idx = load_bm25_index(fresh, path)
+    assert idx["params"] == {"id_col": "doc_id", "text_col": "text"}
+    served = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in bm25_scores_from_index(idx, terms).collect()
+    )
+    assert served == expected and len(served) > 0
+
+    # inverted-list economics: the term-clustered postings scan skips
+    # the row groups of every term NOT in the query bag
+    total_postings = idx["postings"].count()
+    decoded = _scan_output_rows(
+        fresh, f"{path}/postings", F.col("term").isin(terms)
+    )
+    matched = idx["postings"].filter(F.col("term").isin(terms)).count()
+    assert decoded >= matched
+    assert decoded < total_postings / 2, (decoded, total_postings)
+
+
 def test_zorder_key_nulls_cluster_at_origin(spark):
     """NULL values in a keyed column must not produce NULL z-keys
     (range partitioning would place them arbitrarily); they quantize to
@@ -240,6 +286,29 @@ def test_scd2_merge_into_without_delta_raises_cleanly(spark, tmp_path):
 
 
 # --- Z-order layout ---------------------------------------------------------
+
+
+def _scan_output_rows(spark, path, pred) -> int:
+    """Rows the parquet reader actually DECODED for a filtered read of
+    ``path`` — the FileSourceScan's numOutputRows after row-group
+    skipping on the pushed min/max filters (walked from the executed
+    plan of this exact collect)."""
+    df = spark.read.parquet(path).filter(pred)
+    df.collect()
+
+    def walk(node):
+        rows = []
+        for i in range(node.children().size()):
+            rows += walk(node.children().apply(i))
+        if "FileSourceScan" in node.getClass().getName():
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numOutputRows":
+                    rows.append(kv._2().value())
+        return rows
+
+    return sum(walk(df._jdf.queryExecution().executedPlan()))
 
 
 def test_write_zordered_narrows_file_stat_spans(spark, tmp_path):
@@ -282,26 +351,10 @@ def test_write_zordered_narrows_file_stat_spans(spark, tmp_path):
     # RUNTIME proof, not just footer stats: the scan's numOutputRows is
     # what the parquet reader actually decoded AFTER row-group skipping
     # on the pushed min/max filters — far fewer rows under the z layout
-    def scan_output_rows(path, pred):
-        df = spark.read.parquet(path).filter(pred)
-        df.collect()
-        def walk(node):
-            rows = []
-            for i in range(node.children().size()):
-                rows += walk(node.children().apply(i))
-            if "FileSourceScan" in node.getClass().getName():
-                it = node.metrics().iterator()
-                while it.hasNext():
-                    kv = it.next()
-                    if kv._1() == "numOutputRows":
-                        rows.append(kv._2().value())
-            return rows
-        return sum(walk(df._jdf.queryExecution().executedPlan()))
-
     pred = (F.col("c_acctbal") > 9000) & (F.col("c_nationkey") < 3)
     true_n = src.filter(pred).count()
-    z_rows = scan_output_rows(zpath, pred)
-    r_rows = scan_output_rows(rpath, pred)
+    z_rows = _scan_output_rows(spark, zpath, pred)
+    r_rows = _scan_output_rows(spark, rpath, pred)
     assert z_rows >= true_n  # skipping never loses matches
     # at 150 rows a 19-row round-robin file occasionally gets an
     # accidental narrow span, so assert the RELATIVE skip, not that
