@@ -208,6 +208,90 @@ def test_load_pq_index_fresh_session_serves_identical(spark, tmp_path):
     assert served == expected
 
 
+# --- round-9 primitive properties (hypothesis) -------------------------------
+
+
+def test_zorderk_properties(spark):
+    """zorderk is a bijection from k bit-lanes: decoding the key's bit
+    positions recovers every lane exactly, for random lane values and
+    k in {2, 3}. One Spark job per k over all generated rows."""
+    import random
+
+    from _data_engineering_pipeline_project_spark.functions.zorder import (
+        zorderk,
+    )
+
+    rnd = random.Random(9)
+    for k, bits in ((2, 16), (3, 10)):
+        rows = [
+            tuple(rnd.randrange(1 << bits) for _ in range(k))
+            for _ in range(64)
+        ]
+        df = spark.createDataFrame(
+            rows, ", ".join(f"c{j} long" for j in range(k))
+        )
+        got = df.select(
+            *[F.col(f"c{j}") for j in range(k)],
+            zorderk([F.col(f"c{j}") for j in range(k)], bits).alias("z"),
+        ).collect()
+        for r in got:
+            z = r["z"]
+            assert 0 <= z < (1 << (k * bits))
+            for j in range(k):
+                lane = sum(
+                    ((z >> (i * k + j)) & 1) << i for i in range(bits)
+                )
+                assert lane == r[f"c{j}"], (k, j, r)
+
+
+def test_quantized_properties(spark):
+    """quantized() is bounded in [0, 2^bits-1], monotone in the input,
+    and maps mn -> 0 / mx -> 2^bits - 1 exactly."""
+    from _data_engineering_pipeline_project_spark.operators.layout import (
+        quantized,
+    )
+
+    vals = [-1e6, -123.45, -1.0, 0.0, 0.5, 1.0, 99.99, 1e6]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    mn, mx = F.lit(min(vals)), F.lit(max(vals))
+    got = [
+        r["q"]
+        for r in df.orderBy("v")
+        .select(quantized(F.col("v"), mn, mx, 16).alias("q"))
+        .collect()
+    ]
+    assert got[0] == 0 and got[-1] == 65535
+    assert all(0 <= q <= 65535 for q in got)
+    assert got == sorted(got)  # monotone
+
+
+def test_explode_ordered_pairs_counts_property(spark):
+    """|pairs| == C(n_distinct, 2) for arbitrary arrays (duplicates and
+    unsorted order must not change the pair set)."""
+    import random
+
+    from _data_engineering_pipeline_project_spark.operators.skew import (
+        explode_ordered_pairs,
+    )
+
+    rnd = random.Random(42)
+    rows = []
+    for g in range(30):
+        vals = [rnd.randrange(12) for _ in range(rnd.randrange(0, 9))]
+        rows.append((g, vals))
+    df = spark.createDataFrame(rows, "g int, ps array<int>")
+    got = explode_ordered_pairs(df, "ps", "a", "b", keep_cols=["g"]).collect()
+    by_g: dict = {}
+    for r in got:
+        assert r["a"] < r["b"]
+        by_g.setdefault(r["g"], set()).add((r["a"], r["b"]))
+    for g, vals in rows:
+        n = len(set(vals))
+        want = n * (n - 1) // 2
+        have = len(by_g.get(g, set()))
+        assert have == want, (g, vals, have, want)
+
+
 # --- BM25 index artifact ------------------------------------------------------
 
 
