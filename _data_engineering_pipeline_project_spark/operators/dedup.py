@@ -92,19 +92,47 @@ def exact_duplicate_groups(
     )
 
 
-def _listed_file_bytes(spark, paths: list[str]) -> int:
-    """Total size of the listed files — metadata-only Hadoop FS status
-    calls (one RPC per file; only ever invoked when the file count is
-    below defaultParallelism, so the call count is bounded by the slot
-    count, not the corpus)."""
+# raw text/json/csv with these suffixes is stream-compressed and NOT
+# splittable — one scan partition per file no matter how large. Columnar
+# containers (.parquet/.orc) are splittable regardless of their internal
+# codec (a *.snappy.parquet is still row-group-splittable).
+_UNSPLITTABLE_SUFFIXES = (".gz", ".zst", ".deflate", ".lz4", ".snappy", ".br")
+_CONTAINER_SUFFIXES = (".parquet", ".orc")
+
+
+def _file_is_splittable(path: str) -> bool:
+    low = path.lower()
+    if low.endswith(_CONTAINER_SUFFIXES):
+        return True
+    return not low.endswith(_UNSPLITTABLE_SUFFIXES)
+
+
+def _listed_file_lengths(spark, paths: list[str]) -> dict[str, int]:
+    """path → byte length for the listed files, metadata-only. One
+    ``listStatus`` RPC per PARENT DIRECTORY (almost always one — a
+    table is one directory), not one ``getFileStatus`` per file; only
+    ever invoked when the file count is below defaultParallelism."""
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
-    total = 0
+    wanted = set(paths)
+    parents: dict[str, list[str]] = {}
     for p in paths:
-        jpath = jvm.org.apache.hadoop.fs.Path(p)
-        fs = jpath.getFileSystem(hconf)
-        total += fs.getFileStatus(jpath).getLen()
-    return total
+        parents.setdefault(p.rsplit("/", 1)[0], []).append(p)
+    out: dict[str, int] = {}
+    for parent in parents:
+        jparent = jvm.org.apache.hadoop.fs.Path(parent)
+        fs = jparent.getFileSystem(hconf)
+        for st in fs.listStatus(jparent):
+            p = st.getPath().toString()
+            if p in wanted:
+                out[p] = st.getLen()
+    missing = wanted - set(out)
+    if missing:  # renamed-scheme mismatch etc. — fall back per-file
+        for p in missing:
+            jpath = jvm.org.apache.hadoop.fs.Path(p)
+            fs = jpath.getFileSystem(hconf)
+            out[p] = fs.getFileStatus(jpath).getLen()
+    return out
 
 
 def fan_out_if_narrow(df: DataFrame) -> DataFrame:
@@ -119,16 +147,20 @@ def fan_out_if_narrow(df: DataFrame) -> DataFrame:
     be a pure regression.
 
     Width estimate (VERDICT r8 #1 — the r8 file-COUNT probe
-    misclassified few-large-files corpora): parquet/orc/csv are
-    splittable, so a corpus of 64 × 2 GB files is already read as
-    ~1024 maxPartitionBytes-sized input splits with no shuffle needed.
-    Width is therefore ``max(len(files), ceil(Σ file_bytes /
-    maxPartitionBytes))`` — both terms metadata-only (the file listing
-    from the plan, sizes from ≤ defaultParallelism FS status calls,
-    and the size term is only computed when the count term alone is
-    inconclusive). Non-file sources (createDataFrame tests) report no
-    files and fall back to the RDD partition probe (~200 ms cold — the
-    price of having no file metadata)."""
+    misclassified few-large-files corpora): parquet/orc are splittable,
+    so a corpus of 64 × 2 GB files is already read as ~1024
+    maxPartitionBytes-sized input splits with no shuffle needed. Width
+    is therefore ``Σ per-file splits``, where a SPLITTABLE file
+    contributes ``max(1, ceil(bytes / maxPartitionBytes))`` and a
+    stream-compressed text file (``.gz``/``.zst``/… — one scan
+    partition no matter how large) contributes exactly 1, so a corpus
+    of a few huge ``.json.gz`` files still widens (it really is
+    narrow). All terms are metadata-only: the file listing comes from
+    the plan, sizes from one ``listStatus`` per parent directory, and
+    the size pass only runs when the count term alone is inconclusive.
+    Non-file sources (createDataFrame tests) report no files and fall
+    back to the RDD partition probe (~200 ms cold — the price of
+    having no file metadata)."""
     from _data_engineering_pipeline_project_spark.functions.gates import (
         size_conf_bytes,
     )
@@ -143,7 +175,7 @@ def fan_out_if_narrow(df: DataFrame) -> DataFrame:
         width = len(files)
         if width < dp:
             # few files may still be split-parallel: count the scan
-            # splits maxPartitionBytes would produce
+            # splits maxPartitionBytes would produce per file
             try:
                 mpb = max(
                     1,
@@ -151,8 +183,13 @@ def fan_out_if_narrow(df: DataFrame) -> DataFrame:
                         spark, "spark.sql.files.maxPartitionBytes", 128 << 20
                     ),
                 )
-                total = _listed_file_bytes(spark, files)
-                width = max(width, -(-total // mpb))
+                lengths = _listed_file_lengths(spark, files)
+                width = sum(
+                    max(1, -(-lengths[p] // mpb))
+                    if _file_is_splittable(p)
+                    else 1
+                    for p in files
+                )
             except Exception:
                 width = df.rdd.getNumPartitions()
     else:

@@ -66,8 +66,12 @@ def with_zorder_key(
 ) -> DataFrame:
     """``df`` plus a Morton key over ``cols`` (numeric). Column min/max
     come from one aggregate broadcast-cross-joined back (a declared
-    plan — no driver collect), then quantize (:func:`quantized`) +
-    interleave (``zorderk``) are pure per-row column math."""
+    plan — no driver collect; right for a single-job consumer like the
+    oracled key query), then quantize (:func:`quantized`) + interleave
+    (``zorderk``) are pure per-row column math. Multi-JOB consumers
+    (the clustered write: boundary sampling + write each re-execute the
+    plan) should pin the stats as literals instead —
+    :func:`write_zordered_quantized` does."""
     stats = df.agg(
         *[F.min(c).alias(f"__mn_{c}") for c in cols],
         *[F.max(c).alias(f"__mx_{c}") for c in cols],
@@ -80,6 +84,31 @@ def with_zorder_key(
     return j.withColumn(key_col, zorderk(qs, bits)).drop(
         *[f"__mn_{c}" for c in cols], *[f"__mx_{c}" for c in cols]
     )
+
+
+def _zorder_key_with_literal_stats(
+    df: DataFrame, cols: list[str], bits: int, key_col: str
+) -> DataFrame:
+    """Same key as :func:`with_zorder_key` but with min/max collected
+    ONCE to the driver (one row, 2k doubles — bounded) and embedded as
+    literals, so plans that execute MULTIPLE jobs over the keyed frame
+    (range-boundary sampling, then the write) don't re-run the full
+    min/max aggregate per job. Literal doubles are the identical IEEE
+    values the broadcast form would join, so the key is byte-identical."""
+    row = df.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in cols],
+        *[F.max(c).alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    qs = [
+        quantized(
+            F.col(c),
+            F.lit(row[f"mn_{c}"]),
+            F.lit(row[f"mx_{c}"]),
+            bits,
+        )
+        for c in cols
+    ]
+    return df.withColumn(key_col, zorderk(qs, bits))
 
 
 def write_zordered_quantized(
@@ -98,8 +127,12 @@ def write_zordered_quantized(
     before the write — the layout, not the value, is the product. For
     columns that are already full-range non-negative ints, the UDF
     sibling ``operators/sampling.py:write_zordered`` skips the
-    quantization pass."""
-    keyed = with_zorder_key(df, cols, bits, "__z")
+    quantization pass.
+
+    Cost: one bounded stats collect (min/max row, pinned as literals so
+    the sampling job and the write job don't each re-aggregate the
+    input) + the range shuffle + Spark's boundary-sampling job."""
+    keyed = _zorder_key_with_literal_stats(df, cols, bits, "__z")
     n = num_files or df.sparkSession.sparkContext.defaultParallelism
     (
         keyed.repartitionByRange(n, "__z")
@@ -120,7 +153,9 @@ def file_stat_spans(spark, path: str, col: str) -> list[float]:
     import pyarrow.parquet as pq
 
     df = spark.read.parquet(path)
-    files = [f.replace("file:", "") for f in df.inputFiles()]
+    # strip only a LEADING file: scheme (replace() would mangle paths
+    # containing 'file:' as a substring)
+    files = [f.removeprefix("file:") for f in df.inputFiles()]
     per_file = []
     for f in files:
         md = pq.read_metadata(f)
@@ -135,6 +170,12 @@ def file_stat_spans(spark, path: str, col: str) -> list[float]:
                 fmax = st.max if fmax is None else max(fmax, st.max)
         if fmin is not None:
             per_file.append((float(fmin), float(fmax)))
+    if not per_file:
+        raise ValueError(
+            f"no parquet footer statistics found for column {col!r} "
+            f"under {path} (misspelled column, or written with "
+            "statistics disabled)"
+        )
     lo = min(a for a, _ in per_file)
     hi = max(b for _, b in per_file)
     width = (hi - lo) or 1.0

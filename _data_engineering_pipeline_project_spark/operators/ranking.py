@@ -183,26 +183,40 @@ def save_bm25_index(
     inverted-index economics, relationally."""
     spark = docs.sparkSession
     toks = _token_relation(docs, text_col, id_col)
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    n = num_files or spark.sparkContext.defaultParallelism
-    (
-        tf.repartitionByRange(n, "term")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .parquet(f"{path}/postings")
+    # tokenize+shuffle genuinely ONCE: the tf lineage would otherwise be
+    # re-executed by the range-boundary sampling job, the postings write
+    # AND the dictionary write (3× the offline build's dominant cost);
+    # cache it for the build's duration, release before returning.
+    tf = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .cache()
     )
-    # df per term == distinct docs per term == tf-relation rows per term
-    tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/dictionary")
-    dl = docs.select(F.col(id_col), TS.token_count(text_col).alias("dl"))
-    dl.write.mode("overwrite").parquet(f"{path}/doclens")
-    dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
-    spark.createDataFrame(
-        [(id_col, text_col)], "id_col string, text_col string"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+    dl = docs.select(
+        F.col(id_col), TS.token_count(text_col).alias("dl")
+    ).cache()
+    try:
+        n = num_files or spark.sparkContext.defaultParallelism
+        (
+            tf.repartitionByRange(n, "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(f"{path}/postings")
+        )
+        # df per term == distinct docs per term == tf rows per term
+        tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/dictionary")
+        dl.write.mode("overwrite").parquet(f"{path}/doclens")
+        dl.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+        spark.createDataFrame(
+            [(id_col, text_col)], "id_col string, text_col string"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+    finally:
+        tf.unpersist()
+        dl.unpersist()
 
 
 def load_bm25_index(spark, path: str) -> dict:

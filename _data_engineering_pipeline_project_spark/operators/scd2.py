@@ -463,15 +463,37 @@ def scd2_merge_into_delta(
 
     tgt = DeltaTable.forPath(spark, target_path)
     res = scd2_merge(incoming, tgt.toDF(), pk, batch_ts, compare_cols)
-    res.history.write.format("delta").mode("append").save(history_path)
+    # history: RETRY-IDEMPOTENT append — an insert-only MERGE on the
+    # history PK (pk + valid_from + valid_to), the Delta-native form of
+    # the parquet path's explicit dedup. A batch retried after a crash
+    # between the history write and the snapshot MERGE re-derives the
+    # identical delta and inserts nothing the second time (a plain
+    # mode('append') would duplicate audit rows forever).
+    if DeltaTable.isDeltaTable(spark, history_path):
+        hist_tgt = DeltaTable.forPath(spark, history_path)
+        hist_cond = " AND ".join(
+            f"t.`{c}` <=> s.`{c}`" for c in [*pk, "valid_from", "valid_to"]
+        )
+        (
+            hist_tgt.alias("t")
+            .merge(res.history.alias("s"), hist_cond)
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+    else:
+        res.history.write.format("delta").mode("append").save(history_path)
     cond = " AND ".join(f"t.`{c}` <=> s.`{c}`" for c in pk)
+    # update when ANY column's state differs (null-safe): limiting write
+    # amplification to genuinely-changed rows without ever skipping a
+    # value change. Comparing only the bookkeeping columns would lose a
+    # backfill that reuses the same event-time batch_ts (deterministic
+    # batch_ts replays are an explicit feature of this module).
+    attrs = [c for c in res.snapshot.columns if c not in pk]
+    upd_cond = " OR ".join(f"NOT (t.`{c}` <=> s.`{c}`)" for c in attrs)
     (
         tgt.alias("t")
         .merge(res.snapshot.alias("s"), cond)
-        .whenMatchedUpdateAll(
-            condition="t.updated_at <> s.updated_at "
-            "OR t.is_deleted <> s.is_deleted"
-        )
+        .whenMatchedUpdateAll(condition=upd_cond)
         .whenNotMatchedInsertAll()
         .execute()
     )

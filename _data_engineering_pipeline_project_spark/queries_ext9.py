@@ -30,9 +30,10 @@ def _zorder_sql() -> str:
         zorderk_sql,
     )
 
+    maxq = (1 << _ZBITS) - 1  # derived, so the oracle can't desync from bits
     q = (
         "COALESCE(CAST(floor((CAST({col} AS DOUBLE) - mn_{k})"
-        " * CAST(65535 AS DOUBLE)"
+        f" * CAST({maxq} AS DOUBLE)"
         " / (mx_{k} - mn_{k})) AS BIGINT), 0)"
     )
     return f"""

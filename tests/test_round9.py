@@ -67,6 +67,40 @@ def test_fan_out_skips_large_splittable_file(spark, tmp_path):
     assert widened.count() == 30_000
 
 
+def test_fan_out_still_widens_large_unsplittable_gz(spark, tmp_path):
+    """A huge stream-compressed text file is ONE scan partition no
+    matter what bytes/maxPartitionBytes says — the byte estimate must
+    not misclassify it as already-wide (code-review r9: the naive
+    ceil(bytes/mpb) would regress exactly the case the helper exists
+    for on .gz corpora)."""
+    import gzip
+
+    from _data_engineering_pipeline_project_spark.operators import dedup as D
+
+    assert D._file_is_splittable("part-0.snappy.parquet")
+    assert D._file_is_splittable("data.orc")
+    assert D._file_is_splittable("plain.jsonl")
+    assert not D._file_is_splittable("docs.jsonl.gz")
+    assert not D._file_is_splittable("docs.csv.zst")
+
+    gz = tmp_path / "docs.csv.gz"
+    with gzip.open(gz, "wt") as f:
+        for i in range(20_000):
+            f.write(f"{i},{'x' * 40}\n")
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        # tiny split size: the raw byte estimate would be >> dp, but the
+        # file is unsplittable so the true width is 1 -> must widen
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+        scan = spark.read.csv(str(gz))
+        out = D.fan_out_if_narrow(scan)
+        assert out is not scan
+        dp = spark.sparkContext.defaultParallelism
+        assert out.rdd.getNumPartitions() == dp
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
 # --- explode_ordered_pairs contract --------------------------------------
 
 
