@@ -169,32 +169,35 @@ def save_bm25_index(
     save_pq_index``): tokenize the corpus ONCE in an offline job, then
     any later session serves queries without touching a document.
 
-    Layout IS the index: ``path/postings`` (doc, term, tf) is written
-    range-clustered BY TERM (``repartitionByRange`` +
+    Layout IS the index: ``path/postings`` (doc, term, tf, dl) is
+    written range-clustered BY TERM (``repartitionByRange`` +
     ``sortWithinPartitions`` — the same mechanics as
     ``operators/layout.py``), so a query-time ``term IN (...)`` scan
     row-group-skips straight to the query bag's postings instead of
     decoding the corpus-sized relation; no auxiliary index structure,
-    just parquet min/max statistics doing inverted-list seeks.
-    ``path/dictionary`` (term, df), ``path/doclens`` (doc, dl),
-    ``path/stats`` (n_docs, avgdl) and ``path/params`` (column names,
-    so a loader can't mismatch) complete the artifact. At 100 TB the
-    serving job's input is the query terms' postings — the classic
-    inverted-index economics, relationally."""
+    just parquet min/max statistics doing inverted-list seeks. The doc
+    LENGTH rides in the posting row (the classic payload-in-the-
+    posting-list design): one extra long per posting at build time
+    buys query time a plan with NO doc-sized join — measured, the
+    doclens join otherwise dominates serving (SCALE.md r9).
+    ``path/dictionary`` (term, df), ``path/stats`` (n_docs, avgdl) and
+    ``path/params`` (column names, so a loader can't mismatch)
+    complete the artifact. At 100 TB the serving job's input is the
+    query terms' postings — the classic inverted-index economics,
+    relationally."""
     spark = docs.sparkSession
     toks = _token_relation(docs, text_col, id_col)
-    # tokenize+shuffle genuinely ONCE: the tf lineage would otherwise be
-    # re-executed by the range-boundary sampling job, the postings write
-    # AND the dictionary write (3× the offline build's dominant cost);
-    # cache it for the build's duration, release before returning.
+    dl = docs.select(F.col(id_col), TS.token_count(text_col).alias("dl"))
+    # tokenize+shuffle genuinely ONCE: the postings lineage would
+    # otherwise be re-executed by the range-boundary sampling job, the
+    # postings write AND the dictionary write (3× the offline build's
+    # dominant cost); cache for the build's duration, release at the end.
     tf = (
         toks.groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .join(dl, id_col)
         .cache()
     )
-    dl = docs.select(
-        F.col(id_col), TS.token_count(text_col).alias("dl")
-    ).cache()
     try:
         n = num_files or spark.sparkContext.defaultParallelism
         (
@@ -207,7 +210,6 @@ def save_bm25_index(
         tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).write.mode(
             "overwrite"
         ).parquet(f"{path}/dictionary")
-        dl.write.mode("overwrite").parquet(f"{path}/doclens")
         dl.agg(
             F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
@@ -216,17 +218,15 @@ def save_bm25_index(
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
     finally:
         tf.unpersist()
-        dl.unpersist()
 
 
 def load_bm25_index(spark, path: str) -> dict:
     """Load a :func:`save_bm25_index` artifact → dict of plain parquet
-    scans (postings, dictionary, doclens, stats) + the params row —
-    no lineage back to the corpus."""
+    scans (postings, dictionary, stats) + the params row — no lineage
+    back to the corpus."""
     return {
         "postings": spark.read.parquet(f"{path}/postings"),
         "dictionary": spark.read.parquet(f"{path}/dictionary"),
-        "doclens": spark.read.parquet(f"{path}/doclens"),
         "stats": spark.read.parquet(f"{path}/stats"),
         "params": spark.read.parquet(f"{path}/params").collect()[0].asDict(),
     }
@@ -242,12 +242,17 @@ def bm25_scores_from_index(
     """BM25 totals served from a loaded index artifact — identical math
     to :func:`bm25_scores` (same idf/tf-norm expressions over the same
     exact integer inputs, so the served scores match the direct path
-    bit-for-bit; test-pinned), but the only corpus-sized relation read
-    is the term-clustered postings slice for the query bag."""
+    bit-for-bit; test-pinned). The ONLY corpus-sized relation in the
+    plan is the term-clustered postings slice for the query bag (dl
+    rides in the posting row, so there is no doc-sized join — the
+    dictionary slice and the 1-row stats broadcast are term-bag-sized
+    and constant)."""
     id_col = index["params"]["id_col"]
     qset = [t.lower() for t in query_terms]
     tf = index["postings"].filter(F.col("term").isin(qset))
-    df_ = index["dictionary"].filter(F.col("term").isin(qset))
+    df_ = index["dictionary"].filter(F.col("term").isin(qset)).select(
+        "term", "df"
+    )
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -256,8 +261,7 @@ def bm25_scores_from_index(
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
     )
     per_term = (
-        tf.join(df_, "term")
-        .join(index["doclens"], id_col)
+        tf.join(F.broadcast(df_), "term")
         .crossJoin(F.broadcast(index["stats"]))
         .select(F.col(id_col), (idf * tf_norm).alias("contrib"))
     )
