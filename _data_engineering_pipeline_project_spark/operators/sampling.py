@@ -96,32 +96,29 @@ def zorder_value(col_a: Column | str, col_b: Column | str) -> Column:
     output, so sorting by it gives locality in BOTH dimensions at once —
     the multi-column generalization of 1-D range clustering
     (``write_clustered``). Inputs are used modulo 2^31; rank-transform
-    skewed/large domains first.
+    skewed/large domains first. NULLs map to lane 0.
 
-    Arrow-batched numpy implementation: the pure-expression form is a
-    62-term shift/mask fold per column that bloats codegen (same
-    trade-off as simhash64); the UDF is one vectorized pass, and the
-    z-value is computed once per row at WRITE time only."""
-    from pyspark.sql.types import LongType
-
-    @F.pandas_udf(LongType())
-    def _morton(a: pd.Series, b: pd.Series) -> pd.Series:
-        x = a.fillna(0).to_numpy(dtype=np.int64) & 0x7FFFFFFF
-        y = b.fillna(0).to_numpy(dtype=np.int64) & 0x7FFFFFFF
-        # classic bit-spreading: x -> ..a.b.c.d (even bits)
-        def spread(v: np.ndarray) -> np.ndarray:
-            v = (v | (v << 16)) & 0x0000FFFF0000FFFF
-            v = (v | (v << 8)) & 0x00FF00FF00FF00FF
-            v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0F
-            v = (v | (v << 2)) & 0x3333333333333333
-            v = (v | (v << 1)) & 0x5555555555555555
-            return v
-
-        return pd.Series(spread(x) | (spread(y) << 1))
+    Pure-codegen implementation (``functions/zorder.py:zorderk`` at
+    full 31-bit lanes). This replaced an Arrow-batched numpy
+    bit-spreading UDF whose docstring ASSUMED the 124-term expression
+    would bloat codegen past the UDF's cost — measured r9 (20M rows,
+    local[32]): codegen 0.41 s vs Arrow UDF 0.81 s, bit-identical keys.
+    Arrow serialization costs more than the unrolled shift/mask terms,
+    and the write job now contains no Python worker at all."""
+    from _data_engineering_pipeline_project_spark.functions.zorder import (
+        zorderk,
+    )
 
     a = F.col(col_a) if isinstance(col_a, str) else col_a
     b = F.col(col_b) if isinstance(col_b, str) else col_b
-    return _morton(a, b)
+    mask = F.lit(0x7FFFFFFF)
+    return zorderk(
+        [
+            F.coalesce(a.cast("long"), F.lit(0)).bitwiseAND(mask),
+            F.coalesce(b.cast("long"), F.lit(0)).bitwiseAND(mask),
+        ],
+        31,
+    )
 
 
 def write_zordered(
