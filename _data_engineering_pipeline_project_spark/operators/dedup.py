@@ -887,11 +887,17 @@ def simhash64(col: Column | str) -> Column:
     """SimHash over whitespace tokens: bit j of the signature is 1 when the
     sum of ±1 contributions (per-token hash bit j) is positive.
 
-    Implemented as an Arrow-batched pandas UDF: the pure-expression form
-    needs a 60-wide bit-vote fold per token, which blows whole-stage
-    codegen past multi-MB task binaries; the vectorized UDF is the faster
-    physical shape here (shuffle-free, one Python worker pass per batch).
-    Token hashing matches ``md5_hash60`` exactly (first 15 md5 hex chars).
+    Implemented as an Arrow-batched pandas UDF — a MEASURED choice
+    (r9), not an assumption: the relational form (explode tokens →
+    groupBy(doc) with 60 vote sums, mirroring the DuckDB oracle) is
+    bit-identical but pays a shuffle where the UDF is pure map work —
+    measured 2.13 s vs 1.36 s on 100k short docs (and ~even on sf0.1's
+    longer docs), so the UDF keeps the faster physical shape here. The
+    same measurement flipped the OTHER way for the Morton key
+    (``operators/sampling.py:zorder_value``, a per-row expression with
+    no aggregate) — the boundary is whether the op needs a per-group
+    reduce, not codegen size. Token hashing matches ``md5_hash60``
+    exactly (first 15 md5 hex chars).
     """
     from pyspark.sql.types import LongType
 
