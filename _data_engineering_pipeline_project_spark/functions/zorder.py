@@ -15,16 +15,17 @@ DuckDB oracle of ``zorder_layout_orders`` reproduces values bit for
 bit. No counterpart in the reference (single-node pandas has no layout
 problem, project/etl2.py).
 
-Relation to ``operators/sampling.py:zorder_value`` (the write-path
-sibling): that form is an Arrow-batched numpy UDF spreading full 31-bit
-lanes — the right physical shape at WRITE time, where the z-value is
-computed once per row and a 124-term codegen expression would bloat the
-task binary. THIS form is the pure-Catalyst expression for moderate bit
-widths (≤16 per lane): no Python worker in the plan, and — being plain
-integer SQL — it has a DuckDB twin (:func:`zorder2_sql`), which is what
-lets the layout audit be oracle-checked rather than pytest-only. Same
-bit convention (x even, y odd) in both, pinned by
-``tests/test_ext7.py``.
+This module is the single Morton-key implementation: the write-path
+helper ``operators/sampling.py:zorder_value`` delegates here at full
+31-bit lanes (it was an Arrow-batched numpy UDF until the r9
+measurement showed the 124-term codegen expression is 2-3.3× FASTER —
+Arrow serialization costs more than the unrolled shift/mask terms; see
+docs/SCALE.md), and ``operators/layout.py`` composes :func:`zorderk`
+with min/max quantization for arbitrary numeric domains. Being plain
+integer SQL, every form has a DuckDB twin (:func:`zorderk_sql`), which
+is what lets the layout queries be oracle-checked rather than
+pytest-only. Bit convention (k=2: x even, y odd) pinned by
+``tests/test_ext7.py`` and the round-9 bijection property test.
 """
 
 from __future__ import annotations

@@ -21,8 +21,9 @@ that are already small non-negative ints):
   ``zorder_key_customers`` be oracle-checked bit-for-bit);
 - ``operators/sampling.py:zorder_value / write_zordered / hilbert``
   are the write-path siblings for columns that already ARE full-range
-  ints (Arrow-UDF spreading of 31-bit lanes; Hilbert for strictly
-  better locality);
+  ints (zorder_value delegates to the same ``zorderk`` expression at
+  31-bit lanes; Hilbert keeps a numpy UDF — its xy2d transform is an
+  iterative state machine);
 - THIS module quantizes arbitrary numeric columns against their
   min/max first (one aggregate, broadcast back — no driver collect),
   so doubles like ``c_acctbal`` z-order directly, then writes via the

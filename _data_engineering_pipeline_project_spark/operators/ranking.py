@@ -187,11 +187,14 @@ def save_bm25_index(
     relationally."""
     spark = docs.sparkSession
     toks = _token_relation(docs, text_col, id_col)
-    dl = docs.select(F.col(id_col), TS.token_count(text_col).alias("dl"))
     # tokenize+shuffle genuinely ONCE: the postings lineage would
     # otherwise be re-executed by the range-boundary sampling job, the
     # postings write AND the dictionary write (3× the offline build's
-    # dominant cost); cache for the build's duration, release at the end.
+    # dominant cost), and dl by both its consumers; cache both for the
+    # build's duration, release at the end.
+    dl = docs.select(
+        F.col(id_col), TS.token_count(text_col).alias("dl")
+    ).cache()
     tf = (
         toks.groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -214,18 +217,30 @@ def save_bm25_index(
             F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
         spark.createDataFrame(
-            [(id_col, text_col)], "id_col string, text_col string"
+            [(id_col, text_col, "dl-in-postings-v2")],
+            "id_col string, text_col string, format string",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
     finally:
         tf.unpersist()
+        dl.unpersist()
 
 
 def load_bm25_index(spark, path: str) -> dict:
     """Load a :func:`save_bm25_index` artifact → dict of plain parquet
     scans (postings, dictionary, stats) + the params row — no lineage
-    back to the corpus."""
+    back to the corpus. Fails FAST with a rebuild instruction on a
+    layout mismatch (e.g. an artifact written before dl moved into the
+    posting row) instead of an opaque unresolved-column error at query
+    time."""
+    postings = spark.read.parquet(f"{path}/postings")
+    if "dl" not in postings.columns:
+        raise ValueError(
+            f"BM25 artifact at {path} predates the dl-in-postings layout "
+            "(postings lack the 'dl' column) — rebuild with "
+            "save_bm25_index"
+        )
     return {
-        "postings": spark.read.parquet(f"{path}/postings"),
+        "postings": postings,
         "dictionary": spark.read.parquet(f"{path}/dictionary"),
         "stats": spark.read.parquet(f"{path}/stats"),
         "params": spark.read.parquet(f"{path}/params").collect()[0].asDict(),

@@ -463,12 +463,16 @@ def scd2_merge_into_delta(
 
     tgt = DeltaTable.forPath(spark, target_path)
     res = scd2_merge(incoming, tgt.toDF(), pk, batch_ts, compare_cols)
-    # history: RETRY-IDEMPOTENT append — an insert-only MERGE on the
-    # history PK (pk + valid_from + valid_to), the Delta-native form of
-    # the parquet path's explicit dedup. A batch retried after a crash
+    # history: RETRY-IDEMPOTENT append — an upsert MERGE on the history
+    # PK (pk + valid_from + valid_to), the Delta-native form of the
+    # parquet path's explicit dedup. A batch retried after a crash
     # between the history write and the snapshot MERGE re-derives the
-    # identical delta and inserts nothing the second time (a plain
-    # mode('append') would duplicate audit rows forever).
+    # delta and inserts nothing the second time (a plain mode('append')
+    # would duplicate audit rows forever); the whenMatched UPDATE
+    # additionally lets a retry with CORRECTED content win — e.g. a key
+    # re-classified update→delete on the same (valid_from, valid_to)
+    # interval — matching the parquet path, whose retried merge
+    # overwrites the whole versioned delta dir.
     if DeltaTable.isDeltaTable(spark, history_path):
         hist_tgt = DeltaTable.forPath(spark, history_path)
         hist_cond = " AND ".join(
@@ -477,6 +481,7 @@ def scd2_merge_into_delta(
         (
             hist_tgt.alias("t")
             .merge(res.history.alias("s"), hist_cond)
+            .whenMatchedUpdateAll()
             .whenNotMatchedInsertAll()
             .execute()
         )

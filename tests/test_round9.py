@@ -354,7 +354,9 @@ def test_bm25_index_serves_identical_scores_fresh_session(spark, tmp_path):
 
     fresh = spark.newSession()
     idx = load_bm25_index(fresh, path)
-    assert idx["params"] == {"id_col": "doc_id", "text_col": "text"}
+    assert idx["params"]["id_col"] == "doc_id"
+    assert idx["params"]["text_col"] == "text"
+    assert idx["params"]["format"] == "dl-in-postings-v2"
     served = sorted(
         (r["doc_id"], r["bm25"])
         for r in bm25_scores_from_index(idx, terms).collect()
