@@ -59,8 +59,12 @@ def zorderk(cols: list[Column], bits: int = 16) -> Column:
 
 def zorderk_sql(exprs: list[str], bits: int = 16) -> str:
     """The identical interleave as an ANSI-SQL string (DuckDB oracle
-    twin of :func:`zorderk` — same terms, same order)."""
+    twin of :func:`zorderk` — same terms, same order, and the same
+    ``k·bits ≤ 62`` guard: a mismatched caller must fail loudly here
+    too, not silently overflow the oracle's BIGINT terms)."""
     k = len(exprs)
+    if k * bits > 62:
+        raise ValueError(f"{k} cols x {bits} bits exceeds a signed 64-bit key")
     terms = [
         f"((({e}) >> {i}) & 1) * {1 << (i * k + j)}"
         for i in range(bits)

@@ -93,10 +93,16 @@ def exact_duplicate_groups(
 
 
 # raw text/json/csv with these suffixes is stream-compressed and NOT
-# splittable — one scan partition per file no matter how large. Columnar
-# containers (.parquet/.orc) are splittable regardless of their internal
-# codec (a *.snappy.parquet is still row-group-splittable).
-_UNSPLITTABLE_SUFFIXES = (".gz", ".zst", ".deflate", ".lz4", ".snappy", ".br")
+# splittable — one scan partition per file no matter how large (.bz2 is
+# deliberately absent: Hadoop's Bzip2Codec is block-splittable; .lzo is
+# splittable ONLY with a sidecar index, which this metadata-only probe
+# can't see, so it conservatively counts 1). Columnar containers
+# (.parquet/.orc) are splittable regardless of their internal codec
+# (a *.snappy.parquet is still row-group-splittable).
+_UNSPLITTABLE_SUFFIXES = (
+    ".gz", ".zst", ".deflate", ".lz4", ".snappy", ".br",
+    ".xz", ".lzma", ".lzo",
+)
 _CONTAINER_SUFFIXES = (".parquet", ".orc")
 
 

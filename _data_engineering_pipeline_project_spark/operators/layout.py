@@ -50,15 +50,24 @@ def quantized(col: Column, mn: Column, mx: Column, bits: int = 16) -> Column:
     ``floor((col - mn) * (2^bits - 1) / (mx - mn))`` computed in DOUBLE
     (sub → mul → div, an order any SQL engine reproduces bit-for-bit;
     the intermediate magnitude stays far under 2^53, so the floor is
-    exact). A zero span (constant column) maps everything to 0, and so
-    does a NULL value — NULLs cluster together at the curve origin
-    instead of producing NULL keys that range-partition arbitrarily
-    (mirrored as COALESCE in the SQL oracle)."""
+    exact). ``col = mx`` maps to ``2^bits - 1`` or, when the product
+    ``(mx - mn)·maxq`` is not exactly representable, one below it —
+    either way the explicit clamp below keeps the result inside the
+    lane (the interleave masks bits, so an over-lane value would
+    silently corrupt neighboring dimensions). A zero span (constant
+    column) maps everything to 0, and so does a NULL value — NULLs
+    cluster together at the curve origin instead of producing NULL keys
+    that range-partition arbitrarily. The clamp is a CASE, not LEAST
+    (engines disagree on whether LEAST ignores NULLs), and both it and
+    the COALESCE are mirrored in the SQL oracle twin
+    (queries_ext9.py)."""
     maxq = F.lit(float((1 << bits) - 1))
+    maxq_l = F.lit((1 << bits) - 1).cast("long")
     span = mx.cast("double") - mn.cast("double")
     q = F.floor((col.cast("double") - mn.cast("double")) * maxq / span)
+    qc = F.when(q > maxq_l, maxq_l).otherwise(q)
     return F.coalesce(
-        F.when(span == 0, F.lit(0)).otherwise(q).cast("long"), F.lit(0)
+        F.when(span == 0, F.lit(0)).otherwise(qc).cast("long"), F.lit(0)
     )
 
 

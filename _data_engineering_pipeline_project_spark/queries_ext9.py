@@ -31,10 +31,20 @@ def _zorder_sql() -> str:
     )
 
     maxq = (1 << _ZBITS) - 1  # derived, so the oracle can't desync from bits
-    q = (
-        "COALESCE(CAST(floor((CAST({col} AS DOUBLE) - mn_{k})"
+    # mirrors quantized() branch-for-branch: the zero-span CASE keeps a
+    # constant column at 0 (and keeps the division from ever evaluating
+    # on it — DuckDB would produce inf and fail the BIGINT cast), the
+    # q > maxq CASE is the same lane clamp (CASE, not LEAST: LEAST's
+    # NULL handling differs across engines and would break NULL→0)
+    qraw = (
+        "CAST(floor((CAST({col} AS DOUBLE) - mn_{k})"
         f" * CAST({maxq} AS DOUBLE)"
-        " / (mx_{k} - mn_{k})) AS BIGINT), 0)"
+        " / (mx_{k} - mn_{k})) AS BIGINT)"
+    )
+    q = (
+        "CASE WHEN mx_{k} = mn_{k} THEN 0 ELSE COALESCE("
+        "CASE WHEN " + qraw + f" > {maxq} THEN {maxq} ELSE " + qraw + " END"
+        ", 0) END"
     )
     return f"""
 WITH stats AS (
