@@ -88,6 +88,146 @@ def test_zorder_oracle_constant_column_parity(spark):
     assert got[1] == 0  # min of the non-constant lane -> curve origin
 
 
+# --- equi-depth z-order quantization (VERDICT r10 brief #1) ------------------
+
+
+def test_quantized_equi_depth_twins_and_null_semantics(spark):
+    """Rank-quantization parity: the Spark higher-order count and the
+    DuckDB list_filter twin produce identical buckets, including NULL
+    (curve origin, bucket 0) and above-top-boundary values (bucket =
+    len(bounds) — clamping is structural, the count can't exceed the
+    ladder)."""
+    import duckdb
+    import pandas as pd
+
+    from _data_engineering_pipeline_project_spark.operators.layout import (
+        quantized_equi_depth,
+        quantized_equi_depth_sql,
+    )
+
+    bounds = [1.0, 2.5, 10.0, 100.0]
+    pdf = pd.DataFrame(
+        {"id": [1, 2, 3, 4, 5], "v": [None, 0.5, 2.5, 50.0, 1e12]}
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    oracle = dict(
+        con.execute(
+            "SELECT id, "
+            + quantized_equi_depth_sql("v", bounds)
+            + " AS q FROM t"
+        ).fetchall()
+    )
+    got = {
+        r["id"]: r["q"]
+        for r in spark.createDataFrame(pdf)
+        .select("id", quantized_equi_depth(F.col("v"), bounds).alias("q"))
+        .collect()
+    }
+    assert got == oracle == {1: 0, 2: 0, 3: 2, 4: 3, 5: 4}
+
+
+def test_equi_depth_zorder_survives_pareto_where_minmax_fails(spark, tmp_path):
+    """The r9 verdict's top-next item, measured: on a long-tailed
+    (pareto-shaped) column, min/max quantization maps ~all rows into a
+    handful of buckets — the curve degenerates to ordering on the other
+    column and a selective predicate in the heavy region decodes the
+    whole table. Equi-depth boundaries keep per-file spans tight in
+    RANK space (the space row-count skipping actually lives in; raw
+    value spans are blind to this failure — both modes look ~0.37),
+    restoring the row-group skip. Thresholds sit well clear of the
+    measured values (minmax rank-span 0.90 / full decode; equi-depth
+    0.41 / ~25% decode at 16 files)."""
+    pytest.importorskip("pyarrow")
+    import glob
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from _data_engineering_pipeline_project_spark.operators.layout import (
+        write_zordered_quantized,
+    )
+    from tests.test_round9 import _scan_output_rows
+
+    rng = np.random.default_rng(7)
+    n = 40_000
+    v = np.exp(rng.uniform(0, 14, n))  # ~1 .. 1.2M, mass at the low end
+    u = rng.integers(0, 1000, n).astype("int64")
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": np.arange(n), "v": v, "u": u})
+    )
+    mm, ed = str(tmp_path / "mm"), str(tmp_path / "ed")
+    write_zordered_quantized(df, mm, ["v", "u"], bits=8, num_files=16)
+    write_zordered_quantized(
+        df, ed, ["v", "u"], bits=8, num_files=16, quantize="equi_depth"
+    )
+
+    sv = np.sort(v)
+
+    def rank_spans(path):
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.read_metadata(f)
+            fmin = fmax = None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    cc = md.row_group(rg).column(ci)
+                    if cc.path_in_schema == "v" and cc.statistics:
+                        st = cc.statistics
+                        fmin = st.min if fmin is None else min(fmin, st.min)
+                        fmax = st.max if fmax is None else max(fmax, st.max)
+            if fmin is not None:
+                spans.append(
+                    (np.searchsorted(sv, fmax) - np.searchsorted(sv, fmin))
+                    / n
+                )
+        return spans
+
+    rs_mm, rs_ed = rank_spans(mm), rank_spans(ed)
+    mm_avg, ed_avg = sum(rs_mm) / len(rs_mm), sum(rs_ed) / len(rs_ed)
+    assert mm_avg > 0.7, mm_avg  # minmax demonstrably fails tightness
+    assert ed_avg < 0.55, ed_avg  # ~sqrt(1/16) + quantile/sampling noise
+    assert ed_avg < mm_avg / 1.6
+
+    # runtime proof: a selective predicate in the HEAVY (low-value)
+    # region — where the long tail parked ~all minmax buckets.
+    # Thresholds allow for run-to-run row-group geometry drift
+    # (repartitionByRange boundary sampling is re-seeded per execution;
+    # observed ed decode 25-37% of the table vs minmax's 100%).
+    p05 = float(np.quantile(v, 0.05))
+    pred = F.col("v") <= p05
+    true_n = int((v <= p05).sum())
+    mm_rows = _scan_output_rows(spark, mm, pred)
+    ed_rows = _scan_output_rows(spark, ed, pred)
+    assert ed_rows >= true_n  # skipping never loses matches
+    assert mm_rows > 0.9 * n, mm_rows  # minmax decodes ~everything
+    assert ed_rows < mm_rows / 2, (ed_rows, mm_rows)
+
+    # layout changes bytes-on-disk order only, never content
+    got = sorted(
+        map(tuple, spark.read.parquet(ed).select("id", "v", "u").collect())
+    )
+    want = sorted(map(tuple, df.select("id", "v", "u").collect()))
+    assert got == want
+
+
+def test_equi_depth_rejects_oversized_bits(spark):
+    from _data_engineering_pipeline_project_spark.operators.layout import (
+        write_zordered_quantized,
+    )
+
+    df = spark.range(4).select(F.col("id").cast("double").alias("v"))
+    with pytest.raises(ValueError, match="equi_depth"):
+        write_zordered_quantized(
+            df, "/tmp/never-written", ["v"], bits=13, quantize="equi_depth"
+        )
+    with pytest.raises(ValueError, match="quantize mode"):
+        write_zordered_quantized(
+            df, "/tmp/never-written", ["v"], quantize="zcurve"
+        )
+
+
 def test_quantized_max_stays_in_lane(spark):
     """ADVICE r9 #4: col = mx maps to maxq or maxq-1, never ABOVE the
     lane (the interleave would corrupt neighboring dimensions). Spans
