@@ -228,6 +228,198 @@ def test_equi_depth_rejects_oversized_bits(spark):
         )
 
 
+# --- BM25 incremental maintenance (VERDICT r10 brief #2) ---------------------
+
+
+def test_bm25_maintainer_matches_one_shot_build(spark, tmp_path):
+    """N batches merged incrementally serve scores IDENTICAL to a
+    one-shot save_bm25_index over the union — postings append (disjoint
+    docs), dictionary dfs and n_docs/total_dl merge as monoids, and
+    avgdl derives as the same exact-integer division the one-shot
+    avg(dl) performs. Also pins: redelivery no-op, restart recovery
+    from the pointer, compaction preserving scores, and the
+    checkpoint-token guard."""
+    from _data_engineering_pipeline_project_spark.operators.ranking import (
+        bm25_scores_from_index,
+        load_bm25_index,
+        save_bm25_index,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.bm25maint import (
+        Bm25Maintainer,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    terms = ["the", "data", "pipeline"]
+
+    oneshot = str(tmp_path / "oneshot")
+    save_bm25_index(docs, oneshot, num_files=4)
+    expected = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in bm25_scores_from_index(
+            load_bm25_index(spark, oneshot), terms
+        ).collect()
+    )
+    assert len(expected) > 0
+
+    base = str(tmp_path / "maint")
+    m = Bm25Maintainer(spark, base, files_per_batch=2)
+    m.bind_checkpoint("ckpt-A")
+    for i in range(3):
+        m.merge_batch(docs.filter(F.col("doc_id") % 3 == i), batch_id=i)
+    assert m.version == 3
+
+    def served(maint):
+        return sorted(
+            (r["doc_id"], r["bm25"])
+            for r in bm25_scores_from_index(maint.serve_index(), terms).collect()
+        )
+
+    assert served(m) == expected
+
+    # redelivery watermark: re-merging an old batch id is a no-op
+    m.merge_batch(docs.filter(F.col("doc_id") % 3 == 0), batch_id=2)
+    assert m.version == 3
+    assert served(m) == expected
+
+    # restart recovery: a fresh maintainer over the same dir resumes
+    m2 = Bm25Maintainer(spark, base, files_per_batch=2)
+    assert m2.version == 3
+    assert served(m2) == expected
+
+    # a different streaming checkpoint must fail loudly
+    with pytest.raises(ValueError, match="checkpoint mismatch"):
+        m2.bind_checkpoint("ckpt-B")
+
+    # compaction folds 3 batch dirs into 1 without changing a score
+    m2.compact()
+    idx = m2.serve_index()
+    assert len(m2._meta["batches"]) == 1
+    assert served(m2) == expected
+    # dl still rides in the compacted posting rows
+    assert "dl" in idx["postings"].columns
+
+
+def test_bm25_maintainer_counts_empty_docs_in_stats(spark, tmp_path):
+    """A batch containing an empty-text doc still matches the one-shot
+    build: the doc contributes no postings but DOES count toward
+    n_docs/avgdl (stats derive from the batch dl frame, not the
+    postings)."""
+    from _data_engineering_pipeline_project_spark.operators.ranking import (
+        bm25_scores_from_index,
+        load_bm25_index,
+        save_bm25_index,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.bm25maint import (
+        Bm25Maintainer,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta beta"),
+            (2, ""),
+            (3, "alpha gamma"),
+            (4, "beta beta gamma delta"),
+        ],
+        "doc_id int, text string",
+    )
+    oneshot = str(tmp_path / "oneshot")
+    save_bm25_index(docs, oneshot, num_files=1)
+    expected = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in bm25_scores_from_index(
+            load_bm25_index(spark, oneshot), ["alpha", "beta"]
+        ).collect()
+    )
+
+    m = Bm25Maintainer(spark, str(tmp_path / "maint"), files_per_batch=1)
+    m.merge_batch(docs.filter(F.col("doc_id") <= 2), batch_id=0)  # has empty
+    m.merge_batch(docs.filter(F.col("doc_id") > 2), batch_id=1)
+    got = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in bm25_scores_from_index(
+            m.serve_index(), ["alpha", "beta"]
+        ).collect()
+    )
+    assert got == expected
+    stats = m.serve_index()["stats"].collect()[0]
+    assert stats["n_docs"] == 4  # the empty doc counts
+
+
+# --- distributed layout audit (VERDICT r10 brief #4) -------------------------
+
+
+def test_file_stat_spans_distributed_equals_driver_loop(spark, tmp_path):
+    """The mapInPandas footer audit returns the same spans as the
+    driver loop (both funnel through _footer_min_max), so graduating
+    the audit from test harness to operational tool changes scale, not
+    answers."""
+    pytest.importorskip("pyarrow")
+    from _data_engineering_pipeline_project_spark.operators.layout import (
+        file_stat_spans,
+        file_stat_spans_distributed,
+        write_zordered_quantized,
+    )
+
+    src = spark.read.parquet(f"{SF}/customer.parquet")
+    path = str(tmp_path / "z")
+    write_zordered_quantized(src, path, ["c_acctbal", "c_nationkey"], num_files=8)
+    for col in ("c_acctbal", "c_nationkey"):
+        a = sorted(file_stat_spans(spark, path, col))
+        b = sorted(file_stat_spans_distributed(spark, path, col))
+        assert a == b and len(a) == 8
+    with pytest.raises(ValueError, match="no parquet footer statistics"):
+        file_stat_spans_distributed(spark, path, "no_such_column")
+
+
+# --- listing-economy guard (VERDICT r10 brief #5) ----------------------------
+
+
+def test_listing_economy_policy():
+    """The pure threshold: a listing that over-returns by more than
+    64x the wanted count is abandoned for per-file getFileStatus."""
+    from _data_engineering_pipeline_project_spark.operators.dedup import (
+        _listing_is_economical,
+    )
+
+    assert _listing_is_economical(8, 8)  # table dir: list it
+    assert _listing_is_economical(8, 512)  # boundary: still list
+    assert not _listing_is_economical(8, 513)  # shared landing dir
+    assert not _listing_is_economical(8, 500_000)
+    assert _listing_is_economical(0, 50)  # degenerate guard (max(1, .))
+
+
+def test_listed_file_lengths_correct_in_overreturning_dir(spark, tmp_path):
+    """8 wanted files inside a 600-entry shared dir: the guard routes
+    to per-file getFileStatus and the lengths are still exact; a
+    monkeypatched sentinel proves the listing path was NOT iterated."""
+    from _data_engineering_pipeline_project_spark.operators import dedup as D
+
+    d = tmp_path / "shared"
+    d.mkdir()
+    want = []
+    for i in range(600):
+        f = d / f"f{i:04d}.bin"
+        f.write_bytes(b"x" * (i + 1))
+        if i % 75 == 0:
+            want.append(str(f))
+    assert len(want) == 8
+    calls = []
+    orig = D._listing_is_economical
+
+    def spy(n_wanted, n_listed):
+        r = orig(n_wanted, n_listed)
+        calls.append((n_wanted, n_listed, r))
+        return r
+
+    D._listing_is_economical = spy
+    try:
+        out = D._listed_file_lengths(spark, want)
+    finally:
+        D._listing_is_economical = orig
+    assert calls == [(8, 600, False)]  # listing fetched once, rejected
+    assert out == {p: int(p.rsplit("f", 1)[1][:4]) + 1 for p in want}
+
+
 def test_quantized_max_stays_in_lane(spark):
     """ADVICE r9 #4: col = mx maps to maxq or maxq-1, never ABOVE the
     lane (the interleave would corrupt neighboring dimensions). Spans
