@@ -144,29 +144,61 @@ def with_zorder_key(
     )
 
 
-def _zorder_key_with_literal_stats(
-    df: DataFrame, cols: list[str], bits: int, key_col: str
-) -> DataFrame:
-    """Same key as :func:`with_zorder_key` but with min/max collected
-    ONCE to the driver (one row, 2k doubles — bounded) and embedded as
-    literals, so plans that execute MULTIPLE jobs over the keyed frame
-    (range-boundary sampling, then the write) don't re-run the full
-    min/max aggregate per job. Literal doubles are the identical IEEE
-    values the broadcast form would join, so the key is byte-identical."""
-    row = df.agg(
-        *[F.min(c).alias(f"mn_{c}") for c in cols],
-        *[F.max(c).alias(f"mx_{c}") for c in cols],
-    ).collect()[0]
-    qs = [
-        quantized(
-            F.col(c),
-            F.lit(row[f"mn_{c}"]),
-            F.lit(row[f"mx_{c}"]),
-            bits,
+def quantized_zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    quantize: str = "minmax",
+    relative_error: float = 0.001,
+) -> Column:
+    """The Morton key column a quantized clustered write orders by —
+    factored out so OTHER write paths compose it (the compaction
+    maintainer's optional layout pass, ``streaming/compactmaint.py``).
+
+    Stats are collected ONCE to the driver (bounded: one min/max row,
+    or ≤ ``2^bits - 1`` quantile boundaries per column) and embedded
+    as literals, so plans that execute MULTIPLE jobs over the keyed
+    frame (range-boundary sampling, then the write) don't re-run the
+    stats scan per job. Literal doubles are the identical IEEE values
+    the broadcast form would join, so the key is byte-identical to
+    :func:`with_zorder_key`'s. See :func:`write_zordered_quantized`
+    for when ``equi_depth`` beats ``minmax``."""
+    if quantize == "minmax":
+        row = df.agg(
+            *[F.min(c).alias(f"mn_{c}") for c in cols],
+            *[F.max(c).alias(f"mx_{c}") for c in cols],
+        ).collect()[0]
+        qs = [
+            quantized(
+                F.col(c),
+                F.lit(row[f"mn_{c}"]),
+                F.lit(row[f"mx_{c}"]),
+                bits,
+            )
+            for c in cols
+        ]
+    elif quantize == "equi_depth":
+        if bits > 12:
+            raise ValueError(
+                "equi_depth quantization derives 2^bits - 1 boundary "
+                f"literals per column; bits={bits} would pin "
+                f"{(1 << bits) - 1} driver-side doubles into the plan "
+                "per column — use bits <= 12 (8 is the sweet spot: 255 "
+                "boundaries resolve file-level skipping fully at any "
+                "realistic file count)"
+            )
+        qs = [
+            quantized_equi_depth(
+                F.col(c), equi_depth_bounds(df, c, bits, relative_error)
+            )
+            for c in cols
+        ]
+    else:
+        raise ValueError(
+            f"unknown quantize mode {quantize!r}: expected 'minmax' or "
+            "'equi_depth'"
         )
-        for c in cols
-    ]
-    return df.withColumn(key_col, zorderk(qs, bits))
+    return zorderk(qs, bits)
 
 
 def write_zordered_quantized(
@@ -211,30 +243,9 @@ def write_zordered_quantized(
     boundaries, pinned as literals so the sampling job and the write
     job don't each re-aggregate the input) + the range shuffle +
     Spark's boundary-sampling job."""
-    if quantize == "minmax":
-        keyed = _zorder_key_with_literal_stats(df, cols, bits, "__z")
-    elif quantize == "equi_depth":
-        if bits > 12:
-            raise ValueError(
-                "equi_depth quantization derives 2^bits - 1 boundary "
-                f"literals per column; bits={bits} would pin "
-                f"{(1 << bits) - 1} driver-side doubles into the plan "
-                "per column — use bits <= 12 (8 is the sweet spot: 255 "
-                "boundaries resolve file-level skipping fully at any "
-                "realistic file count)"
-            )
-        qs = [
-            quantized_equi_depth(
-                F.col(c), equi_depth_bounds(df, c, bits, relative_error)
-            )
-            for c in cols
-        ]
-        keyed = df.withColumn("__z", zorderk(qs, bits))
-    else:
-        raise ValueError(
-            f"unknown quantize mode {quantize!r}: expected 'minmax' or "
-            "'equi_depth'"
-        )
+    keyed = df.withColumn(
+        "__z", quantized_zorder_key(df, cols, bits, quantize, relative_error)
+    )
     n = num_files or df.sparkSession.sparkContext.defaultParallelism
     (
         keyed.repartitionByRange(n, "__z")

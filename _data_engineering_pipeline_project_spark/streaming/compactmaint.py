@@ -79,6 +79,21 @@ class CompactionMaintainer:
     target_rows_per_file : output sizing knob (rows, since the local
         harness has no reliable size estimator; a deployment would size
         by bytes from the listing's file sizes the same way).
+    quantize : None (default) keeps the native key — raw column or
+        ``zorder_value`` Morton interleave, which requires non-negative
+        full-range INT columns. ``"minmax"`` / ``"equi_depth"`` route
+        the key through ``operators/layout.py:quantized_zorder_key``
+        instead, so compaction and clustering are ONE job for arbitrary
+        numeric columns (VERDICT r10 brief #6 — Delta/Iceberg's
+        ``OPTIMIZE ZORDER BY`` shape): each tick pays one bounded stats
+        scan (min/max row, or approxQuantile boundaries for long-tailed
+        columns) on top of the fold's range shuffle, and every
+        generation re-derives stats from the CURRENT fold — so the
+        layout tracks the data as it accretes, which is exactly the
+        re-clustering cadence RUNBOOK.md prescribes. Quantized mode
+        accepts 1..4 cluster columns (k·bits ≤ 62 guards the rest).
+    quantize_bits : lane width for quantized mode (8 default — see
+        ``write_zordered_quantized``'s equi-depth sizing note).
     """
 
     def __init__(
@@ -88,14 +103,29 @@ class CompactionMaintainer:
         cluster_cols: list[str],
         min_files: int = 8,
         target_rows_per_file: int = 100_000,
+        quantize: str | None = None,
+        quantize_bits: int = 8,
     ) -> None:
-        if not 1 <= len(cluster_cols) <= 2:
-            raise ValueError("cluster_cols must name 1 or 2 columns")
+        if quantize is None:
+            if not 1 <= len(cluster_cols) <= 2:
+                raise ValueError("cluster_cols must name 1 or 2 columns")
+        else:
+            if quantize not in ("minmax", "equi_depth"):
+                raise ValueError(
+                    f"unknown quantize mode {quantize!r}: expected "
+                    "'minmax', 'equi_depth', or None (native int key)"
+                )
+            if not 1 <= len(cluster_cols) <= 4:
+                raise ValueError(
+                    "quantized mode clusters on 1..4 columns"
+                )
         self.landing_dir = landing_dir
         self.table_dir = table_dir
         self.cluster_cols = cluster_cols
         self.min_files = min_files
         self.target_rows_per_file = target_rows_per_file
+        self.quantize = quantize
+        self.quantize_bits = quantize_bits
         os.makedirs(table_dir, exist_ok=True)
 
     # -- pointer protocol (Scd2Table pattern) ---------------------------
@@ -196,7 +226,15 @@ class CompactionMaintainer:
         n_rows = df.count()
         n_out = max(1, -(-n_rows // self.target_rows_per_file))
 
-        if len(self.cluster_cols) == 2:
+        if self.quantize is not None:
+            from _data_engineering_pipeline_project_spark.operators.layout import (
+                quantized_zorder_key,
+            )
+
+            key = quantized_zorder_key(
+                df, self.cluster_cols, self.quantize_bits, self.quantize
+            )
+        elif len(self.cluster_cols) == 2:
             from _data_engineering_pipeline_project_spark.operators.sampling import (
                 zorder_value,
             )

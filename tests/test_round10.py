@@ -420,6 +420,96 @@ def test_listed_file_lengths_correct_in_overreturning_dir(spark, tmp_path):
     assert out == {p: int(p.rsplit("f", 1)[1][:4]) + 1 for p in want}
 
 
+# --- compaction + z-order layout as ONE job (VERDICT r10 brief #6) -----------
+
+
+def test_compaction_with_quantized_zorder_layout(spark, tmp_path):
+    """The compactor's optional layout pass: folding small files with
+    quantize='minmax' produces a generation whose per-file footer
+    spans pass the same tightness assertion as a standalone
+    write_zordered_quantized — compaction and clustering as one job —
+    with row content preserved bit-exactly. Doubles cluster directly
+    (the native zorder_value key cannot take them)."""
+    pytest.importorskip("pyarrow")
+    import numpy as np
+
+    from _data_engineering_pipeline_project_spark.operators.layout import (
+        file_stat_spans,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.compactmaint import (
+        CompactionMaintainer,
+    )
+    from tests.test_compactmaint import _append_batch
+
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "table")
+    m = CompactionMaintainer(
+        landing,
+        table,
+        ["a", "b"],
+        min_files=8,
+        target_rows_per_file=1500,
+        quantize="minmax",
+        quantize_bits=8,
+    )
+    rng = np.random.default_rng(11)
+    expect = []
+    for batch in range(10):
+        rows = [
+            (float(x), float(y))
+            for x, y in zip(
+                rng.uniform(0, 10_000, 1200), rng.uniform(0, 500, 1200)
+            )
+        ]
+        expect.extend(rows)
+        _append_batch(spark, landing, rows, schema="a double, b double")
+
+    out = m.run_once(spark)
+    assert out["compacted"] and out["rows"] == 12_000
+    gen = os.path.join(table, f"gen_v{out['version']}")
+    n_files = out["output_files"]
+    assert n_files == 8
+    for col in ("a", "b"):
+        spans = file_stat_spans(spark, gen, col)
+        avg = sum(spans) / len(spans)
+        # ~sqrt(1/8) per dim for a 2-D curve over 8 files (+ noise);
+        # un-clustered landing files span ~the whole range
+        assert avg < 0.62, (col, avg)
+    got = sorted(tuple(r) for r in m.read_current(spark).collect())
+    assert got == sorted(expect)
+
+    # follow-up ticks keep clustering as data accretes (equi_depth too)
+    m2 = CompactionMaintainer(
+        landing,
+        str(tmp_path / "table2"),
+        ["a"],
+        min_files=2,
+        target_rows_per_file=1500,
+        quantize="equi_depth",
+        quantize_bits=8,
+    )
+    for batch in range(2):
+        rows = [(float(np.exp(x)), 0.0) for x in rng.uniform(0, 9, 1200)]
+        _append_batch(spark, landing, rows, schema="a double, b double")
+    out2 = m2.run_once(spark)
+    assert out2["compacted"] and out2["rows"] == 2400
+
+
+def test_compaction_quantize_validation():
+    from _data_engineering_pipeline_project_spark.streaming.compactmaint import (
+        CompactionMaintainer,
+    )
+
+    with pytest.raises(ValueError, match="quantize mode"):
+        CompactionMaintainer("/l", "/tmp/t-q1", ["a"], quantize="zcurve")
+    with pytest.raises(ValueError, match="1..4"):
+        CompactionMaintainer(
+            "/l", "/tmp/t-q2", list("abcde"), quantize="minmax"
+        )
+    with pytest.raises(ValueError, match="1 or 2"):
+        CompactionMaintainer("/l", "/tmp/t-q3", ["a", "b", "c"])
+
+
 def test_quantized_max_stays_in_lane(spark):
     """ADVICE r9 #4: col = mx maps to maxq or maxq-1, never ABOVE the
     lane (the interleave would corrupt neighboring dimensions). Spans
