@@ -510,6 +510,63 @@ def test_compaction_quantize_validation():
         CompactionMaintainer("/l", "/tmp/t-q3", ["a", "b", "c"])
 
 
+# --- Iceberg merge seam (VERDICT r10 brief #8, stretch) ----------------------
+
+
+def test_scd2_merge_into_iceberg_without_runtime_raises_cleanly(spark):
+    from _data_engineering_pipeline_project_spark.operators.scd2 import (
+        _have_iceberg,
+        scd2_merge_into_iceberg,
+    )
+
+    if _have_iceberg(spark):
+        pytest.skip("iceberg runtime present; covered by the e2e test")
+    from datetime import datetime
+
+    inc = spark.createDataFrame([(1, "a")], "id int, v string")
+    with pytest.raises(NotImplementedError, match="iceberg-spark-runtime"):
+        scd2_merge_into_iceberg(
+            spark, inc, "local.db.t", "local.db.h", ["id"], datetime(2024, 1, 1)
+        )
+
+
+def test_scd2_merge_into_iceberg_e2e(spark, tmp_path):
+    """Ready-to-enable (mirrors the Delta e2e): with the Iceberg
+    runtime + a catalog configured, the SQL MERGE path must match the
+    parquet-versioned path batch for batch."""
+    from datetime import datetime
+
+    from _data_engineering_pipeline_project_spark.operators.scd2 import (
+        Scd2Table,
+        _have_iceberg,
+        scd2_merge_into_iceberg,
+    )
+
+    if not _have_iceberg(spark):
+        pytest.skip("iceberg-spark-runtime not on classpath")
+
+    pk = ["id"]
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    b2 = spark.createDataFrame([(1, "a2"), (3, "c")], "id int, v string")
+    ts1, ts2 = datetime(2024, 1, 1), datetime(2024, 1, 2)
+
+    ref = Scd2Table(spark, str(tmp_path / "parquet"), pk)
+    ref.merge(b1, ts1)
+    ref.merge(b2, ts2)
+
+    tgt, hist = "local.db.scd2_t", "local.db.scd2_h"
+    for b, ts in ((b1, ts1), (b2, ts2)):
+        scd2_merge_into_iceberg(spark, b, tgt, hist, pk, ts)
+
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(spark.table(tgt).select(*ref.current().columns)) == key(
+        ref.current()
+    )
+    assert key(spark.table(hist).select(*ref.history().columns)) == key(
+        ref.history()
+    )
+
+
 def test_quantized_max_stays_in_lane(spark):
     """ADVICE r9 #4: col = mx maps to maxq or maxq-1, never ABOVE the
     lane (the interleave would corrupt neighboring dimensions). Spans
