@@ -156,8 +156,12 @@ def check_nulls(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     columns the table has.
     """
     cols = cols or df.columns
+    # coalesce: sum over ZERO rows is NULL, but a null-count REPORT of
+    # an empty table must read 0 (pandas isnull().sum() semantics; the
+    # adversarial sweep pins it). Mirrored in the oracle SQL twin.
     aggs = [
-        F.sum(F.col(c).isNull().cast("long")).alias(c) for c in cols
+        F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0)).alias(c)
+        for c in cols
     ]
     wide = df.agg(*aggs)
     stack_expr = "stack({n}, {args}) as (column, null_count)".format(

@@ -239,12 +239,12 @@ def fk_clean_lineitem_orders(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "null_counts_events",
     """
-    SELECT 'event_id' AS column_name, CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count FROM events
-    UNION ALL SELECT 'ts', CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
-    UNION ALL SELECT 'user_id', CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
-    UNION ALL SELECT 'event_type', CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
-    UNION ALL SELECT 'value', CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
-    UNION ALL SELECT 'props', CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+    SELECT 'event_id' AS column_name, CAST(COALESCE(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS null_count FROM events
+    UNION ALL SELECT 'ts', CAST(COALESCE(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) FROM events
+    UNION ALL SELECT 'user_id', CAST(COALESCE(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) FROM events
+    UNION ALL SELECT 'event_type', CAST(COALESCE(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) FROM events
+    UNION ALL SELECT 'value', CAST(COALESCE(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) FROM events
+    UNION ALL SELECT 'props', CAST(COALESCE(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) FROM events
     """,
 )
 def null_counts_events(spark: SparkSession, sf: str) -> DataFrame:
