@@ -135,6 +135,10 @@ def with_zorder_key(
         *[F.max(c).alias(f"__mx_{c}") for c in cols],
     )
     j = df.crossJoin(F.broadcast(stats))
+    # buckets inlined into the interleave terms: codegen subexpression
+    # elimination evaluates each repeated bucket once per row — the
+    # staged-projection alternative measured SLOWER (see
+    # quantized_zorder_key's rationale, r10)
     qs = [
         quantized(F.col(c), F.col(f"__mn_{c}"), F.col(f"__mx_{c}"), bits)
         for c in cols
@@ -144,25 +148,21 @@ def with_zorder_key(
     )
 
 
-def quantized_zorder_key(
+def _quantized_bucket_columns(
     df: DataFrame,
     cols: list[str],
-    bits: int = 16,
-    quantize: str = "minmax",
-    relative_error: float = 0.001,
-) -> Column:
-    """The Morton key column a quantized clustered write orders by —
-    factored out so OTHER write paths compose it (the compaction
-    maintainer's optional layout pass, ``streaming/compactmaint.py``).
-
-    Stats are collected ONCE to the driver (bounded: one min/max row,
-    or ≤ ``2^bits - 1`` quantile boundaries per column) and embedded
-    as literals, so plans that execute MULTIPLE jobs over the keyed
-    frame (range-boundary sampling, then the write) don't re-run the
-    stats scan per job. Literal doubles are the identical IEEE values
-    the broadcast form would join, so the key is byte-identical to
-    :func:`with_zorder_key`'s. See :func:`write_zordered_quantized`
-    for when ``equi_depth`` beats ``minmax``."""
+    bits: int,
+    quantize: str,
+    relative_error: float,
+) -> list[Column]:
+    """Per-column bucket expressions with stats collected ONCE to the
+    driver (bounded: one min/max row, or ≤ ``2^bits - 1`` quantile
+    boundaries per column) and embedded as literals, so plans that
+    execute MULTIPLE jobs over the keyed frame (range-boundary
+    sampling, then the write) don't re-run the stats scan per job.
+    Literal doubles are the identical IEEE values the broadcast form
+    would join, so the key is byte-identical to
+    :func:`with_zorder_key`'s."""
     if quantize == "minmax":
         row = df.agg(
             *[F.min(c).alias(f"mn_{c}") for c in cols],
@@ -198,7 +198,36 @@ def quantized_zorder_key(
             f"unknown quantize mode {quantize!r}: expected 'minmax' or "
             "'equi_depth'"
         )
-    return zorderk(qs, bits)
+    return qs
+
+
+def quantized_zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    quantize: str = "minmax",
+    relative_error: float = 0.001,
+) -> Column:
+    """The Morton key column a quantized clustered write orders by —
+    factored out so OTHER write paths compose it (the compaction
+    maintainer's optional layout pass, ``streaming/compactmaint.py``).
+
+    The bucket expressions are INLINED into the ``k·bits`` shift/mask
+    terms on purpose. The plan printout shows each bucket repeated per
+    bit term, which LOOKS like k·bits redundant evaluations, but
+    whole-stage codegen's subexpression elimination computes each
+    repeated top-level expression once per row — measured (r10, 2M
+    rows, 255 boundaries, bits=8): inlined 1.31 s vs 1.92 s for a
+    staged two-projection form that pre-materializes the buckets. (The
+    "materialize before the lambda" house rule is about expressions
+    INSIDE a higher-order-function body, which run per element and
+    escape subexpression elimination — not about repeated top-level
+    subtrees.) See :func:`write_zordered_quantized` for when
+    ``equi_depth`` beats ``minmax``."""
+    return zorderk(
+        _quantized_bucket_columns(df, cols, bits, quantize, relative_error),
+        bits,
+    )
 
 
 def write_zordered_quantized(

@@ -70,6 +70,10 @@ def zorder_key_equidepth_orders(spark: SparkSession, sf: str) -> DataFrame:
     o = table(spark, sf, "orders").select(
         "o_orderkey", "o_totalprice", "o_custkey"
     )
+    # buckets inlined into the interleave: codegen subexpression
+    # elimination evaluates each repeated bucket once per row (measured
+    # r10 — a staged pre-projection is SLOWER; see
+    # layout.quantized_zorder_key)
     qp = quantized_equi_depth(F.col("o_totalprice"), _PRICE_BOUNDS)
     qc = quantized_equi_depth(F.col("o_custkey"), _CUSTKEY_BOUNDS)
     return o.select(
