@@ -190,6 +190,19 @@ def test_equi_depth_zorder_survives_pareto_where_minmax_fails(spark, tmp_path):
     assert ed_avg < 0.55, ed_avg  # ~sqrt(1/16) + quantile/sampling noise
     assert ed_avg < mm_avg / 1.6
 
+    # the first-class operator (file_stat_spans_ranked — approxQuantile
+    # CDF) agrees with these exact numpy ranks file-for-file, so the
+    # honest audit doesn't live only inside this test
+    from _data_engineering_pipeline_project_spark.operators.layout import (
+        file_stat_spans_ranked,
+    )
+
+    for path, exact in ((mm, rs_mm), (ed, rs_ed)):
+        approx = file_stat_spans_ranked(spark, path, "v")
+        assert len(approx) == len(exact)
+        for x, y in zip(sorted(approx), sorted(exact)):
+            assert abs(x - y) < 0.05, (path, x, y)
+
     # runtime proof: a selective predicate in the HEAVY (low-value)
     # region — where the long tail parked ~all minmax buckets.
     # Thresholds allow for run-to-run row-group geometry drift
