@@ -219,6 +219,45 @@ class Bm25Maintainer:
                 "checkpoint or start a new maintainer base_dir."
             )
 
+    def _guarded_hook(self, checkpoint_dir: str):
+        """foreachBatch wrapper (the ``AggMaintainer`` pattern): resolve
+        the checkpoint IDENTITY once the query exists and bind it before
+        delegating, so a recreated checkpoint at the same path fails
+        loudly instead of replaying batch ids into the watermark."""
+        from _data_engineering_pipeline_project_spark.streaming.ckptid import (
+            checkpoint_identity,
+        )
+
+        def hook(batch_df, batch_id):
+            self.bind_checkpoint(checkpoint_identity(checkpoint_dir))
+            self.merge_batch(batch_df, batch_id)
+
+        return hook
+
+    def run_available_now(
+        self,
+        source_dir: str,
+        schema,
+        checkpoint_dir: str,
+        source_format: str = "parquet",
+    ) -> None:
+        """Drain new document files from ``source_dir`` into the index.
+        The streaming checkpoint makes file discovery incremental —
+        each file's docs are tokenized and folded exactly once, which
+        is precisely the maintainer's append-only contract."""
+        stream = (
+            self.spark.readStream.format(source_format)
+            .schema(schema)
+            .load(source_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(self._guarded_hook(checkpoint_dir))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
     # -- maintenance -------------------------------------------------------
     def compact(self) -> None:
         """Fold every batch postings directory into ONE re-clustered

@@ -312,6 +312,71 @@ def test_bm25_maintainer_matches_one_shot_build(spark, tmp_path):
     assert "dl" in idx["postings"].columns
 
 
+def test_bm25_maintainer_streaming_available_now(spark, tmp_path):
+    """Stream-driven e2e (the AggMaintainer pattern): document files
+    land in a directory, run_available_now drains them through a real
+    readStream + foreachBatch with checkpointed file discovery — each
+    file folds exactly once across restarts — and the served scores
+    match a one-shot build over everything landed."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from _data_engineering_pipeline_project_spark.operators.ranking import (
+        bm25_scores_from_index,
+        load_bm25_index,
+        save_bm25_index,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.bm25maint import (
+        Bm25Maintainer,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = str(tmp_path / "docs_landing")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    m = Bm25Maintainer(spark, str(tmp_path / "idx"), files_per_batch=1)
+
+    corpus = [
+        (1, "spark shuffles data between stages"),
+        (2, "an index amortizes the tokenize"),
+        (3, "data data data everywhere"),
+        (4, "the tokenize cost dominates builds"),
+    ]
+    for i, row in enumerate(corpus):
+        spark.createDataFrame([row], schema).coalesce(1).write.parquet(
+            os.path.join(src, f"b{i}")
+        )
+        m.run_available_now(src + "/*/", schema, ckpt)
+
+    # a re-drain with nothing new is a no-op (checkpointed discovery)
+    v = m.version
+    m.run_available_now(src + "/*/", schema, ckpt)
+    assert m.version == v
+
+    oneshot = str(tmp_path / "oneshot")
+    save_bm25_index(
+        spark.createDataFrame(corpus, schema), oneshot, num_files=1
+    )
+    terms = ["data", "tokenize"]
+    want = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in bm25_scores_from_index(
+            load_bm25_index(spark, oneshot), terms
+        ).collect()
+    )
+    got = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in bm25_scores_from_index(m.serve_index(), terms).collect()
+    )
+    assert got == want and len(got) == 4
+
+
 def test_bm25_maintainer_counts_empty_docs_in_stats(spark, tmp_path):
     """A batch containing an empty-text doc still matches the one-shot
     build: the doc contributes no postings but DOES count toward
