@@ -272,3 +272,63 @@ def explode_ordered_pairs(
             ).alias(b_col),
         )
     )
+
+
+def join_skew_audit(
+    df: DataFrame,
+    key_cols: list[str],
+    partitions: int,
+    top: int = 10,
+) -> DataFrame:
+    """Heavy-hitter audit for a prospective join/groupBy key: the
+    per-key row counts that decide whether ``salted_join`` /
+    ``salted_aggregate`` / AQE skew split is needed, plus the salt
+    factor that would level each hot key — turning the skew playbook
+    (docs/RUNBOOK.md) from a judgement call into a measured one.
+
+    For each of the ``top`` heaviest keys:
+
+    - ``n_rows``, ``share`` — count and fraction of the relation;
+    - ``skew_factor`` — ``n_rows / (total/partitions)``: how many
+      average hash-partitions' worth of rows THIS key funnels into one
+      task at the stated shuffle width (>1 means the key alone
+      overflows its task);
+    - ``recommended_salt`` — ``max(1, ceil(n_rows·partitions/total))``:
+      the lane count that splits the key back to ~average task size
+      (the ``buckets`` argument salted_join/salted_aggregate take).
+
+    ``partitions`` is an explicit parameter, not read from the session:
+    the audit describes a TARGET deployment's shuffle width (a 1000-
+    executor job audits with its production width from a laptop).
+
+    Plan: one partial-aggregated groupBy on the key (the same shuffle
+    the audited join would do, but carrying only counts), a single-row
+    total broadcast back, and a top-N take — at 100 TB the audit costs
+    one count-shuffle of the key relation, nothing more. All outputs
+    are exact integer math (ceil via (n·P + total - 1) div total);
+    ``share``/``skew_factor`` are single divisions of exact integers,
+    rounded — so the audit is oracle-checkable bit-for-bit."""
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("__total"))
+    p = F.lit(int(partitions)).cast("long")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            *key_cols,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__total"), 6).alias("share"),
+            F.round(F.col("n_rows") * p / F.col("__total"), 4).alias(
+                "skew_factor"
+            ),
+            # exact integral ceil: BIGINT div, never a double quotient
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(
+                    f"(n_rows * CAST({int(partitions)} AS BIGINT)"
+                    " + __total - 1) div __total"
+                ),
+            ).alias("recommended_salt"),
+        )
+        .orderBy(F.col("n_rows").desc(), *key_cols)
+        .limit(top)
+    )

@@ -1,4 +1,5 @@
-"""Round-10: equi-depth (rank-quantized) Z-order layout key.
+"""Round-10: equi-depth (rank-quantized) Z-order layout key; sharded
+Bloom-filter membership.
 
 ``zorder_key_equidepth_orders`` registers the rank-quantization +
 interleave math that ``layout.py:write_zordered_quantized(quantize=
@@ -15,6 +16,20 @@ literals; pytest owns the derivation, the oracle owns the math). The
 write path's payoff on a pareto-shaped column — where min/max
 quantization measurably fails — is pinned by
 ``tests/test_round10.py``.
+
+``bloom_membership_audit_documents`` / ``bloom_fp_audit_summary_
+documents`` register the sharded Bloom filter (``operators/
+membership.py``) end-to-end — build words over the standing corpus's
+fingerprints, probe EVERY document, compare against exact membership —
+so the whole bit pipeline (md5 double-hash positions, 60-bit word
+shards, bit_or build, bool_and probe) is oracle-checked bit-for-bit,
+and the false-positive rate / fill ratio the summary reports is the
+sizing audit a deployed filter runs continuously (fill only grows with
+the corpus; the geometry here is deliberately small enough that sf0.1
+shows a non-trivial FP rate while sf0.01 stays near zero — both
+exactly reproduced by the oracle, because FP behavior is a pure
+function of the hash math). The no-false-negative property and the
+artifact/merge lifecycle are pinned by ``tests/test_round10b.py``.
 """
 
 from __future__ import annotations
@@ -78,4 +93,214 @@ def zorder_key_equidepth_orders(spark: SparkSession, sf: str) -> DataFrame:
     qc = quantized_equi_depth(F.col("o_custkey"), _CUSTKEY_BOUNDS)
     return o.select(
         "o_orderkey", zorderk([qp, qc], _EQ_BITS).alias("z_key")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sharded Bloom-filter membership (operators/membership.py)
+# --------------------------------------------------------------------------
+_BLOOM_M = 1 << 14  # deliberately small: sf0.1 realizes a visible FP rate
+_BLOOM_K = 3
+
+_FP_SQL = r"md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))"
+
+
+def _bloom_ctes() -> str:
+    """Shared CTE chain: fingerprints, corpus bloom words, per-
+    fingerprint probe flag, exact membership — each step the literal
+    twin of membership.py (same md5 slices, double-hash stride, 60-bit
+    words, bit_or/bool_and)."""
+    from _data_engineering_pipeline_project_spark.operators.membership import (
+        MASK_SQL,
+        WORD_SQL,
+        bloom_pos_sql,
+    )
+
+    pos = bloom_pos_sql("fp", _BLOOM_M, _BLOOM_K)
+    return f"""
+WITH fp AS (
+  SELECT doc_id,
+         CAST(regexp_extract(source, '(\\d+)$', 1) AS INTEGER) AS src_n,
+         {_FP_SQL} AS fp
+  FROM documents),
+corpus AS (SELECT DISTINCT fp FROM fp WHERE src_n < 10),
+cpos AS (SELECT unnest({pos}) AS pos FROM corpus),
+words AS (SELECT {WORD_SQL} AS word_idx, bit_or({MASK_SQL}) AS word
+          FROM cpos GROUP BY 1),
+ppos AS (SELECT fp, unnest({pos}) AS pos
+         FROM (SELECT DISTINCT fp FROM fp)),
+pflag AS (
+  SELECT ppos.fp,
+         bool_and((COALESCE(w.word, 0) & {MASK_SQL}) = {MASK_SQL})
+           AS bloom_member
+  FROM ppos LEFT JOIN words w ON {WORD_SQL} = w.word_idx
+  GROUP BY ppos.fp),
+flags AS (
+  SELECT f.doc_id, pf.bloom_member,
+         (c.fp IS NOT NULL) AS exact_member,
+         (pf.bloom_member AND c.fp IS NULL) AS is_false_positive
+  FROM fp f
+  JOIN pflag pf USING (fp)
+  LEFT JOIN corpus c USING (fp))
+"""
+
+
+def _bloom_flags(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark half of the shared pipeline (corpus = sources src0-9, the
+    cross_dedup_new_vs_corpus standing-corpus convention)."""
+    from _data_engineering_pipeline_project_spark.operators import (
+        membership as M,
+    )
+    from _data_engineering_pipeline_project_spark.operators import (
+        textstats as TS,
+    )
+
+    d = table(spark, sf, "documents").withColumn(
+        "src_n", F.regexp_extract("source", r"(\d+)$", 1).cast("int")
+    )
+    fp = d.select("doc_id", "src_n", TS.fingerprint("text").alias("fp"))
+    corpus = fp.filter(F.col("src_n") < 10).select("fp").distinct()
+    words = M.bloom_build(corpus, F.col("fp"), _BLOOM_M, _BLOOM_K)
+    probed = M.bloom_probe(
+        words, fp.select("doc_id", "fp"), F.col("fp"), _BLOOM_M, _BLOOM_K
+    )
+    exact = corpus.withColumn("__exact", F.lit(True))
+    return (
+        probed.join(exact, "fp", "left")
+        .select(
+            "doc_id",
+            "bloom_member",
+            F.coalesce(F.col("__exact"), F.lit(False)).alias("exact_member"),
+            (F.col("bloom_member") & F.col("__exact").isNull()).alias(
+                "is_false_positive"
+            ),
+        )
+    )
+
+
+@query(
+    "bloom_membership_audit_documents",
+    _bloom_ctes()
+    + """
+SELECT doc_id, bloom_member, exact_member, is_false_positive FROM flags
+""",
+)
+def bloom_membership_audit_documents(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """Per-document Bloom-vs-exact membership: build the corpus filter
+    (one explode + one bit_or groupBy, ≤ m/60 output rows), probe every
+    document's fingerprint (distinct keys → one word_idx join — AQE
+    broadcasts the small words relation — → bool_and), and compare
+    against the exact distinct-key semi-join. Every reported bit is a
+    pure function of exact integer md5 arithmetic, so the DuckDB twin
+    reproduces bloom_member — false positives included — bit-for-bit.
+    No false negatives BY CONSTRUCTION (exact_member ⇒ bloom_member);
+    the property test re-pins it under hostile keys."""
+    return _bloom_flags(spark, sf)
+
+
+@query(
+    "bloom_fp_audit_summary_documents",
+    _bloom_ctes()
+    + f"""
+SELECT (SELECT count(*) FROM flags) AS n_probes,
+       (SELECT count(*) FILTER (bloom_member) FROM flags) AS n_bloom_positive,
+       (SELECT count(*) FILTER (exact_member) FROM flags) AS n_exact_member,
+       (SELECT count(*) FILTER (is_false_positive) FROM flags) AS n_false_positive,
+       round((SELECT count(*) FILTER (is_false_positive) FROM flags) * 1.0
+             / (SELECT count(*) FILTER (NOT exact_member) FROM flags), 6)
+         AS fp_rate,
+       (SELECT CAST(sum(bit_count(word)) AS BIGINT) FROM words) AS n_bits_set,
+       round((SELECT sum(bit_count(word)) FROM words) * 1.0 / {_BLOOM_M}, 6)
+         AS fill_ratio
+""",
+)
+def bloom_fp_audit_summary_documents(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """The filter-sizing audit as one row: realized FP rate (false
+    positives / true non-members) and fill ratio (set bits / m). This
+    is the number a 100 TB deployment watches — fill only grows as the
+    corpus absorbs batches, and once it passes ~50% the FP rate climbs
+    toward (fill)^k; the fix is a rebuild at larger m (the artifact
+    records its geometry for exactly that decision). All counts are
+    exact integers; the two ratios are single divisions of exact
+    integers, rounded identically in both engines."""
+    from _data_engineering_pipeline_project_spark.operators import (
+        membership as M,
+    )
+    from _data_engineering_pipeline_project_spark.operators import (
+        textstats as TS,
+    )
+
+    flags = _bloom_flags(spark, sf)
+    d = table(spark, sf, "documents").withColumn(
+        "src_n", F.regexp_extract("source", r"(\d+)$", 1).cast("int")
+    )
+    corpus = (
+        d.select(TS.fingerprint("text").alias("fp"), "src_n")
+        .filter(F.col("src_n") < 10)
+        .select("fp")
+        .distinct()
+    )
+    words = M.bloom_build(corpus, F.col("fp"), _BLOOM_M, _BLOOM_K)
+    counts = flags.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.count_if(F.col("bloom_member")).alias("n_bloom_positive"),
+        F.count_if(F.col("exact_member")).alias("n_exact_member"),
+        F.count_if(F.col("is_false_positive")).alias("n_false_positive"),
+        F.round(
+            F.count_if(F.col("is_false_positive"))
+            / F.count_if(~F.col("exact_member")),
+            6,
+        ).alias("fp_rate"),
+    )
+    fill = words.agg(
+        F.sum(F.bit_count("word")).cast("bigint").alias("n_bits_set"),
+        F.round(F.sum(F.bit_count("word")) / F.lit(_BLOOM_M), 6).alias(
+            "fill_ratio"
+        ),
+    )
+    return counts.crossJoin(F.broadcast(fill))
+
+
+# --------------------------------------------------------------------------
+# Join-skew audit (operators/skew.py:join_skew_audit)
+# --------------------------------------------------------------------------
+_AUDIT_P = 32  # the TARGET shuffle width the audit describes
+
+
+@query(
+    "join_skew_audit_events_type",
+    f"""
+WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
+           FROM events GROUP BY 1),
+t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM c)
+SELECT event_type, n_rows,
+       round(n_rows * 1.0 / total, 6) AS share,
+       round(n_rows * {_AUDIT_P}.0 / total, 4) AS skew_factor,
+       CAST(greatest(1, (n_rows * {_AUDIT_P} + total - 1) // total)
+            AS BIGINT) AS recommended_salt
+FROM c CROSS JOIN t
+ORDER BY n_rows DESC, event_type
+LIMIT 10
+""",
+)
+def join_skew_audit_events_type(spark: SparkSession, sf: str) -> DataFrame:
+    """Heavy-hitter audit on the events.event_type key at a declared
+    32-way shuffle width: per-key rows, share, skew factor (average-
+    partitions' worth of rows the key funnels into one task), and the
+    salt lane count that levels it — the measured input the skew
+    playbook's salted_join/salted_aggregate calls take. A 5-value key
+    over the whole relation is exactly the low-cardinality hot-key
+    shape salting exists for: every key lands skew_factor ≈ 6.4 and
+    recommends ~7 lanes. One count-only shuffle; exact integer math
+    throughout (ceil as BIGINT div)."""
+    from _data_engineering_pipeline_project_spark.operators.skew import (
+        join_skew_audit,
+    )
+
+    return join_skew_audit(
+        table(spark, sf, "events"), ["event_type"], partitions=_AUDIT_P
     )

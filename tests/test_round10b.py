@@ -1,0 +1,156 @@
+"""Round-10 wave 2: sharded Bloom-filter membership
+(operators/membership.py).
+
+The oracle queries (queries_ext10.py) pin the bit arithmetic against
+DuckDB; these tests pin the PROPERTIES the oracle can't state —
+no false negatives under hostile keys, prefilter-join exactness,
+merge = build-of-union, and the artifact lifecycle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from _data_engineering_pipeline_project_spark.operators import membership as M
+
+M_BITS = 1 << 12
+K = 3
+
+HOSTILE_KEYS = [
+    "",
+    " ",
+    "a",
+    "ünïcode-ké y",
+    "emoji 🙂🚀 key",
+    "line\nbreak\ttab",
+    "0",
+    "-1",
+    "9" * 500,
+    "the same words in a different order",
+    "order different a in words same the",
+    "null",
+    "None",
+]
+
+
+def _keys_df(spark, keys):
+    return spark.createDataFrame([(k,) for k in keys], "k string")
+
+
+def test_no_false_negatives_on_hostile_keys(spark):
+    """Every inserted key probes member — the Bloom contract, under
+    empty/unicode/emoji/huge/lookalike keys."""
+    df = _keys_df(spark, HOSTILE_KEYS)
+    words = M.bloom_build(df, F.col("k"), M_BITS, K)
+    probed = M.bloom_probe(words, df, F.col("k"), M_BITS, K)
+    rows = probed.collect()
+    assert len(rows) == len(HOSTILE_KEYS)
+    assert all(r["bloom_member"] for r in rows)
+
+
+def test_probe_is_duplicate_row_safe(spark):
+    """Duplicate probe rows each keep their row and flag (the probe
+    dedups KEYS internally, not rows)."""
+    df = _keys_df(spark, ["dup", "dup", "dup", "other"])
+    words = M.bloom_build(_keys_df(spark, ["dup"]), F.col("k"), M_BITS, K)
+    out = M.bloom_probe(words, df, F.col("k"), M_BITS, K).collect()
+    assert len(out) == 4
+    assert sum(1 for r in out if r["k"] == "dup" and r["bloom_member"]) == 3
+
+
+def test_merge_equals_build_of_union(spark):
+    """bit_or is a monoid: merging per-batch blooms yields EXACTLY the
+    words of building over the union — the incremental-maintenance
+    property."""
+    a = _keys_df(spark, [f"a{i}" for i in range(200)])
+    b = _keys_df(spark, [f"b{i}" for i in range(200)])
+    wa = M.bloom_build(a, F.col("k"), M_BITS, K)
+    wb = M.bloom_build(b, F.col("k"), M_BITS, K)
+    merged = {
+        (r["word_idx"], r["word"]) for r in M.bloom_merge(wa, wb).collect()
+    }
+    union = {
+        (r["word_idx"], r["word"])
+        for r in M.bloom_build(
+            a.unionByName(b), F.col("k"), M_BITS, K
+        ).collect()
+    }
+    assert merged == union
+
+
+def test_prefilter_semi_join_equals_plain_semi_join(spark):
+    """bloom_prefilter_semi_join returns exactly the plain semi-join's
+    rows: no false negatives means the prefilter can't drop a match,
+    and the verify join removes every false positive. A deliberately
+    TINY filter (high FP pressure) stresses the verify stage."""
+    corpus = _keys_df(spark, [f"k{i}" for i in range(300)]).select(
+        F.col("k").alias("ck")
+    )
+    probe = _keys_df(spark, [f"k{i}" for i in range(250, 600)])
+    got = sorted(
+        r["k"]
+        for r in M.bloom_prefilter_semi_join(
+            corpus, probe, F.col("k"), m_bits=64, k=2
+        ).collect()
+    )
+    want = sorted(
+        r["k"]
+        for r in probe.join(
+            corpus, probe["k"] == corpus["ck"], "left_semi"
+        ).collect()
+    )
+    assert got == want and len(want) == 50
+
+
+def test_artifact_round_trip_and_geometry_guard(spark, tmp_path):
+    """save → load → probe equals the in-memory probe; a foreign
+    artifact layout fails fast."""
+    df = _keys_df(spark, [f"k{i}" for i in range(500)])
+    path = str(tmp_path / "bloom")
+    M.save_bloom_index(df, F.col("k"), path, m_bits=M_BITS, k=K)
+
+    idx = M.load_bloom_index(spark, path)
+    assert idx["m_bits"] == M_BITS and idx["k"] == K
+
+    probe = _keys_df(spark, [f"k{i}" for i in range(400, 900)])
+    served = {
+        (r["k"], r["bloom_member"])
+        for r in M.bloom_probe_index(idx, probe, F.col("k")).collect()
+    }
+    direct_words = M.bloom_build(df, F.col("k"), M_BITS, K)
+    direct = {
+        (r["k"], r["bloom_member"])
+        for r in M.bloom_probe(
+            direct_words, probe, F.col("k"), M_BITS, K
+        ).collect()
+    }
+    assert served == direct
+    assert all(m for k, m in served if int(k[1:]) < 500)  # no false negs
+
+    # geometry guard: corrupt params → loud failure
+    spark.createDataFrame(
+        [(int(M_BITS), K, 64, "bloom-words-v999")],
+        "m_bits long, k int, word_bits int, format string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+    with pytest.raises(ValueError, match="incompatible bloom artifact"):
+        M.load_bloom_index(spark, path)
+
+
+def test_words_are_bounded_and_positive(spark):
+    """The words relation never exceeds ceil(m/60) rows and every word
+    is a positive long (60-bit masks — no signed-bit edge)."""
+    df = _keys_df(spark, [f"k{i}" for i in range(2000)])
+    words = M.bloom_build(df, F.col("k"), M_BITS, K).collect()
+    n_words_max = -(-M_BITS // M.WORD_BITS)
+    assert len(words) <= n_words_max
+    assert all(0 < r["word"] < (1 << 60) for r in words)
+    assert all(0 <= r["word_idx"] < n_words_max for r in words)
+
+
+def test_param_validation():
+    with pytest.raises(ValueError):
+        M.bloom_positions(F.lit("x"), 1, 3)
+    with pytest.raises(ValueError):
+        M.bloom_positions(F.lit("x"), 64, 0)
+    with pytest.raises(ValueError):
+        M.bloom_positions(F.lit("x"), 64, 17)
