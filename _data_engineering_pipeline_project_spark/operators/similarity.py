@@ -1146,3 +1146,139 @@ def ivfpq_topk(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+def matryoshka_scores(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cuts: tuple[int, ...] = (8, 16, 32, 64),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Cosine at EVERY prefix-dimension cut from ONE corpus×queries
+    pass — the scoring core of the matryoshka (MRL) truncation audit.
+
+    A matryoshka-trained embedding packs coarse-to-fine information
+    into dimension prefixes, so serving can truncate vectors (¼ the
+    bytes, ¼ the dot-product work) IF retrieval quality holds; this
+    relation is how you find out. Instead of re-scanning the corpus
+    per cut, each pair computes one dot per SEGMENT between cuts
+    (``[1..8], [9..16], [17..32], [33..64]`` — the same total element
+    work as a single full dot) and prefixes accumulate left-to-right:
+    ``dot_16 = seg1 + seg2``. Per-vector segment square-norms are
+    evaluated once BELOW the join (the topk_cosine_bruteforce norm
+    discipline). The segmented association is mirrored literally in
+    the SQL twin (``list_dot_product(v[1:8], qv[1:8]) + ...``), so
+    every cosine is bit-reproducible; scores are rounded to 6 before
+    any ranking, per the house rule.
+
+    Output: (query_id, neighbor_id, cos_<m> for each m in cuts)."""
+    segs = []
+    lo = 1
+    for c in cuts:
+        segs.append((lo, c))
+        lo = c + 1
+    _dot = dot
+
+    def seg_sq(col: str, lo: int, hi: int):
+        s = F.slice(col, lo, hi - lo + 1)
+        return _dot(s, s)
+
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        *[
+            seg_sq(vec_col, lo, hi).alias(f"__qsq{i}")
+            for i, (lo, hi) in enumerate(segs)
+        ],
+    )
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        *[
+            seg_sq(vec_col, lo, hi).alias(f"__csq{i}")
+            for i, (lo, hi) in enumerate(segs)
+        ],
+    )
+    pair = c.join(F.broadcast(q), F.col(query_id_col) != F.col(id_col))
+    cols = [F.col(query_id_col), F.col(id_col).alias("neighbor_id")]
+    d_cum = None
+    csq_cum = None
+    qsq_cum = None
+    for i, (lo, hi) in enumerate(segs):
+        d = _dot(
+            F.slice(vec_col, lo, hi - lo + 1), F.slice("__qv", lo, hi - lo + 1)
+        )
+        d_cum = d if d_cum is None else d_cum + d
+        csq_cum = (
+            F.col(f"__csq{i}")
+            if csq_cum is None
+            else csq_cum + F.col(f"__csq{i}")
+        )
+        qsq_cum = (
+            F.col(f"__qsq{i}")
+            if qsq_cum is None
+            else qsq_cum + F.col(f"__qsq{i}")
+        )
+        cols.append(
+            F.round(
+                d_cum / (F.sqrt(csq_cum) * F.sqrt(qsq_cum)), 6
+            ).alias(f"cos_{hi}")
+        )
+    return pair.select(*cols)
+
+
+def matryoshka_recall_audit(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cuts: tuple[int, ...] = (8, 16, 32, 64),
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of prefix-truncated cosine retrieval against the
+    full-dimension ranking, per cut and query — the quality gate for
+    serving matryoshka-truncated embeddings (the LSH/PQ siblings have
+    ``lsh_recall_audit`` / the PQ refine stage; this is the same
+    contract for the dimension axis). The largest cut IS the baseline
+    (its row pins recall = 1), so the audit is self-anchoring.
+
+    Plan: one segmented scoring pass (``matryoshka_scores``), one
+    window rank per cut over the SAME scored relation (no rescans),
+    then per-cut overlap counts against the baseline top-k. At 100 TB
+    the scoring join is the familiar brute topk shape — bound the
+    query set (sample) exactly as lsh_recall_audit's contract does;
+    corpus cost stays one scan regardless of how many cuts are
+    audited."""
+    scored = matryoshka_scores(corpus, queries, cuts, id_col, vec_col)
+    full = cuts[-1]
+
+    def topk(m: int) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col(f"cos_{m}").desc(), F.col("neighbor_id")
+        )
+        return (
+            scored.select("query_id", "neighbor_id", f"cos_{m}")
+            .withColumn("__rnk", F.row_number().over(w))
+            .filter(F.col("__rnk") <= k)
+            .select("query_id", "neighbor_id")
+        )
+
+    base = topk(full)
+    out: DataFrame | None = None
+    for m in cuts:
+        hits = topk(m).withColumn("__hit", F.lit(1))
+        per_q = (
+            base.join(hits, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("__n"))
+            .select(
+                F.lit(m).alias("prefix_dim"),
+                "query_id",
+                F.col("__n").cast("bigint").alias("n_overlap"),
+                F.round(F.col("__n") / F.lit(k), 6).alias("recall"),
+            )
+        )
+        out = per_q if out is None else out.unionByName(per_q)
+    return out

@@ -304,3 +304,93 @@ def join_skew_audit_events_type(spark: SparkSession, sf: str) -> DataFrame:
     return join_skew_audit(
         table(spark, sf, "events"), ["event_type"], partitions=_AUDIT_P
     )
+
+
+# --------------------------------------------------------------------------
+# Matryoshka (prefix-dimension) truncation recall audit
+# --------------------------------------------------------------------------
+_MRL_CUTS = (8, 16, 32, 64)
+_MRL_K = 5
+
+
+def _mrl_sql() -> str:
+    """Twin of matryoshka_scores + recall join: segmented dots between
+    cuts, prefixes accumulated LEFT-TO-RIGHT in the same association as
+    the Spark fold (``(d1 + d2) + d3``), cosines rounded to 6 before
+    ranking — bit-parity per the vectors.py contract."""
+    segs, lo = [], 1
+    for c in _MRL_CUTS:
+        segs.append((lo, c))
+        lo = c + 1
+
+    def cum(parts: list[str]) -> str:
+        e = parts[0]
+        for p in parts[1:]:
+            e = f"({e} + {p})"
+        return e
+
+    cos_cols = []
+    dparts: list[str] = []
+    cparts: list[str] = []
+    qparts: list[str] = []
+    for lo, hi in segs:
+        dparts.append(f"list_dot_product(v[{lo}:{hi}], qv[{lo}:{hi}])")
+        cparts.append(f"list_dot_product(v[{lo}:{hi}], v[{lo}:{hi}])")
+        qparts.append(f"list_dot_product(qv[{lo}:{hi}], qv[{lo}:{hi}])")
+        cos_cols.append(
+            f"round({cum(dparts)} / (sqrt({cum(cparts)}) * "
+            f"sqrt({cum(qparts)})), 6) AS cos_{hi}"
+        )
+    tops = ",\n".join(
+        f"""top_{m} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_{m} DESC, neighbor_id) AS rnk
+        FROM scored) WHERE rnk <= {_MRL_K})"""
+        for m in _MRL_CUTS
+    )
+    full = _MRL_CUTS[-1]
+    unions = "\nUNION ALL\n".join(
+        f"""SELECT {m} AS prefix_dim, b.query_id,
+       CAST(count(t.neighbor_id) AS BIGINT) AS n_overlap,
+       round(count(t.neighbor_id) * 1.0 / {_MRL_K}, 6) AS recall
+FROM top_{full} b LEFT JOIN top_{m} t
+  ON b.query_id = t.query_id AND b.neighbor_id = t.neighbor_id
+GROUP BY b.query_id"""
+        for m in _MRL_CUTS
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {", ".join(cos_cols)}
+  FROM c, q WHERE c.vec_id <> q.query_id),
+{tops}
+{unions}
+"""
+
+
+@query("matryoshka_recall_audit_embeddings", _mrl_sql())
+def matryoshka_recall_audit_embeddings(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """Recall@5 of prefix-truncated cosine retrieval (dims 8/16/32 of
+    64) against the full-dimension ranking, per query — the audit that
+    decides whether matryoshka-truncated serving (¼ the vector bytes
+    and dot work at dim 16) keeps retrieval quality. ONE segmented
+    corpus×queries scoring pass produces every cut's cosine (same
+    total element work as the plain brute top-k), ranked per cut over
+    the same relation; the dim-64 rows are the self-anchoring baseline
+    (recall pinned at 1.0). Query set bounded (vec_id < 10) per the
+    recall-audit scale contract (lsh_recall_audit_documents)."""
+    from _data_engineering_pipeline_project_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = table(spark, sf, "embeddings")
+    return SIM.matryoshka_recall_audit(
+        emb, emb.filter(F.col("vec_id") < 10), _MRL_CUTS, _MRL_K
+    )

@@ -154,3 +154,50 @@ def test_param_validation():
         M.bloom_positions(F.lit("x"), 64, 0)
     with pytest.raises(ValueError):
         M.bloom_positions(F.lit("x"), 64, 17)
+
+
+# --------------------------------------------------------------------------
+# Matryoshka recall audit + join-skew audit (round-10 wave 2)
+# --------------------------------------------------------------------------
+def test_matryoshka_baseline_anchors_and_one_scan(spark):
+    """The full-dimension rows pin recall = 1.0 (self-anchoring), every
+    recall is in [0, 1], and the segmented scorer runs ONE
+    corpus×queries join — not one per cut (the plan has exactly one
+    BroadcastNestedLoopJoin)."""
+    from _data_engineering_pipeline_project_spark.catalog import table
+    from _data_engineering_pipeline_project_spark.operators import (
+        similarity as SIM,
+    )
+    from pyspark.sql import functions as F
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = emb.filter(F.col("vec_id") < 4)
+    out = SIM.matryoshka_recall_audit(emb, qs, (8, 16, 64), k=3).collect()
+    assert len(out) == 3 * 4
+    for r in out:
+        assert 0.0 <= r["recall"] <= 1.0
+        if r["prefix_dim"] == 64:
+            assert r["recall"] == 1.0 and r["n_overlap"] == 3
+
+    plan = SIM.matryoshka_scores(emb, qs, (8, 16, 64))._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_join_skew_audit_recommends_leveling_salt(spark):
+    """On a 90%-hot key the audit reports skew_factor ≈ P·share and a
+    salt that splits the key back to ~average task size; a uniform key
+    recommends 1 lane (no pointless salting)."""
+    from _data_engineering_pipeline_project_spark.operators.skew import (
+        join_skew_audit,
+    )
+
+    rows = [("hot",)] * 900 + [(f"u{i}",) for i in range(100)]
+    df = spark.createDataFrame(rows, "k string")
+    audit = {r["k"]: r for r in join_skew_audit(df, ["k"], partitions=10).collect()}
+    hot = audit["hot"]
+    assert hot["n_rows"] == 900
+    assert hot["share"] == 0.9
+    assert hot["skew_factor"] == 9.0
+    assert hot["recommended_salt"] == 9
+    cold = [r for k, r in audit.items() if k != "hot"]
+    assert cold and all(r["recommended_salt"] == 1 for r in cold)
