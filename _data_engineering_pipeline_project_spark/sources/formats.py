@@ -121,3 +121,52 @@ def parquet_file_stats(
     return spark.createDataFrame(
         [(f,) for f in files], "file string"
     ).mapInPandas(footer, out_schema)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """XML sink via Spark 4's built-in xml format (spark-xml graduated
+    into core in 4.0) — for the interchange feeds that still speak XML
+    (B2B/ERP exports, the ecosystem the reference's SQL Server pipeline
+    lives in). One ``row_tag`` element per row; timestamps ISO-8601 so
+    the schema'd read restores them exactly; entity escaping is the
+    writer's (a&b round-trips)."""
+    w = (
+        df.write.format("xml")
+        .mode(mode)
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .option("timestampFormat", TIMESTAMP_FMT)
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    row_tag: str = "row",
+) -> DataFrame:
+    """Schema'd XML read. Same registry-schema discipline as
+    ``read_json``: explicit schema skips the inference pass (at scale,
+    a full extra parse of every file) and pins sparse-column types.
+    Scale note: the record reader scans for ``row_tag`` boundaries
+    inside Hadoop input splits, so large UNCOMPRESSED files still
+    parallelize; gzipped XML is one split per file — prefer many
+    medium files, same economics as the CSV source's width probe."""
+    return (
+        spark.read.format("xml")
+        .schema(schema)
+        .option("rowTag", row_tag)
+        .option("timestampFormat", TIMESTAMP_FMT)
+        .option("mode", "PERMISSIVE")
+        .load(path)
+    )

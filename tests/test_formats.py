@@ -214,3 +214,48 @@ def test_streaming_jdbc_sink_restart_does_not_wipe(spark, tmp_path):
     # and the restarted sink is still retry-idempotent
     sink2.process_batch(df2, 1)
     assert read_jdbc(spark, url, "restart_sink").count() == 3
+
+
+def test_xml_roundtrip_lossless(spark, tmp_path):
+    """Spark 4 built-in xml format: schema'd round-trip including
+    nulls, pre-epoch timestamps, unicode, and XML-hostile characters
+    (&, <, >) — the writer's entity escaping must be lossless."""
+    from _data_engineering_pipeline_project_spark.sources.formats import (
+        read_xml,
+        write_xml,
+    )
+
+    df = _df(spark).withColumn(
+        "name",
+        F.when(F.col("id") == 1, F.lit("a&b <tag> \"q\"")).otherwise(
+            F.col("name")
+        ),
+    )
+    path = str(tmp_path / "x")
+    write_xml(df, path)
+    back = read_xml(spark, path, SCHEMA)
+    assert back.schema == df.schema
+    assert _rows(back) == _rows(df)
+
+
+def test_xml_read_uses_registry_schema_not_inference(spark, tmp_path):
+    """A sparse column typed by the registry schema stays typed even
+    when the sampled rows can't prove it (the read_json discipline)."""
+    from _data_engineering_pipeline_project_spark.sources.formats import (
+        read_xml,
+        write_xml,
+    )
+
+    df = _df(spark)
+    path = str(tmp_path / "x2")
+    write_xml(df, path)
+    back = read_xml(
+        spark, path, "id long, name string, amount double, missing double"
+    )
+    assert [f.name for f in back.schema.fields] == [
+        "id",
+        "name",
+        "amount",
+        "missing",
+    ]
+    assert back.filter(F.col("missing").isNotNull()).count() == 0
