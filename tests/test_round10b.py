@@ -201,3 +201,75 @@ def test_join_skew_audit_recommends_leveling_salt(spark):
     assert hot["recommended_salt"] == 9
     cold = [r for k, r in audit.items() if k != "hot"]
     assert cold and all(r["recommended_salt"] == 1 for r in cold)
+
+
+# --------------------------------------------------------------------------
+# BloomMaintainer: incremental filter maintenance
+# --------------------------------------------------------------------------
+def _bm(spark, tmp_path, name="bm", **kw):
+    from _data_engineering_pipeline_project_spark.streaming.bloommaint import (
+        BloomMaintainer,
+    )
+
+    return BloomMaintainer(spark, str(tmp_path / name), m_bits=M_BITS, k=K, **kw)
+
+
+def test_bloom_maintainer_equals_one_shot_build(spark, tmp_path):
+    """N incremental batches produce EXACTLY the words of a one-shot
+    build over the union (the monoid property through the maintainer
+    lifecycle), and every accepted key probes member."""
+    m = _bm(spark, tmp_path)
+    batches = [
+        _keys_df(spark, [f"b{b}k{i}" for i in range(150)]) for b in range(4)
+    ]
+    for b, df in enumerate(batches):
+        m.merge_batch(df, batch_id=b)
+    assert m.version == 4
+
+    all_keys = batches[0]
+    for df in batches[1:]:
+        all_keys = all_keys.unionByName(df)
+    one_shot = {
+        (r["word_idx"], r["word"])
+        for r in M.bloom_build(all_keys, F.col("k"), M_BITS, K).collect()
+    }
+    maintained = {
+        (r["word_idx"], r["word"]) for r in m.current().collect()
+    }
+    assert maintained == one_shot
+
+    probed = m.probe(all_keys, "k").collect()
+    assert all(r["bloom_member"] for r in probed)
+
+
+def test_bloom_maintainer_redelivery_and_recovery(spark, tmp_path):
+    """A redelivered batch id is a no-op; a fresh handle over the same
+    base_dir resumes at the committed version; mismatched geometry on
+    reopen fails loudly."""
+    from _data_engineering_pipeline_project_spark.streaming.bloommaint import (
+        BloomMaintainer,
+    )
+
+    m = _bm(spark, tmp_path)
+    m.merge_batch(_keys_df(spark, ["a", "b"]), batch_id=0)
+    m.merge_batch(_keys_df(spark, ["c"]), batch_id=1)
+    v = m.version
+    m.merge_batch(_keys_df(spark, ["SHOULD-NOT-MERGE"]), batch_id=1)
+    assert m.version == v  # watermark no-op
+
+    m2 = _bm(spark, tmp_path)
+    assert m2.version == v and m2._last_batch_id == 1
+    got = {r["k"]: r["bloom_member"] for r in m2.probe(_keys_df(spark, ["a", "b", "c"]), "k").collect()}
+    assert got == {"a": True, "b": True, "c": True}
+
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        BloomMaintainer(spark, str(tmp_path / "bm"), m_bits=M_BITS * 2, k=K)
+
+
+def test_bloom_maintainer_vacuum_keeps_current(spark, tmp_path):
+    m = _bm(spark, tmp_path)
+    for b in range(4):
+        m.merge_batch(_keys_df(spark, [f"v{b}"]), batch_id=b)
+    removed = m.vacuum_versions(keep_last=2)
+    assert sorted(removed) == ["words_v1", "words_v2"]
+    assert m.current().count() > 0
