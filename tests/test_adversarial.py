@@ -303,3 +303,82 @@ def test_layout_hostile(spark, tmp_path):
         num_files=2,
     )
     assert spark.read.parquet(p3).collect()[0]["a"] == 1.0
+
+
+def test_bloom_hostile(spark):
+    """Round-10 wave 2 discipline for the membership tier: an EMPTY
+    corpus builds an empty words relation and every probe is a clean
+    non-member (no crash, no NULL flags); a NULL probe key gets a NULL
+    flag (membership of NULL is undefined, never a false claim);
+    duplicate emoji keys round-trip."""
+    from pyspark.sql import functions as F
+
+    from _data_engineering_pipeline_project_spark.operators import (
+        membership as M,
+    )
+
+    empty = spark.createDataFrame([], "k string")
+    words = M.bloom_build(empty, F.col("k"), 1 << 10, 3)
+    assert words.count() == 0
+
+    probe = spark.createDataFrame([("x",), (None,)], "k string")
+    got = {r["k"]: r["bloom_member"] for r in M.bloom_probe(
+        words, probe, F.col("k"), 1 << 10, 3
+    ).collect()}
+    assert got["x"] is False
+    assert got[None] is None  # NULL key -> NULL verdict, not false/true
+
+    emo = spark.createDataFrame([(k,) for k in EMOJI_KEYS], "k string")
+    w2 = M.bloom_build(emo, F.col("k"), 1 << 10, 3)
+    back = M.bloom_probe(w2, emo, F.col("k"), 1 << 10, 3).collect()
+    assert len(back) == len(EMOJI_KEYS)
+    assert all(r["bloom_member"] for r in back)
+
+
+def test_skew_audit_hostile(spark, empty_orders):
+    """Empty table: no rows, no division-by-zero; single-key table:
+    skew_factor = partitions exactly and salt = partitions."""
+    from _data_engineering_pipeline_project_spark.operators.skew import (
+        join_skew_audit,
+    )
+
+    assert (
+        join_skew_audit(empty_orders, ["o_orderkey"], partitions=8).count()
+        == 0
+    )
+
+    one = spark.createDataFrame([("k",)] * 40, "g string")
+    r = join_skew_audit(one, ["g"], partitions=8).collect()
+    assert len(r) == 1
+    assert r[0]["share"] == 1.0
+    assert r[0]["skew_factor"] == 8.0
+    assert r[0]["recommended_salt"] == 8
+
+
+def test_matryoshka_hostile(spark):
+    """k larger than the corpus: recall is computed over the rows that
+    exist (baseline = all neighbors), never a crash; a zero query set
+    yields an empty audit."""
+    from pyspark.sql import functions as F
+
+    from _data_engineering_pipeline_project_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(8)]) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    out = SIM.matryoshka_recall_audit(
+        emb, emb.filter(F.col("vec_id") == 0), cuts=(4, 8), k=10
+    ).collect()
+    # 2 cuts x 1 query; only 2 neighbors exist -> n_overlap <= 2
+    assert len(out) == 2
+    assert all(r["n_overlap"] <= 2 for r in out)
+    full = [r for r in out if r["prefix_dim"] == 8][0]
+    assert full["n_overlap"] == 2
+
+    none = SIM.matryoshka_recall_audit(
+        emb, emb.filter(F.col("vec_id") < 0), cuts=(4, 8), k=3
+    )
+    assert none.count() == 0
