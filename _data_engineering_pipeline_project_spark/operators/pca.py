@@ -1,0 +1,199 @@
+"""Distributed PCA over embedding columns: exact covariance relation,
+driver-side spectral step, rotated (OPQ-lite) projection.
+
+The covariance pass is the only data-sized work and it is EXACT: each
+element is quantized to an integer lane (``round(x·2^20)`` — the same
+portable double→integer rounding the int8 quantizer pins against
+DuckDB), so per-pair power sums are exact integer aggregates (summed
+in DECIMAL(38,0) for headroom — overflow-free through petabyte row
+counts) and the final covariance doubles are fixed IEEE sequences on
+identical inputs: bit-reproducible on any cluster layout or engine.
+That makes the covariance itself ORACLE-CHECKABLE — a property no
+streaming-moment implementation (Welford/F.covar_samp) has.
+
+Plan shape: one projection quantizes, a double ``posexplode`` emits
+the upper-triangle (i, j, vi·vj) terms, and ONE groupBy(i, j) with
+map-side partial aggregation reduces them — d(d+1)/2 output rows
+regardless of corpus size (d=64 → 2,080 rows). At 100 TB this is the
+canonical distributed Gram computation: the shuffle carries partial
+sums, never vectors.
+
+The SPECTRAL step (eigh) runs on the driver over the collected d×d
+matrix — bounded at d² doubles (64² = 32 KB), the same
+bounded-driver-step discipline as the IVF/Lloyd centroid updates. It
+is deliberately OUTSIDE the oracle (no SQL engine re-derives an
+eigendecomposition; the registered variance query is rows-only by
+design, like HLL); pytest owns its invariants instead: eigenvalue sum
+equals total variance (the trace), eigenvalues descend, the rotation
+is orthogonal.
+
+``pca_project`` applies the top-r rotation as UNROLLED codegen dots
+(``dot_unrolled`` — projection is an equi-free narrow stage, exactly
+the context the vectors.py rule sends to the unrolled form). Rotating
+before product quantization is OPQ's first-order trick: a PCA basis
+decorrelates subspaces so per-subspace codebooks spend their bits on
+actual variance — measured in tests on constructed correlated data
+(synthetic iid embeddings have nothing to decorrelate, so the test
+builds low-rank-plus-noise data where the effect is real).
+
+Reference anchor: the reference has no linear-algebra surface; this
+extends the engine's LLM-data layer (SURVEY §2 extension: embedding
+curation) alongside int8/PQ/IVF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from _data_engineering_pipeline_project_spark.functions.vectors import (
+    dot_unrolled,
+)
+
+QUANT_SCALE = 1 << 20  # element lane: round(x * 2^20) — portable rounding
+
+
+def quantized_elements(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, v array<long>) with elements on the integer lane."""
+    return df.select(
+        F.col(id_col),
+        F.transform(
+            vec_col,
+            lambda x: F.round(x * F.lit(float(QUANT_SCALE))).cast("long"),
+        ).alias("v"),
+    )
+
+
+def covariance_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_diagonal: bool = True,
+) -> DataFrame:
+    """Exact population covariance per dimension pair (1-based dims,
+    upper triangle): ``cov = (n·Sij − Si·Sj) / n²`` computed from exact
+    integer power sums, scaled back from the quantized lane. Output:
+    (dim_i, dim_j, cov) — d(d+1)/2 rows."""
+    vq = quantized_elements(df, id_col, vec_col)
+    a = vq.select(F.posexplode("v").alias("i0", "vi"), "v")
+    pred = F.col("i0") <= F.col("j0") if include_diagonal else F.col(
+        "i0"
+    ) < F.col("j0")
+    pairs = a.select(
+        "i0", "vi", F.posexplode("v").alias("j0", "vj")
+    ).filter(pred)
+    dec = "decimal(38,0)"
+    sums = pairs.groupBy("i0", "j0").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("vi").cast(dec)).cast("double").alias("si"),
+        F.sum(F.col("vj").cast(dec)).cast("double").alias("sj"),
+        F.sum((F.col("vi") * F.col("vj")).cast(dec))
+        .cast("double")
+        .alias("sij"),
+    )
+    n = F.col("n")
+    scale2 = float(QUANT_SCALE) * float(QUANT_SCALE)
+    return sums.select(
+        (F.col("i0") + 1).cast("int").alias("dim_i"),
+        (F.col("j0") + 1).cast("int").alias("dim_j"),
+        (
+            (n * F.col("sij") - F.col("si") * F.col("sj"))
+            / (n * n)
+            / F.lit(scale2)
+        ).alias("cov"),
+    )
+
+
+def pca_fit(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Fit PCA: distributed exact covariance (one shuffle, d² partial
+    sums) + driver eigh of the collected d×d matrix (bounded: 32 KB at
+    d=64 — the Lloyd-centroid discipline). Returns eigenvalues
+    descending, components as row vectors, and the mean (for
+    centering), all plain Python lists so the result is loggable and
+    artifact-friendly."""
+    import numpy as np
+
+    rows = covariance_pairs(df, id_col, vec_col).collect()
+    cov = np.zeros((dim, dim))
+    for r in rows:
+        cov[r["dim_i"] - 1, r["dim_j"] - 1] = r["cov"]
+        cov[r["dim_j"] - 1, r["dim_i"] - 1] = r["cov"]
+    mean = (
+        quantized_elements(df, id_col, vec_col)
+        .select(F.posexplode("v").alias("i0", "vi"))
+        .groupBy("i0")
+        .agg(
+            (
+                F.sum(F.col("vi").cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1))
+                / F.lit(float(QUANT_SCALE))
+            ).alias("m")
+        )
+        .orderBy("i0")
+        .collect()
+    )
+    w, v = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(w)[::-1]
+    return {
+        "eigenvalues": [float(w[i]) for i in order],
+        "components": [[float(x) for x in v[:, i]] for i in order],
+        "mean": [float(r["m"]) for r in mean],
+        "dim": dim,
+    }
+
+
+def pca_project(
+    df: DataFrame,
+    model: dict,
+    r: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "projected",
+) -> DataFrame:
+    """Project (centered) vectors onto the top-``r`` components as
+    unrolled codegen dots — r·d multiply-adds per row, no Python
+    worker, no shuffle. The output array is the rotated embedding an
+    OPQ-style PQ trains on (or a dimensionality-reduced serving
+    vector)."""
+    dim = model["dim"]
+    comps = model["components"][:r]
+    mean = model["mean"]
+    centered = F.transform(
+        F.col(vec_col),
+        lambda x, i: x.cast("double")
+        - F.element_at(
+            F.array(*[F.lit(m) for m in mean]), i.cast("int") + 1
+        ),
+    )
+    cdf = df.select(F.col(id_col), centered.alias("__c"))
+    outs = []
+    for ci, comp in enumerate(comps):
+        acc = F.lit(0.0)
+        for j in range(1, dim + 1):
+            acc = acc + F.element_at("__c", j) * F.lit(comp[j - 1])
+        outs.append(acc.alias(f"__p{ci}"))
+    return cdf.select(id_col, *outs).select(
+        id_col,
+        F.array(*[F.col(f"__p{ci}") for ci in range(len(comps))]).alias(
+            out_col
+        ),
+    )
+
+
+def variance_explained(model: dict) -> list[tuple[int, float, float]]:
+    """(component, eigenvalue, cumulative fraction) — the scree data."""
+    ev = model["eigenvalues"]
+    total = sum(ev) or 1.0
+    out = []
+    c = 0.0
+    for i, e in enumerate(ev):
+        c += e
+        out.append((i + 1, e, c / total))
+    return out

@@ -394,3 +394,82 @@ def matryoshka_recall_audit_embeddings(
     return SIM.matryoshka_recall_audit(
         emb, emb.filter(F.col("vec_id") < 10), _MRL_CUTS, _MRL_K
     )
+
+
+# --------------------------------------------------------------------------
+# Exact covariance audit + PCA (operators/pca.py)
+# --------------------------------------------------------------------------
+_COV_SCALE2 = float(1 << 20) * float(1 << 20)
+
+
+@query(
+    "embedding_covariance_audit",
+    f"""
+WITH vq AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> CAST(round(x * 1048576.0) AS BIGINT))
+              AS v
+            FROM embeddings),
+terms AS (SELECT i, j, v[i] AS vi, v[j] AS vj
+          FROM vq, generate_series(1, 64) g1(i), generate_series(1, 64) g2(j)
+          WHERE i < j),
+sums AS (SELECT i, j, count(*) AS n,
+                CAST(sum(vi) AS DOUBLE) AS si,
+                CAST(sum(vj) AS DOUBLE) AS sj,
+                CAST(sum(vi * vj) AS DOUBLE) AS sij
+         FROM terms GROUP BY i, j),
+cov AS (SELECT CAST(i AS INTEGER) AS dim_i, CAST(j AS INTEGER) AS dim_j,
+               round((n * sij - si * sj) / (n * n) / {_COV_SCALE2!r}, 8)
+                 AS cov
+        FROM sums)
+SELECT dim_i, dim_j, cov
+FROM cov
+ORDER BY abs(cov) DESC, dim_i, dim_j
+LIMIT 20
+""",
+)
+def embedding_covariance_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """The 20 most-correlated embedding dimension pairs by |population
+    covariance| — the redundancy audit that decides whether a PCA/OPQ
+    rotation is worth training (near-zero off-diagonals = nothing to
+    decorrelate). EXACT and oracle-checkable: elements quantized to an
+    integer lane (round(x·2^20), the int8 portable-rounding precedent),
+    per-pair power sums as exact DECIMAL(38,0) aggregates, the final
+    doubles fixed IEEE sequences. One double-posexplode + ONE
+    groupBy(i,j) with map-side partials — d(d−1)/2 output rows
+    regardless of corpus size; the shuffle carries partial sums, never
+    vectors."""
+    from _data_engineering_pipeline_project_spark.operators.pca import (
+        covariance_pairs,
+    )
+
+    cov = covariance_pairs(
+        table(spark, sf, "embeddings"), include_diagonal=False
+    ).select("dim_i", "dim_j", F.round("cov", 8).alias("cov"))
+    return cov.orderBy(
+        F.abs(F.col("cov")).desc(), "dim_i", "dim_j"
+    ).limit(20)
+
+
+@query("pca_variance_explained_embeddings")  # rows-only BY DESIGN (eigh)
+def pca_variance_explained_embeddings(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """Scree report: top-8 principal components' eigenvalues and
+    cumulative variance fraction. The covariance input is the exact
+    oracled relation above; the eigendecomposition is a bounded
+    driver step (d² doubles — the Lloyd-centroid discipline) that no
+    SQL engine reproduces, so this entry is rows-only by design (like
+    HLL); pytest pins its invariants: Σ eigenvalues = trace(cov),
+    descending order, orthogonal rotation, projected covariance
+    diagonal."""
+    from _data_engineering_pipeline_project_spark.operators.pca import (
+        pca_fit,
+        variance_explained,
+    )
+
+    model = pca_fit(table(spark, sf, "embeddings"), dim=64)
+    rows = variance_explained(model)[:8]
+    return spark.createDataFrame(
+        [(c, round(e, 8), round(f, 6)) for c, e, f in rows],
+        "component int, eigenvalue double, cum_fraction double",
+    )

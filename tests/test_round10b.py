@@ -273,3 +273,82 @@ def test_bloom_maintainer_vacuum_keeps_current(spark, tmp_path):
     removed = m.vacuum_versions(keep_last=2)
     assert sorted(removed) == ["words_v1", "words_v2"]
     assert m.current().count() > 0
+
+
+# --------------------------------------------------------------------------
+# PCA: exact covariance + driver spectral step (operators/pca.py)
+# --------------------------------------------------------------------------
+def _synth_lowrank(spark, n=400, d=16, rank=4, noise=0.05):
+    """Deterministic low-rank-plus-noise embeddings: strong cross-dim
+    correlation (what PCA exists for; iid synthetic data has none)."""
+    import math
+
+    rows = []
+    for i in range(n):
+        lat = [math.sin(0.7 * i * (k + 1)) for k in range(rank)]
+        vec = []
+        for j in range(d):
+            v = sum(
+                lat[k] * math.cos(0.3 * (k + 1) * (j + 1)) for k in range(rank)
+            )
+            v += noise * math.sin(12.9898 * i + 78.233 * j)  # det. "noise"
+            vec.append(v)
+        rows.append((i, vec))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pca_spectral_invariants(spark):
+    """Eigenvalue sum = trace of the covariance (both from the exact
+    relation), eigenvalues descend, components are orthonormal."""
+    import numpy as np
+
+    from _data_engineering_pipeline_project_spark.operators import pca as P
+
+    df = _synth_lowrank(spark)
+    cov_rows = P.covariance_pairs(df).collect()
+    trace = sum(r["cov"] for r in cov_rows if r["dim_i"] == r["dim_j"])
+    model = P.pca_fit(df, dim=16)
+    ev = model["eigenvalues"]
+    assert abs(sum(ev) - trace) < 1e-9 * max(1.0, abs(trace))
+    assert all(ev[i] >= ev[i + 1] - 1e-12 for i in range(len(ev) - 1))
+    C = np.array(model["components"])
+    assert np.allclose(C @ C.T, np.eye(16), atol=1e-9)
+
+
+def test_pca_rotation_preserves_geometry_and_concentrates_variance(spark):
+    """Full-rank projection preserves pairwise dots (orthogonal
+    rotation of centered vectors), and on correlated data the top-4
+    PCA dims reconstruct far better than the first 4 RAW dims — the
+    truncated-serving case (vs. matryoshka raw prefixes) and the
+    decorrelation OPQ rests on."""
+    import numpy as np
+
+    from _data_engineering_pipeline_project_spark.operators import pca as P
+
+    df = _synth_lowrank(spark)
+    model = P.pca_fit(df, dim=16)
+
+    X = np.array(
+        [r["embedding"] for r in df.orderBy("vec_id").collect()]
+    )
+    mu = np.array(model["mean"])
+    Xc = X - mu
+
+    proj = P.pca_project(df, model, r=16).orderBy("vec_id").collect()
+    Pfull = np.array([r["projected"] for r in proj])
+    # orthogonal rotation: Gram matrices match
+    assert np.allclose(Pfull @ Pfull.T, Xc @ Xc.T, atol=1e-6)
+
+    C4 = np.array(model["components"][:4])
+    recon_pca = (Xc @ C4.T) @ C4
+    mse_pca = float(np.mean((Xc - recon_pca) ** 2))
+    raw = np.zeros_like(Xc)
+    raw[:, :4] = Xc[:, :4]
+    mse_raw = float(np.mean((Xc - raw) ** 2))
+    assert mse_pca < 0.25 * mse_raw, (mse_pca, mse_raw)
+
+    # projected covariance is diagonal: rotated dims are decorrelated,
+    # which is why per-subspace PQ codebooks spend bits on variance
+    S = (Pfull.T @ Pfull) / len(Pfull)
+    off = S - np.diag(np.diag(S))
+    assert np.max(np.abs(off)) < 1e-6 * max(1.0, np.max(np.diag(S)))
