@@ -352,3 +352,69 @@ def test_pca_rotation_preserves_geometry_and_concentrates_variance(spark):
     S = (Pfull.T @ Pfull) / len(Pfull)
     off = S - np.diag(np.diag(S))
     assert np.max(np.abs(off)) < 1e-6 * max(1.0, np.max(np.diag(S)))
+
+
+# --------------------------------------------------------------------------
+# Hilbert key: expression spec == UDF hot path (functions/hilbert.py)
+# --------------------------------------------------------------------------
+def test_hilbert_expression_matches_udf_including_hostile_inputs(spark):
+    """The staged-expression specification and the numpy-UDF hot path
+    are bit-identical — including negative values (floored modulo) and
+    NULLs (→ 0, the UDF's fillna discipline)."""
+    from _data_engineering_pipeline_project_spark.functions.hilbert import (
+        with_hilbert_key,
+    )
+    from _data_engineering_pipeline_project_spark.operators.sampling import (
+        hilbert_value,
+    )
+
+    rows = [(0, 0), (-1, 5), (65535, 65535), (65536, 1), (None, 3),
+            (7, None), (None, None), (123456789, -987654321)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    expr = with_hilbert_key(df, "a", "b", 16, "hk")
+    udf = df.withColumn("hk2", hilbert_value("a", "b", 16))
+    j = (
+        expr.join(udf, ["a", "b"])
+        .filter(
+            (F.col("hk") != F.col("hk2"))
+            | F.col("hk").isNull()
+            | F.col("hk2").isNull()
+        )
+        .count()
+    )
+    assert j == 0
+
+    rnd = spark.range(3000).select(
+        (F.col("id") * 2654435761 % 70000 - 2000).alias("a"),
+        (F.col("id") * 40503 % 65536).alias("b"),
+    )
+    mism = (
+        with_hilbert_key(rnd, "a", "b", 16, "hk")
+        .join(rnd.withColumn("hk2", hilbert_value("a", "b", 16)), ["a", "b"])
+        .filter(F.col("hk") != F.col("hk2"))
+        .count()
+    )
+    assert mism == 0
+
+
+def test_hilbert_locality_beats_morton_worst_case(spark):
+    """The reason Hilbert exists: along consecutive curve positions,
+    steps are ALWAYS unit grid moves (max |dx|+|dy| == 1), where the
+    Morton curve jumps at quadrant seams."""
+    from _data_engineering_pipeline_project_spark.functions.hilbert import (
+        with_hilbert_key,
+    )
+
+    order = 4
+    n = 1 << order
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "a long, b long"
+    )
+    keyed = with_hilbert_key(grid, "a", "b", order, "hk").collect()
+    by_d = sorted(keyed, key=lambda r: r["hk"])
+    assert [r["hk"] for r in by_d] == list(range(n * n))  # bijection
+    steps = [
+        abs(p["a"] - q["a"]) + abs(p["b"] - q["b"])
+        for p, q in zip(by_d, by_d[1:])
+    ]
+    assert max(steps) == 1
