@@ -28,13 +28,15 @@ equals total variance (the trace), eigenvalues descend, the rotation
 is orthogonal.
 
 ``pca_project`` applies the top-r rotation as UNROLLED codegen dots
-(``dot_unrolled`` — projection is an equi-free narrow stage, exactly
-the context the vectors.py rule sends to the unrolled form). Rotating
-before product quantization is OPQ's first-order trick: a PCA basis
-decorrelates subspaces so per-subspace codebooks spend their bits on
-actual variance — measured in tests on constructed correlated data
-(synthetic iid embeddings have nothing to decorrelate, so the test
-builds low-rank-plus-noise data where the effect is real).
+(projection is an equi-free narrow stage, exactly the context the
+vectors.py rule sends to the unrolled form). For product quantization
+the rotation must be composed with :func:`opq_allocate` — naive
+PCA-then-PQ is a measured ANTI-PATTERN (it concentrates variance into
+one subspace; see opq_allocate's numbers), while the eigenvalue-
+balanced allocation cuts quantization MSE 2.2× on constructed
+correlated data (synthetic iid embeddings have nothing to
+decorrelate, so the tests build low-rank-plus-noise data where the
+effect is real).
 
 Reference anchor: the reference has no linear-algebra surface; this
 extends the engine's LLM-data layer (SURVEY §2 extension: embedding
@@ -45,10 +47,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from _data_engineering_pipeline_project_spark.functions.vectors import (
-    dot_unrolled,
-)
 
 QUANT_SCALE = 1 << 20  # element lane: round(x * 2^20) — portable rounding
 
@@ -197,3 +195,44 @@ def variance_explained(model: dict) -> list[tuple[int, float, float]]:
         c += e
         out.append((i + 1, e, c / total))
     return out
+
+
+def opq_allocate(model: dict, m: int, sub_dim: int) -> dict:
+    """OPQ parametric allocation: reorder the PCA components so the
+    ``m`` product-quantizer subspaces carry BALANCED variance.
+
+    Naive PCA-then-PQ is an anti-pattern, and measurably so (r10:
+    quantization MSE 1.51 rotated vs 1.30 unrotated on correlated
+    test data): PCA concentrates variance into the leading dims, so
+    one subspace swallows nearly all the energy and its ksub codes
+    quantize it terribly while the tail subspaces quantize noise.
+    OPQ's parametric solution for Gaussian data balances the PRODUCT
+    of eigenvalues per subspace; this is the standard greedy form —
+    descending eigenvalues, each assigned to the unfilled subspace
+    with the smallest Σ log λ. Same correlated data, balanced: MSE
+    0.59 — 2.2× better than no rotation, 2.5× better than naive PCA
+    (docs/SCALE.md r10).
+
+    Returns a model whose ``components`` are permuted for
+    :func:`pca_project`; project with ``r = m·sub_dim``, then train/
+    encode PQ on the projected column unchanged."""
+    import math
+
+    d = model["dim"]
+    if m * sub_dim > d:
+        raise ValueError(f"m*sub_dim = {m * sub_dim} exceeds dim {d}")
+    ev = model["eigenvalues"]
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    loads = [0.0] * m
+    for idx in sorted(range(m * sub_dim), key=lambda i: -ev[i]):
+        cands = [b for b in range(m) if len(buckets[b]) < sub_dim]
+        b = min(cands, key=lambda b: loads[b])
+        buckets[b].append(idx)
+        loads[b] += math.log(max(ev[idx], 1e-300))
+    perm = [i for b in buckets for i in b]
+    return {
+        **model,
+        "components": [model["components"][i] for i in perm],
+        "eigenvalues": [model["eigenvalues"][i] for i in perm],
+        "opq_permutation": perm,
+    }

@@ -418,3 +418,58 @@ def test_hilbert_locality_beats_morton_worst_case(spark):
         for p, q in zip(by_d, by_d[1:])
     ]
     assert max(steps) == 1
+
+
+def test_opq_balanced_rotation_beats_plain_and_naive_pq(spark):
+    """The OPQ composition, measured: on correlated data, PQ after the
+    eigenvalue-BALANCED rotation quantizes markedly better than PQ on
+    raw vectors, while naive PCA-then-PQ (unbalanced) is WORSE than
+    doing nothing — the anti-pattern opq_allocate exists to prevent.
+    Rotation is orthogonal, so MSE in the rotated space is directly
+    comparable to MSE in the original space."""
+    import numpy as np
+
+    from _data_engineering_pipeline_project_spark.operators import pca as P
+    from _data_engineering_pipeline_project_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    d, m, sub = 64, 4, 16
+    df = _synth_lowrank(spark, n=400, d=d, rank=6)
+
+    def pq_mse(frame):
+        cb = pq_codebooks(frame, m=m, sub_dim=sub, ksub=8)
+        codes = pq_encode(frame, cb, m=m, sub_dim=sub)
+        recs = codes.join(cb, ["subspace", "code"]).collect()
+        recon = {}
+        for r in recs:
+            recon.setdefault(r["vec_id"], {})[r["subspace"]] = list(r["cvec"])
+        X = {r["vec_id"]: r["embedding"] for r in frame.collect()}
+        errs = [
+            float(
+                np.mean(
+                    (
+                        np.array(X[vid])
+                        - np.array([x for s in sorted(subs) for x in subs[s]])
+                    )
+                    ** 2
+                )
+            )
+            for vid, subs in recon.items()
+        ]
+        return float(np.mean(errs))
+
+    mse_plain = pq_mse(df)
+    model = P.pca_fit(df, dim=d)
+    mse_naive = pq_mse(
+        P.pca_project(df, model, r=d, out_col="embedding")
+    )
+    bal = P.opq_allocate(model, m=m, sub_dim=sub)
+    mse_opq = pq_mse(P.pca_project(df, bal, r=d, out_col="embedding"))
+
+    assert mse_opq < 0.7 * mse_plain, (mse_opq, mse_plain)
+    assert mse_naive > mse_plain, (mse_naive, mse_plain)  # the anti-pattern
+
+    with pytest.raises(ValueError, match="exceeds dim"):
+        P.opq_allocate(model, m=5, sub_dim=16)
