@@ -119,6 +119,11 @@ def pca_fit(
     import numpy as np
 
     rows = covariance_pairs(df, id_col, vec_col).collect()
+    if not rows:
+        raise ValueError(
+            "pca_fit on an empty relation: covariance is undefined "
+            "(no rows reached the aggregate)"
+        )
     cov = np.zeros((dim, dim))
     for r in rows:
         cov[r["dim_i"] - 1, r["dim_j"] - 1] = r["cov"]

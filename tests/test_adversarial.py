@@ -382,3 +382,29 @@ def test_matryoshka_hostile(spark):
         emb, emb.filter(F.col("vec_id") < 0), cuts=(4, 8), k=3
     )
     assert none.count() == 0
+
+
+def test_pca_hostile(spark):
+    """Constant embeddings: zero covariance, zero eigenvalues, scree
+    fractions well-defined (no 0/0); projection of constants is the
+    zero vector. Empty relation: loud error, not a zeros model."""
+    import pytest
+
+    from _data_engineering_pipeline_project_spark.operators import pca as P
+
+    const = spark.createDataFrame(
+        [(i, [2.5] * 8) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    model = P.pca_fit(const, dim=8)
+    assert all(abs(e) < 1e-12 for e in model["eigenvalues"])
+    scree = P.variance_explained(model)
+    assert all(0.0 <= f <= 1.0 or f == 0.0 for _, _, f in scree)
+    proj = P.pca_project(const, model, r=2).collect()
+    assert all(
+        abs(x) < 1e-9 for r in proj for x in r["projected"]
+    )  # centered constants
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty relation"):
+        P.pca_fit(empty, dim=8)
