@@ -174,3 +174,97 @@ def profile_table(
         "min_ts",
         "max_ts",
     )
+
+
+def suggest_expectations(
+    df: DataFrame,
+    numeric_cols: "list[str]" = (),
+    string_cols: "list[str]" = (),
+    enum_threshold: int = 10,
+) -> DataFrame:
+    """Constraint DISCOVERY — the generator whose output
+    ``run_expectations`` consumes: profile the listed columns in ONE
+    scan and emit the constraints the data currently satisfies, as a
+    relation ``(column, suggestion, lo, hi, allowed)``:
+
+    - ``not_null``      — the column has zero nulls;
+    - ``unique``        — distinct count equals row count (and no
+      nulls): a primary-key candidate, the same evidence the IND audit
+      (queries_ext8.py) uses for FK discovery on the other side;
+    - ``in_range``      — numeric observed [min, max] (typed DOUBLE
+      columns, never value→string formatting);
+    - ``in_set``        — string columns at or under ``enum_threshold``
+      distinct values, the sorted value list (deterministic order).
+
+    Suggestions are EVIDENCE, not truth — the operator names what held
+    on this snapshot so a human promotes it to a contract; that is how
+    expectation suites get written at 100 TB (nobody eyeballs the
+    table). Plan: one aggregate (map-side partials; the distinct
+    counts ride the same expand+two-phase agg as profile_table, the
+    small collect_sets are bounded by the columns the caller NAMES as
+    enum candidates), then the suggestion rows derive from the single
+    agg row — driver-scale."""
+    cols = [(c, "num") for c in numeric_cols] + [
+        (c, "str") for c in string_cols
+    ]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, (c, kind) in enumerate(cols):
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"__nul{i}")
+        )
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__dis{i}"))
+        if kind == "num":
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"__min{i}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"__max{i}"))
+        else:
+            aggs.append(
+                F.array_join(
+                    F.array_sort(F.collect_set(F.col(c))), ","
+                ).alias(f"__set{i}")
+            )
+    one = df.agg(*aggs)
+    # one explode over candidate structs — the agg row is consumed by a
+    # single plan (a per-suggestion union of filters would RE-RUN the
+    # scan once per branch)
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+
+    def cand(c, kind_, keep, lo=null_d, hi=null_d, allowed=null_s):
+        return F.struct(
+            F.lit(c).alias("column"),
+            F.lit(kind_).alias("suggestion"),
+            lo.cast("double").alias("lo"),
+            hi.cast("double").alias("hi"),
+            allowed.cast("string").alias("allowed"),
+            keep.alias("keep"),
+        )
+
+    structs = []
+    for i, (c, kind) in enumerate(cols):
+        nul, dis = F.col(f"__nul{i}"), F.col(f"__dis{i}")
+        structs.append(cand(c, "not_null", nul == 0))
+        structs.append(cand(c, "unique", (nul == 0) & (dis == F.col("__n"))))
+        if kind == "num":
+            structs.append(
+                cand(
+                    c,
+                    "in_range",
+                    F.col("__n") > 0,
+                    lo=F.col(f"__min{i}"),
+                    hi=F.col(f"__max{i}"),
+                )
+            )
+        else:
+            structs.append(
+                cand(
+                    c,
+                    "in_set",
+                    (dis > 0) & (dis <= enum_threshold),
+                    allowed=F.col(f"__set{i}"),
+                )
+            )
+    return (
+        one.select(F.explode(F.array(*structs)).alias("s"))
+        .filter(F.col("s.keep"))
+        .select("s.column", "s.suggestion", "s.lo", "s.hi", "s.allowed")
+    )

@@ -515,3 +515,145 @@ def hilbert_key_customers(spark: SparkSession, sf: str) -> DataFrame:
             "hilbert_key"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# l-diversity audit (companion to k_anonymity_audit_events)
+# --------------------------------------------------------------------------
+@query(
+    "l_diversity_audit_events",
+    """
+    WITH q AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(user_id % 10 AS BIGINT) AS user_bucket,
+             count(*) AS grp_size,
+             count(DISTINCT event_type) AS n_sensitive
+      FROM events GROUP BY CAST(ts AS DATE), user_id % 10)
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN n_sensitive < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_groups,
+           CAST(sum(CASE WHEN n_sensitive < 3 THEN grp_size ELSE 0 END)
+                AS BIGINT) AS n_exposed_rows,
+           CAST(min(n_sensitive) AS BIGINT) AS l_actual,
+           round(sum(CASE WHEN n_sensitive < 3 THEN grp_size ELSE 0 END)
+                 / CAST(sum(grp_size) AS DOUBLE), 6) AS exposed_row_ratio
+    FROM q
+    """,
+)
+def l_diversity_audit_events(spark: SparkSession, sf: str) -> DataFrame:
+    """l-diversity audit (l = 3) over the quasi-identifier tuple
+    (day, user-bucket) with event_type as the sensitive attribute —
+    the k-anonymity companion: a class can be large (k-safe) yet still
+    leak if every row shares one sensitive value (the homogeneity
+    attack k-anonymity misses). Reports classes below l, the rows they
+    expose, and the dataset's actual l (min distinct sensitive values
+    per class). One groupBy with a distinct-count + one scalar rollup;
+    all-integer until the final ratio."""
+    ev = table(spark, sf, "events")
+    q = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        (F.col("user_id") % 10).cast("bigint").alias("user_bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("grp_size"),
+        F.countDistinct("event_type").alias("n_sensitive"),
+    )
+    viol = F.col("n_sensitive") < 3
+    exposed = F.when(viol, F.col("grp_size")).otherwise(F.lit(0))
+    return q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(viol, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violating_groups"),
+        F.sum(exposed).cast("bigint").alias("n_exposed_rows"),
+        F.min("n_sensitive").cast("bigint").alias("l_actual"),
+        F.round(
+            F.sum(exposed) / F.sum("grp_size").cast("double"), 6
+        ).alias("exposed_row_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Constraint discovery (operators/expectations.py:suggest_expectations)
+# --------------------------------------------------------------------------
+@query(
+    "suggest_expectations_orders",
+    """
+    WITH p AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nul_k,
+             count(DISTINCT o_orderkey) AS dis_k,
+             CAST(min(o_orderkey) AS DOUBLE) AS mn_k,
+             CAST(max(o_orderkey) AS DOUBLE) AS mx_k,
+             CAST(min(o_totalprice) AS DOUBLE) AS mn_t,
+             CAST(max(o_totalprice) AS DOUBLE) AS mx_t,
+             sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nul_t,
+             count(DISTINCT o_totalprice) AS dis_t,
+             sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nul_s,
+             count(DISTINCT o_orderstatus) AS dis_s,
+             string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+               AS set_s,
+             sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nul_p,
+             count(DISTINCT o_orderpriority) AS dis_p,
+             string_agg(DISTINCT o_orderpriority, ','
+                        ORDER BY o_orderpriority) AS set_p
+      FROM orders)
+    SELECT * FROM (
+      SELECT 'o_orderkey' AS "column", 'not_null' AS suggestion,
+             CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi,
+             CAST(NULL AS VARCHAR) AS allowed
+      FROM p WHERE nul_k = 0
+      UNION ALL
+      SELECT 'o_orderkey', 'unique', NULL, NULL, NULL
+      FROM p WHERE nul_k = 0 AND dis_k = n
+      UNION ALL
+      SELECT 'o_orderkey', 'in_range', mn_k, mx_k, NULL
+      FROM p WHERE n > 0
+      UNION ALL
+      SELECT 'o_totalprice', 'not_null', NULL, NULL, NULL
+      FROM p WHERE nul_t = 0
+      UNION ALL
+      SELECT 'o_totalprice', 'unique', NULL, NULL, NULL
+      FROM p WHERE nul_t = 0 AND dis_t = n
+      UNION ALL
+      SELECT 'o_totalprice', 'in_range', mn_t, mx_t, NULL
+      FROM p WHERE n > 0
+      UNION ALL
+      SELECT 'o_orderstatus', 'not_null', NULL, NULL, NULL
+      FROM p WHERE nul_s = 0
+      UNION ALL
+      SELECT 'o_orderstatus', 'unique', NULL, NULL, NULL
+      FROM p WHERE nul_s = 0 AND dis_s = n
+      UNION ALL
+      SELECT 'o_orderstatus', 'in_set', NULL, NULL, set_s
+      FROM p WHERE dis_s > 0 AND dis_s <= 10
+      UNION ALL
+      SELECT 'o_orderpriority', 'not_null', NULL, NULL, NULL
+      FROM p WHERE nul_p = 0
+      UNION ALL
+      SELECT 'o_orderpriority', 'unique', NULL, NULL, NULL
+      FROM p WHERE nul_p = 0 AND dis_p = n
+      UNION ALL
+      SELECT 'o_orderpriority', 'in_set', NULL, NULL, set_p
+      FROM p WHERE dis_p > 0 AND dis_p <= 10)
+    """,
+)
+def suggest_expectations_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Constraint discovery over orders: the generator side of the
+    expectation suite — emit the contracts the snapshot satisfies
+    (not-null, PK-candidate uniqueness, numeric ranges, small enum
+    sets with deterministic sorted value lists) as evidence for a
+    human to promote. ONE aggregate scan (distinct counts ride the
+    expand+two-phase agg); suggestions derive from the single agg row
+    via one explode — never a rescan per rule. Complements the
+    validating side (expectations_suite_orders) and the FK-mining IND
+    audit: profile → suggest → promote → enforce, all in-engine."""
+    from _data_engineering_pipeline_project_spark.operators.expectations import (
+        suggest_expectations,
+    )
+
+    return suggest_expectations(
+        table(spark, sf, "orders"),
+        numeric_cols=["o_orderkey", "o_totalprice"],
+        string_cols=["o_orderstatus", "o_orderpriority"],
+        enum_threshold=10,
+    )

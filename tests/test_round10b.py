@@ -473,3 +473,57 @@ def test_opq_balanced_rotation_beats_plain_and_naive_pq(spark):
 
     with pytest.raises(ValueError, match="exceeds dim"):
         P.opq_allocate(model, m=5, sub_dim=16)
+
+
+# --------------------------------------------------------------------------
+# Constraint discovery (expectations.suggest_expectations)
+# --------------------------------------------------------------------------
+def test_suggest_expectations_promote_roundtrip_and_one_scan(spark):
+    """The discovery→enforcement loop closes: every suggestion, promoted
+    into run_expectations, passes on the data that generated it; a
+    nullable column is NOT suggested not_null; a high-cardinality
+    string gets no in_set; the plan scans the input exactly once."""
+    from _data_engineering_pipeline_project_spark.operators import (
+        expectations as E,
+    )
+
+    rows = [
+        (i, float(i % 7) + 0.5, "ok" if i % 3 else None, f"u{i}")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "id long, val double, st string, uid string")
+    sugg = E.suggest_expectations(
+        df,
+        numeric_cols=["id", "val"],
+        string_cols=["st", "uid"],
+        enum_threshold=10,
+    )
+    got = {(r["column"], r["suggestion"]): r for r in sugg.collect()}
+
+    assert ("id", "unique") in got and ("id", "not_null") in got
+    assert got[("id", "in_range")]["lo"] == 0.0
+    assert got[("id", "in_range")]["hi"] == 59.0
+    assert ("st", "not_null") not in got  # nullable column
+    assert ("st", "in_set") in got and got[("st", "in_set")]["allowed"] == "ok"
+    assert ("uid", "in_set") not in got  # 60 distinct > threshold
+    assert ("uid", "unique") in got
+
+    # promote: every suggestion holds on the generating data
+    specs = []
+    for (c, s), r in got.items():
+        if s == "not_null":
+            specs.append(E.not_null(f"{c}_nn", c))
+        elif s == "unique":
+            specs.append(E.unique(f"{c}_uq", c))
+        elif s == "in_range":
+            specs.append(E.in_range(f"{c}_rng", c, r["lo"], r["hi"]))
+        elif s == "in_set":
+            specs.append(E.in_set(f"{c}_set", c, r["allowed"].split(",")))
+    report = E.run_expectations(df, specs).collect()
+    assert all(r["passed"] for r in report)
+
+    # AQE's toString prints Final AND Initial plan sections — count the
+    # input scan in the final section only
+    plan = sugg._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan ExistingRDD") == 1
