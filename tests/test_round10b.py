@@ -527,3 +527,51 @@ def test_suggest_expectations_promote_roundtrip_and_one_scan(spark):
     plan = sugg._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Scan ExistingRDD") == 1
+
+
+def test_bloom_maintainer_streaming_available_now(spark, tmp_path):
+    """Stream-driven e2e (the sibling-maintainer pattern): key files
+    land in a directory, run_available_now drains them through a real
+    readStream + foreachBatch with checkpointed discovery — each file
+    folds exactly once across restarts — and the maintained words
+    EXACTLY equal a one-shot build over everything landed."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from _data_engineering_pipeline_project_spark.streaming.bloommaint import (
+        BloomMaintainer,
+    )
+
+    schema = T.StructType([T.StructField("k", T.StringType())])
+    src = str(tmp_path / "keys_landing")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    m = BloomMaintainer(spark, str(tmp_path / "idx"), m_bits=M_BITS, k=K)
+
+    batches = [[f"s{b}k{i}" for i in range(50)] for b in range(3)]
+    for b, keys in enumerate(batches):
+        spark.createDataFrame([(x,) for x in keys], schema).coalesce(
+            1
+        ).write.parquet(os.path.join(src, f"b{b}"))
+        m.run_available_now(src + "/*/", schema, ckpt)
+
+    v = m.version
+    m.run_available_now(src + "/*/", schema, ckpt)  # nothing new: no-op
+    assert m.version == v
+
+    all_keys = [x for keys in batches for x in keys]
+    one_shot = {
+        (r["word_idx"], r["word"])
+        for r in M.bloom_build(
+            _keys_df(spark, all_keys), F.col("k"), M_BITS, K
+        ).collect()
+    }
+    maintained = {
+        (r["word_idx"], r["word"]) for r in m.current().collect()
+    }
+    assert maintained == one_shot
+    assert all(
+        r["bloom_member"]
+        for r in m.probe(_keys_df(spark, all_keys), "k").collect()
+    )
