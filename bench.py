@@ -164,6 +164,17 @@ EXTENSION_QUERIES = [
     "length_bucketed_batches_documents",
     "semantic_decontamination_embeddings",
     "semantic_decontamination_ivf_embeddings",
+    "zorder_key_customers",
+    "zorder_key_equidepth_orders",
+    "hilbert_key_customers",
+    "bloom_membership_audit_documents",
+    "bloom_fp_audit_summary_documents",
+    "join_skew_audit_events_type",
+    "matryoshka_recall_audit_embeddings",
+    "embedding_covariance_audit",
+    "pca_variance_explained_embeddings",
+    "l_diversity_audit_events",
+    "suggest_expectations_orders",
 ]
 # Registry queries not listed here or in BENCH_/TPCH_QUERIES are
 # bench-excluded by design (cheap single-shuffle shapes whose cost is a
@@ -218,16 +229,13 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    # the driver entry point registers EVERY query module — importing it
+    # here keeps bench's registry identical to the correctness gate's
+    # (a per-module import list silently drifted: ext9/ext10 queries
+    # were missing from the extensions timings until r10 wave 2)
+    import __spark_entry__  # noqa: F401
+
     from _data_engineering_pipeline_project_spark import queries as q
-    from _data_engineering_pipeline_project_spark import queries_ext  # noqa: F401
-    from _data_engineering_pipeline_project_spark import queries_ext2  # noqa: F401
-    from _data_engineering_pipeline_project_spark import queries_ext3  # noqa: F401
-    from _data_engineering_pipeline_project_spark import queries_ext4  # noqa: F401
-    from _data_engineering_pipeline_project_spark import queries_ext5  # noqa: F401
-    from _data_engineering_pipeline_project_spark import queries_ext6  # noqa: F401
-    from _data_engineering_pipeline_project_spark import queries_ext7  # noqa: F401
-    from _data_engineering_pipeline_project_spark import queries_ext8  # noqa: F401
-    from _data_engineering_pipeline_project_spark import queries_ops  # noqa: F401
     from _data_engineering_pipeline_project_spark.session import get_spark
 
     spark = get_spark("bench")
