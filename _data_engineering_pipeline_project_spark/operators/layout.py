@@ -428,3 +428,42 @@ def file_stat_spans_distributed(spark, path: str, col: str) -> list[float]:
     return _spans_from_pairs(
         [(r["fmin"], r["fmax"]) for r in rows], path, col
     )
+
+
+def write_hilbert_quantized(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    order: int = 16,
+    num_files: int | None = None,
+    quantize: str = "minmax",
+    relative_error: float = 0.001,
+) -> None:
+    """Hilbert sibling of :func:`write_zordered_quantized` — completes
+    the layout matrix {morton, hilbert} × {minmax, equi_depth} over
+    arbitrary numeric domains. Each of the TWO columns is quantized to
+    ``[0, 2^order)`` by the shared bucketing (min/max linear, or
+    rank-vs-approxQuantile-boundaries for long-tailed domains), then
+    the Hilbert distance (``sampling.py:hilbert_value`` — the measured
+    numpy hot path, 12× faster than the staged expression; oracle-
+    pinned bit-for-bit via functions/hilbert.py) keys the same
+    repartitionByRange + sortWithinPartitions write. Hilbert's
+    unit-step locality yields tighter worst-case per-file spans than
+    Morton's seam jumps; the write cost is identical (one bounded
+    stats collect + the range shuffle) plus the UDF's Arrow pass."""
+    if len(cols) != 2:
+        raise ValueError("hilbert layout is 2-D: pass exactly two columns")
+    from _data_engineering_pipeline_project_spark.operators.sampling import (
+        hilbert_value,
+    )
+
+    qa, qb = _quantized_bucket_columns(df, cols, order, quantize, relative_error)
+    keyed = df.withColumn("__h", hilbert_value(qa, qb, order))
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        keyed.repartitionByRange(n, "__h")
+        .sortWithinPartitions("__h")
+        .drop("__h")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

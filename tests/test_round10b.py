@@ -575,3 +575,40 @@ def test_bloom_maintainer_streaming_available_now(spark, tmp_path):
         r["bloom_member"]
         for r in m.probe(_keys_df(spark, all_keys), "k").collect()
     )
+
+
+def test_write_hilbert_quantized_narrows_spans_and_preserves_rows(spark, tmp_path):
+    """The hilbert × quantized cell of the layout matrix: after a
+    hilbert-clustered write on (c_acctbal, c_nationkey), per-file
+    footer spans in EACH dimension are a fraction of the full range
+    (round-robin spans ~everything), and row content is unchanged."""
+    pytest.importorskip("pyarrow")
+    from _data_engineering_pipeline_project_spark.operators.layout import (
+        file_stat_spans,
+        write_hilbert_quantized,
+    )
+
+    src = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    hpath, rpath = str(tmp_path / "hilb"), str(tmp_path / "rrobin")
+    write_hilbert_quantized(
+        src, hpath, ["c_acctbal", "c_nationkey"], num_files=8
+    )
+    src.repartition(8).write.parquet(rpath)
+
+    for col in ("c_acctbal", "c_nationkey"):
+        h = file_stat_spans(spark, hpath, col)
+        r = file_stat_spans(spark, rpath, col)
+        assert len(h) == 8 and len(r) == 8
+        havg, ravg = sum(h) / len(h), sum(r) / len(r)
+        assert ravg > 0.75, (col, ravg)
+        assert havg < 0.62, (col, havg)
+        assert havg < ravg / 1.5, (col, havg, ravg)
+
+    back = sorted(
+        tuple(r) for r in spark.read.parquet(hpath).collect()
+    )
+    want = sorted(tuple(r) for r in src.collect())
+    assert back == want
+
+    with pytest.raises(ValueError, match="exactly two"):
+        write_hilbert_quantized(src, hpath, ["c_acctbal"], num_files=2)
