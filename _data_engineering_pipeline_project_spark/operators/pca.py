@@ -162,25 +162,24 @@ def pca_project(
 ) -> DataFrame:
     """Project (centered) vectors onto the top-``r`` components as
     unrolled codegen dots — r·d multiply-adds per row, no Python
-    worker, no shuffle. The output array is the rotated embedding an
-    OPQ-style PQ trains on (or a dimensionality-reduced serving
-    vector)."""
+    worker, no shuffle. Centering is FOLDED INTO each dot term
+    (``(x_j − μ_j)·c_j``) rather than materialized via a transform
+    lambda: lambda bodies escape codegen subexpression elimination (the
+    documented no-CSE-inside-lambdas pitfall), while the unrolled terms
+    stay plain top-level expressions. The output array is the rotated
+    embedding an OPQ-style PQ trains on (or a dimensionality-reduced
+    serving vector)."""
     dim = model["dim"]
     comps = model["components"][:r]
     mean = model["mean"]
-    centered = F.transform(
-        F.col(vec_col),
-        lambda x, i: x.cast("double")
-        - F.element_at(
-            F.array(*[F.lit(m) for m in mean]), i.cast("int") + 1
-        ),
-    )
-    cdf = df.select(F.col(id_col), centered.alias("__c"))
+    cdf = df.select(F.col(id_col), F.col(vec_col).alias("__v"))
     outs = []
     for ci, comp in enumerate(comps):
         acc = F.lit(0.0)
         for j in range(1, dim + 1):
-            acc = acc + F.element_at("__c", j) * F.lit(comp[j - 1])
+            acc = acc + (
+                F.element_at("__v", j).cast("double") - F.lit(mean[j - 1])
+            ) * F.lit(comp[j - 1])
         outs.append(acc.alias(f"__p{ci}"))
     return cdf.select(id_col, *outs).select(
         id_col,
