@@ -69,11 +69,34 @@ def covariance_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     include_diagonal: bool = True,
+    method: str = "explode",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact population covariance per dimension pair (1-based dims,
     upper triangle): ``cov = (n·Sij − Si·Sj) / n²`` computed from exact
     integer power sums, scaled back from the quantized lane. Output:
-    (dim_i, dim_j, cov) — d(d+1)/2 rows."""
+    (dim_i, dim_j, cov) — d(d+1)/2 rows.
+
+    Two physical forms, BIT-IDENTICAL outputs (integer sums are
+    order-free; pinned by test):
+
+    - ``"explode"`` — double posexplode + one groupBy(i, j). Pure
+      relational, which is what lets the registered audit be ORACLED
+      in DuckDB; but it materializes n·d(d+1)/2 term rows through the
+      aggregate's hash map — fine at d=64, catastrophic at real
+      embedding widths (d=768 → ~295k terms per input row).
+    - ``"gram"`` — mapInPandas per Arrow batch: numpy computes the
+      batch's int64 Gram matrix ``XᵀX`` (BLAS, no per-term rows; a
+      ~10k-row batch stays far under int64 — |v| ≲ 2^22 ⇒ term ≲ 2^44
+      ⇒ batch sum ≲ 2^58), emitting ONE row per batch (flattened
+      Gram + column sums + count); Spark then sums the per-batch
+      partials in DECIMAL(38,0) — d(d+1)/2 + d values per batch,
+      never per input row. This is the form a 100 TB / wide-embedding
+      deployment runs (measured: docs/SCALE.md r10); ``pca_fit``
+      takes ``method=`` and passes it through.
+    """
+    if method == "gram":
+        return _covariance_pairs_gram(df, id_col, vec_col, include_diagonal, dim)
     vq = quantized_elements(df, id_col, vec_col)
     a = vq.select(F.posexplode("v").alias("i0", "vi"), "v")
     pred = F.col("i0") <= F.col("j0") if include_diagonal else F.col(
@@ -104,11 +127,101 @@ def covariance_pairs(
     )
 
 
+def _covariance_pairs_gram(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    include_diagonal: bool,
+    dim: int | None,
+) -> DataFrame:
+    """The gram-batches physical form of :func:`covariance_pairs` —
+    same exact integers, same final doubles. ``dim`` is required (the
+    driver builds the bounded triangle-index map from it)."""
+    if dim is None:
+        raise ValueError("method='gram' requires dim=")
+    spark = df.sparkSession
+    # NULL vectors: the explode path drops them implicitly (posexplode
+    # of NULL emits nothing); filter here so both forms agree
+    vq = (
+        quantized_elements(df, id_col, vec_col)
+        .select("v")
+        .filter(F.col("v").isNotNull())
+    )
+
+    def gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.array(pdf["v"].tolist(), dtype=np.int64)
+            G = X.T @ X  # exact int64: |term| ≲ 2^44, batch sum ≲ 2^58
+            s = X.sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "n_part": [int(X.shape[0])],
+                    "s_part": [s.tolist()],
+                    "g_part": [G[np.triu_indices(X.shape[1])].tolist()],
+                }
+            )
+
+    parts = vq.mapInPandas(
+        gram, "n_part long, s_part array<long>, g_part array<long>"
+    )
+    dec = "decimal(38,0)"
+    # per-triangle-slot exact sums: d(d+1)/2 rows PER BATCH ROW (one
+    # per Arrow batch), never per input row
+    sij = (
+        parts.select(F.posexplode("g_part").alias("t", "g"))
+        .groupBy("t")
+        .agg(F.sum(F.col("g").cast(dec)).cast("double").alias("sij"))
+    )
+    # per-dim exact sums + total count (d rows per batch row)
+    dims = (
+        parts.select("n_part", F.posexplode("s_part").alias("i0", "si"))
+        .groupBy("i0")
+        .agg(
+            F.sum(F.col("si").cast(dec)).cast("double").alias("s"),
+            F.sum("n_part").alias("n"),
+        )
+    )
+    # bounded driver-built triangle map t → (i0, j0)
+    tri = [(t, i, j) for t, (i, j) in enumerate(
+        (i, j) for i in range(dim) for j in range(i, dim)
+    )]
+    tmap = spark.createDataFrame(tri, "t int, i0 int, j0 int")
+    di = dims.select(
+        F.col("i0").alias("__i"), F.col("s").alias("si"), "n"
+    )
+    dj = dims.select(F.col("i0").alias("__j"), F.col("s").alias("sj"))
+    joined = (
+        sij.join(F.broadcast(tmap), "t")
+        .join(F.broadcast(di), F.col("i0") == F.col("__i"))
+        .join(F.broadcast(dj), F.col("j0") == F.col("__j"))
+    )
+    n = F.col("n")
+    scale2 = float(QUANT_SCALE) * float(QUANT_SCALE)
+    res = joined.select(
+        (F.col("i0") + 1).cast("int").alias("dim_i"),
+        (F.col("j0") + 1).cast("int").alias("dim_j"),
+        (
+            (n * F.col("sij") - F.col("si") * F.col("sj"))
+            / (n * n)
+            / F.lit(scale2)
+        ).alias("cov"),
+    )
+    if not include_diagonal:
+        res = res.filter(F.col("dim_i") != F.col("dim_j"))
+    return res
+
+
 def pca_fit(
     df: DataFrame,
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "explode",
 ) -> dict:
     """Fit PCA: distributed exact covariance (one shuffle, d² partial
     sums) + driver eigh of the collected d×d matrix (bounded: 32 KB at
@@ -118,7 +231,9 @@ def pca_fit(
     artifact-friendly."""
     import numpy as np
 
-    rows = covariance_pairs(df, id_col, vec_col).collect()
+    rows = covariance_pairs(
+        df, id_col, vec_col, method=method, dim=dim
+    ).collect()
     if not rows:
         raise ValueError(
             "pca_fit on an empty relation: covariance is undefined "

@@ -612,3 +612,27 @@ def test_write_hilbert_quantized_narrows_spans_and_preserves_rows(spark, tmp_pat
 
     with pytest.raises(ValueError, match="exactly two"):
         write_hilbert_quantized(src, hpath, ["c_acctbal"], num_files=2)
+
+
+def test_covariance_gram_form_is_bit_identical(spark):
+    """The gram-batches physical form (numpy int64 XᵀX per Arrow
+    batch, decimal partial sums) produces BIT-IDENTICAL covariance
+    doubles to the relational explode form — integer sums are
+    order-free, so the physical plan is pure performance (8.5× at
+    d=256, SCALE.md r10)."""
+    from _data_engineering_pipeline_project_spark.catalog import table
+    from _data_engineering_pipeline_project_spark.operators import pca as P
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = {
+        (r["dim_i"], r["dim_j"]): r["cov"]
+        for r in P.covariance_pairs(emb).collect()
+    }
+    b = {
+        (r["dim_i"], r["dim_j"]): r["cov"]
+        for r in P.covariance_pairs(emb, method="gram", dim=64).collect()
+    }
+    assert a == b and len(a) == 64 * 65 // 2
+
+    with pytest.raises(ValueError, match="requires dim"):
+        P.covariance_pairs(emb, method="gram")
