@@ -657,3 +657,109 @@ def suggest_expectations_orders(spark: SparkSession, sf: str) -> DataFrame:
         string_cols=["o_orderstatus", "o_orderpriority"],
         enum_threshold=10,
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding drift audit (two-snapshot distribution monitor)
+# --------------------------------------------------------------------------
+_DRIFT_SCALE = float(1 << 20)
+
+
+@query(
+    "embedding_drift_audit_embeddings",
+    f"""
+WITH vq AS (SELECT label,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> CAST(round(x * 1048576.0) AS BIGINT))
+                     AS v
+            FROM embeddings),
+terms AS (SELECT CASE WHEN label % 2 = 0 THEN 'a' ELSE 'b' END AS side,
+                 i, v[i] AS vi
+          FROM vq, generate_series(1, 64) g(i)),
+sums AS (SELECT side, i, count(*) AS n,
+                CAST(sum(vi) AS DOUBLE) AS s,
+                CAST(sum(vi * vi) AS DOUBLE) AS sii
+         FROM terms GROUP BY side, i),
+stats AS (SELECT side, i,
+                 s / n / {_DRIFT_SCALE!r} AS mu,
+                 (n * sii - s * s) / (n * n)
+                   / ({_DRIFT_SCALE!r} * {_DRIFT_SCALE!r}) AS var
+          FROM sums)
+SELECT CAST(a.i AS INTEGER) AS dim,
+       round(a.mu, 8) AS mean_a, round(b.mu, 8) AS mean_b,
+       round(abs(a.mu - b.mu), 8) AS mean_shift,
+       round(a.var, 8) AS var_a, round(b.var, 8) AS var_b,
+       round(b.var / a.var, 6) AS var_ratio
+FROM stats a JOIN stats b ON a.i = b.i AND a.side = 'a' AND b.side = 'b'
+ORDER BY round(abs(a.mu - b.mu), 8) DESC, dim
+LIMIT 10
+""",
+)
+def embedding_drift_audit_embeddings(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """Two-snapshot embedding drift monitor: per dimension, mean and
+    population variance on each side of a split (label parity stands in
+    for old-vs-new snapshot) from EXACT integer power sums (the
+    covariance_pairs lane), reporting the 10 dims with the largest
+    mean shift plus their variance ratio — the value_drift_psi
+    discipline extended to embedding space, where a drifting encoder
+    shows up as per-dim mean/variance movement long before downstream
+    metrics. One quantize + one posexplode + one groupBy(side, dim)
+    with map-side partials; 2d output rows regardless of corpus size;
+    every reported double derives from exact integers, so the twin
+    reproduces even the tie-break order bit-for-bit."""
+    from _data_engineering_pipeline_project_spark.operators.pca import (
+        quantized_elements,
+    )
+
+    emb = table(spark, sf, "embeddings")
+    vq = quantized_elements(emb, "label", "embedding").withColumn(
+        "side",
+        F.when(F.col("label") % 2 == 0, F.lit("a")).otherwise(F.lit("b")),
+    )
+    dec = "decimal(38,0)"
+    sums = (
+        vq.select("side", F.posexplode("v").alias("i0", "vi"))
+        .groupBy("side", "i0")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("vi").cast(dec)).cast("double").alias("s"),
+            F.sum((F.col("vi") * F.col("vi")).cast(dec))
+            .cast("double")
+            .alias("sii"),
+        )
+    )
+    n = F.col("n")
+    stats = sums.select(
+        "side",
+        "i0",
+        (F.col("s") / n / F.lit(_DRIFT_SCALE)).alias("mu"),
+        (
+            (n * F.col("sii") - F.col("s") * F.col("s"))
+            / (n * n)
+            / F.lit(_DRIFT_SCALE * _DRIFT_SCALE)
+        ).alias("var"),
+    )
+    a = stats.filter(F.col("side") == "a").select(
+        "i0", F.col("mu").alias("mu_a"), F.col("var").alias("var_a")
+    )
+    b = stats.filter(F.col("side") == "b").select(
+        "i0", F.col("mu").alias("mu_b"), F.col("var").alias("var_b")
+    )
+    return (
+        a.join(b, "i0")
+        .select(
+            (F.col("i0") + 1).cast("int").alias("dim"),
+            F.round("mu_a", 8).alias("mean_a"),
+            F.round("mu_b", 8).alias("mean_b"),
+            F.round(F.abs(F.col("mu_a") - F.col("mu_b")), 8).alias(
+                "mean_shift"
+            ),
+            F.round("var_a", 8).alias("var_a"),
+            F.round("var_b", 8).alias("var_b"),
+            F.round(F.col("var_b") / F.col("var_a"), 6).alias("var_ratio"),
+        )
+        .orderBy(F.col("mean_shift").desc(), "dim")
+        .limit(10)
+    )

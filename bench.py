@@ -175,6 +175,7 @@ EXTENSION_QUERIES = [
     "pca_variance_explained_embeddings",
     "l_diversity_audit_events",
     "suggest_expectations_orders",
+    "embedding_drift_audit_embeddings",
 ]
 # Registry queries not listed here or in BENCH_/TPCH_QUERIES are
 # bench-excluded by design (cheap single-shuffle shapes whose cost is a
