@@ -355,3 +355,48 @@ def opq_allocate(model: dict, m: int, sub_dim: int) -> dict:
         "eigenvalues": [model["eigenvalues"][i] for i in perm],
         "opq_permutation": perm,
     }
+
+
+def save_pca_model(spark, model: dict, path: str) -> None:
+    """Persist a :func:`pca_fit` / :func:`opq_allocate` model as a tiny
+    parquet artifact (one row per component + one mean row + one
+    eigenvalue row), joining the PQ/BM25/Bloom artifact family: train
+    once on the cluster, project from any session. Doubles round-trip
+    EXACTLY (parquet stores IEEE bits, never decimal strings)."""
+    rows = [("mean", -1, model["mean"]), ("eig", -1, model["eigenvalues"])]
+    for i, comp in enumerate(model["components"]):
+        rows.append(("comp", i, comp))
+    if "opq_permutation" in model:
+        rows.append(
+            ("perm", -1, [float(p) for p in model["opq_permutation"]])
+        )
+    spark.createDataFrame(
+        rows, "kind string, idx int, vals array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_pca_model(spark, path: str) -> dict:
+    """Load a :func:`save_pca_model` artifact — exact bit round-trip
+    (pinned by test: projections from the loaded model equal the
+    in-memory model's)."""
+    rows = spark.read.parquet(path).collect()
+    by_kind: dict = {}
+    comps = {}
+    for r in rows:
+        if r["kind"] == "comp":
+            comps[r["idx"]] = list(r["vals"])
+        else:
+            by_kind[r["kind"]] = list(r["vals"])
+    if "mean" not in by_kind or not comps:
+        raise ValueError(
+            f"not a PCA model artifact at {path} (missing mean/components)"
+        )
+    model = {
+        "mean": by_kind["mean"],
+        "eigenvalues": by_kind["eig"],
+        "components": [comps[i] for i in sorted(comps)],
+        "dim": len(by_kind["mean"]),
+    }
+    if "perm" in by_kind:
+        model["opq_permutation"] = [int(p) for p in by_kind["perm"]]
+    return model

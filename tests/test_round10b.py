@@ -636,3 +636,32 @@ def test_covariance_gram_form_is_bit_identical(spark):
 
     with pytest.raises(ValueError, match="requires dim"):
         P.covariance_pairs(emb, method="gram")
+
+
+def test_pca_model_artifact_round_trip(spark, tmp_path):
+    """save→load reproduces the model bit-for-bit (parquet stores IEEE
+    doubles): projections from the loaded model equal the in-memory
+    model's exactly, OPQ permutation included; a foreign dir fails
+    loudly."""
+    from _data_engineering_pipeline_project_spark.operators import pca as P
+
+    df = _synth_lowrank(spark, n=100, d=16, rank=3)
+    model = P.opq_allocate(P.pca_fit(df, dim=16), m=2, sub_dim=8)
+    path = str(tmp_path / "pca_model")
+    P.save_pca_model(spark, model, path)
+    loaded = P.load_pca_model(spark, path)
+
+    assert loaded["eigenvalues"] == model["eigenvalues"]
+    assert loaded["components"] == model["components"]
+    assert loaded["mean"] == model["mean"]
+    assert loaded["opq_permutation"] == model["opq_permutation"]
+
+    a = {(r["vec_id"], tuple(r["projected"])) for r in P.pca_project(df, model, r=8).collect()}
+    b = {(r["vec_id"], tuple(r["projected"])) for r in P.pca_project(df, loaded, r=8).collect()}
+    assert a == b
+
+    spark.createDataFrame(
+        [("junk", 0, [1.0])], "kind string, idx int, vals array<double>"
+    ).write.mode("overwrite").parquet(str(tmp_path / "bad"))
+    with pytest.raises(ValueError, match="not a PCA model artifact"):
+        P.load_pca_model(spark, str(tmp_path / "bad"))
