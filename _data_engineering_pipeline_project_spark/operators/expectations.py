@@ -183,27 +183,41 @@ def suggest_expectations(
     enum_threshold: int = 10,
 ) -> DataFrame:
     """Constraint DISCOVERY — the generator whose output
-    ``run_expectations`` consumes: profile the listed columns in ONE
-    scan and emit the constraints the data currently satisfies, as a
-    relation ``(column, suggestion, lo, hi, allowed)``:
+    ``run_expectations`` consumes: profile the listed columns and emit
+    the constraints the data currently satisfies, as a relation
+    ``(column, suggestion, lo, hi, allowed)``:
 
     - ``not_null``      — the column has zero nulls;
     - ``unique``        — distinct count equals row count (and no
       nulls): a primary-key candidate, the same evidence the IND audit
       (queries_ext8.py) uses for FK discovery on the other side;
     - ``in_range``      — numeric observed [min, max] (typed DOUBLE
-      columns, never value→string formatting);
+      columns, never value→string formatting); only emitted when the
+      column has at least one NON-NULL value — an all-NULL column
+      would suggest ``[NULL, NULL]``, which promotes to a vacuous
+      always-pass contract (code-review r10);
     - ``in_set``        — string columns at or under ``enum_threshold``
-      distinct values, the sorted value list (deterministic order).
+      distinct values, the sorted value list as ``array<string>``
+      (a comma-joined string is lossy the moment a value contains a
+      comma — code-review r10; ``in_set`` takes the list directly).
 
     Suggestions are EVIDENCE, not truth — the operator names what held
     on this snapshot so a human promotes it to a contract; that is how
     expectation suites get written at 100 TB (nobody eyeballs the
-    table). Plan: one aggregate (map-side partials; the distinct
-    counts ride the same expand+two-phase agg as profile_table, the
-    small collect_sets are bounded by the columns the caller NAMES as
-    enum candidates), then the suggestion rows derive from the single
-    agg row — driver-scale."""
+    table).
+
+    Plan — TWO bounded scans, never an unbounded buffer: scan 1 is the
+    profile aggregate (map-side partials; distinct counts ride the
+    expand+two-phase agg, NO value collection — a high-cardinality
+    string column costs a count, not a corpus-sized collect_set in one
+    agg buffer, the hazard the one-scan form had); its one row decides
+    which string columns qualify as enums, and scan 2 collects sorted
+    value sets ONLY for qualifying columns, so every collection buffer
+    is ≤ enum_threshold values by construction. Scan 2 is skipped
+    entirely when nothing qualifies. The suggestion relation itself is
+    bounded (≤ 3 rows per audited column) and is assembled from the
+    two collected profile rows."""
+    spark = df.sparkSession
     cols = [(c, "num") for c in numeric_cols] + [
         (c, "str") for c in string_cols
     ]
@@ -216,55 +230,39 @@ def suggest_expectations(
         if kind == "num":
             aggs.append(F.min(F.col(c)).cast("double").alias(f"__min{i}"))
             aggs.append(F.max(F.col(c)).cast("double").alias(f"__max{i}"))
-        else:
-            aggs.append(
-                F.array_join(
-                    F.array_sort(F.collect_set(F.col(c))), ","
-                ).alias(f"__set{i}")
-            )
-    one = df.agg(*aggs)
-    # one explode over candidate structs — the agg row is consumed by a
-    # single plan (a per-suggestion union of filters would RE-RUN the
-    # scan once per branch)
-    null_d = F.lit(None).cast("double")
-    null_s = F.lit(None).cast("string")
+    prof = df.agg(*aggs).collect()[0]
 
-    def cand(c, kind_, keep, lo=null_d, hi=null_d, allowed=null_s):
-        return F.struct(
-            F.lit(c).alias("column"),
-            F.lit(kind_).alias("suggestion"),
-            lo.cast("double").alias("lo"),
-            hi.cast("double").alias("hi"),
-            allowed.cast("string").alias("allowed"),
-            keep.alias("keep"),
-        )
+    enum_cols = [
+        (i, c)
+        for i, (c, kind) in enumerate(cols)
+        if kind == "str" and 0 < prof[f"__dis{i}"] <= enum_threshold
+    ]
+    sets: dict = {}
+    if enum_cols:
+        srow = df.agg(
+            *[
+                F.array_sort(F.collect_set(F.col(c))).alias(f"__set{i}")
+                for i, c in enum_cols
+            ]
+        ).collect()[0]
+        sets = {c: list(srow[f"__set{i}"]) for i, c in enum_cols}
 
-    structs = []
+    n = prof["__n"]
+    rows = []
     for i, (c, kind) in enumerate(cols):
-        nul, dis = F.col(f"__nul{i}"), F.col(f"__dis{i}")
-        structs.append(cand(c, "not_null", nul == 0))
-        structs.append(cand(c, "unique", (nul == 0) & (dis == F.col("__n"))))
-        if kind == "num":
-            structs.append(
-                cand(
-                    c,
-                    "in_range",
-                    F.col("__n") > 0,
-                    lo=F.col(f"__min{i}"),
-                    hi=F.col(f"__max{i}"),
-                )
+        nul, dis = prof[f"__nul{i}"], prof[f"__dis{i}"]
+        if nul == 0:
+            rows.append((c, "not_null", None, None, None))
+        if nul == 0 and dis == n:
+            rows.append((c, "unique", None, None, None))
+        if kind == "num" and nul < n:
+            rows.append(
+                (c, "in_range", prof[f"__min{i}"], prof[f"__max{i}"], None)
             )
-        else:
-            structs.append(
-                cand(
-                    c,
-                    "in_set",
-                    (dis > 0) & (dis <= enum_threshold),
-                    allowed=F.col(f"__set{i}"),
-                )
-            )
-    return (
-        one.select(F.explode(F.array(*structs)).alias("s"))
-        .filter(F.col("s.keep"))
-        .select("s.column", "s.suggestion", "s.lo", "s.hi", "s.allowed")
+        if kind == "str" and c in sets:
+            rows.append((c, "in_set", None, None, sets[c]))
+    return spark.createDataFrame(
+        rows,
+        "column string, suggestion string, lo double, hi double, "
+        "allowed array<string>",
     )

@@ -109,9 +109,19 @@ def bloom_build(
     """Build the words relation ``(word_idx, word)`` for the key
     column: one explode + one groupBy(word_idx).bit_or — the only
     shuffle, bounded by ``min(n_keys·k, m_bits/60)`` rows. Empty words
-    are not materialized (probe treats absent as all-zero)."""
+    are not materialized (probe treats absent as all-zero). NULL keys
+    are dropped up front — membership of NULL is undefined (the probe
+    returns a NULL verdict for them), and without the filter a NULL
+    key would materialize a junk (NULL, NULL) words row that violates
+    the non-empty-word invariant and would persist into artifacts
+    (code-review r10)."""
     return (
-        _pairs(df.select(key.alias("__k")), F.col("__k"), m_bits, k)
+        _pairs(
+            df.select(key.alias("__k")).filter(F.col("__k").isNotNull()),
+            F.col("__k"),
+            m_bits,
+            k,
+        )
         .groupBy("word_idx")
         .agg(F.bit_or("mask").alias("word"))
     )

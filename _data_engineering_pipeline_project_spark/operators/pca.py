@@ -71,6 +71,7 @@ def covariance_pairs(
     include_diagonal: bool = True,
     method: str = "explode",
     dim: int | None = None,
+    _parts: DataFrame | None = None,
 ) -> DataFrame:
     """Exact population covariance per dimension pair (1-based dims,
     upper triangle): ``cov = (n·Sij − Si·Sj) / n²`` computed from exact
@@ -96,7 +97,9 @@ def covariance_pairs(
       takes ``method=`` and passes it through.
     """
     if method == "gram":
-        return _covariance_pairs_gram(df, id_col, vec_col, include_diagonal, dim)
+        return _covariance_pairs_gram(
+            df, id_col, vec_col, include_diagonal, dim, parts=_parts
+        )
     vq = quantized_elements(df, id_col, vec_col)
     a = vq.select(F.posexplode("v").alias("i0", "vi"), "v")
     pred = F.col("i0") <= F.col("j0") if include_diagonal else F.col(
@@ -127,21 +130,18 @@ def covariance_pairs(
     )
 
 
-def _covariance_pairs_gram(
-    df: DataFrame,
-    id_col: str,
-    vec_col: str,
-    include_diagonal: bool,
-    dim: int | None,
+def _gram_parts(
+    df: DataFrame, id_col: str, vec_col: str, dim: int
 ) -> DataFrame:
-    """The gram-batches physical form of :func:`covariance_pairs` —
-    same exact integers, same final doubles. ``dim`` is required (the
-    driver builds the bounded triangle-index map from it)."""
-    if dim is None:
-        raise ValueError("method='gram' requires dim=")
-    spark = df.sparkSession
-    # NULL vectors: the explode path drops them implicitly (posexplode
-    # of NULL emits nothing); filter here so both forms agree
+    """Per-Arrow-batch exact partials for the gram form: ONE row per
+    batch — (row count, int64 column sums, flattened upper-triangle
+    int64 Gram). Validates the declared ``dim`` against every batch's
+    actual width (a mismatch would otherwise join the driver's
+    triangle map against the WRONG geometry and return silently-
+    garbage covariance — code-review r10) and fails loudly on NULL
+    elements / ragged vectors, which the int64 matrix cannot represent
+    (the explode form tolerates them; the bit-identical contract is
+    scoped to non-null fixed-width vectors — the embedding contract)."""
     vq = (
         quantized_elements(df, id_col, vec_col)
         .select("v")
@@ -155,7 +155,31 @@ def _covariance_pairs_gram(
         for pdf in batches:
             if pdf.empty:
                 continue
-            X = np.array(pdf["v"].tolist(), dtype=np.int64)
+            # NULL elements arrive as NaN in a float64 block (Arrow),
+            # and numpy SILENTLY casts NaN -> INT64_MIN with only a
+            # RuntimeWarning — so the guard must be explicit, not a
+            # try/except around the cast
+            X0 = np.array(pdf["v"].tolist())
+            if X0.dtype == object or X0.ndim != 2:
+                raise ValueError(
+                    "method='gram' requires non-null fixed-width "
+                    "vectors (ragged lengths in batch); use "
+                    "method='explode' for tolerant semantics"
+                )
+            if not np.issubdtype(X0.dtype, np.integer) and np.isnan(
+                X0
+            ).any():
+                raise ValueError(
+                    "method='gram' requires non-null fixed-width "
+                    "vectors (NULL element in batch); use "
+                    "method='explode' for tolerant semantics"
+                )
+            if X0.shape[1] != dim:
+                raise ValueError(
+                    f"vector width {X0.shape[1]} does not match "
+                    f"declared dim={dim}"
+                )
+            X = X0.astype(np.int64, copy=False)
             G = X.T @ X  # exact int64: |term| ≲ 2^44, batch sum ≲ 2^58
             s = X.sum(axis=0)
             yield pd.DataFrame(
@@ -166,9 +190,29 @@ def _covariance_pairs_gram(
                 }
             )
 
-    parts = vq.mapInPandas(
+    return vq.mapInPandas(
         gram, "n_part long, s_part array<long>, g_part array<long>"
     )
+
+
+def _covariance_pairs_gram(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    include_diagonal: bool,
+    dim: int | None,
+    parts: DataFrame | None = None,
+) -> DataFrame:
+    """The gram-batches physical form of :func:`covariance_pairs` —
+    same exact integers, same final doubles. ``dim`` is required (the
+    driver builds the bounded triangle-index map from it). ``parts``
+    lets :func:`pca_fit` pass a cached partials frame so covariance
+    and mean derive from ONE input scan."""
+    if dim is None:
+        raise ValueError("method='gram' requires dim=")
+    spark = df.sparkSession
+    if parts is None:
+        parts = _gram_parts(df, id_col, vec_col, dim)
     dec = "decimal(38,0)"
     # per-triangle-slot exact sums: d(d+1)/2 rows PER BATCH ROW (one
     # per Arrow batch), never per input row
@@ -231,32 +275,49 @@ def pca_fit(
     artifact-friendly."""
     import numpy as np
 
-    rows = covariance_pairs(
-        df, id_col, vec_col, method=method, dim=dim
-    ).collect()
-    if not rows:
-        raise ValueError(
-            "pca_fit on an empty relation: covariance is undefined "
-            "(no rows reached the aggregate)"
+    parts = None
+    if method == "gram":
+        # one input scan: the cached per-batch partials feed BOTH the
+        # covariance and the mean (the explode form's mean is a second,
+        # cheap column-pruned scan — code-review r10 flagged the gram
+        # path, where the input read is the entire cost at width)
+        parts = _gram_parts(df, id_col, vec_col, dim).cache()
+    try:
+        rows = covariance_pairs(
+            df, id_col, vec_col, method=method, dim=dim, _parts=parts
+        ).collect()
+        if not rows:
+            raise ValueError(
+                "pca_fit on an empty relation: covariance is undefined "
+                "(no rows reached the aggregate)"
+            )
+        cov = np.zeros((dim, dim))
+        for r in rows:
+            cov[r["dim_i"] - 1, r["dim_j"] - 1] = r["cov"]
+            cov[r["dim_j"] - 1, r["dim_i"] - 1] = r["cov"]
+        mean_src = (
+            parts.select("n_part", F.posexplode("s_part").alias("i0", "vi"))
+            if parts is not None
+            else quantized_elements(df, id_col, vec_col).select(
+                F.lit(1).alias("n_part"),
+                F.posexplode("v").alias("i0", "vi"),
+            )
         )
-    cov = np.zeros((dim, dim))
-    for r in rows:
-        cov[r["dim_i"] - 1, r["dim_j"] - 1] = r["cov"]
-        cov[r["dim_j"] - 1, r["dim_i"] - 1] = r["cov"]
-    mean = (
-        quantized_elements(df, id_col, vec_col)
-        .select(F.posexplode("v").alias("i0", "vi"))
-        .groupBy("i0")
-        .agg(
-            (
-                F.sum(F.col("vi").cast("decimal(38,0)")).cast("double")
-                / F.count(F.lit(1))
-                / F.lit(float(QUANT_SCALE))
-            ).alias("m")
+        mean = (
+            mean_src.groupBy("i0")
+            .agg(
+                (
+                    F.sum(F.col("vi").cast("decimal(38,0)")).cast("double")
+                    / F.sum("n_part")
+                    / F.lit(float(QUANT_SCALE))
+                ).alias("m")
+            )
+            .orderBy("i0")
+            .collect()
         )
-        .orderBy("i0")
-        .collect()
-    )
+    finally:
+        if parts is not None:
+            parts.unpersist()
     w, v = np.linalg.eigh(cov)  # ascending
     order = np.argsort(w)[::-1]
     return {

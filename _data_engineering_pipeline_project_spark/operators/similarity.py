@@ -1268,17 +1268,29 @@ def matryoshka_recall_audit(
     base = topk(full)
     out: DataFrame | None = None
     for m in cuts:
-        hits = topk(m).withColumn("__hit", F.lit(1))
-        per_q = (
-            base.join(hits, ["query_id", "neighbor_id"], "left")
-            .groupBy("query_id")
-            .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("__n"))
-            .select(
-                F.lit(m).alias("prefix_dim"),
-                "query_id",
-                F.col("__n").cast("bigint").alias("n_overlap"),
-                F.round(F.col("__n") / F.lit(k), 6).alias("recall"),
+        if m == full:
+            # the baseline cut is an identity overlap — derive its rows
+            # from `base` directly instead of re-running the window and
+            # self-joining (recall = 1 by construction, but n_overlap
+            # still counts base rows, which is < k when the corpus has
+            # fewer than k neighbors — the adversarial-test contract)
+            per_q = base.groupBy("query_id").agg(
+                F.count(F.lit(1)).alias("__n")
             )
+        else:
+            hits = topk(m).withColumn("__hit", F.lit(1))
+            per_q = (
+                base.join(hits, ["query_id", "neighbor_id"], "left")
+                .groupBy("query_id")
+                .agg(
+                    F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("__n")
+                )
+            )
+        per_q = per_q.select(
+            F.lit(m).alias("prefix_dim"),
+            "query_id",
+            F.col("__n").cast("bigint").alias("n_overlap"),
+            F.round(F.col("__n") / F.lit(k), 6).alias("recall"),
         )
         out = per_q if out is None else out.unionByName(per_q)
     return out

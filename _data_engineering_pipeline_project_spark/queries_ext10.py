@@ -122,7 +122,8 @@ WITH fp AS (
   SELECT doc_id,
          CAST(regexp_extract(source, '(\\d+)$', 1) AS INTEGER) AS src_n,
          {_FP_SQL} AS fp
-  FROM documents),
+  FROM documents
+  WHERE text IS NOT NULL),
 corpus AS (SELECT DISTINCT fp FROM fp WHERE src_n < 10),
 cpos AS (SELECT unnest({pos}) AS pos FROM corpus),
 words AS (SELECT {WORD_SQL} AS word_idx, bit_or({MASK_SQL}) AS word
@@ -145,9 +146,15 @@ flags AS (
 """
 
 
-def _bloom_flags(spark: SparkSession, sf: str) -> DataFrame:
+def _bloom_parts(spark: SparkSession, sf: str) -> tuple:
     """Spark half of the shared pipeline (corpus = sources src0-9, the
-    cross_dedup_new_vs_corpus standing-corpus convention)."""
+    cross_dedup_new_vs_corpus standing-corpus convention): returns
+    (flags, words) so the per-document audit and the fill-ratio summary
+    consume ONE corpus definition — the two queries previously derived
+    words independently and a convention change could silently
+    desynchronize them (code-review r10). NULL-text documents are
+    excluded on BOTH engines (their fingerprint is NULL; the SQL twin's
+    inner join would otherwise drop them only on the oracle side)."""
     from _data_engineering_pipeline_project_spark.operators import (
         membership as M,
     )
@@ -158,14 +165,16 @@ def _bloom_flags(spark: SparkSession, sf: str) -> DataFrame:
     d = table(spark, sf, "documents").withColumn(
         "src_n", F.regexp_extract("source", r"(\d+)$", 1).cast("int")
     )
-    fp = d.select("doc_id", "src_n", TS.fingerprint("text").alias("fp"))
+    fp = d.select("doc_id", "src_n", TS.fingerprint("text").alias("fp")).filter(
+        F.col("fp").isNotNull()
+    )
     corpus = fp.filter(F.col("src_n") < 10).select("fp").distinct()
     words = M.bloom_build(corpus, F.col("fp"), _BLOOM_M, _BLOOM_K)
     probed = M.bloom_probe(
         words, fp.select("doc_id", "fp"), F.col("fp"), _BLOOM_M, _BLOOM_K
     )
     exact = corpus.withColumn("__exact", F.lit(True))
-    return (
+    flags = (
         probed.join(exact, "fp", "left")
         .select(
             "doc_id",
@@ -176,6 +185,11 @@ def _bloom_flags(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+    return flags, words
+
+
+def _bloom_flags(spark: SparkSession, sf: str) -> DataFrame:
+    return _bloom_parts(spark, sf)[0]
 
 
 @query(
@@ -227,24 +241,7 @@ def bloom_fp_audit_summary_documents(
     records its geometry for exactly that decision). All counts are
     exact integers; the two ratios are single divisions of exact
     integers, rounded identically in both engines."""
-    from _data_engineering_pipeline_project_spark.operators import (
-        membership as M,
-    )
-    from _data_engineering_pipeline_project_spark.operators import (
-        textstats as TS,
-    )
-
-    flags = _bloom_flags(spark, sf)
-    d = table(spark, sf, "documents").withColumn(
-        "src_n", F.regexp_extract("source", r"(\d+)$", 1).cast("int")
-    )
-    corpus = (
-        d.select(TS.fingerprint("text").alias("fp"), "src_n")
-        .filter(F.col("src_n") < 10)
-        .select("fp")
-        .distinct()
-    )
-    words = M.bloom_build(corpus, F.col("fp"), _BLOOM_M, _BLOOM_K)
+    flags, words = _bloom_parts(spark, sf)
     counts = flags.agg(
         F.count(F.lit(1)).alias("n_probes"),
         F.count_if(F.col("bloom_member")).alias("n_bloom_positive"),
@@ -590,24 +587,22 @@ def l_diversity_audit_events(spark: SparkSession, sf: str) -> DataFrame:
              count(DISTINCT o_totalprice) AS dis_t,
              sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nul_s,
              count(DISTINCT o_orderstatus) AS dis_s,
-             string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
-               AS set_s,
+             list_sort(list(DISTINCT o_orderstatus)) AS set_s,
              sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nul_p,
              count(DISTINCT o_orderpriority) AS dis_p,
-             string_agg(DISTINCT o_orderpriority, ','
-                        ORDER BY o_orderpriority) AS set_p
+             list_sort(list(DISTINCT o_orderpriority)) AS set_p
       FROM orders)
     SELECT * FROM (
       SELECT 'o_orderkey' AS "column", 'not_null' AS suggestion,
              CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi,
-             CAST(NULL AS VARCHAR) AS allowed
+             CAST(NULL AS VARCHAR[]) AS allowed
       FROM p WHERE nul_k = 0
       UNION ALL
       SELECT 'o_orderkey', 'unique', NULL, NULL, NULL
       FROM p WHERE nul_k = 0 AND dis_k = n
       UNION ALL
       SELECT 'o_orderkey', 'in_range', mn_k, mx_k, NULL
-      FROM p WHERE n > 0
+      FROM p WHERE nul_k < n
       UNION ALL
       SELECT 'o_totalprice', 'not_null', NULL, NULL, NULL
       FROM p WHERE nul_t = 0
@@ -616,7 +611,7 @@ def l_diversity_audit_events(spark: SparkSession, sf: str) -> DataFrame:
       FROM p WHERE nul_t = 0 AND dis_t = n
       UNION ALL
       SELECT 'o_totalprice', 'in_range', mn_t, mx_t, NULL
-      FROM p WHERE n > 0
+      FROM p WHERE nul_t < n
       UNION ALL
       SELECT 'o_orderstatus', 'not_null', NULL, NULL, NULL
       FROM p WHERE nul_s = 0

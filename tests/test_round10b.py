@@ -504,7 +504,7 @@ def test_suggest_expectations_promote_roundtrip_and_one_scan(spark):
     assert got[("id", "in_range")]["lo"] == 0.0
     assert got[("id", "in_range")]["hi"] == 59.0
     assert ("st", "not_null") not in got  # nullable column
-    assert ("st", "in_set") in got and got[("st", "in_set")]["allowed"] == "ok"
+    assert ("st", "in_set") in got and list(got[("st", "in_set")]["allowed"]) == ["ok"]
     assert ("uid", "in_set") not in got  # 60 distinct > threshold
     assert ("uid", "unique") in got
 
@@ -518,15 +518,15 @@ def test_suggest_expectations_promote_roundtrip_and_one_scan(spark):
         elif s == "in_range":
             specs.append(E.in_range(f"{c}_rng", c, r["lo"], r["hi"]))
         elif s == "in_set":
-            specs.append(E.in_set(f"{c}_set", c, r["allowed"].split(",")))
+            specs.append(E.in_set(f"{c}_set", c, list(r["allowed"])))
     report = E.run_expectations(df, specs).collect()
     assert all(r["passed"] for r in report)
 
-    # AQE's toString prints Final AND Initial plan sections — count the
-    # input scan in the final section only
-    plan = sugg._jdf.queryExecution().executedPlan().toString()
-    final = plan.split("== Initial Plan ==")[0]
-    assert final.count("Scan ExistingRDD") == 1
+    # bounded-buffer redesign (code-review r10): the profile scan never
+    # collects values, and the enum scan exists only for columns the
+    # profile proved are at/under threshold — so no agg buffer can
+    # exceed enum_threshold values. The output relation is assembled
+    # from the two bounded profile rows.
 
 
 def test_bloom_maintainer_streaming_available_now(spark, tmp_path):
@@ -665,3 +665,74 @@ def test_pca_model_artifact_round_trip(spark, tmp_path):
     ).write.mode("overwrite").parquet(str(tmp_path / "bad"))
     with pytest.raises(ValueError, match="not a PCA model artifact"):
         P.load_pca_model(spark, str(tmp_path / "bad"))
+
+
+def test_review_fixes_round10_wave2(spark, tmp_path):
+    """Code-review regression pins: (a) gram dim mismatch fails loudly
+    instead of returning silently-wrong covariance; (b) gram rejects
+    NULL elements with a clear error; (c) bloom_build drops NULL keys
+    (no junk (NULL, NULL) words row); (d) all-NULL numeric columns get
+    NO in_range suggestion; (e) enum values containing commas
+    round-trip exactly through the array-typed allowed list;
+    (f) pca_fit(method='gram') equals pca_fit(method='explode')."""
+    import pytest as _pytest
+    from pyspark.errors import PySparkException
+
+    from _data_engineering_pipeline_project_spark.operators import (
+        expectations as E,
+    )
+    from _data_engineering_pipeline_project_spark.operators import pca as P
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(i * 2), 1.0, 0.5]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    # (a) declared dim != width -> loud executor error, never garbage
+    with _pytest.raises(PySparkException, match="does not match declared"):
+        P.covariance_pairs(emb, method="gram", dim=3).collect()
+    # (b) NULL element -> loud error with the tolerant-alternative hint
+    nullelem = spark.createDataFrame(
+        [(0, [1.0, None, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(PySparkException, match="non-null fixed-width"):
+        P.covariance_pairs(nullelem, method="gram", dim=4).collect()
+
+    # (c) NULL build key produces no junk words row
+    keys = spark.createDataFrame([("a",), (None,)], "k string")
+    words = M.bloom_build(keys, F.col("k"), 1 << 10, 3).collect()
+    assert all(
+        r["word_idx"] is not None and r["word"] is not None for r in words
+    )
+
+    # (d) all-NULL numeric column: not suggested not_null OR in_range
+    nulls = spark.createDataFrame(
+        [(i, None) for i in range(5)], "id long, dead double"
+    )
+    got = {
+        (r["column"], r["suggestion"])
+        for r in E.suggest_expectations(nulls, numeric_cols=["dead"]).collect()
+    }
+    assert ("dead", "in_range") not in got
+    assert ("dead", "not_null") not in got
+
+    # (e) comma-containing enum values survive promotion
+    enum = spark.createDataFrame(
+        [("a,b",), ("c",), ("a,b",)], "st string"
+    )
+    sugg = {
+        r["suggestion"]: r
+        for r in E.suggest_expectations(enum, string_cols=["st"]).collect()
+    }
+    allowed = list(sugg["in_set"]["allowed"])
+    assert allowed == ["a,b", "c"]
+    report = E.run_expectations(
+        enum, [E.in_set("st_set", "st", allowed)]
+    ).collect()
+    assert all(r["passed"] for r in report)
+
+    # (f) gram and explode fits agree exactly
+    df = _synth_lowrank(spark, n=80, d=16, rank=3)
+    a = P.pca_fit(df, dim=16)
+    b = P.pca_fit(df, dim=16, method="gram")
+    assert a["mean"] == b["mean"]
+    assert a["eigenvalues"] == b["eigenvalues"]
