@@ -636,10 +636,12 @@ def suggest_expectations_orders(spark: SparkSession, sf: str) -> DataFrame:
     """Constraint discovery over orders: the generator side of the
     expectation suite — emit the contracts the snapshot satisfies
     (not-null, PK-candidate uniqueness, numeric ranges, small enum
-    sets with deterministic sorted value lists) as evidence for a
-    human to promote. ONE aggregate scan (distinct counts ride the
-    expand+two-phase agg); suggestions derive from the single agg row
-    via one explode — never a rescan per rule. Complements the
+    sets as sorted array<string> lists) as evidence for a human to
+    promote. TWO BOUNDED scans (code-review r10): the profile scan
+    never collects values — distinct counts ride the expand+two-phase
+    agg — and the enum scan runs only for columns the profile proved
+    are at/under threshold, so no agg buffer can exceed
+    enum_threshold values; never a rescan per rule. Complements the
     validating side (expectations_suite_orders) and the FK-mining IND
     audit: profile → suggest → promote → enforce, all in-engine."""
     from _data_engineering_pipeline_project_spark.operators.expectations import (
