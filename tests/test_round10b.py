@@ -736,3 +736,51 @@ def test_review_fixes_round10_wave2(spark, tmp_path):
     b = P.pca_fit(df, dim=16, method="gram")
     assert a["mean"] == b["mean"]
     assert a["eigenvalues"] == b["eigenvalues"]
+
+
+def test_opq_improves_adc_retrieval_recall(spark):
+    """The OPQ claim at the RETRIEVAL level, not just quantization MSE:
+    on correlated data, PQ-ADC top-10 recall against exact L2 ground
+    truth improves materially after the eigenvalue-balanced rotation
+    (measured 0.37 → 0.64 at this geometry; asserted with margin).
+    Rotation preserves L2 on centered vectors, so exact neighbor sets
+    are identical in both spaces and the comparison is apples-to-
+    apples."""
+    import numpy as np
+
+    from _data_engineering_pipeline_project_spark.operators import pca as P
+    from _data_engineering_pipeline_project_spark.operators.similarity import (
+        pq_adc_topk,
+    )
+
+    d, m, sub, K = 64, 4, 16, 10
+    df = _synth_lowrank(spark, n=500, d=d, rank=6)
+    X = np.array([r["embedding"] for r in df.orderBy("vec_id").collect()])
+    qids = list(range(10))
+
+    def exact_topk(Xs):
+        out = {}
+        for q in qids:
+            d2 = ((Xs - Xs[q]) ** 2).sum(axis=1)
+            d2[q] = np.inf
+            out[q] = set(np.argsort(d2, kind="stable")[:K].tolist())
+        return out
+
+    def recall(frame, Xs):
+        got = {}
+        qs = frame.filter(F.col("vec_id") < 10)
+        for r in pq_adc_topk(frame, qs, k=K, m=m, sub_dim=sub, ksub=8).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        ex = exact_topk(Xs)
+        return sum(len(got.get(q, set()) & ex[q]) for q in qids) / (
+            K * len(qids)
+        )
+
+    r_plain = recall(df, X)
+    model = P.pca_fit(df, dim=d)
+    bal = P.opq_allocate(model, m=m, sub_dim=sub)
+    rot = P.pca_project(df, bal, r=d, out_col="embedding")
+    Xc = X - np.array(model["mean"])
+    Xrot = Xc @ np.array(bal["components"]).T
+    r_opq = recall(rot, Xrot)
+    assert r_opq > r_plain + 0.1, (r_plain, r_opq)
