@@ -240,3 +240,136 @@ class BloomMaintainer:
                 shutil.rmtree(os.path.join(self.base_dir, name))
                 removed.append(name)
         return removed
+
+
+class RotatingBloomMaintainer:
+    """Retention-windowed membership: a ring of ``generations``
+    independent :class:`BloomMaintainer` slots. Batches merge into the
+    CURRENT slot; :meth:`rotate` (called on the retention cadence —
+    daily, per-epoch, per-corpus-version) advances the ring and RESETS
+    the slot it lands on; :meth:`probe` ORs the live slots' words.
+
+    This is how a plain Bloom filter — which cannot delete — serves
+    the "have we seen this key in the last N windows?" question every
+    retention-bounded ingest dedup actually asks: keys older than N
+    rotations age out when their slot is reused, while within the
+    window the no-false-negative guarantee holds per slot and
+    therefore over the OR (bit_or of words relations IS the filter of
+    the union). Fill is bounded per slot by one window's key volume,
+    so m is sized for a WINDOW, not for all history — the standing
+    fix for the monotone-fill problem the FP audit monitors.
+
+    Crash discipline: rotation resets the target slot FIRST, then
+    commits the ring pointer (fsync + atomic replace, the house
+    protocol). A crash between the two leaves the old pointer and an
+    already-empty next slot — the retried rotate() simply re-resets
+    it (idempotent); no committed window is ever lost.
+    """
+
+    _POINTER = "_RING"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        m_bits: int = 1 << 20,
+        k: int = 3,
+        generations: int = 4,
+    ):
+        if generations < 2:
+            raise ValueError("need at least 2 generations to rotate")
+        self.spark = spark
+        self.base_dir = base_dir
+        self.generations = int(generations)
+        self.m_bits = int(m_bits)
+        self.k = int(k)
+        os.makedirs(base_dir, exist_ok=True)
+        self._current, self._rotations = self._recover()
+        self._slots = [
+            BloomMaintainer(
+                spark, os.path.join(base_dir, f"gen_{g}"), m_bits, k
+            )
+            for g in range(self.generations)
+        ]
+
+    def _pointer_path(self) -> str:
+        return os.path.join(self.base_dir, self._POINTER)
+
+    def _recover(self) -> tuple[int, int]:
+        try:
+            with open(self._pointer_path()) as f:
+                meta = json.load(f)
+            if meta.get("generations") != self.generations:
+                raise ValueError(
+                    "ring geometry mismatch: state has "
+                    f"{meta.get('generations')} generations, maintainer "
+                    f"opened with {self.generations}"
+                )
+            return int(meta["current"]), int(meta["rotations"])
+        except FileNotFoundError:
+            return 0, 0
+
+    def _commit_ring(self) -> None:
+        tmp = self._pointer_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "current": self._current,
+                    "rotations": self._rotations,
+                    "generations": self.generations,
+                },
+                f,
+            )
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._pointer_path())
+
+    @property
+    def current_slot(self) -> int:
+        return self._current
+
+    def merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._slots[self._current].merge_batch(batch_df, batch_id)
+
+    def rotate(self) -> int:
+        """Advance the ring: reset the NEXT slot (its keys age out),
+        then commit the pointer. Returns the new current slot."""
+        import shutil
+
+        nxt = (self._current + 1) % self.generations
+        slot_dir = os.path.join(self.base_dir, f"gen_{nxt}")
+        if os.path.isdir(slot_dir):
+            shutil.rmtree(slot_dir)
+        self._slots[nxt] = BloomMaintainer(
+            self.spark, slot_dir, self.m_bits, self.k
+        )
+        self._current = nxt
+        self._rotations += 1
+        self._commit_ring()
+        return nxt
+
+    def live_words(self) -> DataFrame | None:
+        """bit_or union of every non-empty slot's words — the filter of
+        the union of live keys."""
+        from _data_engineering_pipeline_project_spark.operators.membership import (
+            bloom_merge,
+        )
+
+        words = [s.current() for s in self._slots]
+        words = [w for w in words if w is not None]
+        if not words:
+            return None
+        return words[0] if len(words) == 1 else bloom_merge(*words)
+
+    def probe(self, df: DataFrame, key) -> DataFrame:
+        from pyspark.sql import functions as FF
+
+        from _data_engineering_pipeline_project_spark.operators.membership import (
+            bloom_probe,
+        )
+
+        w = self.live_words()
+        if w is None:
+            raise ValueError("no batches merged yet")
+        key = FF.col(key) if isinstance(key, str) else key
+        return bloom_probe(w, df, key, self.m_bits, self.k)

@@ -784,3 +784,60 @@ def test_opq_improves_adc_retrieval_recall(spark):
     Xrot = Xc @ np.array(bal["components"]).T
     r_opq = recall(rot, Xrot)
     assert r_opq > r_plain + 0.1, (r_plain, r_opq)
+
+
+def test_rotating_bloom_ages_out_old_windows(spark, tmp_path):
+    """The retention ring: keys inserted G rotations ago age out when
+    their slot is reused, recent windows keep the no-false-negative
+    guarantee over the OR of live slots, and a fresh handle recovers
+    the ring position. Probe equals a bloom over the union of LIVE
+    generations' keys exactly."""
+    from _data_engineering_pipeline_project_spark.streaming.bloommaint import (
+        RotatingBloomMaintainer,
+    )
+
+    base = str(tmp_path / "ring")
+    r = RotatingBloomMaintainer(
+        spark, base, m_bits=M_BITS, k=K, generations=3
+    )
+    windows = []
+    for w in range(5):  # slots: w0->0, w1->1, w2->2, w3->0(reuse), w4->1
+        keys = [f"w{w}k{i}" for i in range(30)]
+        windows.append(keys)
+        if w > 0:
+            r.rotate()
+        r.merge_batch(_keys_df(spark, keys), batch_id=0)
+
+    live = windows[2] + windows[3] + windows[4]
+    aged = windows[0] + windows[1]
+    flags = {
+        row["k"]: row["bloom_member"]
+        for row in r.probe(_keys_df(spark, live + aged), "k").collect()
+    }
+    assert all(flags[k] for k in live)  # no false negatives in-window
+    # aged-out windows lost their slots; at this fill (~90 keys in
+    # 2^12 bits) false positives are overwhelmingly unlikely, so the
+    # aged keys must read non-member
+    assert sum(1 for k in aged if flags[k]) <= 2
+
+    # probe == bloom over the union of live generations
+    want_words = {
+        (row["word_idx"], row["word"])
+        for row in M.bloom_build(
+            _keys_df(spark, live), F.col("k"), M_BITS, K
+        ).collect()
+    }
+    got_words = {
+        (row["word_idx"], row["word"]) for row in r.live_words().collect()
+    }
+    assert got_words == want_words
+
+    # recovery: a fresh handle lands on the same slot and rotation count
+    r2 = RotatingBloomMaintainer(
+        spark, base, m_bits=M_BITS, k=K, generations=3
+    )
+    assert r2.current_slot == r.current_slot
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ring geometry mismatch"):
+        RotatingBloomMaintainer(spark, base, m_bits=M_BITS, k=K, generations=4)
