@@ -216,7 +216,17 @@ def suggest_expectations(
     is ≤ enum_threshold values by construction. Scan 2 is skipped
     entirely when nothing qualifies. The suggestion relation itself is
     bounded (≤ 3 rows per audited column) and is assembled from the
-    two collected profile rows."""
+    two collected profile rows.
+
+    SNAPSHOT CAVEAT (advice r10): two scans see two snapshots. On an
+    input that can change between them (a streaming landing dir, a
+    concurrent overwrite) a column that profiled under
+    ``enum_threshold`` in scan 1 may collect a larger or different
+    value set in scan 2, so the emitted ``in_set`` evidence may
+    describe no single snapshot. Callers that need true snapshot
+    semantics should pass a pinned frame (``df.cache()`` +
+    materialize, or read a table version); the registered query runs
+    over static parquet, where the two scans are one snapshot."""
     spark = df.sparkSession
     cols = [(c, "num") for c in numeric_cols] + [
         (c, "str") for c in string_cols

@@ -80,13 +80,43 @@ def equi_depth_bounds(
     order statistics). The returned list is deduped + sorted: heavy
     values that occupy several quantiles collapse, merging buckets,
     which rank-quantization tolerates (equal values always share a
-    bucket). Bounded driver state: at most ``2^bits - 1`` doubles."""
+    bucket). Bounded driver state: at most ``2^bits - 1`` doubles.
+    Multi-column callers should use :func:`equi_depth_bounds_multi`
+    (one scan for ALL key columns) — this is its k=1 case."""
+    return equi_depth_bounds_multi(df, [col], bits, relative_error)[col]
+
+
+def equi_depth_bounds_multi(
+    df: DataFrame,
+    cols: "list[str]",
+    bits: int,
+    relative_error: float = 0.001,
+) -> "dict[str, list[float]]":
+    """Equi-depth boundaries for EVERY key column from ONE scan
+    (VERDICT r10 #4): ``DataFrame.approxQuantile`` accepts a column
+    list and runs all the Greenwald-Khanna summaries in a single
+    column-pruned pass, so a k-column clustered write (or compactor
+    tick) pays one stats scan instead of k. NaN is mapped to NULL per
+    column up front (GK would otherwise rank NaN above every value);
+    approxQuantile skips NULLs per column, which is exactly the row
+    filter the one-column form applied — each column's summary sees
+    the identical value sequence, so the boundaries are IDENTICAL to
+    k independent :func:`equi_depth_bounds` calls (pinned by test).
+    Driver state: ≤ k·(2^bits − 1) doubles."""
     probs = [i / (1 << bits) for i in range(1, 1 << bits)]
-    key = F.col(col).cast("double")
-    finite = df.select(
-        F.when(~F.isnan(key), key).alias("_q")
-    ).where(F.col("_q").isNotNull())
-    return sorted(set(finite.approxQuantile("_q", probs, relative_error)))
+    guarded = df.select(
+        *[
+            F.when(
+                ~F.isnan(F.col(c).cast("double")),
+                F.col(c).cast("double"),
+            ).alias(f"_q{i}")
+            for i, c in enumerate(cols)
+        ]
+    )
+    res = guarded.approxQuantile(
+        [f"_q{i}" for i in range(len(cols))], probs, relative_error
+    )
+    return {c: sorted(set(res[i])) for i, c in enumerate(cols)}
 
 
 def quantized_equi_depth(col: Column, bounds: list[float]) -> Column:
@@ -187,11 +217,11 @@ def _quantized_bucket_columns(
                 "boundaries resolve file-level skipping fully at any "
                 "realistic file count)"
             )
+        # ONE multi-column GK pass for all key columns (VERDICT r10 #4)
+        # — identical boundaries to per-column calls, k× fewer scans
+        bounds = equi_depth_bounds_multi(df, cols, bits, relative_error)
         qs = [
-            quantized_equi_depth(
-                F.col(c), equi_depth_bounds(df, c, bits, relative_error)
-            )
-            for c in cols
+            quantized_equi_depth(F.col(c), bounds[c]) for c in cols
         ]
     else:
         raise ValueError(
@@ -327,6 +357,48 @@ def _listed_parquet_files(spark, path: str) -> list[str]:
     return [f.removeprefix("file:") for f in df.inputFiles()]
 
 
+def _footer_pairs(
+    spark, path: str, col: str, distributed: bool
+) -> "list[tuple[float, float]]":
+    """Per-file (min, max) footer pairs for ``col`` — the shared input
+    of every span audit. ``distributed=False`` is a sequential driver
+    loop (fine at test-harness file counts); ``distributed=True`` fans
+    the SAME :func:`_footer_min_max` calls out as Spark tasks over a
+    files DataFrame via ``mapInPandas`` (Arrow-batched, no row data
+    decoded), returning only two doubles per file — the path a
+    post-layout audit of a real table (~10⁵ files after a 100 TB
+    clustering job) must take. Same pairs either way by construction;
+    only the order differs (task completion order)."""
+    files = _listed_parquet_files(spark, path)
+    if not distributed:
+        return [
+            mm for f in files if (mm := _footer_min_max(f, col)) is not None
+        ]
+    n_slices = max(
+        1, min(len(files), spark.sparkContext.defaultParallelism * 4)
+    )
+    files_df = spark.createDataFrame(
+        [(f,) for f in files], "path string"
+    ).repartition(n_slices)
+
+    def read_footers(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            mins, maxs = [], []
+            for f in pdf["path"]:
+                mm = _footer_min_max(f, col)
+                if mm is not None:
+                    mins.append(mm[0])
+                    maxs.append(mm[1])
+            yield pd.DataFrame({"fmin": mins, "fmax": maxs})
+
+    rows = files_df.mapInPandas(
+        read_footers, "fmin double, fmax double"
+    ).collect()
+    return [(r["fmin"], r["fmax"]) for r in rows]
+
+
 def file_stat_spans(spark, path: str, col: str) -> list[float]:
     """Per-file normalized min/max span of ``col`` from parquet FOOTER
     metadata only (the same statistics a reader's row-group pruning
@@ -336,12 +408,9 @@ def file_stat_spans(spark, path: str, col: str) -> list[float]:
     audit of a real table (~10⁵ files after a 100 TB clustering job)
     should use :func:`file_stat_spans_distributed`, which fans the
     same footer reads out as Spark tasks (VERDICT r9 nit #3)."""
-    per_file = [
-        mm
-        for f in _listed_parquet_files(spark, path)
-        if (mm := _footer_min_max(f, col)) is not None
-    ]
-    return _spans_from_pairs(per_file, path, col)
+    return _spans_from_pairs(
+        _footer_pairs(spark, path, col, distributed=False), path, col
+    )
 
 
 def file_stat_spans_ranked(
@@ -350,6 +419,7 @@ def file_stat_spans_ranked(
     col: str,
     cdf_points: int = 1001,
     relative_error: float = 0.001,
+    distributed: bool = True,
 ) -> list[float]:
     """Per-file span of ``col`` in RANK (quantile) space — the audit
     that catches the layout failure raw-value spans are blind to: under
@@ -366,14 +436,18 @@ def file_stat_spans_ranked(
     driver state, one column-pruned quantile scan of the table (unlike
     the pure-footer audits this touches data once; it replaces the
     collect-and-sort-everything a naive exact-rank audit would need).
-    Rank resolution is ~1/cdf_points plus the quantile error."""
+    Rank resolution is ~1/cdf_points plus the quantile error.
+
+    Footer reads route through the SAME fan-out as
+    :func:`file_stat_spans_distributed` by default (VERDICT r10 #2 —
+    the ranked audit is the one that catches skewed layouts, and it
+    was the one still driver-sequential at 10⁴-file counts); the CDF
+    mapping is driver-side over the bounded pair list either way.
+    ``distributed=False`` keeps the sequential loop for tiny tables /
+    the equality test."""
     import bisect
 
-    per_file = [
-        mm
-        for f in _listed_parquet_files(spark, path)
-        if (mm := _footer_min_max(f, col)) is not None
-    ]
+    per_file = _footer_pairs(spark, path, col, distributed=distributed)
     if not per_file:
         raise ValueError(
             f"no parquet footer statistics found for column {col!r} "
@@ -396,37 +470,13 @@ def file_stat_spans_ranked(
 
 
 def file_stat_spans_distributed(spark, path: str, col: str) -> list[float]:
-    """:func:`file_stat_spans` fanned out over the cluster: the file
-    listing becomes a DataFrame, each task reads its files' FOOTERS
-    with pyarrow inside ``mapInPandas`` (Arrow-batched, no row data
-    decoded), and only (min, max) pairs — two doubles per file — come
-    back to the driver for span normalization. Same spans as the
-    driver loop by construction (both call :func:`_footer_min_max`);
-    order differs (task completion order), values don't. Measured at
-    10⁴ files in SCALE.md r10."""
-    files = _listed_parquet_files(spark, path)
-    n_slices = max(1, min(len(files), spark.sparkContext.defaultParallelism * 4))
-    files_df = spark.createDataFrame(
-        [(f,) for f in files], "path string"
-    ).repartition(n_slices)
-
-    def read_footers(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            mins, maxs = [], []
-            for f in pdf["path"]:
-                mm = _footer_min_max(f, col)
-                if mm is not None:
-                    mins.append(mm[0])
-                    maxs.append(mm[1])
-            yield pd.DataFrame({"fmin": mins, "fmax": maxs})
-
-    rows = files_df.mapInPandas(
-        read_footers, "fmin double, fmax double"
-    ).collect()
+    """:func:`file_stat_spans` fanned out over the cluster — see
+    :func:`_footer_pairs` (distributed=True). Same spans as the driver
+    loop by construction (both call :func:`_footer_min_max`); order
+    differs (task completion order), values don't. Measured at 10⁴
+    files in SCALE.md r10."""
     return _spans_from_pairs(
-        [(r["fmin"], r["fmax"]) for r in rows], path, col
+        _footer_pairs(spark, path, col, distributed=True), path, col
     )
 
 

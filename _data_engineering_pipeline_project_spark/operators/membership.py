@@ -143,7 +143,23 @@ def bloom_probe(
     prunes), bool_and back to one row per key, then a key-equi join
     re-attaches the flag to every input row. Missing word row = zero
     word = not set. No false negatives: a key that was built in always
-    probes its own bits."""
+    probes its own bits.
+
+    Raises on a column-name collision (advice r10): if ``df`` already
+    carries ``__k`` (internal join key) or ``flag`` — e.g. probing an
+    already-annotated frame twice — the re-attach join would be
+    ambiguous / emit duplicate column names downstream; fail loudly
+    like the bloom geometry guard instead."""
+    if "__k" in df.columns:
+        raise ValueError(
+            "bloom_probe input already has a column named '__k' "
+            "(internal join key); rename it before probing"
+        )
+    if flag in df.columns:
+        raise ValueError(
+            f"bloom_probe input already has a column named {flag!r}; "
+            "pass a different flag= (probing an annotated frame twice?)"
+        )
     keys = df.select(key.alias("__k")).distinct()
     flags = (
         _pairs(keys, F.col("__k"), m_bits, k)

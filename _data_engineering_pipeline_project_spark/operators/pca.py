@@ -89,7 +89,10 @@ def covariance_pairs(
     - ``"gram"`` — mapInPandas per Arrow batch: numpy computes the
       batch's int64 Gram matrix ``XᵀX`` (BLAS, no per-term rows; a
       ~10k-row batch stays far under int64 — |v| ≲ 2^22 ⇒ term ≲ 2^44
-      ⇒ batch sum ≲ 2^58), emitting ONE row per batch (flattened
+      ⇒ batch sum ≲ 2^58 — and the headroom is ENFORCED per batch:
+      rows·max|v|² > 2^62 raises loudly instead of letting numpy wrap
+      silently, so |x| ≳ 30 or an oversized Arrow batch can never
+      produce garbage covariance), emitting ONE row per batch (flattened
       Gram + column sums + count); Spark then sums the per-batch
       partials in DECIMAL(38,0) — d(d+1)/2 + d values per batch,
       never per input row. This is the form a 100 TB / wide-embedding
@@ -180,6 +183,26 @@ def _gram_parts(
                     f"declared dim={dim}"
                 )
             X = X0.astype(np.int64, copy=False)
+            # int64 headroom guard (advice r10): numpy matmul overflow
+            # WRAPS silently — garbage covariance that silently diverges
+            # from the decimal explode form on exactly the wide/large
+            # deployment path no oracle cross-checks. The usual envelope
+            # (|x| ≲ 4 ⇒ |v| ≲ 2^22, ~10k-row Arrow batches ⇒ batch sum
+            # ≲ 2^58) is assumed elsewhere but enforced HERE: the worst
+            # Gram cell is bounded by rows·max|v|², so require it under
+            # 2^62. Larger |x| or arrow maxRecordsPerBatch must shrink
+            # the batch or rescale — loudly, like the NULL/ragged guards.
+            amax = float(np.abs(X).max()) if X.size else 0.0
+            if X.shape[0] * amax * amax > float(1 << 62):
+                raise ValueError(
+                    "method='gram' int64 headroom exceeded: batch of "
+                    f"{X.shape[0]} rows with max |quantized element| "
+                    f"{amax:.3g} can overflow the int64 Gram sum "
+                    "(rows*max^2 > 2^62). Reduce spark.sql.execution."
+                    "arrow.maxRecordsPerBatch or rescale inputs "
+                    "(|x| <~ 30 at the default 2^20 lane), or use "
+                    "method='explode'."
+                )
             G = X.T @ X  # exact int64: |term| ≲ 2^44, batch sum ≲ 2^58
             s = X.sum(axis=0)
             yield pd.DataFrame(

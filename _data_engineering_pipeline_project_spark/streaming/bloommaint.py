@@ -259,11 +259,23 @@ class RotatingBloomMaintainer:
     so m is sized for a WINDOW, not for all history — the standing
     fix for the monotone-fill problem the FP audit monitors.
 
-    Crash discipline: rotation resets the target slot FIRST, then
-    commits the ring pointer (fsync + atomic replace, the house
-    protocol). A crash between the two leaves the old pointer and an
-    already-empty next slot — the retried rotate() simply re-resets
-    it (idempotent); no committed window is ever lost.
+    Crash discipline (advice r10 — pointer FIRST, then reset): the old
+    ordering (reset slot, then commit pointer) had a lost-membership
+    anomaly: a crash between the two left the wiped slot OFFICIALLY
+    LIVE, so keys from a still-in-retention window probed "definitely
+    new" — a false negative, the one direction the tier promises never
+    to produce. rotate() now (1) commits the advanced pointer with
+    ``needs_reset=true`` (fsync + atomic replace, the house protocol),
+    (2) resets the slot, (3) commits ``needs_reset=false``. Every
+    crash point is safe: before (1) the rotation simply never
+    happened; between (1) and (2) recovery sees ``needs_reset`` and
+    re-resets the current slot BEFORE any merge (no stale keys
+    resurrected — and had recovery not run, the anomaly would be
+    over-retention: extra false positives, the safe direction);
+    between (2) and (3) recovery re-resets an already-empty slot
+    (idempotent). No committed window is ever lost, and no aged-out
+    key ever resurrects. Pinned by the crash-mid-rotate test
+    (``tests/test_round11.py``).
     """
 
     _POINTER = "_RING"
@@ -284,18 +296,24 @@ class RotatingBloomMaintainer:
         self.m_bits = int(m_bits)
         self.k = int(k)
         os.makedirs(base_dir, exist_ok=True)
-        self._current, self._rotations = self._recover()
+        self._current, self._rotations, needs_reset = self._recover()
         self._slots = [
             BloomMaintainer(
                 spark, os.path.join(base_dir, f"gen_{g}"), m_bits, k
             )
             for g in range(self.generations)
         ]
+        if needs_reset:
+            # a crash interrupted rotate() after the pointer advanced:
+            # finish the rotation BEFORE any merge/probe can see the
+            # stale (aged-out) keys still sitting in the current slot
+            self._reset_slot(self._current)
+            self._commit_ring(needs_reset=False)
 
     def _pointer_path(self) -> str:
         return os.path.join(self.base_dir, self._POINTER)
 
-    def _recover(self) -> tuple[int, int]:
+    def _recover(self) -> tuple[int, int, bool]:
         try:
             with open(self._pointer_path()) as f:
                 meta = json.load(f)
@@ -305,11 +323,15 @@ class RotatingBloomMaintainer:
                     f"{meta.get('generations')} generations, maintainer "
                     f"opened with {self.generations}"
                 )
-            return int(meta["current"]), int(meta["rotations"])
+            return (
+                int(meta["current"]),
+                int(meta["rotations"]),
+                bool(meta.get("needs_reset", False)),
+            )
         except FileNotFoundError:
-            return 0, 0
+            return 0, 0, False
 
-    def _commit_ring(self) -> None:
+    def _commit_ring(self, needs_reset: bool = False) -> None:
         tmp = self._pointer_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
@@ -317,12 +339,25 @@ class RotatingBloomMaintainer:
                     "current": self._current,
                     "rotations": self._rotations,
                     "generations": self.generations,
+                    "needs_reset": needs_reset,
                 },
                 f,
             )
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self._pointer_path())
+
+    def _reset_slot(self, g: int) -> None:
+        """Wipe slot ``g`` and rebuild a fresh (empty) maintainer for
+        it — idempotent, so the crash-recovery re-reset is safe."""
+        import shutil
+
+        slot_dir = os.path.join(self.base_dir, f"gen_{g}")
+        if os.path.isdir(slot_dir):
+            shutil.rmtree(slot_dir)
+        self._slots[g] = BloomMaintainer(
+            self.spark, slot_dir, self.m_bits, self.k
+        )
 
     @property
     def current_slot(self) -> int:
@@ -332,20 +367,18 @@ class RotatingBloomMaintainer:
         self._slots[self._current].merge_batch(batch_df, batch_id)
 
     def rotate(self) -> int:
-        """Advance the ring: reset the NEXT slot (its keys age out),
-        then commit the pointer. Returns the new current slot."""
-        import shutil
-
+        """Advance the ring: commit the advanced pointer (flagged
+        ``needs_reset``), THEN reset the slot it landed on (its keys
+        age out), then clear the flag. Pointer-first means a crash can
+        never leave a wiped slot officially live (lost membership =
+        false negatives); the worst crash residue is a pending reset
+        that recovery completes. Returns the new current slot."""
         nxt = (self._current + 1) % self.generations
-        slot_dir = os.path.join(self.base_dir, f"gen_{nxt}")
-        if os.path.isdir(slot_dir):
-            shutil.rmtree(slot_dir)
-        self._slots[nxt] = BloomMaintainer(
-            self.spark, slot_dir, self.m_bits, self.k
-        )
         self._current = nxt
         self._rotations += 1
-        self._commit_ring()
+        self._commit_ring(needs_reset=True)
+        self._reset_slot(nxt)
+        self._commit_ring(needs_reset=False)
         return nxt
 
     def live_words(self) -> DataFrame | None:
