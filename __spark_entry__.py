@@ -28,6 +28,7 @@ from _data_engineering_pipeline_project_spark import queries_ext7 as _qext7  # n
 from _data_engineering_pipeline_project_spark import queries_ext8 as _qext8  # noqa: F401  (registers into _q.QUERIES/ORACLES)
 from _data_engineering_pipeline_project_spark import queries_ext9 as _qext9  # noqa: F401  (registers into _q.QUERIES/ORACLES)
 from _data_engineering_pipeline_project_spark import queries_ext10 as _qext10  # noqa: F401  (registers into _q.QUERIES/ORACLES)
+from _data_engineering_pipeline_project_spark import queries_ext11 as _qext11  # noqa: F401  (registers into _q.QUERIES/ORACLES)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -43,5 +44,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI-SQL twin for each query (keys without an
-    oracle get the driver's weaker rows-only check)."""
-    return dict(_q.ORACLES)
+    oracle get the driver's weaker rows-only check). Deferred oracles —
+    twins whose literals must be re-derived from the compare-scale data
+    (the OPQ rotation) — resolve here, memoized."""
+    return _q.resolve_oracles()

@@ -197,12 +197,26 @@ def save_bloom_index(
     m_bits: int = 1 << 20,
     k: int = 3,
     num_files: int | None = None,
+    row_group_bytes: int = 1 << 20,
 ) -> None:
     """Persist the filter as ``path/words`` (range-clustered by
     word_idx so a probe batch's word set row-group-skips — layout is
     the index) + ``path/params`` (geometry, so a loader can never
     probe with mismatched (m, k) and silently lose the no-false-
-    negative guarantee)."""
+    negative guarantee).
+
+    ``row_group_bytes`` (VERDICT r10 #3): words rows are 16 bytes, and
+    probe reads are LOOKUP-shaped — a batch touches ≤ distinct_keys·k
+    scattered indices — so the skip granularity that matters is the
+    row group, and parquet's 128 MB default would put a whole file's
+    words in ONE group (nothing ever skips within a file). Small
+    groups make the pushed working-set filter
+    (``bloom_probe_index(prune_scan=True)``) decode ~the probed groups
+    only — measured at 64 KB groups: a 10-key probe decodes 3.6% of a
+    3.3M-word filter (SCALE.md r11) — at ~0.1-1% footer overhead.
+    Size it to the SERVING shape: groups of ~rows/probe-batch·k or
+    smaller; full-scan merges lose nothing material (same bytes, more,
+    smaller groups)."""
     spark = df.sparkSession
     words = bloom_build(df, key, m_bits, k)
     n = num_files or max(1, spark.sparkContext.defaultParallelism // 4)
@@ -210,6 +224,7 @@ def save_bloom_index(
         words.repartitionByRange(n, "word_idx")
         .sortWithinPartitions("word_idx")
         .write.mode("overwrite")
+        .option("parquet.block.size", str(int(row_group_bytes)))
         .parquet(f"{path}/words")
     )
     spark.createDataFrame(
@@ -234,13 +249,106 @@ def load_bloom_index(spark: SparkSession, path: str) -> dict:
     }
 
 
-def bloom_probe_index(
-    index: dict, df: DataFrame, key: Column, flag: str = "bloom_member"
-) -> DataFrame:
-    """Probe against a loaded artifact with its own persisted geometry."""
-    return bloom_probe(
-        index["words"], df, key, index["m_bits"], index["k"], flag
+def probe_word_working_set(
+    df: DataFrame, key: Column, m_bits: int, k: int
+) -> list[int]:
+    """The DISTINCT word indices a probe batch will touch — bounded by
+    ``distinct_keys · k`` (each key probes exactly k words). This is
+    the scan predicate that makes the word_idx-clustered artifact
+    layout pay off: filtering the words scan to this set lets the
+    parquet reader row-group-skip everything else."""
+    rows = (
+        _pairs(
+            df.select(key.alias("__k")).filter(F.col("__k").isNotNull()).distinct(),
+            F.col("__k"),
+            m_bits,
+            k,
+        )
+        .select("word_idx")
+        .distinct()
+        .collect()
     )
+    return sorted(int(r["word_idx"]) for r in rows)
+
+
+def bloom_probe_index(
+    index: dict,
+    df: DataFrame,
+    key: Column,
+    flag: str = "bloom_member",
+    prune_scan: bool = False,
+    max_probe_words: int = 1 << 12,
+) -> DataFrame:
+    """Probe against a loaded artifact with its own persisted geometry.
+
+    ``prune_scan=True`` (VERDICT r10 #3) first computes the batch's
+    word WORKING SET (:func:`probe_word_working_set` — one bounded job
+    over the probe batch, ≤ distinct_keys·k indices) and reads the
+    words relation through an ``IN`` filter on it. Because
+    ``save_bloom_index`` writes words range-clustered by ``word_idx``
+    in small row groups, the pushed filter row-group-skips: a 10-key
+    probe against a 3.3M-word filter decodes 3.6% of the relation and
+    runs faster end-to-end (measured, SCALE.md r11). This is a
+    POINT-LOOKUP optimization: hashing spreads the working set
+    uniformly, so once ``distinct_keys·k`` approaches the row-group
+    count the set touches every group (measured: a 100-key batch
+    decodes 30% and the extra working-set job makes it a wash) — bulk
+    ingest batches should keep the default full-scan join, which is
+    the right plan for them anyway. Correctness is identical either
+    way — a word no probe key touches cannot affect any verdict
+    (absent word = all-zero = same as filtered out), pinned by an
+    equality test. Working sets past ``max_probe_words`` fall back to
+    the full scan (IN-plan build cost grows with the list; measured
+    ~1.5 s at 3k values)."""
+    if not prune_scan:
+        return bloom_probe(
+            index["words"], df, key, index["m_bits"], index["k"], flag
+        )
+    idxs = probe_word_working_set(df, key, index["m_bits"], index["k"])
+    words = index["words"]
+    if 0 < len(idxs) <= max_probe_words:
+        # the IN must reach the parquet footer as POINT predicates:
+        # past spark.sql.parquet.pushdown.inFilterThreshold (default
+        # 10) Spark pushes only the [min, max] RANGE of the list, and
+        # a working set hashed uniformly over the word domain spans
+        # ~everything — measured: 721k of 736k rows decoded vs 82k
+        # with the points pushed. Runtime-settable SQLConf; raising it
+        # only affects IN pushdown strategy, and the working set is
+        # already bounded by max_probe_words.
+        spark = words.sparkSession
+        cur = int(
+            spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold")
+        )
+        if cur < len(idxs):
+            spark.conf.set(
+                "spark.sql.parquet.pushdown.inFilterThreshold",
+                str(int(max_probe_words)),
+            )
+        words = words.filter(F.col("word_idx").isin(idxs))
+    return bloom_probe(words, df, key, index["m_bits"], index["k"], flag)
+
+
+def bloom_merge_indexes(*indexes: dict) -> dict:
+    """Merge LOADED artifacts (:func:`load_bloom_index` dicts) into one
+    in-memory index. Geometry is validated FIRST: bit_or of words built
+    with different (m_bits, k) is silent garbage — the merged relation
+    would answer probes with neither filter's guarantee — so a mismatch
+    raises (the maintainer's geometry-guard discipline, extended to the
+    artifact-merge path; adversarial-artifact sweep r11)."""
+    if not indexes:
+        raise ValueError("need at least one index")
+    geo = {(ix["m_bits"], ix["k"]) for ix in indexes}
+    if len(geo) != 1:
+        raise ValueError(
+            "bloom geometry mismatch across artifacts: "
+            f"{sorted(geo)} — words of different (m_bits, k) cannot be "
+            "merged (silent garbage); rebuild at one geometry"
+        )
+    return {
+        "words": bloom_merge(*[ix["words"] for ix in indexes]),
+        "m_bits": indexes[0]["m_bits"],
+        "k": indexes[0]["k"],
+    }
 
 
 def bloom_prefilter_semi_join(

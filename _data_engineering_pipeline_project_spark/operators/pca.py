@@ -388,6 +388,83 @@ def pca_project(
     )
 
 
+def pca_project_batch(
+    df: DataFrame,
+    model: dict,
+    r: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "projected",
+) -> DataFrame:
+    """Arrow-batched physical form of :func:`pca_project` —
+    BIT-IDENTICAL outputs (pinned by test), built for the r·d sizes
+    where the unrolled expression tree stops being a codegen win and
+    becomes a codegen CASUALTY: at r=32, d=64 (2,048 terms) Janino's
+    64 KB method limit fails the whole-stage compile and Spark retries
+    then falls back interpreted — measured 19.5 s to materialize 500
+    rows, virtually all failed-compile time, vs 0.3 s here. (The
+    unrolled form stays right for small r·d — the vectors.py ledger's
+    "branch-free bit math → codegen" rule holds until the tree outgrows
+    the JIT; this is the measured crossover.)
+
+    Bit-parity argument: the unrolled form computes, per output
+    element, ``((0.0 + t_1) + t_2) + … + t_d`` with
+    ``t_j = (x_j − μ_j)·c_j``. Here the SAME left fold runs as ``d``
+    VECTORIZED adds in ascending ``j`` — ``acc += (X[:,j] − μ_j)·c_j``
+    — so every output element's accumulation sequence is the identical
+    IEEE op chain; numpy never reassociates elementwise ops (only
+    reductions like ``@``/``sum`` use pairwise summation, which is why
+    this is a loop over dims, not a matmul).
+
+    Contract: non-null fixed-width vectors (the embedding contract,
+    same loud guards as the gram covariance path)."""
+    dim = model["dim"]
+    comps = model["components"][:r]
+    mean = model["mean"]
+    id_type = df.schema[id_col].dataType.simpleString()
+    src = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+
+    def proj(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.array(comps, dtype=np.float64)  # (r, dim)
+        mu = [float(m) for m in mean]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X0 = np.array(pdf["__v"].tolist())
+            if X0.dtype == object or X0.ndim != 2:
+                raise ValueError(
+                    "pca_project_batch requires non-null fixed-width "
+                    "vectors (ragged lengths in batch); use pca_project "
+                    "for tolerant semantics"
+                )
+            X = X0.astype(np.float64, copy=False)
+            if np.isnan(X).any():
+                raise ValueError(
+                    "pca_project_batch requires non-null fixed-width "
+                    "vectors (NULL/NaN element in batch); use "
+                    "pca_project for tolerant semantics"
+                )
+            if X.shape[1] != dim:
+                raise ValueError(
+                    f"vector width {X.shape[1]} does not match model "
+                    f"dim={dim}"
+                )
+            acc = np.zeros((X.shape[0], len(comps)), dtype=np.float64)
+            for j in range(dim):
+                # left fold in ascending j — the unrolled form's order
+                acc += (X[:, j : j + 1] - mu[j]) * C[:, j]
+            yield pd.DataFrame(
+                {"__id": pdf["__id"], "__p": [row.tolist() for row in acc]}
+            )
+
+    return src.mapInPandas(
+        proj, f"__id {id_type}, __p array<double>"
+    ).select(F.col("__id").alias(id_col), F.col("__p").alias(out_col))
+
+
 def variance_explained(model: dict) -> list[tuple[int, float, float]]:
     """(component, eigenvalue, cumulative fraction) — the scree data."""
     ev = model["eigenvalues"]
@@ -441,6 +518,92 @@ def opq_allocate(model: dict, m: int, sub_dim: int) -> dict:
     }
 
 
+def save_opq_index(
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    m: int,
+    sub_dim: int,
+    ksub: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the full OPQ retrieval artifact: ``path/pca`` (the
+    balanced rotation — :func:`save_pca_model`) + ``path/pq`` (PQ
+    codebooks/codes trained on the ROTATED corpus —
+    ``similarity.save_pq_index``). This is the train-once form of the
+    registered ``embedding_topk_opq`` pipeline: one offline job pays
+    the covariance shuffle, eigh, projection and encode; any later
+    session serves ADC queries against the stored codes after rotating
+    only the QUERY vectors (bounded work), never touching a
+    full-precision corpus vector. The codes relation is the same
+    m·log2(ksub)-bits-per-vector store as plain PQ — the rotation
+    costs nothing at serving time, which is why leaving the measured
+    recall win (0.37 → 0.64, SCALE.md r10) unserved was the
+    anti-pattern."""
+    from _data_engineering_pipeline_project_spark.operators.similarity import (
+        save_pq_index,
+    )
+
+    model = opq_allocate(
+        pca_fit(corpus, dim=dim, id_col=id_col, vec_col=vec_col, method="gram"),
+        m,
+        sub_dim,
+    )
+    rot = pca_project_batch(
+        corpus, model, r=m * sub_dim, id_col=id_col, vec_col=vec_col,
+        out_col=vec_col,
+    )
+    save_pca_model(corpus.sparkSession, model, f"{path}/pca")
+    save_pq_index(
+        rot, f"{path}/pq", m=m, sub_dim=sub_dim, ksub=ksub,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
+def load_opq_index(spark, path: str) -> dict:
+    """Load a :func:`save_opq_index` artifact → {model, codebooks,
+    codes, params}. Both halves carry their own loud-load guards
+    (truncated PCA rows, foreign PQ params)."""
+    from _data_engineering_pipeline_project_spark.operators.similarity import (
+        load_pq_index,
+    )
+
+    model = load_pca_model(spark, f"{path}/pca")
+    cb, codes, params = load_pq_index(spark, f"{path}/pq")
+    return {"model": model, "codebooks": cb, "codes": codes, "params": params}
+
+
+def opq_topk_from_index(
+    index: dict, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Serve OPQ-ADC top-k from a loaded artifact: rotate the QUERY
+    vectors with the stored model (query-bag-sized work), then the
+    stored-codes ADC scan — identical results to the in-session
+    pipeline on the same corpus (test-pinned), zero training cost."""
+    from _data_engineering_pipeline_project_spark.operators.similarity import (
+        pq_adc_topk,
+    )
+
+    p = index["params"]
+    r = p["m"] * p["sub_dim"]
+    rot_q = pca_project_batch(
+        queries, index["model"], r=r, id_col=p["id_col"],
+        vec_col=p["vec_col"], out_col=p["vec_col"],
+    )
+    return pq_adc_topk(
+        rot_q,  # corpus unused when index= is given
+        rot_q,
+        k=k,
+        m=p["m"],
+        sub_dim=p["sub_dim"],
+        ksub=p["ksub"],
+        id_col=p["id_col"],
+        vec_col=p["vec_col"],
+        index=(index["codebooks"], index["codes"]),
+    )
+
+
 def save_pca_model(spark, model: dict, path: str) -> None:
     """Persist a :func:`pca_fit` / :func:`opq_allocate` model as a tiny
     parquet artifact (one row per component + one mean row + one
@@ -471,15 +634,34 @@ def load_pca_model(spark, path: str) -> dict:
             comps[r["idx"]] = list(r["vals"])
         else:
             by_kind[r["kind"]] = list(r["vals"])
-    if "mean" not in by_kind or not comps:
+    if "mean" not in by_kind or "eig" not in by_kind or not comps:
         raise ValueError(
-            f"not a PCA model artifact at {path} (missing mean/components)"
+            f"not a PCA model artifact at {path} (missing "
+            "mean/eig/components rows)"
+        )
+    # adversarial-artifact sweep r11: a TRUNCATED artifact (a lost
+    # component row, or rows from a different write mixed in) must not
+    # load as a silently-shorter/reordered rotation — projections from
+    # it would be garbage with no error anywhere downstream
+    dim = len(by_kind["mean"])
+    if sorted(comps) != list(range(len(comps))):
+        raise ValueError(
+            f"corrupt PCA model artifact at {path}: component indices "
+            f"{sorted(comps)} are not contiguous from 0 (truncated or "
+            "mixed write) — rebuild with save_pca_model"
+        )
+    widths = {len(c) for c in comps.values()} | {dim}
+    if len(widths) != 1:
+        raise ValueError(
+            f"corrupt PCA model artifact at {path}: mean/component "
+            f"widths disagree ({sorted(widths)}) — rebuild with "
+            "save_pca_model"
         )
     model = {
         "mean": by_kind["mean"],
         "eigenvalues": by_kind["eig"],
         "components": [comps[i] for i in sorted(comps)],
-        "dim": len(by_kind["mean"]),
+        "dim": dim,
     }
     if "perm" in by_kind:
         model["opq_permutation"] = [int(p) for p in by_kind["perm"]]

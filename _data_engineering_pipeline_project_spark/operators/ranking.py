@@ -258,6 +258,22 @@ def load_bm25_index(spark, path: str) -> dict:
     layout mismatch (e.g. an artifact written before dl moved into the
     posting row) instead of an opaque unresolved-column error at query
     time."""
+    try:
+        params = spark.read.parquet(f"{path}/params").collect()[0].asDict()
+    except Exception as e:
+        raise ValueError(
+            f"not a BM25 index artifact at {path}: params relation "
+            f"missing or unreadable ({type(e).__name__}) — rebuild with "
+            "save_bm25_index"
+        ) from e
+    if params.get("format") != "dl-in-postings-v2" or not params.get(
+        "id_col"
+    ):
+        raise ValueError(
+            f"not a BM25 index artifact at {path}: params row "
+            f"{params!r} lacks the expected format/id_col — rebuild "
+            "with save_bm25_index"
+        )
     postings = spark.read.parquet(f"{path}/postings")
     if "dl" not in postings.columns:
         raise ValueError(
@@ -269,7 +285,7 @@ def load_bm25_index(spark, path: str) -> dict:
         "postings": postings,
         "dictionary": spark.read.parquet(f"{path}/dictionary"),
         "stats": spark.read.parquet(f"{path}/stats"),
-        "params": spark.read.parquet(f"{path}/params").collect()[0].asDict(),
+        "params": params,
     }
 
 

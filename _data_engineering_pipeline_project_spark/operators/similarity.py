@@ -916,8 +916,27 @@ def load_pq_index(spark, path: str) -> tuple:
     """Load a :func:`save_pq_index` artifact → (codebooks, codes,
     params dict). Pass ``(codebooks, codes)`` to ``pq_adc_topk(...,
     index=...)`` with the params row's geometry — the loaded frames are
-    plain parquet scans with no lineage back to the training corpus."""
-    params = spark.read.parquet(f"{path}/params").collect()[0].asDict()
+    plain parquet scans with no lineage back to the training corpus.
+    Fails loudly on a missing/truncated/foreign params relation
+    (adversarial-artifact sweep r11): serving ADC against garbage
+    geometry would be silently-wrong distances, never an error."""
+    try:
+        params = spark.read.parquet(f"{path}/params").collect()[0].asDict()
+    except Exception as e:
+        raise ValueError(
+            f"not a PQ index artifact at {path}: params relation "
+            f"missing or unreadable ({type(e).__name__}) — rebuild with "
+            "save_pq_index"
+        ) from e
+    if not all(
+        isinstance(params.get(f), int) and params.get(f) > 0
+        for f in ("m", "sub_dim", "ksub")
+    ) or not all(params.get(f) for f in ("id_col", "vec_col")):
+        raise ValueError(
+            f"not a PQ index artifact at {path}: params row {params!r} "
+            "lacks positive m/sub_dim/ksub and id_col/vec_col — rebuild "
+            "with save_pq_index"
+        )
     return (
         spark.read.parquet(f"{path}/codebooks"),
         spark.read.parquet(f"{path}/codes"),

@@ -38,10 +38,30 @@ from _data_engineering_pipeline_project_spark.operators.normalize import (
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
-ORACLES: dict[str, str] = {}
+# values are SQL strings, or zero-arg callables resolved lazily by
+# resolve_oracles() — for oracles whose literals derive from data the
+# twin must re-derive independently (e.g. the OPQ rotation: DuckDB
+# covariance + numpy eigh at the driver's fixed compare scale). Static
+# strings stay the norm; a callable is the exception that keeps import
+# time free of data reads.
+ORACLES: dict[str, "str | Callable[[], str]"] = {}
 
 
-def query(name: str, oracle: str | None = None):
+def resolve_oracles() -> dict[str, str]:
+    """ORACLES with every deferred (callable) entry resolved to its SQL
+    string. Resolution is memoized in place — a resolver that reads
+    data (DuckDB over the fixed oracle-scale parquet) runs at most
+    once per process."""
+    out: dict[str, str] = {}
+    for name, sql in ORACLES.items():
+        if callable(sql):
+            sql = sql()
+            ORACLES[name] = sql
+        out[name] = sql
+    return out
+
+
+def query(name: str, oracle: "str | Callable[[], str] | None" = None):
     def deco(fn: QueryFn) -> QueryFn:
         # The REGISTERED callable opens an ambient collection context so
         # operator-INTERNAL cached frames (which fn cannot name — see

@@ -1,0 +1,377 @@
+"""Round-11: OPQ-rotated product-quantization retrieval, registered
+first-class (VERDICT r10 #1).
+
+Round 10 *measured* that plain PQ on correlated embeddings leaves most
+of the achievable recall on the table (PQ-ADC recall@10 0.37 plain vs
+0.64 OPQ-balanced, docs/SCALE.md) and built every piece — exact
+distributed covariance, driver eigh, the eigenvalue-balanced subspace
+allocation, the unrolled projection — but the registry kept serving
+the unrotated path. ``embedding_topk_opq`` composes the full measured
+pipeline: ``pca_fit(method="gram")`` → ``opq_allocate`` →
+``pca_project`` → the existing PQ train/encode/ADC, under ONE DuckDB
+oracle.
+
+ORACLE DESIGN — a deferred twin. The rotation is data-derived (eigh of
+the corpus covariance), and oracle SQL strings are resolved once per
+process, so the twin cannot be a static string with pinned literals.
+Instead the registered oracle is a CALLABLE (``queries.py:
+resolve_oracles``) that re-derives the model INDEPENDENTLY at the
+driver's fixed compare scale (sf0.01): DuckDB computes the exact
+integer-lane covariance and mean (the same relational form
+``embedding_covariance_audit`` pins bit-for-bit against the Spark gram
+path), numpy ``eigh`` — the identical bounded driver step ``pca_fit``
+runs — produces the components, ``opq_allocate`` (pure Python)
+balances them, and the resulting doubles are embedded as literals in
+the generated SQL (``repr`` round-trips the exact IEEE bits — the
+equi-depth boundary-literal precedent, layout.py). Parity is exact at
+every stage, pinned by test: DuckDB-derived model == ``pca_fit``
+model bit-for-bit; DuckDB ``list_dot_product`` is a left fold from
+0.0, the same association as ``pca_project``'s unrolled centering dot
+and ``functions/vectors.py:dot_unrolled``; the PQ tail is the proven
+``embedding_topk_pq`` SQL over projected vectors.
+
+The twin is therefore sf0.01-specific BY CONSTRUCTION (the driver's
+compare runs at sf0.01 only); the Spark query itself trains on
+whatever sf it is given and is correct at any scale. ``bench.py``
+times it at sf0.1 like every other registered query.
+
+Geometry: m=16 subspaces × sub_dim=2 → r=32 rotated dims of d=64 —
+OPQ *with* dimensionality reduction (the top-32 principal directions
+carry the variance; the PQ codes quantize balanced energy), ksub=64
+codes, top-5, query set ``vec_id < 10`` (the ANN family standard).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from _data_engineering_pipeline_project_spark.catalog import table
+from _data_engineering_pipeline_project_spark.queries import query
+
+_OPQ_DIM = 64
+_OPQ_M, _OPQ_SD, _OPQ_K = 16, 2, 64
+_OPQ_R = _OPQ_M * _OPQ_SD  # 32 rotated dims
+_OPQ_TOPK = 5
+
+# the driver's oracle compare runs at this fixed scale (TESTDATA.md);
+# the deferred twin derives its rotation literals from the same files
+_ORACLE_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+)
+
+
+def opq_model_duckdb(
+    emb_path: str, dim: int = _OPQ_DIM, m: int = _OPQ_M, sub_dim: int = _OPQ_SD
+) -> dict:
+    """Re-derive the OPQ-allocated PCA model WITHOUT Spark: DuckDB
+    computes the exact integer-lane covariance + mean (mirroring
+    ``operators/pca.py`` step for step — same quantization, same
+    DECIMAL-exact sums, same double-division order, so the matrix is
+    bit-identical to ``pca_fit(method="gram")``'s, pinned by test),
+    then the identical numpy ``eigh`` + ordering + ``opq_allocate``.
+    Bounded: d(d+1)/2 covariance doubles + d means on the driver."""
+    import duckdb
+    import numpy as np
+
+    from _data_engineering_pipeline_project_spark.operators.pca import (
+        opq_allocate,
+    )
+
+    con = duckdb.connect()
+    vq = (
+        "SELECT list_transform(CAST(embedding AS DOUBLE[]), "
+        "x -> CAST(round(x * 1048576.0) AS BIGINT)) AS v "
+        f"FROM '{emb_path}'"
+    )
+    scale2 = float(1 << 20) * float(1 << 20)
+    cov_rows = con.execute(
+        f"""
+        WITH vq AS ({vq}),
+        terms AS (SELECT i, j, v[i] AS vi, v[j] AS vj
+                  FROM vq, generate_series(1, {dim}) g1(i),
+                           generate_series(1, {dim}) g2(j)
+                  WHERE i <= j),
+        sums AS (SELECT i, j, count(*) AS n,
+                        CAST(sum(vi) AS DOUBLE) AS si,
+                        CAST(sum(vj) AS DOUBLE) AS sj,
+                        CAST(sum(vi * vj) AS DOUBLE) AS sij
+                 FROM terms GROUP BY i, j)
+        SELECT CAST(i AS INTEGER), CAST(j AS INTEGER),
+               (n * sij - si * sj) / (n * n) / {scale2!r} AS cov
+        FROM sums
+        """
+    ).fetchall()
+    mean_rows = con.execute(
+        f"""
+        WITH vq AS ({vq}),
+        e AS (SELECT i, v[i] AS vi
+              FROM vq, generate_series(1, {dim}) g(i))
+        SELECT CAST(i AS INTEGER),
+               CAST(sum(vi) AS DOUBLE) / count(*) / 1048576.0 AS m
+        FROM e GROUP BY i ORDER BY i
+        """
+    ).fetchall()
+    con.close()
+    cov = np.zeros((dim, dim))
+    for i, j, c in cov_rows:
+        cov[i - 1, j - 1] = c
+        cov[j - 1, i - 1] = c
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1]
+    model = {
+        "eigenvalues": [float(w[i]) for i in order],
+        "components": [[float(x) for x in v[:, i]] for i in order],
+        "mean": [mm for _, mm in mean_rows],
+        "dim": dim,
+    }
+    return opq_allocate(model, m, sub_dim)
+
+
+def _dlit(x: float) -> str:
+    """Exact double literal for DuckDB: ``repr`` is the shortest
+    round-trip form, the string parse is correctly rounded, and a bare
+    float literal would parse as DECIMAL (house gotcha)."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _opq_sql() -> str:
+    """Deferred oracle: full OPQ retrieval twin at the compare scale.
+    CTE chain: base (raw vectors) → cent (mean-subtracted, 64 literal
+    terms) → proj (r=32 ``list_dot_product``s against literal component
+    rows — the same left-fold-from-0.0 association as ``pca_project``'s
+    unrolled dots) → the proven PQ tail (seed codebooks by md5(id),
+    encode by rounded argmin, fixed-point ADC sums) sourced from proj
+    instead of raw embeddings."""
+    model = opq_model_duckdb(f"{_ORACLE_SF_DIR}/embeddings.parquet")
+    mean, comps = model["mean"], model["components"][:_OPQ_R]
+    cent = "[" + ",\n    ".join(
+        f"(v[{j + 1}] - {_dlit(mean[j])})" for j in range(_OPQ_DIM)
+    ) + "]"
+    projs = ",\n    ".join(
+        "list_dot_product(cv, ["
+        + ", ".join(_dlit(c[j]) for j in range(_OPQ_DIM))
+        + "])"
+        for c in comps
+    )
+    cb_slices = "\n      UNION ALL ".join(
+        f"SELECT code, {s} AS subspace, "
+        f"svec[{1 + _OPQ_SD * s}:{_OPQ_SD * (s + 1)}] AS cvec FROM codes0"
+        for s in range(_OPQ_M)
+    )
+    sub_slices = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {s} AS subspace, "
+        f"pvec[{1 + _OPQ_SD * s}:{_OPQ_SD * (s + 1)}] AS svec FROM proj"
+        for s in range(_OPQ_M)
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id, {cent} AS cv FROM base),
+    proj AS (SELECT vec_id, [{projs}] AS pvec FROM cent),
+    seeds AS (
+      SELECT vec_id, pvec AS svec, md5(CAST(vec_id AS VARCHAR)) AS h
+      FROM proj ORDER BY h, vec_id LIMIT {_OPQ_K}),
+    codes0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) AS code,
+             svec
+      FROM seeds),
+    cb AS (
+      {cb_slices}),
+    sub AS (
+      {sub_slices}),
+    enc0 AS (
+      SELECT s.vec_id, s.subspace, c.code,
+             round(list_dot_product(s.svec, s.svec)
+                   - 2 * list_dot_product(s.svec, c.cvec)
+                   + list_dot_product(c.cvec, c.cvec), 6) AS d2
+      FROM sub s JOIN cb c USING (subspace)),
+    enc AS (
+      SELECT vec_id, subspace, code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+                                     ORDER BY d2, code) AS rn
+        FROM enc0) WHERE rn = 1),
+    qsub AS (SELECT vec_id AS query_id, subspace, svec
+             FROM sub WHERE vec_id < 10),
+    dtab AS (
+      SELECT q.query_id, q.subspace, c.code,
+             CAST(round(round(list_dot_product(q.svec, q.svec)
+                              - 2 * list_dot_product(q.svec, c.cvec)
+                              + list_dot_product(c.cvec, c.cvec), 6)
+                        * 1000000) AS BIGINT) AS d2_fp
+      FROM qsub q JOIN cb c USING (subspace)),
+    scored AS (
+      SELECT d.query_id, e.vec_id AS neighbor_id, sum(d.d2_fp) AS s_fp
+      FROM enc e JOIN dtab d ON d.subspace = e.subspace AND d.code = e.code
+      WHERE d.query_id <> e.vec_id
+      GROUP BY d.query_id, e.vec_id)
+    SELECT query_id, neighbor_id,
+           round(s_fp / 1000000.0, 6) AS approx_d2,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY s_fp, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {_OPQ_TOPK}
+"""
+
+
+# per-(app, sf, files) memo for the fitted model AND the pinned rotated
+# corpus: bench loops and repeated serving calls must not re-run the
+# covariance job or re-project — the same train-once economics as the
+# PQ index memo (similarity.py). The pin also gives the two PQ passes
+# (codebook seed scan, encode scan) materialized rows instead of two
+# Python-worker projection runs, and keeps the PQ index memo hitting
+# across calls (its key is the corpus plan — the same frame object
+# yields the same plan).
+_OPQ_ROT_MEMO: dict = {}
+
+
+def _opq_rotated(spark: SparkSession, sf: str):
+    """(model, pinned rotated corpus) for this sf — trained/projected
+    once per session per input fileset."""
+    from _data_engineering_pipeline_project_spark.functions.persist import (
+        pinned_checkpoint,
+    )
+    from _data_engineering_pipeline_project_spark.operators.pca import (
+        opq_allocate,
+        pca_fit,
+        pca_project_batch,
+    )
+
+    emb = table(spark, sf, "embeddings")
+    try:
+        key = (
+            spark.sparkContext.applicationId,
+            sf,
+            hash(tuple(sorted(emb.inputFiles()))),
+        )
+    except Exception:
+        key = None
+    if key is not None and key in _OPQ_ROT_MEMO:
+        return _OPQ_ROT_MEMO[key]
+    model = opq_allocate(
+        pca_fit(emb, dim=_OPQ_DIM, method="gram"), _OPQ_M, _OPQ_SD
+    )
+    # batch (Arrow) projection: at r·d = 2048 terms the unrolled
+    # expression form is past the measured Janino crossover
+    # (pca.py:pca_project_batch — 19.5 s of failed whole-stage
+    # compiles vs 0.3 s, bit-identical outputs)
+    rot = pinned_checkpoint(
+        pca_project_batch(emb, model, r=_OPQ_R, out_col="embedding")
+    )
+    if key is not None:
+        _OPQ_ROT_MEMO[key] = (model, rot)
+    return model, rot
+
+
+def _opq_balance_sql() -> str:
+    """Deferred twin of the balance audit: the independently-derived
+    model's per-subspace energy as literal VALUES — both engines must
+    arrive at the same eigenvalues (covariance parity + deterministic
+    eigh) for this to hash-match, which is exactly the cross-engine
+    claim worth pinning in the registry."""
+    import math
+
+    model = opq_model_duckdb(f"{_ORACLE_SF_DIR}/embeddings.parquet")
+    ev = model["eigenvalues"][:_OPQ_R]
+    total = sum(model["eigenvalues"])
+    rows = []
+    for s in range(_OPQ_M):
+        bucket = ev[s * _OPQ_SD : (s + 1) * _OPQ_SD]
+        rows.append(
+            (
+                s,
+                len(bucket),
+                round(sum(bucket), 8),
+                round(sum(bucket) / total, 6),
+                round(sum(math.log(max(e, 1e-300)) for e in bucket), 6),
+            )
+        )
+    values = ",\n      ".join(
+        f"({s}, {n}, CAST('{se!r}' AS DOUBLE), CAST('{sh!r}' AS DOUBLE), "
+        f"CAST('{le!r}' AS DOUBLE))"
+        for s, n, se, sh, le in rows
+    )
+    return f"""
+    SELECT CAST(subspace AS INTEGER) AS subspace,
+           CAST(n_dims AS INTEGER) AS n_dims,
+           sum_eigenvalue, variance_share, log_energy
+    FROM (VALUES
+      {values}) t(subspace, n_dims, sum_eigenvalue, variance_share,
+                  log_energy)
+"""
+
+
+@query("opq_balance_audit_embeddings", _opq_balance_sql)  # deferred
+def opq_balance_audit_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-subspace energy of the OPQ allocation — the sizing audit an
+    OPQ deployment monitors: ``opq_allocate`` balances Σ log λ across
+    the m product-quantizer subspaces (greedy descending-eigenvalue
+    assignment), and THIS relation is what 'balanced' means in numbers
+    (variance share and log-energy per subspace; a drifting corpus
+    shows up as re-widening spread, the cue to re-train the rotation).
+    Bounded everywhere: the only data-sized work is the covariance
+    pass the model fit already pays (session-memoized with the
+    retrieval query); the audit itself is m rows of driver math. The
+    oracle re-derives the model independently (DuckDB covariance +
+    numpy eigh) — a hash match certifies cross-engine agreement on the
+    entire spectral pipeline, not just on SQL arithmetic."""
+    import math
+
+    model, _rot = _opq_rotated(spark, sf)
+    ev = model["eigenvalues"][:_OPQ_R]
+    # the allocated model carries exactly the m·sub_dim RETAINED
+    # eigenvalues (permuted into bucket order), so shares are of the
+    # retained energy — the quantity the allocation balances
+    total = sum(model["eigenvalues"])
+    rows = []
+    for s in range(_OPQ_M):
+        bucket = ev[s * _OPQ_SD : (s + 1) * _OPQ_SD]
+        rows.append(
+            (
+                s,
+                len(bucket),
+                round(sum(bucket), 8),
+                round(sum(bucket) / total, 6),
+                round(sum(math.log(max(e, 1e-300)) for e in bucket), 6),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "subspace int, n_dims int, sum_eigenvalue double, "
+        "variance_share double, log_energy double",
+    )
+
+
+@query("embedding_topk_opq", _opq_sql)  # deferred: literals are data-derived
+def embedding_topk_opq(spark: SparkSession, sf: str) -> DataFrame:
+    """OPQ-rotated PQ retrieval — the measured-best ANN serving path
+    (SCALE.md r10: recall@10 0.37 plain-PQ → 0.64 OPQ on correlated
+    data), now what the registry serves instead of the anti-pattern:
+    fit exact PCA on the corpus (one gram-batches covariance shuffle +
+    a bounded eigh), balance the components across the PQ subspaces
+    (``opq_allocate`` — naive PCA-then-PQ measurably WORSENS recall),
+    project every vector once (Arrow-batched vectorized fold — at
+    r·d = 2048 the unrolled expression tree is past the measured
+    Janino crossover, see ``pca.py:pca_project_batch``; outputs are
+    bit-identical), then train/encode/serve the existing PQ-ADC over
+    the rotated vectors. At 100 TB the rotation is a one-off training
+    job + one extra map-side projection on the encode path; query-time
+    cost is IDENTICAL to plain PQ (same codes relation, same ADC scan).
+    Model and PQ index are session-memoized (train once, serve many).
+    """
+    from _data_engineering_pipeline_project_spark.operators.similarity import (
+        pq_adc_topk,
+    )
+
+    _model, rot = _opq_rotated(spark, sf)
+    return pq_adc_topk(
+        rot,
+        rot.filter(F.col("vec_id") < 10),
+        k=_OPQ_TOPK,
+        m=_OPQ_M,
+        sub_dim=_OPQ_SD,
+        ksub=_OPQ_K,
+    )

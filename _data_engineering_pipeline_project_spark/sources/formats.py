@@ -170,3 +170,81 @@ def read_xml(
         .option("mode", "PERMISSIVE")
         .load(path)
     )
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True when the spark-avro datasource module is on the classpath.
+    Avro graduated OUT of core in Spark 2.4 (the reverse of XML's 4.0
+    graduation IN): ``format("avro")`` needs the external
+    ``org.apache.spark:spark-avro`` jar, absent from a bare pyspark
+    install — so the Avro seam is env-gated exactly like the
+    Delta/Iceberg MERGE seams, with the round-trip test enabled the
+    moment the jar is deployed.
+
+    Probe note: ``Class.forName("…sql.avro.AvroFileFormat")`` is NOT a
+    valid gate — Spark 4 ships the avro classes in its core jars but
+    withholds the DataSourceRegister service entry, and
+    ``lookupDataSource`` intercepts the name with the deploy hint. The
+    honest probe is the lookup itself (behavioral: a schema'd read of
+    an empty dir resolves the provider without touching data)."""
+    import tempfile
+
+    try:
+        with tempfile.TemporaryDirectory() as d:
+            spark.read.format("avro").schema("__probe int").load(d)
+        return True
+    except Exception as e:
+        if "Failed to find data source" in str(e):
+            return False
+        return True  # provider resolved; the failure was about the path
+
+
+def write_avro(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str = "snappy",
+) -> None:
+    """Avro sink — the row-oriented container of the Kafka/schema-
+    registry ecosystem (the interchange sibling of the columnar parquet
+    the engine serves from: Avro for streams and CDC feeds, parquet for
+    scans). Raises a loud env-gate error (the lakehouse-seam pattern)
+    when the external spark-avro module is absent; with the jar
+    deployed this is a plain datasource write — splittable files,
+    schema embedded per file, snappy block compression."""
+    spark = df.sparkSession
+    if not avro_available(spark):
+        raise NotImplementedError(
+            "spark-avro module not on the classpath (external since "
+            "Spark 2.4): deploy org.apache.spark:spark-avro_2.13 via "
+            "--packages to enable the Avro seam. The engine-side code "
+            "path is complete and tested behind this gate."
+        )
+    w = df.write.format("avro").mode(mode).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def read_avro(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None
+) -> DataFrame:
+    """Schema'd Avro read (same env gate as :func:`write_avro`). Avro
+    files EMBED their writer schema, so ``schema`` here is the reader
+    schema for projection/evolution (Avro resolves by field name with
+    defaults) — pass it to pin types across a fleet of mixed-vintage
+    files, omit it to take each file's writer schema. Scale note: Avro
+    is block-splittable under every codec (unlike gzipped text), so
+    large files still parallelize."""
+    if not avro_available(spark):
+        raise NotImplementedError(
+            "spark-avro module not on the classpath (external since "
+            "Spark 2.4): deploy org.apache.spark:spark-avro_2.13 via "
+            "--packages to enable the Avro seam. The engine-side code "
+            "path is complete and tested behind this gate."
+        )
+    r = spark.read.format("avro")
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)

@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -93,12 +94,38 @@ class Bm25Maintainer:
                 )
             return meta
         except FileNotFoundError:
-            return {
-                "version": 0,
-                "last_batch_id": None,
-                "batches": [],
-                "format": _FORMAT,
-            }
+            pass
+        # pointer lost: unlike the bloom/agg maintainers, committed
+        # state here is a meta dir PLUS an ordered batch list only the
+        # pointer records — the postings dirs alone cannot be safely
+        # re-adopted (a half-written batch dir is indistinguishable
+        # from a committed one). Silently returning version 0 would
+        # RESTART the index over live state — fail loudly instead
+        # (adversarial-artifact sweep r11).
+        if os.path.isdir(self.base_dir):
+            orphaned = [
+                n
+                for n in os.listdir(self.base_dir)
+                if re.match(r"^meta_v(\d+)$", n)
+                and os.path.exists(
+                    os.path.join(self.base_dir, n, "stats", "_SUCCESS")
+                )
+            ]
+            if orphaned:
+                raise ValueError(
+                    f"BM25 maintainer state at {self.base_dir} has "
+                    f"committed meta dirs ({sorted(orphaned)}) but no "
+                    f"{_POINTER} pointer; the batch ordering lives "
+                    "only in the pointer, so this state cannot be "
+                    "safely adopted. Restore the pointer from backup or "
+                    "rebuild in a fresh base_dir."
+                )
+        return {
+            "version": 0,
+            "last_batch_id": None,
+            "batches": [],
+            "format": _FORMAT,
+        }
 
     def _commit(self, meta: dict) -> None:
         tmp = self._pointer_path() + ".tmp"

@@ -106,6 +106,8 @@ EXTENSION_QUERIES = [
     "profile_events_table",
     "embedding_topk_pq",
     "embedding_topk_ivfpq",
+    "embedding_topk_opq",
+    "opq_balance_audit_embeddings",
     "dp_noisy_counts_events",
     "k_anonymity_audit_events",
     "theil_sen_trend_events",

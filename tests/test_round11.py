@@ -255,3 +255,501 @@ def test_ranked_spans_distributed_equals_driver_loop(spark, tmp_path):
     assert sorted(dist) == sorted(seq)
     # and the layout is actually tight in rank space
     assert sum(dist) / len(dist) < 0.7
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r10 #1: OPQ-rotated retrieval, registered + oracled
+# ---------------------------------------------------------------------------
+def _synth_lowrank(spark, n=400, d=16, rank=4, noise=0.05):
+    """Deterministic low-rank-plus-noise embeddings (the correlated
+    fixture OPQ exists for — same construction as test_round10b)."""
+    import math
+
+    rows = []
+    for i in range(n):
+        lat = [math.sin(0.7 * i * (k + 1)) for k in range(rank)]
+        vec = []
+        for j in range(d):
+            v = sum(
+                lat[k] * math.cos(0.3 * (k + 1) * (j + 1)) for k in range(rank)
+            )
+            v += noise * math.sin(12.9898 * i + 78.233 * j)
+            vec.append(v)
+        rows.append((i, vec))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pca_project_batch_bit_identical_and_guarded(spark):
+    """The Arrow-batched projection equals the unrolled expression form
+    EXACTLY (same left-fold IEEE op chain per output element), and
+    fails loudly on ragged/NULL/width-mismatched vectors like the gram
+    covariance path."""
+    from pyspark.errors import PySparkException
+
+    from _data_engineering_pipeline_project_spark.operators import pca as P
+
+    df = _synth_lowrank(spark, n=120, d=16, rank=4)
+    model = P.opq_allocate(P.pca_fit(df, dim=16), m=4, sub_dim=2)
+    a = {
+        (r["vec_id"], tuple(r["p"]))
+        for r in P.pca_project(df, model, r=8, out_col="p").collect()
+    }
+    b = {
+        (r["vec_id"], tuple(r["p"]))
+        for r in P.pca_project_batch(df, model, r=8, out_col="p").collect()
+    }
+    assert a == b
+
+    nullelem = spark.createDataFrame(
+        [(0, [1.0, None] + [0.0] * 14)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(PySparkException, match="NULL/NaN"):
+        P.pca_project_batch(nullelem, model, r=4).collect()
+    narrow = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(PySparkException, match="does not match model"):
+        P.pca_project_batch(narrow, model, r=4).collect()
+
+
+def test_opq_query_recall_beats_plain_pq_query(spark):
+    """The registered query's pipeline (fit gram → opq_allocate →
+    batch-project → PQ-ADC, at the registry geometry m=16 × sub_dim=2,
+    ksub=64) beats the plain-PQ query's recall@5 against exact L2 on
+    the correlated fixture — the registry now serves the measured win,
+    not the anti-pattern (VERDICT r10 #1 done-criterion)."""
+    import numpy as np
+
+    from _data_engineering_pipeline_project_spark.operators import pca as P
+    from _data_engineering_pipeline_project_spark.operators.similarity import (
+        pq_adc_topk,
+    )
+
+    d, m, sub, ksub, K = 64, 16, 2, 64, 5
+    df = _synth_lowrank(spark, n=400, d=d, rank=6)
+    X = np.array([r["embedding"] for r in df.orderBy("vec_id").collect()])
+    qids = list(range(10))
+
+    def exact_topk(Xs):
+        out = {}
+        for q in qids:
+            d2 = ((Xs - Xs[q]) ** 2).sum(axis=1)
+            d2[q] = np.inf
+            out[q] = set(np.argsort(d2, kind="stable")[:K].tolist())
+        return out
+
+    def recall(frame, Xs):
+        got = {}
+        qs = frame.filter(F.col("vec_id") < 10)
+        for r in pq_adc_topk(
+            frame, qs, k=K, m=m, sub_dim=sub, ksub=ksub
+        ).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        ex = exact_topk(Xs)
+        return sum(len(got.get(q, set()) & ex[q]) for q in qids) / (
+            K * len(qids)
+        )
+
+    r_plain = recall(df, X)
+    model = P.opq_allocate(
+        P.pca_fit(df, dim=d, method="gram"), m=m, sub_dim=sub
+    )
+    rot = P.pca_project_batch(df, model, r=m * sub, out_col="embedding")
+    Xc = X - np.array(model["mean"])
+    Xrot = Xc @ np.array(model["components"][: m * sub]).T
+    r_opq = recall(rot, Xrot)
+    assert r_opq >= r_plain, (r_plain, r_opq)
+    assert r_opq > 0.5, r_opq
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r10 #3: bloom words layout proven at the scan-metric level
+# ---------------------------------------------------------------------------
+def _scan_output_rows(spark, path, pred) -> int:
+    """Rows the parquet reader actually DECODED for a filtered read
+    (FileSourceScan numOutputRows after row-group skipping) — the
+    test_round9 runtime-skip metric."""
+    df = spark.read.parquet(path).filter(pred)
+    df.collect()
+
+    def walk(node):
+        rows = []
+        for i in range(node.children().size()):
+            rows += walk(node.children().apply(i))
+        if "FileSourceScan" in node.getClass().getName():
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numOutputRows":
+                    rows.append(kv._2().value())
+        return rows
+
+    return sum(walk(df._jdf.queryExecution().executedPlan()))
+
+
+def test_bloom_words_layout_row_group_skips(spark, tmp_path):
+    """The persisted words artifact's clustering claim, proven at the
+    runtime scan metric (the z-order test's discipline): a probe
+    batch's word working set, pushed as an IN filter over the
+    word_idx-clustered words relation, decodes a small fraction of the
+    filter; and the scan-pruned probe returns IDENTICAL flags to the
+    full-scan probe (a word no key touches cannot change a verdict)."""
+    pytest.importorskip("pyarrow")
+    path = str(tmp_path / "bloomidx")
+    keys = spark.range(400_000).select(
+        F.concat(F.lit("key"), F.col("id")).alias("k")
+    )
+    M.save_bloom_index(
+        keys,
+        F.col("k"),
+        path,
+        m_bits=1 << 26,
+        k=3,
+        num_files=8,
+        row_group_bytes=1 << 16,  # ~4k words/group: lookup-read shape
+    )
+    idx = M.load_bloom_index(spark, path)
+    total_words = idx["words"].count()
+    assert total_words > 400_000  # big enough for skip economics
+
+    probe = _keys_df(
+        spark, [f"key{i}" for i in range(0, 500, 100)] + ["novel-a", "novel-b"]
+    )
+    full = {
+        r["k"]: r["bloom_member"]
+        for r in M.bloom_probe_index(idx, probe, F.col("k")).collect()
+    }
+    pruned = {
+        r["k"]: r["bloom_member"]
+        for r in M.bloom_probe_index(
+            idx, probe, F.col("k"), prune_scan=True
+        ).collect()
+    }
+    assert pruned == full
+    assert all(full[f"key{i}"] for i in range(0, 500, 100))  # no FNs
+
+    # runtime skip: the working-set filter decodes ≪ the words relation
+    ws = M.probe_word_working_set(probe, F.col("k"), idx["m_bits"], idx["k"])
+    assert len(ws) <= 7 * 3  # ≤ distinct_keys·k
+    decoded = _scan_output_rows(
+        spark, f"{path}/words", F.col("word_idx").isin(ws)
+    )
+    matched = idx["words"].filter(F.col("word_idx").isin(ws)).count()
+    assert decoded >= matched  # skipping never loses matches
+    assert decoded < total_words / 8, (decoded, total_words)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r10 #6: streaming embedding-drift maintainer
+# ---------------------------------------------------------------------------
+def _emb_batch(spark, ids, shift=0.0, d=8):
+    import math
+
+    rows = [
+        (
+            i,
+            [
+                math.sin(0.37 * i * (j + 1)) + (shift if j == 2 else 0.0)
+                for j in range(d)
+            ],
+        )
+        for i in ids
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_drift_maintainer_ticks_equal_recompute(spark, tmp_path):
+    """N maintained ticks serve per-dim moments BIT-IDENTICAL to a
+    one-shot recompute over the union of batches (decimal sums are an
+    exact monoid; the read-time double math is the audit's sequence).
+    A redelivered batch id is a no-op; a fresh handle recovers
+    version/baseline; vacuum never drops the pinned baseline."""
+    from _data_engineering_pipeline_project_spark.streaming.driftmaint import (
+        DriftMaintainer,
+        drift_partials,
+        moments_from_partials,
+    )
+
+    base = str(tmp_path / "drift")
+    mnt = DriftMaintainer(spark, base)
+    batches = [
+        _emb_batch(spark, range(0, 40)),
+        _emb_batch(spark, range(40, 90)),
+        _emb_batch(spark, range(90, 120)),
+    ]
+    for bid, b in enumerate(batches):
+        mnt.merge_batch(b, batch_id=bid)
+    mnt.merge_batch(batches[0], batch_id=0)  # redelivery: no-op
+    assert mnt.version == 3
+
+    union = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    want = {
+        (r["dim"], r["n"], r["mu"], r["var"])
+        for r in moments_from_partials(drift_partials(union)).collect()
+    }
+    got = {
+        (r["dim"], r["n"], r["mu"], r["var"])
+        for r in mnt.moments().collect()
+    }
+    assert got == want and len(got) == 8
+
+    # baseline + drifted tick -> report names the shifted dim first
+    mnt.mark_baseline()
+    mnt.merge_batch(
+        _emb_batch(spark, range(120, 240), shift=0.8), batch_id=3
+    )
+    rep = mnt.drift_report(top=3).collect()
+    assert rep[0]["dim"] == 3  # 0-based j==2 -> dim 3
+    assert rep[0]["mean_shift"] > 0.2
+    assert rep[0]["var_ratio"] > 1.0  # shift on half the mass widens var
+
+    # recovery + baseline-safe vacuum
+    m2 = DriftMaintainer(spark, base)
+    assert m2.version == 4 and m2.baseline_version == 3
+    removed = m2.vacuum_versions(keep_last=1)
+    assert "moments_v3" not in removed  # pinned baseline survives
+    assert "moments_v1" in removed and "moments_v2" in removed
+    rep2 = m2.drift_report(top=3).collect()
+    assert [r["dim"] for r in rep2] == [r["dim"] for r in rep]
+
+
+def test_drift_maintainer_streaming_drain(spark, tmp_path):
+    """End-to-end availableNow drain: files land, the maintainer folds
+    them through foreachBatch with the checkpoint-identity guard, and a
+    second drain of the SAME directory adds nothing (exactly-once per
+    file)."""
+    from _data_engineering_pipeline_project_spark.streaming.driftmaint import (
+        DriftMaintainer,
+    )
+
+    src = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    _emb_batch(spark, range(0, 50)).write.mode("append").parquet(src)
+    mnt = DriftMaintainer(spark, str(tmp_path / "state"))
+    schema = "vec_id long, embedding array<double>"
+    mnt.run_available_now(src, schema, ckpt)
+    n1 = {r["dim"]: r["n"] for r in mnt.moments().collect()}
+    assert set(n1.values()) == {50}
+
+    mnt.run_available_now(src, schema, ckpt)  # nothing new
+    n2 = {r["dim"]: r["n"] for r in mnt.moments().collect()}
+    assert n2 == n1
+
+    _emb_batch(spark, range(50, 80)).write.mode("append").parquet(src)
+    mnt.run_available_now(src, schema, ckpt)
+    n3 = {r["dim"]: r["n"] for r in mnt.moments().collect()}
+    assert set(n3.values()) == {80}
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r10 #8 (stretch): Avro source/sink seam (env-gated)
+# ---------------------------------------------------------------------------
+def test_avro_seam(spark, tmp_path):
+    """With the external spark-avro jar absent, the seam raises the
+    loud deploy-instruction gate (the Delta/Iceberg pattern); with it
+    present, a schema'd round-trip is lossless — the same test flips
+    to e2e the moment the jar is deployed."""
+    from _data_engineering_pipeline_project_spark.sources.formats import (
+        avro_available,
+        read_avro,
+        write_avro,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None)], "id long, s string, v double"
+    )
+    path = str(tmp_path / "avro")
+    if not avro_available(spark):
+        with pytest.raises(NotImplementedError, match="spark-avro"):
+            write_avro(df, path)
+        with pytest.raises(NotImplementedError, match="spark-avro"):
+            read_avro(spark, path)
+        return
+    write_avro(df, path)
+    back = read_avro(spark, path, "id long, s string, v double")
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r10 #7: adversarial sweep over artifact LOAD paths
+# ---------------------------------------------------------------------------
+def test_hostile_artifacts_fail_loudly(spark, tmp_path):
+    """Hostile-ARTIFACT discipline (the data-side sweep's sibling):
+    truncated/missing/foreign params or state must raise specific
+    errors, never load as silently-wrong serving state.
+    (a) PQ index: missing params dir; garbage params row.
+    (b) PCA model: truncated (missing component row); width mismatch.
+    (c) BM25 index: missing params; foreign params row.
+    (d) BM25 maintainer: committed meta_v dirs with a lost pointer.
+    (e) bloom artifacts: mixed-geometry merge."""
+    from _data_engineering_pipeline_project_spark.operators import pca as P
+    from _data_engineering_pipeline_project_spark.operators.ranking import (
+        load_bm25_index,
+        save_bm25_index,
+    )
+    from _data_engineering_pipeline_project_spark.operators.similarity import (
+        load_pq_index,
+    )
+
+    # (a) PQ: params missing entirely
+    pq_dir = str(tmp_path / "pq")
+    spark.range(3).write.parquet(f"{pq_dir}/codebooks")
+    with pytest.raises(ValueError, match="not a PQ index artifact"):
+        load_pq_index(spark, pq_dir)
+    # garbage params row (wrong shape)
+    spark.createDataFrame([(0, "x")], "m int, junk string").write.mode(
+        "overwrite"
+    ).parquet(f"{pq_dir}/params")
+    with pytest.raises(ValueError, match="not a PQ index artifact"):
+        load_pq_index(spark, pq_dir)
+
+    # (b) PCA: truncated artifact — drop a middle component row
+    df = _synth_lowrank(spark, n=60, d=8, rank=2)
+    model = P.pca_fit(df, dim=8)
+    good = str(tmp_path / "pca_good")
+    P.save_pca_model(spark, model, good)
+    bad = str(tmp_path / "pca_bad")
+    spark.read.parquet(good).filter(
+        ~((F.col("kind") == "comp") & (F.col("idx") == 3))
+    ).write.parquet(bad)
+    with pytest.raises(ValueError, match="not contiguous"):
+        P.load_pca_model(spark, bad)
+    # width mismatch: a component row from a different-dim model
+    bad2 = str(tmp_path / "pca_bad2")
+    spark.read.parquet(good).filter(
+        ~((F.col("kind") == "comp") & (F.col("idx") == 3))
+    ).unionByName(
+        spark.createDataFrame(
+            [("comp", 3, [1.0, 2.0])], "kind string, idx int, vals array<double>"
+        )
+    ).write.parquet(bad2)
+    with pytest.raises(ValueError, match="widths disagree"):
+        P.load_pca_model(spark, bad2)
+
+    # (c) BM25: params missing / foreign
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    bm_dir = str(tmp_path / "bm25")
+    save_bm25_index(docs, bm_dir, id_col="doc_id", text_col="text")
+    assert load_bm25_index(spark, bm_dir)["params"]["id_col"] == "doc_id"
+    import shutil
+
+    shutil.rmtree(f"{bm_dir}/params")
+    with pytest.raises(ValueError, match="not a BM25 index artifact"):
+        load_bm25_index(spark, bm_dir)
+    spark.createDataFrame(
+        [("doc_id", "text", "some-other-format")],
+        "id_col string, text_col string, format string",
+    ).coalesce(1).write.parquet(f"{bm_dir}/params")
+    with pytest.raises(ValueError, match="not a BM25 index artifact"):
+        load_bm25_index(spark, bm_dir)
+
+    # (e) bloom: mixed-geometry artifact merge
+    ka = _keys_df(spark, ["a", "b"])
+    pa, pb = str(tmp_path / "bl_a"), str(tmp_path / "bl_b")
+    M.save_bloom_index(ka, F.col("k"), pa, m_bits=1 << 12, k=3)
+    M.save_bloom_index(ka, F.col("k"), pb, m_bits=1 << 13, k=3)
+    ia, ib = M.load_bloom_index(spark, pa), M.load_bloom_index(spark, pb)
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        M.bloom_merge_indexes(ia, ib)
+    merged = M.bloom_merge_indexes(ia, M.load_bloom_index(spark, pa))
+    out = M.bloom_probe_index(merged, ka, F.col("k")).collect()
+    assert all(r["bloom_member"] for r in out)
+
+
+def test_bm25_maintainer_orphaned_meta_fails_loudly(spark, tmp_path):
+    """(d) A Bm25Maintainer base_dir holding committed meta_v dirs but
+    no _CURRENT pointer cannot be silently re-adopted (the batch
+    ordering lives only in the pointer): re-opening must raise, not
+    restart the index from version 0 over live state."""
+    import os
+
+    from _data_engineering_pipeline_project_spark.streaming.bm25maint import (
+        Bm25Maintainer,
+    )
+
+    base = str(tmp_path / "bm25m")
+    m = Bm25Maintainer(spark, base, id_col="doc_id", text_col="text")
+    m.merge_batch(
+        spark.createDataFrame(
+            [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+        ),
+        batch_id=0,
+    )
+    assert m.version == 1
+    os.remove(os.path.join(base, "_CURRENT"))
+    with pytest.raises(ValueError, match="no _CURRENT pointer"):
+        Bm25Maintainer(spark, base, id_col="doc_id", text_col="text")
+
+
+def test_opq_index_artifact_serves_identically(spark, tmp_path):
+    """save_opq_index → fresh load → opq_topk_from_index returns the
+    EXACT rows of the in-session pipeline (same rotation bits, same
+    codes) — the train-once/serve-anywhere form of the registered
+    query."""
+    from _data_engineering_pipeline_project_spark.operators import pca as P
+    from _data_engineering_pipeline_project_spark.operators.similarity import (
+        pq_adc_topk,
+    )
+
+    d, m, sub, ksub = 16, 4, 2, 8
+    df = _synth_lowrank(spark, n=150, d=d, rank=3)
+    path = str(tmp_path / "opq_index")
+    P.save_opq_index(df, path, dim=d, m=m, sub_dim=sub, ksub=ksub)
+
+    # in-session pipeline (same construction the artifact froze)
+    model = P.opq_allocate(P.pca_fit(df, dim=d, method="gram"), m, sub)
+    rot = P.pca_project_batch(df, model, r=m * sub, out_col="embedding")
+    want = {
+        tuple(r)
+        for r in pq_adc_topk(
+            rot, rot.filter(F.col("vec_id") < 5), k=3, m=m,
+            sub_dim=sub, ksub=ksub,
+        ).collect()
+    }
+
+    idx = P.load_opq_index(spark, path)
+    got = {
+        tuple(r)
+        for r in P.opq_topk_from_index(
+            idx, df.filter(F.col("vec_id") < 5), k=3
+        ).collect()
+    }
+    assert got == want and len(got) == 15
+
+
+def test_opq_oracle_resolver_matches_spark_model(spark):
+    """The deferred oracle's independently-derived model (DuckDB exact
+    covariance/mean + numpy eigh + opq_allocate) equals the Spark
+    pipeline's ``pca_fit(method='gram')`` → ``opq_allocate`` model
+    BIT-FOR-BIT at the compare scale — the property the whole
+    rotation-as-literals oracle design rests on."""
+    from _data_engineering_pipeline_project_spark.operators.pca import (
+        opq_allocate,
+        pca_fit,
+    )
+    from _data_engineering_pipeline_project_spark.queries_ext11 import (
+        _OPQ_M,
+        _OPQ_SD,
+        _ORACLE_SF_DIR,
+        opq_model_duckdb,
+    )
+    from _data_engineering_pipeline_project_spark.catalog import table
+
+    duck = opq_model_duckdb(f"{_ORACLE_SF_DIR}/embeddings.parquet")
+    sparkm = opq_allocate(
+        pca_fit(
+            table(spark, _ORACLE_SF_DIR, "embeddings"),
+            dim=64,
+            method="gram",
+        ),
+        _OPQ_M,
+        _OPQ_SD,
+    )
+    assert duck["mean"] == sparkm["mean"]
+    assert duck["eigenvalues"] == sparkm["eigenvalues"]
+    assert duck["components"] == sparkm["components"]
+    assert duck["opq_permutation"] == sparkm["opq_permutation"]
