@@ -39,6 +39,54 @@ def hash_sample(
     return df.filter(hash_bucket(key_col, buckets) < keep)
 
 
+def bottom_k_sample(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """FIXED-SIZE uniform sample: the ``k`` rows with the smallest
+    ``(md5(key), key)`` — the bottom-k (KMV) sampling scheme. Under
+    the hash-as-random-oracle model this is a uniform
+    without-replacement sample, but unlike ``rand()``-based reservoir
+    sampling it is DETERMINISTIC (same input → same sample, any
+    engine, any partitioning — oracle-checkable), CONSISTENT (the
+    bottom-k is a subset of the bottom-2k; samples taken at different
+    times agree on shared keys), and a MONOID (bottom-k of a union =
+    bottom-k of the per-part bottom-k's — what makes it incrementally
+    maintainable, ``streaming/samplemaint.py``, and
+    embarrassingly mergeable across 100 TB partitions).
+
+    Plan shape: ``ORDER BY h LIMIT k`` compiles to
+    TakeOrderedAndProject — each task keeps a k-row heap and only
+    k rows per partition reach the driver merge; no full sort, no
+    shuffle of the data. ``rate``-based :func:`hash_sample` is the
+    sibling for proportional samples; bottom-k is the fixed-BUDGET
+    form (eval sets, spot-check panels, seed corpora)."""
+    h = F.md5(F.col(key_col).cast("string"))
+    return (
+        df.withColumn("__h", h)
+        .orderBy("__h", key_col)
+        .limit(k)
+        .drop("__h")
+    )
+
+
+def bottom_k_per_group(
+    df: DataFrame, group_col: str, key_col: str, k: int
+) -> DataFrame:
+    """Stratified fixed-size sample: the bottom-``k``-by-hash rows
+    WITHIN each group — a balanced per-stratum panel (k docs per
+    language, k events per type) with all of :func:`bottom_k_sample`'s
+    determinism. One window per group partition; at scale this is a
+    single shuffle on ``group_col`` with the same k-row-heap
+    economics inside each partition."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(key_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(h, F.col(key_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def compact_parquet(
     spark: SparkSession,
     src_dir: str,

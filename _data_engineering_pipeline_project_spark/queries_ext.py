@@ -397,6 +397,11 @@ def clear_query_caches() -> None:
     )
 
     clear_pq_index_memo()
+    from _data_engineering_pipeline_project_spark.queries_ext11 import (
+        clear_opq_memo,
+    )
+
+    clear_opq_memo()
     for frames in _QUERY_LOCAL_CACHES.values():
         for df in frames:
             try:

@@ -228,6 +228,22 @@ def _opq_sql() -> str:
 _OPQ_ROT_MEMO: dict = {}
 
 
+def clear_opq_memo() -> None:
+    """Eviction hook (wired into ``queries_ext.clear_query_caches``):
+    free each memoized rotated corpus's checkpoint storage and drop
+    the entries — the PQ memo's lifecycle, applied to the OPQ layer."""
+    from _data_engineering_pipeline_project_spark.operators.dedup import (
+        _free_local_checkpoint,
+    )
+
+    for _model, rot in _OPQ_ROT_MEMO.values():
+        try:
+            _free_local_checkpoint(rot)
+        except Exception:
+            pass
+    _OPQ_ROT_MEMO.clear()
+
+
 def _opq_rotated(spark: SparkSession, sf: str):
     """(model, pinned rotated corpus) for this sf — trained/projected
     once per session per input fileset."""
@@ -264,6 +280,103 @@ def _opq_rotated(spark: SparkSession, sf: str):
     if key is not None:
         _OPQ_ROT_MEMO[key] = (model, rot)
     return model, rot
+
+
+# --------------------------------------------------------------------------
+# Fixed-size deterministic uniform samples (bottom-k by hash)
+# --------------------------------------------------------------------------
+_BK_K = 64
+_BK_LANG_K = 8
+
+
+@query(
+    "bottomk_sample_documents",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang, source, n_chars,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+      ORDER BY h NULLS FIRST, doc_id NULLS FIRST LIMIT {_BK_K})
+    SELECT doc_id, lang, source, n_chars,
+           CAST(row_number() OVER (ORDER BY h NULLS FIRST,
+                                   doc_id NULLS FIRST) AS INTEGER)
+             AS sample_rank
+    FROM s
+    """,
+)
+def bottomk_sample_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """FIXED-SIZE uniform document sample: the 64 rows with the
+    smallest md5(doc_id) (``operators/sampling.py:bottom_k_sample``) —
+    the deterministic replacement for reservoir sampling. Uniform
+    under the hash-as-random-oracle model, identical in any engine
+    (which is why it CAN be oracled — a rand() reservoir can't),
+    consistent (bottom-64 ⊂ bottom-128), and a monoid, so the same
+    sample is incrementally maintainable over a stream
+    (``streaming/samplemaint.py``) and mergeable across 100 TB of
+    partitions. Plan: TakeOrderedAndProject — a 64-row heap per task,
+    64 rows per partition to the driver merge, no shuffle; the rank
+    window then sorts only the 64 survivors."""
+    from pyspark.sql import Window
+
+    from _data_engineering_pipeline_project_spark.operators.sampling import (
+        bottom_k_sample,
+    )
+
+    docs = table(spark, sf, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    samp = bottom_k_sample(docs, "doc_id", _BK_K)
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.orderBy(h, "doc_id")  # 64 rows — a bounded sort
+    return samp.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.row_number().over(w).cast("int").alias("sample_rank"),
+    )
+
+
+@query(
+    "bottomk_sample_per_lang_documents",
+    f"""
+    SELECT lang, doc_id, source, n_chars, CAST(rn AS INTEGER) AS lang_rank
+    FROM (SELECT lang, doc_id, source, n_chars,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)) NULLS FIRST,
+                            doc_id NULLS FIRST) AS rn
+          FROM documents)
+    WHERE rn <= {_BK_LANG_K}
+    """,
+)
+def bottomk_sample_per_lang_documents(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """Stratified fixed-size sample: the bottom-8-by-hash documents
+    WITHIN each language (``bottom_k_per_group``) — the balanced eval
+    panel (k per stratum) with the same determinism/consistency as the
+    global bottom-k. One shuffle on lang; a k-row heap inside each
+    partition does the rest."""
+    from pyspark.sql import Window
+
+    from _data_engineering_pipeline_project_spark.operators.sampling import (
+        bottom_k_per_group,
+    )
+
+    docs = table(spark, sf, "documents").select(
+        "lang", "doc_id", "source", "n_chars"
+    )
+    samp = bottom_k_per_group(docs, "lang", "doc_id", _BK_LANG_K)
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    return samp.select(
+        "lang",
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w).cast("int").alias("lang_rank"),
+    )
 
 
 def _opq_balance_sql() -> str:

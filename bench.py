@@ -108,6 +108,8 @@ EXTENSION_QUERIES = [
     "embedding_topk_ivfpq",
     "embedding_topk_opq",
     "opq_balance_audit_embeddings",
+    "bottomk_sample_documents",
+    "bottomk_sample_per_lang_documents",
     "dp_noisy_counts_events",
     "k_anonymity_audit_events",
     "theil_sen_trend_events",
