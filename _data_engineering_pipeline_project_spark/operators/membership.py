@@ -314,7 +314,11 @@ def bloom_probe_index(
         # ~everything — measured: 721k of 736k rows decoded vs 82k
         # with the points pushed. Runtime-settable SQLConf; raising it
         # only affects IN pushdown strategy, and the working set is
-        # already bounded by max_probe_words.
+        # already bounded by max_probe_words. Deliberately NOT
+        # restored after this call: the returned frame is LAZY — the
+        # conf must still hold when it executes — and the change is
+        # monotone (raise-only, bounded), affecting only how IN lists
+        # reach parquet footers.
         spark = words.sparkSession
         cur = int(
             spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold")

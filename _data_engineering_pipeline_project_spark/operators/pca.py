@@ -367,7 +367,13 @@ def pca_project(
     documented no-CSE-inside-lambdas pitfall), while the unrolled terms
     stay plain top-level expressions. The output array is the rotated
     embedding an OPQ-style PQ trains on (or a dimensionality-reduced
-    serving vector)."""
+    serving vector).
+
+    SIZE LIMIT (measured, SCALE.md r11): past ~2k total terms (r·d)
+    the expression tree exceeds Janino's 64 KB method limit — Spark
+    burns seconds in failed whole-stage compiles, then runs
+    interpreted. Use :func:`pca_project_batch` (bit-identical, Arrow)
+    beyond that crossover; this form stays right for small r·d."""
     dim = model["dim"]
     comps = model["components"][:r]
     mean = model["mean"]

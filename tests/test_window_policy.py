@@ -33,6 +33,8 @@ WHITELIST = {
     "embedding_topk_ivf_refined": "seed windows per Lloyd round, ≤centroids",
     "embedding_topk_ivfpq": "IVF seeds + PQ codebook seeds, ≤64 rows",
     "embedding_topk_pq": "PQ codebook seeds, ≤ksub rows",
+    "embedding_topk_opq": "PQ codebook seeds over the rotated corpus, ≤ksub rows",
+    "bottomk_sample_documents": "rank after bottom-k limit(64)",
     "semantic_dup_pairs_embeddings": "centroid seed frame, ≤centroids",
     "semantic_decontamination_ivf_embeddings": "seed row_number over ≤8 rows",
     # value-grid frames: the ordered input is one row per distinct
