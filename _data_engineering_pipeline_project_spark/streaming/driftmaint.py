@@ -150,6 +150,17 @@ class DriftMaintainer:
             with open(self._pointer_path()) as f:
                 meta = json.load(f)
             self._checkpoint_token = meta.get("checkpoint_token")
+            self._dim = meta.get("dim")
+            if meta.get("vec_col", self.vec_col) != self.vec_col:
+                raise ValueError(
+                    "drift geometry mismatch: state at "
+                    f"{self.base_dir} tracks column "
+                    f"{meta.get('vec_col')!r} but this maintainer was "
+                    f"opened with vec_col={self.vec_col!r}; merging "
+                    "moments of different columns is silent garbage. "
+                    "Reopen with the recorded column or rebuild in a "
+                    "fresh base_dir."
+                )
             return (
                 int(meta["version"]),
                 meta.get("last_batch_id"),
@@ -157,6 +168,7 @@ class DriftMaintainer:
             )
         except FileNotFoundError:
             pass
+        self._dim = None
         best = 0
         pat = re.compile(rf"^{self._STATE_NAME}_v(\d+)$")
         if os.path.isdir(self.base_dir):
@@ -177,6 +189,8 @@ class DriftMaintainer:
                     "last_batch_id": batch_id,
                     "baseline_version": self._baseline_version,
                     "checkpoint_token": self._checkpoint_token,
+                    "vec_col": self.vec_col,
+                    "dim": self._dim,
                 },
                 f,
             )
@@ -209,15 +223,38 @@ class DriftMaintainer:
             and batch_id <= self._last_batch_id
         ):
             return
-        part = drift_partials(batch_df, self.vec_col)
-        merged = merge_partials(part, self.current())
-        nxt = self._version + 1
-        merged.coalesce(1).write.mode("overwrite").parquet(
-            f"{self.state_dir}_v{nxt}"
-        )
-        self._commit(nxt, batch_id)
-        self._version = nxt
-        self._last_batch_id = batch_id
+        # cached so the width guard's count and the merge write share
+        # ONE batch aggregation (the frame is d rows — trivial storage)
+        part = drift_partials(batch_df, self.vec_col).cache()
+        try:
+            # width guard (adversarial sweep r11): moments of a d=8
+            # stream and a d=16 stream union into a relation where the
+            # extra dims silently carry partial counts — garbage no
+            # downstream read can detect. The partials frame is d rows,
+            # so the check is a bounded count; the first batch pins the
+            # width into the pointer.
+            d_batch = part.count()
+            if d_batch == 0:
+                return  # empty/all-NULL batch: nothing to merge
+            if self._dim is None:
+                self._dim = int(d_batch)
+            elif int(d_batch) != self._dim:
+                raise ValueError(
+                    f"drift geometry mismatch: state at {self.base_dir} "
+                    f"tracks {self._dim}-dim vectors but this batch has "
+                    f"width {d_batch}; a changed encoder width needs a "
+                    "new base_dir (and a new baseline)."
+                )
+            merged = merge_partials(part, self.current())
+            nxt = self._version + 1
+            merged.coalesce(1).write.mode("overwrite").parquet(
+                f"{self.state_dir}_v{nxt}"
+            )
+            self._commit(nxt, batch_id)
+            self._version = nxt
+            self._last_batch_id = batch_id
+        finally:
+            part.unpersist()
 
     def moments(self) -> DataFrame:
         """(dim, n, mu, var) of everything merged so far."""

@@ -107,6 +107,7 @@ EXTENSION_QUERIES = [
     "embedding_topk_pq",
     "embedding_topk_ivfpq",
     "embedding_topk_opq",
+    "embedding_topk_ivfopq",
     "opq_balance_audit_embeddings",
     "bottomk_sample_documents",
     "bottomk_sample_per_lang_documents",

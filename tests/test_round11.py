@@ -513,6 +513,37 @@ def test_drift_maintainer_ticks_equal_recompute(spark, tmp_path):
     assert [r["dim"] for r in rep2] == [r["dim"] for r in rep]
 
 
+def test_drift_maintainer_geometry_guards(spark, tmp_path):
+    """Hostile-geometry guards: reopening with a different vec_col
+    fails loudly; a batch whose vector width differs from the pinned
+    state width fails loudly (silent unions of mixed-width moments are
+    garbage); an empty/all-NULL batch is a no-op, not a width-0 pin."""
+    from _data_engineering_pipeline_project_spark.streaming.driftmaint import (
+        DriftMaintainer,
+    )
+
+    base = str(tmp_path / "driftg")
+    mnt = DriftMaintainer(spark, base)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    mnt.merge_batch(empty, batch_id=0)
+    assert mnt.version == 0  # no-op, nothing pinned
+
+    mnt.merge_batch(_emb_batch(spark, range(0, 30), d=8), batch_id=1)
+    assert mnt.version == 1
+
+    with pytest.raises(ValueError, match="drift geometry mismatch"):
+        mnt.merge_batch(_emb_batch(spark, range(30, 60), d=16), batch_id=2)
+
+    with pytest.raises(ValueError, match="drift geometry mismatch"):
+        DriftMaintainer(spark, base, vec_col="other_col")
+    # same geometry reopens fine and remembers the width
+    m2 = DriftMaintainer(spark, base)
+    with pytest.raises(ValueError, match="drift geometry mismatch"):
+        m2.merge_batch(_emb_batch(spark, range(30, 60), d=16), batch_id=2)
+    m2.merge_batch(_emb_batch(spark, range(30, 60), d=8), batch_id=2)
+    assert {r["n"] for r in m2.moments().collect()} == {60}
+
+
 def test_drift_maintainer_streaming_drain(spark, tmp_path):
     """End-to-end availableNow drain: files land, the maintainer folds
     them through foreachBatch with the checkpoint-identity guard, and a

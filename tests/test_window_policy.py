@@ -32,6 +32,7 @@ WHITELIST = {
     "embedding_topk_ivf": "seed row_number over ≤num_centroids rows",
     "embedding_topk_ivf_refined": "seed windows per Lloyd round, ≤centroids",
     "embedding_topk_ivfpq": "IVF seeds + PQ codebook seeds, ≤64 rows",
+    "embedding_topk_ivfopq": "IVF seeds + PQ codebook seeds over the rotated corpus, ≤64 rows",
     "embedding_topk_pq": "PQ codebook seeds, ≤ksub rows",
     "embedding_topk_opq": "PQ codebook seeds over the rotated corpus, ≤ksub rows",
     "bottomk_sample_documents": "rank after bottom-k limit(64)",
