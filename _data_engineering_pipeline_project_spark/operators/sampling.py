@@ -57,10 +57,18 @@ def bottom_k_sample(df: DataFrame, key_col: str, k: int) -> DataFrame:
     k rows per partition reach the driver merge; no full sort, no
     shuffle of the data. ``rate``-based :func:`hash_sample` is the
     sibling for proportional samples; bottom-k is the fixed-BUDGET
-    form (eval sets, spot-check panels, seed corpora)."""
+    form (eval sets, spot-check panels, seed corpora).
+
+    Contract: NULL keys are EXCLUDED (md5(NULL) is NULL, which Spark's
+    ascending sort would otherwise place FIRST — NULL-keyed rows would
+    silently fill the sample). Determinism requires ``key_col`` to be
+    unique per row: duplicate keys tie on (h, key) and the choice
+    among their payload rows is partition-order-dependent — sample by
+    a key, not by a repeated attribute."""
     h = F.md5(F.col(key_col).cast("string"))
     return (
-        df.withColumn("__h", h)
+        df.filter(F.col(key_col).isNotNull())
+        .withColumn("__h", h)
         .orderBy("__h", key_col)
         .limit(k)
         .drop("__h")
@@ -73,7 +81,8 @@ def bottom_k_per_group(
     """Stratified fixed-size sample: the bottom-``k``-by-hash rows
     WITHIN each group — a balanced per-stratum panel (k docs per
     language, k events per type) with all of :func:`bottom_k_sample`'s
-    determinism. One window per group partition; at scale this is a
+    determinism (and the same NULL-key exclusion / unique-key
+    contract). One window per group partition; at scale this is a
     single shuffle on ``group_col`` with the same k-row-heap
     economics inside each partition."""
     from pyspark.sql import Window
@@ -81,7 +90,8 @@ def bottom_k_per_group(
     h = F.md5(F.col(key_col).cast("string"))
     w = Window.partitionBy(group_col).orderBy(h, F.col(key_col))
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        df.filter(F.col(key_col).isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )

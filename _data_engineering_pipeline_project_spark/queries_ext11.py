@@ -317,6 +317,7 @@ _BK_LANG_K = 8
       SELECT doc_id, lang, source, n_chars,
              md5(CAST(doc_id AS VARCHAR)) AS h
       FROM documents
+      WHERE doc_id IS NOT NULL
       ORDER BY h NULLS FIRST, doc_id NULLS FIRST LIMIT {_BK_K})
     SELECT doc_id, lang, source, n_chars,
            CAST(row_number() OVER (ORDER BY h NULLS FIRST,
@@ -367,7 +368,7 @@ def bottomk_sample_documents(spark: SparkSession, sf: str) -> DataFrame:
                    PARTITION BY lang
                    ORDER BY md5(CAST(doc_id AS VARCHAR)) NULLS FIRST,
                             doc_id NULLS FIRST) AS rn
-          FROM documents)
+          FROM documents WHERE doc_id IS NOT NULL)
     WHERE rn <= {_BK_LANG_K}
     """,
 )

@@ -615,6 +615,17 @@ def test_bottom_k_sample_properties(spark):
 
     assert Counter(r["g"] for r in per) == {0: 5, 1: 5, 2: 5}
 
+    # NULL keys are EXCLUDED, never silently sampled first (md5(NULL)
+    # is NULL and would sort ahead of every hash)
+    withnull = df.unionByName(
+        spark.createDataFrame([(None, 0), (None, 1)], "k string, g int")
+    )
+    sn = bottom_k_sample(withnull, "k", 16).collect()
+    assert all(r["k"] is not None for r in sn)
+    assert sorted(r["k"] for r in sn) == s1
+    pn = bottom_k_per_group(withnull, "g", "k", 5).collect()
+    assert all(r["k"] is not None for r in pn)
+
 
 def test_sample_maintainer_ticks_equal_one_shot(spark, tmp_path):
     """N maintained ticks == one-shot bottom-k over the union of all
