@@ -666,6 +666,98 @@ def test_sample_maintainer_ticks_equal_one_shot(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Wave 2: OPQ index maintainer (frozen transform, growing codes)
+# ---------------------------------------------------------------------------
+def test_opq_index_maintainer_equals_frozen_one_shot(spark, tmp_path):
+    """After bootstrap + N ticks, served ADC top-k equals a one-shot
+    encode of the FULL accumulated corpus with the same frozen
+    model/codebooks — exactly (encode is deterministic and per-row
+    independent). Redelivery is a no-op; compact() changes nothing
+    served and drops the batch dirs; a fresh handle recovers; a
+    pointerless artifact and a double bootstrap fail loudly."""
+    import os
+
+    from _data_engineering_pipeline_project_spark.operators import pca as P
+    from _data_engineering_pipeline_project_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.opqmaint import (
+        OpqIndexMaintainer,
+    )
+
+    d, m, sub, ksub = 16, 4, 2, 8
+    seed = _synth_lowrank(spark, n=120, d=d, rank=3)
+    b1 = _synth_lowrank(spark, n=160, d=d, rank=3).filter(
+        F.col("vec_id") >= 120
+    )
+    b2 = _synth_lowrank(spark, n=200, d=d, rank=3).filter(
+        F.col("vec_id") >= 160
+    )
+
+    base = str(tmp_path / "opqm")
+    mnt = OpqIndexMaintainer(spark, base)
+    with pytest.raises(ValueError, match="not bootstrapped"):
+        mnt.topk(seed.limit(1))
+    mnt.bootstrap(seed, dim=d, m=m, sub_dim=sub, ksub=ksub)
+    with pytest.raises(ValueError, match="already bootstrapped"):
+        mnt.bootstrap(seed, dim=d, m=m, sub_dim=sub, ksub=ksub)
+    mnt.merge_batch(b1, batch_id=0)
+    mnt.merge_batch(b2, batch_id=1)
+    mnt.merge_batch(b1, batch_id=0)  # redelivery no-op
+    queries = seed.filter(F.col("vec_id") < 5)
+    got = sorted(tuple(r) for r in mnt.topk(queries, k=4).collect())
+
+    # one-shot frozen-model encode over the union
+    ix = P.load_opq_index(spark, f"{base}/artifact")
+    union = seed.unionByName(b1).unionByName(b2)
+    rot_all = P.pca_project_batch(
+        union, ix["model"], r=m * sub, out_col="embedding"
+    )
+    codes_all = pq_encode(rot_all, ix["codebooks"], m, sub)
+    rot_q = P.pca_project_batch(
+        queries, ix["model"], r=m * sub, out_col="embedding"
+    )
+    want = sorted(
+        tuple(r)
+        for r in pq_adc_topk(
+            rot_q, rot_q, k=4, m=m, sub_dim=sub, ksub=ksub,
+            index=(ix["codebooks"], codes_all),
+        ).collect()
+    )
+    assert got == want and len(got) == 20
+
+    # compact: identical serving, batch dirs folded away
+    mnt.compact()
+    assert sorted(tuple(r) for r in mnt.topk(queries, k=4).collect()) == want
+    assert not os.path.isdir(os.path.join(base, "codes_inc", "b0"))
+    # tick after compact still serves exactly
+    b3 = _synth_lowrank(spark, n=230, d=d, rank=3).filter(
+        F.col("vec_id") >= 200
+    )
+    mnt.merge_batch(b3, batch_id=2)
+    m2 = OpqIndexMaintainer(spark, base)  # fresh handle recovers
+    got3 = sorted(tuple(r) for r in m2.topk(queries, k=4).collect())
+    rot_all3 = P.pca_project_batch(
+        union.unionByName(b3), ix["model"], r=m * sub, out_col="embedding"
+    )
+    codes3 = pq_encode(rot_all3, ix["codebooks"], m, sub)
+    want3 = sorted(
+        tuple(r)
+        for r in pq_adc_topk(
+            rot_q, rot_q, k=4, m=m, sub_dim=sub, ksub=ksub,
+            index=(ix["codebooks"], codes3),
+        ).collect()
+    )
+    assert got3 == want3
+
+    # orphaned artifact without pointer fails loudly
+    os.remove(os.path.join(base, "_CURRENT"))
+    with pytest.raises(ValueError, match="no _CURRENT pointer"):
+        OpqIndexMaintainer(spark, base)
+
+
+# ---------------------------------------------------------------------------
 # VERDICT r10 #8 (stretch): Avro source/sink seam (env-gated)
 # ---------------------------------------------------------------------------
 def test_avro_seam(spark, tmp_path):
