@@ -40,11 +40,13 @@ OPQ *with* dimensionality reduction (the top-32 principal directions
 carry the variance; the PQ codes quantize balanced energy), ksub=64
 codes, top-5, query set ``vec_id < 10`` (the ANN family standard).
 
-Also here (r11 wave 2): ``opq_balance_audit_embeddings`` (the
-allocation's per-subspace energy, same deferred-oracle machinery) and
-the bottom-k-by-hash fixed-size samples
-(``bottomk_sample_documents`` / ``bottomk_sample_per_lang_documents``
-— deterministic reservoir-sampling replacement, statically oracled).
+Also here (r11 wave 2): ``embedding_topk_ivfopq`` (the FAISS-standard
+IVF-OPQ composition, sharing the memoized rotated corpus + PQ index),
+``opq_balance_audit_embeddings`` (the allocation's per-subspace
+energy, same deferred-oracle machinery) and the bottom-k-by-hash
+fixed-size samples (``bottomk_sample_documents`` /
+``bottomk_sample_per_lang_documents`` — deterministic
+reservoir-sampling replacement, statically oracled).
 """
 
 from __future__ import annotations
