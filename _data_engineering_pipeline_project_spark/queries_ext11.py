@@ -306,6 +306,141 @@ def _opq_rotated(spark: SparkSession, sf: str):
 
 
 # --------------------------------------------------------------------------
+# Count-Min frequency sketch (operators/frequency.py)
+# --------------------------------------------------------------------------
+_CM_W, _CM_D = 512, 3
+
+
+def _cm_ctes() -> str:
+    from _data_engineering_pipeline_project_spark.operators.frequency import (
+        cm_pos_sql,
+    )
+
+    pos = cm_pos_sql("k", _CM_W, _CM_D)
+    return f"""ks AS (
+      SELECT CAST(user_id AS VARCHAR) AS k, user_id FROM events
+      WHERE user_id IS NOT NULL),
+    pos AS (
+      SELECT k, user_id, i - 1 AS row_idx, p[i] AS col
+      FROM (SELECT k, user_id, {pos} AS p FROM ks),
+           generate_series(1, {_CM_D}) g(i)),
+    cells AS (
+      SELECT row_idx, col, count(*) AS cnt FROM pos
+      GROUP BY row_idx, col),
+    dpos AS (SELECT DISTINCT user_id, row_idx, col FROM pos),
+    est AS (
+      SELECT p.user_id, min(coalesce(c.cnt, 0)) AS cm_estimate
+      FROM dpos p LEFT JOIN cells c
+        ON c.row_idx = p.row_idx AND c.col = p.col
+      GROUP BY p.user_id),
+    exact AS (SELECT user_id, count(*) AS exact_count FROM ks
+              GROUP BY user_id)"""
+
+
+@query(
+    "cm_frequency_audit_events",
+    f"""
+    WITH {_cm_ctes()}
+    SELECT e.user_id, x.exact_count, e.cm_estimate,
+           e.cm_estimate - x.exact_count AS overestimate
+    FROM est e JOIN exact x USING (user_id)
+    ORDER BY overestimate DESC, e.user_id
+    LIMIT 20
+    """,
+)
+def cm_frequency_audit_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min frequency sketch vs exact counts over events.user_id
+    — the 20 keys with the worst overestimate at (width=512, depth=3).
+    Every placement (and therefore every collision) is exact md5
+    integer math, so even the ERRORS hash-match the DuckDB twin: this
+    is the audit a deployed sketch runs to size (width, depth) against
+    its real key distribution, exactly as the Bloom FP audit sizes m.
+    Plan: one explode+groupBy builds the ≤ depth·width cells relation,
+    the estimate joins the BROADCAST cells, and exact counts are one
+    groupBy — no stage carries more than depth rows per input row.
+    The estimate ≥ exact invariant is property-pinned in pytest on
+    hostile keys."""
+    from _data_engineering_pipeline_project_spark.operators import (
+        frequency as FQ,
+    )
+
+    ev = table(spark, sf, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    cells = FQ.cm_build(ev, F.col("user_id"), _CM_W, _CM_D)
+    est = FQ.cm_estimate(
+        cells, ev, F.col("user_id"), _CM_W, _CM_D
+    ).withColumnRenamed("key", "user_id")
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    return (
+        est.join(exact, "user_id")
+        .select(
+            "user_id",
+            "exact_count",
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("exact_count")).alias(
+                "overestimate"
+            ),
+        )
+        .orderBy(F.col("overestimate").desc(), "user_id")
+        .limit(20)
+    )
+
+
+@query(
+    "cm_error_summary_events",
+    f"""
+    WITH {_cm_ctes()}
+    SELECT CAST({_CM_W} AS INTEGER) AS width,
+           CAST({_CM_D} AS INTEGER) AS depth,
+           (SELECT count(*) FROM cells) AS cells_used,
+           count(*) AS n_keys,
+           CAST(sum(CASE WHEN e.cm_estimate > x.exact_count
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_overestimated,
+           CAST(max(e.cm_estimate - x.exact_count) AS BIGINT)
+             AS max_overestimate,
+           CAST(sum(e.cm_estimate - x.exact_count) AS BIGINT)
+             AS total_overestimate
+    FROM est e JOIN exact x USING (user_id)
+    """,
+)
+def cm_error_summary_events(spark: SparkSession, sf: str) -> DataFrame:
+    """The sketch-sizing summary (the Bloom fill/FP-audit shape for
+    frequency): how many cells a (512×3) sketch used, how many keys
+    overestimate at all, and the worst/total overestimate against
+    exact counts — the one-row report that decides whether width/depth
+    fit this key distribution. Estimate-only-over (never under) is the
+    CM contract; this relation MEASURES its magnitude, bit-matched by
+    the twin because collisions are pure hash math."""
+    from _data_engineering_pipeline_project_spark.operators import (
+        frequency as FQ,
+    )
+
+    ev = table(spark, sf, "events").filter(F.col("user_id").isNotNull())
+    cells = FQ.cm_build(ev, F.col("user_id"), _CM_W, _CM_D)
+    est = FQ.cm_estimate(
+        cells, ev, F.col("user_id"), _CM_W, _CM_D
+    ).withColumnRenamed("key", "user_id")
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    j = est.join(exact, "user_id")
+    over = F.col("cm_estimate") - F.col("exact_count")
+    n_cells = cells.count()
+    return j.agg(
+        F.lit(_CM_W).cast("int").alias("width"),
+        F.lit(_CM_D).cast("int").alias("depth"),
+        F.lit(n_cells).alias("cells_used"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum((over > 0).cast("bigint")).alias("n_overestimated"),
+        F.max(over).cast("bigint").alias("max_overestimate"),
+        F.sum(over).cast("bigint").alias("total_overestimate"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Fixed-size deterministic uniform samples (bottom-k by hash)
 # --------------------------------------------------------------------------
 _BK_K = 64

@@ -109,6 +109,8 @@ EXTENSION_QUERIES = [
     "embedding_topk_opq",
     "embedding_topk_ivfopq",
     "opq_balance_audit_embeddings",
+    "cm_frequency_audit_events",
+    "cm_error_summary_events",
     "bottomk_sample_documents",
     "bottomk_sample_per_lang_documents",
     "dp_noisy_counts_events",

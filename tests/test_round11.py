@@ -666,6 +666,64 @@ def test_sample_maintainer_ticks_equal_one_shot(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Wave 2: Count-Min frequency sketch
+# ---------------------------------------------------------------------------
+def test_cm_sketch_properties(spark):
+    """CM contract on hostile keys at a deliberately collision-heavy
+    geometry: estimate ≥ true count for EVERY key (never under);
+    merge of per-part sketches equals the sketch of the union
+    (monoid); geometry validation fails loudly."""
+    from _data_engineering_pipeline_project_spark.operators import (
+        frequency as FQ,
+    )
+
+    hostile = [
+        "", " ", "a", "ünïcode-ké y", "emoji 🙂🚀 key", "line\nbreak",
+        "0", "-1", "9" * 500, "null", "None",
+    ]
+    rows = [(k,) for k in hostile for _ in range(hostile.index(k) + 1)]
+    df = spark.createDataFrame(rows, "k string")
+    W, D = 16, 2  # tiny width: collisions guaranteed
+    cells = FQ.cm_build(df, F.col("k"), W, D)
+    est = {
+        r["key"]: r["cm_estimate"]
+        for r in FQ.cm_estimate(
+            cells, df, F.col("k"), W, D
+        ).collect()
+    }
+    exact = {k: hostile.index(k) + 1 for k in hostile}
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact), (est, exact)
+
+    # monoid: per-part build + merge == build of the union
+    a = spark.createDataFrame(rows[: len(rows) // 2], "k string")
+    b = spark.createDataFrame(rows[len(rows) // 2 :], "k string")
+    merged = {
+        (r["row_idx"], r["col"]): r["cnt"]
+        for r in FQ.cm_merge(
+            FQ.cm_build(a, F.col("k"), W, D),
+            FQ.cm_build(b, F.col("k"), W, D),
+        ).collect()
+    }
+    whole = {
+        (r["row_idx"], r["col"]): r["cnt"]
+        for r in cells.collect()
+    }
+    assert merged == whole
+
+    # NULL keys dropped, never a NULL cell
+    withnull = df.unionByName(spark.createDataFrame([(None,)], "k string"))
+    cn = FQ.cm_build(withnull, F.col("k"), W, D).collect()
+    assert all(r["col"] is not None for r in cn)
+    assert {(r["row_idx"], r["col"]): r["cnt"] for r in cn} == whole
+
+    with pytest.raises(ValueError, match="width"):
+        FQ.cm_positions(F.col("k"), 1, 2)
+    with pytest.raises(ValueError, match="depth"):
+        FQ.cm_positions(F.col("k"), 16, 0)
+
+
+# ---------------------------------------------------------------------------
 # Wave 2: OPQ index maintainer (frozen transform, growing codes)
 # ---------------------------------------------------------------------------
 def test_opq_index_maintainer_equals_frozen_one_shot(spark, tmp_path):
