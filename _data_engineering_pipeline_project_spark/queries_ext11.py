@@ -440,6 +440,60 @@ def cm_error_summary_events(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "cm_heavy_hitter_screen_events",
+    f"""
+    WITH {_cm_ctes()},
+    stats AS (SELECT count(*) AS n, count(DISTINCT user_id) AS kk FROM ks),
+    cand AS (
+      SELECT e.user_id, e.cm_estimate FROM est e, stats s
+      WHERE e.cm_estimate >= CAST('1.2' AS DOUBLE) * s.n / s.kk)
+    SELECT c.user_id, x.exact_count, c.cm_estimate,
+           x.exact_count >= CAST('1.2' AS DOUBLE) * s.n / s.kk AS is_heavy
+    FROM cand c JOIN exact x USING (user_id), stats s
+    """,
+)
+def cm_heavy_hitter_screen_events(spark: SparkSession, sf: str) -> DataFrame:
+    """The operational CM composition — candidates-then-verify, the
+    frequency twin of ``bloom_prefilter_semi_join``: keys whose CM
+    ESTIMATE clears the heavy-hitter threshold (1.2× the mean key
+    frequency) are the candidate set, and only THEY pay the exact
+    verification. Because estimate ≥ exact, the candidate set is a
+    guaranteed SUPERSET of the true heavy hitters (no heavy key can
+    screen out — the no-false-negative direction); ``is_heavy`` marks
+    which candidates survive exact counting, so the relation shows
+    both the answer and the screen's precision. At 100 TB the screen
+    reads depth·width counters; the exact groupBy runs only over the
+    candidate sliver."""
+    from _data_engineering_pipeline_project_spark.operators import (
+        frequency as FQ,
+    )
+
+    ev = table(spark, sf, "events").filter(F.col("user_id").isNotNull())
+    cells = FQ.cm_build(ev, F.col("user_id"), _CM_W, _CM_D)
+    est = FQ.cm_estimate(
+        cells, ev, F.col("user_id"), _CM_W, _CM_D
+    ).withColumnRenamed("key", "user_id")
+    stats = ev.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.countDistinct("user_id").alias("__kk"),
+    )
+    thr = F.lit(1.2) * F.col("__n") / F.col("__kk")
+    cand = (
+        est.crossJoin(F.broadcast(stats))
+        .filter(F.col("cm_estimate") >= thr)
+    )
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    return cand.join(exact, "user_id").select(
+        "user_id",
+        "exact_count",
+        "cm_estimate",
+        (F.col("exact_count") >= thr).alias("is_heavy"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Fixed-size deterministic uniform samples (bottom-k by hash)
 # --------------------------------------------------------------------------

@@ -111,6 +111,7 @@ EXTENSION_QUERIES = [
     "opq_balance_audit_embeddings",
     "cm_frequency_audit_events",
     "cm_error_summary_events",
+    "cm_heavy_hitter_screen_events",
     "bottomk_sample_documents",
     "bottomk_sample_per_lang_documents",
     "dp_noisy_counts_events",

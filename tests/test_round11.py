@@ -723,6 +723,59 @@ def test_cm_sketch_properties(spark):
         FQ.cm_positions(F.col("k"), 16, 0)
 
 
+def test_count_min_maintainer_ticks_equal_one_shot(spark, tmp_path):
+    """N maintained ticks produce cells EXACTLY equal to a one-shot
+    build over the union of batches (cell-wise integer addition is
+    order-free); redelivery is a no-op; recovery and geometry guard
+    behave like the sibling maintainers; estimates never undercount."""
+    from _data_engineering_pipeline_project_spark.operators import (
+        frequency as FQ,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.cmmaint import (
+        CountMinMaintainer,
+    )
+
+    base = str(tmp_path / "cm")
+    W, D = 32, 3
+    mnt = CountMinMaintainer(spark, base, width=W, depth=D)
+    batches = [
+        spark.createDataFrame(
+            [(f"k{i % (10 + b * 5)}",) for i in range(60)], "k string"
+        )
+        for b in range(3)
+    ]
+    for bid, b in enumerate(batches):
+        mnt.merge_batch(b, batch_id=bid)
+    mnt.merge_batch(batches[0], batch_id=0)  # redelivery no-op
+    assert mnt.version == 3
+
+    union = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    want = {
+        (r["row_idx"], r["col"]): r["cnt"]
+        for r in FQ.cm_build(union, F.col("k"), W, D).collect()
+    }
+    got = {
+        (r["row_idx"], r["col"]): r["cnt"]
+        for r in mnt.current().collect()
+    }
+    assert got == want
+
+    exact = {
+        r["k"]: r["n"]
+        for r in union.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    est = {
+        r["key"]: r["cm_estimate"]
+        for r in mnt.estimate(union, "k").collect()
+    }
+    assert all(est[k] >= exact[k] for k in exact)
+
+    m2 = CountMinMaintainer(spark, base, width=W, depth=D)
+    assert m2.version == 3
+    with pytest.raises(ValueError, match="count-min geometry mismatch"):
+        CountMinMaintainer(spark, base, width=64, depth=D)
+
+
 # ---------------------------------------------------------------------------
 # Wave 2: OPQ index maintainer (frozen transform, growing codes)
 # ---------------------------------------------------------------------------
