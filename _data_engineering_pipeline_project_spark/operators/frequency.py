@@ -118,13 +118,16 @@ def cm_estimate(
 ) -> DataFrame:
     """Annotate the DISTINCT keys of ``keys`` with their CM estimate:
     explode each key's depth (row_idx, col) probes, ONE left join on
-    the cells relation (broadcast when the sketch is small — it is
-    ≤ depth·width rows by construction), take the MIN count over
-    depth levels (absent cell = 0). Returns (key, estimate); estimate
-    ≥ the key's true count in whatever the sketch was built over."""
+    the BROADCAST cells relation, take the MIN count over depth levels
+    (absent cell = 0). The broadcast is pinned explicitly (r11 VERDICT
+    #6): the cells side is ≤ depth·width rows BY CONSTRUCTION — a
+    static bound, not a statistics estimate — so point-lookup serving
+    must never degrade to a shuffle when AQE's stats are stale.
+    Returns (key, estimate); estimate ≥ the key's true count in
+    whatever the sketch was built over."""
     probes = _key_cells(keys, key, width, depth)
     return (
-        probes.join(cells, ["row_idx", "col"], "left")
+        probes.join(F.broadcast(cells), ["row_idx", "col"], "left")
         .groupBy("__k")
         .agg(
             F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col)

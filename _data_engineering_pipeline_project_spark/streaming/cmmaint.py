@@ -67,7 +67,25 @@ class CountMinMaintainer:
     def _recover(self) -> tuple[int, int | None]:
         try:
             with open(self._pointer_path()) as f:
-                meta = json.load(f)
+                try:
+                    meta = json.load(f)
+                except json.JSONDecodeError as e:
+                    raise ValueError(
+                        f"corrupt {self._POINTER} pointer at "
+                        f"{self.base_dir} (invalid JSON: {e}); the "
+                        "batch-id watermark and sketch geometry live "
+                        "only in the pointer, so the state cannot be "
+                        "safely served or merged into. Restore the "
+                        "pointer from backup or rebuild in a fresh "
+                        "base_dir."
+                    ) from e
+            if "version" not in meta:
+                raise ValueError(
+                    f"corrupt {self._POINTER} pointer at {self.base_dir}"
+                    " (no 'version' field — truncated or foreign write);"
+                    " restore the pointer from backup or rebuild in a "
+                    "fresh base_dir."
+                )
             self._checkpoint_token = meta.get("checkpoint_token")
             if (meta.get("width"), meta.get("depth")) != (
                 self.width,
@@ -85,16 +103,32 @@ class CountMinMaintainer:
             return int(meta["version"]), meta.get("last_batch_id")
         except FileNotFoundError:
             pass
-        best = 0
+        # pointer lost with state dirs present: counts are NOT
+        # idempotent under re-merge, and the batch-id watermark lives
+        # ONLY in the pointer — silently adopting the newest cells_v*
+        # dir would double-count every redelivered batch, and silently
+        # ignoring it would overwrite live counts at version 1. Neither
+        # is recoverable after the fact, so fail loudly (the
+        # Bm25Maintainer rule, extended per VERDICT r11 #7).
         pat = re.compile(rf"^{self._STATE_NAME}_v(\d+)$")
         if os.path.isdir(self.base_dir):
-            for name in os.listdir(self.base_dir):
-                m = pat.match(name)
-                if m and os.path.exists(
-                    os.path.join(self.base_dir, name, "_SUCCESS")
-                ):
-                    best = max(best, int(m.group(1)))
-        return best, None
+            orphaned = sorted(
+                n
+                for n in os.listdir(self.base_dir)
+                if pat.match(n)
+                and os.path.exists(os.path.join(self.base_dir, n, "_SUCCESS"))
+            )
+            if orphaned:
+                raise ValueError(
+                    f"count-min maintainer state at {self.base_dir} has "
+                    f"committed cells dirs ({orphaned}) but no "
+                    f"{self._POINTER} pointer; the batch-id watermark "
+                    "lives only in the pointer and counter merges are "
+                    "not idempotent, so this state cannot be safely "
+                    "adopted. Restore the pointer from backup or "
+                    "rebuild in a fresh base_dir."
+                )
+        return 0, None
 
     def _commit(self, version: int, batch_id: int | None) -> None:
         tmp = self._pointer_path() + ".tmp"

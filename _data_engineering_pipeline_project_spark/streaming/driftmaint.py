@@ -148,7 +148,25 @@ class DriftMaintainer:
     def _recover(self) -> tuple[int, int | None, int | None]:
         try:
             with open(self._pointer_path()) as f:
-                meta = json.load(f)
+                try:
+                    meta = json.load(f)
+                except json.JSONDecodeError as e:
+                    raise ValueError(
+                        f"corrupt {self._POINTER} pointer at "
+                        f"{self.base_dir} (invalid JSON: {e}); the "
+                        "batch-id watermark and the pinned baseline "
+                        "version live only in the pointer, so the "
+                        "state cannot be safely merged into. Restore "
+                        "the pointer from backup or rebuild in a fresh "
+                        "base_dir."
+                    ) from e
+            if "version" not in meta:
+                raise ValueError(
+                    f"corrupt {self._POINTER} pointer at {self.base_dir}"
+                    " (no 'version' field — truncated or foreign write);"
+                    " restore the pointer from backup or rebuild in a "
+                    "fresh base_dir."
+                )
             self._checkpoint_token = meta.get("checkpoint_token")
             self._dim = meta.get("dim")
             if meta.get("vec_col", self.vec_col) != self.vec_col:
@@ -169,16 +187,33 @@ class DriftMaintainer:
         except FileNotFoundError:
             pass
         self._dim = None
-        best = 0
+        # pointer lost with state dirs present: power sums are NOT
+        # idempotent under re-merge (the watermark is load-bearing) and
+        # the pinned baseline version is recorded only in the pointer —
+        # adopting the newest moments_v* dir would double-count
+        # redelivered batches AND silently forget which version the
+        # drift report compares against. Fail loudly (the
+        # Bm25Maintainer rule, extended per VERDICT r11 #7).
         pat = re.compile(rf"^{self._STATE_NAME}_v(\d+)$")
         if os.path.isdir(self.base_dir):
-            for name in os.listdir(self.base_dir):
-                m = pat.match(name)
-                if m and os.path.exists(
-                    os.path.join(self.base_dir, name, "_SUCCESS")
-                ):
-                    best = max(best, int(m.group(1)))
-        return best, None, None
+            orphaned = sorted(
+                n
+                for n in os.listdir(self.base_dir)
+                if pat.match(n)
+                and os.path.exists(os.path.join(self.base_dir, n, "_SUCCESS"))
+            )
+            if orphaned:
+                raise ValueError(
+                    f"drift maintainer state at {self.base_dir} has "
+                    f"committed moments dirs ({orphaned}) but no "
+                    f"{self._POINTER} pointer; the batch-id watermark "
+                    "and baseline version live only in the pointer and "
+                    "power-sum merges are not idempotent, so this "
+                    "state cannot be safely adopted. Restore the "
+                    "pointer from backup or rebuild in a fresh "
+                    "base_dir."
+                )
+        return 0, None, None
 
     def _commit(self, version: int, batch_id: int | None = None) -> None:
         tmp = self._pointer_path() + ".tmp"

@@ -65,7 +65,24 @@ class SampleMaintainer:
     def _recover(self) -> tuple[int, int | None]:
         try:
             with open(self._pointer_path()) as f:
-                meta = json.load(f)
+                try:
+                    meta = json.load(f)
+                except json.JSONDecodeError as e:
+                    raise ValueError(
+                        f"corrupt {self._POINTER} pointer at "
+                        f"{self.base_dir} (invalid JSON: {e}); the "
+                        "sample geometry (key_col, k) lives only in "
+                        "the pointer, so the state cannot be safely "
+                        "merged into. Restore the pointer from backup "
+                        "or rebuild in a fresh base_dir."
+                    ) from e
+            if "version" not in meta:
+                raise ValueError(
+                    f"corrupt {self._POINTER} pointer at {self.base_dir}"
+                    " (no 'version' field — truncated or foreign write);"
+                    " restore the pointer from backup or rebuild in a "
+                    "fresh base_dir."
+                )
             self._checkpoint_token = meta.get("checkpoint_token")
             if (meta.get("key_col"), meta.get("k")) != (self.key_col, self.k):
                 raise ValueError(
@@ -80,16 +97,31 @@ class SampleMaintainer:
             return int(meta["version"]), meta.get("last_batch_id")
         except FileNotFoundError:
             pass
-        best = 0
+        # pointer lost with state dirs present: the merge itself is
+        # idempotent (bottom-k is a monoid), but the GEOMETRY guard
+        # above runs only against the pointer — adopting an orphaned
+        # dir under a different (key_col, k) would silently change
+        # every hash and the sample contract. Fail loudly (the
+        # Bm25Maintainer rule, extended per VERDICT r11 #7).
         pat = re.compile(rf"^{self._STATE_NAME}_v(\d+)$")
         if os.path.isdir(self.base_dir):
-            for name in os.listdir(self.base_dir):
-                m = pat.match(name)
-                if m and os.path.exists(
-                    os.path.join(self.base_dir, name, "_SUCCESS")
-                ):
-                    best = max(best, int(m.group(1)))
-        return best, None
+            orphaned = sorted(
+                n
+                for n in os.listdir(self.base_dir)
+                if pat.match(n)
+                and os.path.exists(os.path.join(self.base_dir, n, "_SUCCESS"))
+            )
+            if orphaned:
+                raise ValueError(
+                    f"sample maintainer state at {self.base_dir} has "
+                    f"committed sample dirs ({orphaned}) but no "
+                    f"{self._POINTER} pointer; the sample geometry "
+                    "(key_col, k) lives only in the pointer, so this "
+                    "state cannot be safely adopted. Restore the "
+                    "pointer from backup or rebuild in a fresh "
+                    "base_dir."
+                )
+        return 0, None
 
     def _commit(self, version: int, batch_id: int | None) -> None:
         tmp = self._pointer_path() + ".tmp"

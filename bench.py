@@ -1,7 +1,10 @@
 """Benchmark driver: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "runs": {section: [pass totals]},
+"best": {section: sec}, "sf": ...}. Headline and TPC-H sections run
+TWICE; per-query times are best-of-2 and both pass totals are emitted,
+so machine-weather variance is visible in the record itself.
 
 Each query is executed to completion via a count() action (results are
 not collected to the driver — the cost measured is scan + shuffle +
@@ -259,22 +262,34 @@ def main() -> None:
     # query, not first-touch JIT
     q.QUERIES["order_priority_count"](spark, sf_dir).count()
 
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name in BENCH_QUERIES:
-        fn = q.QUERIES.get(name)
-        if fn is None:
-            continue
-        # best of 3: the first run pays one-time codegen/JIT and any run
-        # can catch a contention spike; steady-state throughput is what
-        # the 100 TB comparison cares about
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            fn(spark, sf_dir).count()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
-        total += best
+    # Two full passes per timed section, per-query best-of-2 (VERDICT
+    # r11 #4): the r11 driver bench read +16%/+34% on an UNCHANGED
+    # query surface, and two back-to-back idle runs of identical code
+    # swung 40% — single-pass numbers conflate machine weather with
+    # regressions. Pass 1 also pays one-time codegen/JIT; pass 2 is
+    # warm. Both pass totals are emitted (``runs``) so the variance
+    # itself stays visible, and ``best`` / the headline value use the
+    # per-query minima — the steady-state number a regression would
+    # actually move.
+    def run_section(names: list[str], passes: int = 2):
+        per_query: dict[str, float] = {}
+        pass_totals: list[float] = []
+        for _ in range(passes):
+            ptotal = 0.0
+            for name in names:
+                fn = q.QUERIES.get(name)
+                if fn is None:
+                    continue
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                dt = time.time() - t0
+                ptotal += dt
+                per_query[name] = round(min(per_query.get(name, dt), dt), 3)
+            pass_totals.append(round(ptotal, 3))
+        return per_query, pass_totals
+
+    timings, headline_runs = run_section(BENCH_QUERIES)
+    total = sum(timings.values())
 
     load_after_headline = round(os.getloadavg()[0], 2)
 
@@ -289,16 +304,8 @@ def main() -> None:
         # evict operator-internal self-join caches between queries
         spark.catalog.clearCache()
 
-    tpch_timings: dict[str, float] = {}
-    tpch_total = 0.0
-    for name in TPCH_QUERIES:
-        fn = q.QUERIES.get(name)
-        if fn is None:
-            continue
-        t0 = time.time()
-        fn(spark, sf_dir).count()
-        tpch_timings[name] = round(time.time() - t0, 3)
-        tpch_total += tpch_timings[name]
+    tpch_timings, tpch_runs = run_section(TPCH_QUERIES)
+    tpch_total = sum(tpch_timings.values())
 
     # Full detail dump first (one long line — informational only), then
     # the driver-contract summary as the very last line. The summary
@@ -318,6 +325,11 @@ def main() -> None:
                 "extensions": ext_timings,
                 "tpch": tpch_timings,
                 "tpch_total": round(tpch_total, 3),
+                "runs": {"headline": headline_runs, "tpch": tpch_runs},
+                "best": {
+                    "headline": round(total, 3),
+                    "tpch": round(tpch_total, 3),
+                },
                 "load": loads,
                 "sf": sf,
             }
@@ -332,6 +344,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "tpch_total": round(tpch_total, 3),
+                "runs": {"headline": headline_runs, "tpch": tpch_runs},
+                "best": {
+                    "headline": round(total, 3),
+                    "tpch": round(tpch_total, 3),
+                },
                 "load": loads,
                 "sf": sf,
             }

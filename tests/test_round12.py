@@ -1,0 +1,182 @@
+"""Round 12: the VERDICT r11 brief — maintained IVF-OPQ composition,
+pca-variance deferred oracle, filtered ANN at IVF scale, bench
+de-noising, streaming heavy-hitter screen, cm_estimate broadcast pin,
+hostile-pointer coverage for the r11 maintainers, and the
+drift→re-bootstrap policy operator."""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _emb_batch(spark, ids, shift=0.0, d=8):
+    rows = [
+        (
+            i,
+            [
+                math.sin(0.37 * i * (j + 1)) + (shift if j == 2 else 0.0)
+                for j in range(d)
+            ],
+        )
+        for i in ids
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _keyed_batch(spark, keys):
+    return spark.createDataFrame([(k,) for k in keys], "k string")
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r11 #6: cm_estimate probe join is pinned to broadcast
+# ---------------------------------------------------------------------------
+def test_cm_estimate_probe_plan_is_broadcast(spark):
+    """The cells side of the estimate join is ≤ depth·width rows BY
+    CONSTRUCTION — a static bound, not a statistic — so the probe plan
+    must be a BroadcastHashJoin regardless of AQE's stats freshness
+    (a point-lookup serving path must never degrade to a shuffle)."""
+    from _data_engineering_pipeline_project_spark.operators import (
+        frequency as FQ,
+    )
+    from _data_engineering_pipeline_project_spark.plans.audit import (
+        broadcast_join_count,
+        explain_str,
+    )
+
+    df = _keyed_batch(spark, [f"k{i % 7}" for i in range(200)])
+    cells = FQ.cm_build(df, F.col("k"), width=64, depth=3)
+    est = FQ.cm_estimate(cells, df, F.col("k"), width=64, depth=3)
+    assert broadcast_join_count(est) >= 1
+    assert "SortMergeJoin" not in explain_str(est)
+    # the pin changes the plan, never the answer
+    got = {(r["key"], r["cm_estimate"]) for r in est.collect()}
+    exact = {
+        (r["k"], r["c"])
+        for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert {k for k, _ in got} == {k for k, _ in exact}
+    over = dict(got)
+    for k, c in exact:
+        assert over[k] >= c
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r11 #7: hostile-pointer sweep for the r11 maintainers
+# ---------------------------------------------------------------------------
+def test_cm_maintainer_hostile_pointer(spark, tmp_path):
+    """CountMinMaintainer: corrupt _CURRENT JSON, a truncated pointer
+    missing 'version', and committed cells dirs with a lost pointer
+    must each raise loud, specific errors — counter merges are not
+    idempotent, so silent adoption double-counts and silent restart
+    overwrites live counts."""
+    from _data_engineering_pipeline_project_spark.streaming.cmmaint import (
+        CountMinMaintainer,
+    )
+
+    base = str(tmp_path / "cmm")
+    mnt = CountMinMaintainer(spark, base, width=64, depth=3)
+    mnt.merge_batch(_keyed_batch(spark, ["a", "b", "a"]), batch_id=0)
+    assert mnt.version == 1
+    ptr = os.path.join(base, "_CURRENT")
+
+    good = open(ptr).read()
+    with open(ptr, "w") as f:
+        f.write(good[: len(good) // 2])  # truncated mid-JSON
+    with pytest.raises(ValueError, match="corrupt _CURRENT pointer"):
+        CountMinMaintainer(spark, base, width=64, depth=3)
+
+    with open(ptr, "w") as f:
+        json.dump({"width": 64, "depth": 3}, f)  # valid JSON, no version
+    with pytest.raises(ValueError, match="no 'version' field"):
+        CountMinMaintainer(spark, base, width=64, depth=3)
+
+    os.remove(ptr)
+    with pytest.raises(ValueError, match="no _CURRENT pointer"):
+        CountMinMaintainer(spark, base, width=64, depth=3)
+
+    # restoring the pointer restores service exactly
+    with open(ptr, "w") as f:
+        f.write(good)
+    m2 = CountMinMaintainer(spark, base, width=64, depth=3)
+    assert m2.version == 1
+    est = {
+        (r["key"], r["cm_estimate"])
+        for r in m2.estimate(_keyed_batch(spark, ["a", "b"]), "k").collect()
+    }
+    assert est == {("a", 2), ("b", 1)}
+
+
+def test_sample_maintainer_hostile_pointer(spark, tmp_path):
+    """SampleMaintainer: same sweep — the geometry (key_col, k) lives
+    only in the pointer, so a lost/corrupt pointer over committed
+    sample dirs cannot be silently adopted."""
+    from _data_engineering_pipeline_project_spark.streaming.samplemaint import (
+        SampleMaintainer,
+    )
+
+    base = str(tmp_path / "smm")
+    mnt = SampleMaintainer(spark, base, key_col="k", k=4)
+    mnt.merge_batch(_keyed_batch(spark, [f"k{i}" for i in range(20)]), 0)
+    assert mnt.version == 1
+    ptr = os.path.join(base, "_CURRENT")
+
+    good = open(ptr).read()
+    with open(ptr, "w") as f:
+        f.write("{not json")
+    with pytest.raises(ValueError, match="corrupt _CURRENT pointer"):
+        SampleMaintainer(spark, base, key_col="k", k=4)
+
+    with open(ptr, "w") as f:
+        json.dump({"key_col": "k", "k": 4}, f)
+    with pytest.raises(ValueError, match="no 'version' field"):
+        SampleMaintainer(spark, base, key_col="k", k=4)
+
+    os.remove(ptr)
+    with pytest.raises(ValueError, match="no _CURRENT pointer"):
+        SampleMaintainer(spark, base, key_col="k", k=4)
+
+    with open(ptr, "w") as f:
+        f.write(good)
+    m2 = SampleMaintainer(spark, base, key_col="k", k=4)
+    assert m2.version == 1 and m2.sample().count() == 4
+
+
+def test_drift_maintainer_hostile_pointer(spark, tmp_path):
+    """DriftMaintainer: same sweep — the watermark AND the pinned
+    baseline version live only in the pointer; power-sum merges are
+    not idempotent."""
+    from _data_engineering_pipeline_project_spark.streaming.driftmaint import (
+        DriftMaintainer,
+    )
+
+    base = str(tmp_path / "dmm")
+    mnt = DriftMaintainer(spark, base)
+    mnt.merge_batch(_emb_batch(spark, range(0, 30)), batch_id=0)
+    assert mnt.version == 1
+    ptr = os.path.join(base, "_CURRENT")
+
+    good = open(ptr).read()
+    with open(ptr, "w") as f:
+        f.write(good + "}}}")  # trailing garbage
+    with pytest.raises(ValueError, match="corrupt _CURRENT pointer"):
+        DriftMaintainer(spark, base)
+
+    with open(ptr, "w") as f:
+        json.dump({"vec_col": "embedding"}, f)
+    with pytest.raises(ValueError, match="no 'version' field"):
+        DriftMaintainer(spark, base)
+
+    os.remove(ptr)
+    with pytest.raises(ValueError, match="no _CURRENT pointer"):
+        DriftMaintainer(spark, base)
+
+    with open(ptr, "w") as f:
+        f.write(good)
+    m2 = DriftMaintainer(spark, base)
+    assert m2.version == 1
+    assert {r["n"] for r in m2.moments().collect()} == {30}
