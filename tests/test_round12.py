@@ -180,3 +180,31 @@ def test_drift_maintainer_hostile_pointer(spark, tmp_path):
     m2 = DriftMaintainer(spark, base)
     assert m2.version == 1
     assert {r["n"] for r in m2.moments().collect()} == {30}
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r11 #2: scree report's deferred oracle — raw-model parity
+# ---------------------------------------------------------------------------
+def test_pca_raw_model_duckdb_matches_spark(spark):
+    """The scree twin reads the RAW (unallocated) model — pin that
+    pca_model_duckdb's full 64-eigenvalue spectrum and mean equal the
+    Spark ``pca_fit(method='gram')`` model bit-for-bit at the compare
+    scale (the allocated-model parity test covers only the 32 retained
+    permuted values)."""
+    from _data_engineering_pipeline_project_spark.catalog import table
+    from _data_engineering_pipeline_project_spark.operators.pca import (
+        pca_fit,
+    )
+    from _data_engineering_pipeline_project_spark.queries_ext11 import (
+        _ORACLE_SF_DIR,
+        pca_model_duckdb,
+    )
+
+    duck = pca_model_duckdb(f"{_ORACLE_SF_DIR}/embeddings.parquet", 64)
+    sparkm = pca_fit(
+        table(spark, _ORACLE_SF_DIR, "embeddings"), dim=64, method="gram"
+    )
+    assert duck["mean"] == sparkm["mean"]
+    assert duck["eigenvalues"] == sparkm["eigenvalues"]
+    assert len(duck["eigenvalues"]) == 64
+    assert duck["components"] == sparkm["components"]
