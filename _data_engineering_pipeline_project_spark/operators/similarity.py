@@ -350,18 +350,26 @@ def ivf_seed_centroids(
 
 
 def _nearest_centroid_scores(
-    df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Cross-score every row against the (broadcast) centroid table with
     the codegen'd cosine, rounded to 6 digits before any ranking so both
     engines rank identical values. Norms are evaluated once per row /
     per centroid below the cross join (same doubles as the inline form,
-    so oracle arithmetic is unchanged) instead of once per row×centroid."""
+    so oracle arithmetic is unchanged) instead of once per row×centroid.
+    ``carry`` names metadata columns to keep alongside (r12: the
+    filtered-ANN label rides the assignment instead of a second
+    corpus-sized join)."""
     cent = centroids.withColumn("__cn", l2_norm("__cvec"))
     rows = df.withColumn("__vn", l2_norm(vec_col))
     return rows.crossJoin(F.broadcast(cent)).select(
         F.col(id_col),
         F.col(vec_col),
+        *[F.col(c) for c in carry],
         F.col("centroid_id"),
         F.round(
             dot(F.col(vec_col), F.col("__cvec"))
@@ -438,21 +446,25 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Corpus → nearest centroid list: broadcast cross-score +
     ``max_by`` hash aggregate — partial aggregation combines
     per-partition, so the shuffle moves ONE row per corpus vector,
     never the corpus×centroids product. The argmax struct order
     (cosine, -centroid_id) equals SQL's row_number() ORDER BY cos DESC,
-    centroid_id ASC. Returns (id, centroid_id, vec)."""
+    centroid_id ASC. Returns (id, centroid_id, vec, *carry) — carried
+    metadata columns ride the same aggregate struct, so filtered ANN
+    pays no second corpus join to re-attach them."""
     return (
-        _nearest_centroid_scores(corpus, centroids, id_col, vec_col)
+        _nearest_centroid_scores(corpus, centroids, id_col, vec_col, carry)
         .groupBy(id_col)
         .agg(
             F.max_by(
                 F.struct(
                     F.col("centroid_id").alias("cid"),
                     F.col(vec_col).alias("vec"),
+                    *[F.col(c).alias(f"m{i}") for i, c in enumerate(carry)],
                 ),
                 F.struct(
                     F.col("__cos").alias("c"),
@@ -464,6 +476,10 @@ def ivf_assign(
             F.col(id_col),
             F.col("__best.cid").alias("centroid_id"),
             F.col("__best.vec").alias(vec_col),
+            *[
+                F.col(f"__best.m{i}").alias(c)
+                for i, c in enumerate(carry)
+            ],
         )
     )
 
@@ -601,6 +617,95 @@ def topk_cosine_ivf(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select(query_id_col, "neighbor_id", "cosine", "rnk")
+    )
+
+
+def topk_cosine_ivf_filtered(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    filter_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """FILTERED IVF top-k (VERDICT r11 #3): restrict neighbors to the
+    query's own ``filter_col`` class INSIDE the index walk — the way
+    real vector stores filter, not by post-filtering a top-k (which
+    returns < k, or nothing, when the predicate is selective).
+
+    Plan shape: the metadata column rides the assignment aggregate
+    (``ivf_assign(carry=...)`` — no second corpus join), and the class
+    equality is part of the probe JOIN CONDITION, so non-matching
+    vectors drop inside the broadcast hash join BEFORE any candidate
+    cosine is computed. Candidate volume per query is
+    ~|class ∩ probed lists| instead of ~|probed lists| — the predicate
+    cuts work instead of results. Quantizer geometry (seeds,
+    assignment, probe ranking) is IDENTICAL to the unfiltered IVF:
+    filtering changes which candidates are scored, never where vectors
+    live — so one index serves every predicate."""
+    centroids = ivf_seed_centroids(corpus, num_centroids, id_col, vec_col)
+    assigned = ivf_assign(
+        corpus, centroids, id_col, vec_col, carry=(filter_col,)
+    )
+
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        F.col(filter_col).alias("__qfilter"),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("__cos").desc(), F.col("centroid_id")
+    )
+    probes = (
+        _nearest_centroid_scores(
+            q, centroids, query_id_col, "__qvec", carry=("__qfilter",)
+        )
+        .withColumn("__rnk", F.row_number().over(wq))
+        .filter(F.col("__rnk") <= nprobe)
+        .select(
+            query_id_col,
+            "__qvec",
+            "__qfilter",
+            F.col("centroid_id").alias("__pcid"),
+            l2_norm("__qvec").alias("__qn"),
+        )
+    )
+
+    scored = (
+        assigned.withColumn("__cn", l2_norm(vec_col))
+        .join(
+            F.broadcast(probes),
+            (F.col("centroid_id") == F.col("__pcid"))
+            & (F.col(filter_col) == F.col("__qfilter")),
+        )
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            F.col(filter_col),
+            F.round(
+                dot(F.col(vec_col), F.col("__qvec"))
+                / (F.col("__cn") * F.col("__qn")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            filter_col,
+            "cosine",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
     )
 
 

@@ -1,0 +1,93 @@
+"""Round-12 registrations (VERDICT r11 brief): filtered ANN at IVF
+scale, and the serving face of the maintained IVF-OPQ index.
+
+``embedding_topk_filtered_ivf`` is the scale form of
+``embedding_topk_filtered`` (queries_ext5.py): the brute-force variant
+pre-filters but still scores the whole class; real vector stores
+filter INSIDE the index walk, so only (class ∩ probed lists) is ever
+scored. The predicate sits in the probe JOIN CONDITION — below the
+candidate scoring, above nothing (see
+``operators/similarity.py:topk_cosine_ivf_filtered``). One static
+DuckDB twin covers it: the proven IVF oracle with the label carried
+through assignment/probes and the equality in the scored stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from _data_engineering_pipeline_project_spark.catalog import table
+from _data_engineering_pipeline_project_spark.queries import query
+
+_FILTERED_IVF_SQL = """
+    WITH seeds AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cvec,
+             md5(CAST(vec_id AS VARCHAR)) AS h
+      FROM embeddings ORDER BY h, vec_id LIMIT 8
+    ),
+    cent AS (
+      SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER)
+               AS centroid_id, cvec
+      FROM seeds
+    ),
+    cscore AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS vec, e.label,
+             c.centroid_id,
+             round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS cos
+      FROM embeddings e, cent c
+    ),
+    assigned AS (
+      SELECT vec_id, vec, label, centroid_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cos DESC, centroid_id) AS arnk
+        FROM cscore) WHERE arnk = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, vec AS qv, label AS qlabel, centroid_id
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cos DESC, centroid_id) AS arnk
+        FROM cscore WHERE vec_id < 10) WHERE arnk <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, a.label,
+             round(list_dot_product(a.vec, p.qv)
+                   / (sqrt(list_dot_product(a.vec, a.vec))
+                      * sqrt(list_dot_product(p.qv, p.qv))), 6) AS cosine
+      FROM assigned a JOIN probes p USING (centroid_id)
+      WHERE a.vec_id <> p.query_id AND a.label = p.qlabel
+    )
+    SELECT query_id, neighbor_id, label, cosine, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+"""
+
+
+@query("embedding_topk_filtered_ivf", _FILTERED_IVF_SQL)
+def embedding_topk_filtered_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """Filtered vector search AT IVF SCALE: top-5 same-``label``
+    neighbors, with the predicate applied inside the index walk — on
+    the assigned-lists relation, in the probe join condition, BEFORE
+    any candidate cosine (``topk_cosine_ivf_filtered``). The
+    brute-force sibling (``embedding_topk_filtered``) is the recall
+    reference; this is the 100 TB serving form: candidates per query
+    are ~|class ∩ probed lists|, and because no candidate outside the
+    class is ever ranked, selective predicates still return the full k
+    the probed lists can supply (post-filtering a plain top-k returns
+    < k — pinned by test). Deterministic seeds/rounding/tie-breaks
+    keep exact oracle parity, filtered edition."""
+    from _data_engineering_pipeline_project_spark.operators.similarity import (
+        topk_cosine_ivf_filtered,
+    )
+
+    emb = table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return topk_cosine_ivf_filtered(
+        emb, queries, k=5, num_centroids=8, nprobe=2, filter_col="label"
+    )

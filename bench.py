@@ -155,6 +155,7 @@ EXTENSION_QUERIES = [
     "quality_ensemble_documents",
     "weighted_jaccard_pairs_documents",
     "embedding_topk_filtered",
+    "embedding_topk_filtered_ivf",
     "table_fingerprint_orders",
     "corpus_curation_v2_pipeline",
     "exact_median_order_value",

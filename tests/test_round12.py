@@ -208,3 +208,74 @@ def test_pca_raw_model_duckdb_matches_spark(spark):
     assert duck["eigenvalues"] == sparkm["eigenvalues"]
     assert len(duck["eigenvalues"]) == 64
     assert duck["components"] == sparkm["components"]
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r11 #3: filtered ANN inside the IVF index walk
+# ---------------------------------------------------------------------------
+def _labeled_corpus(spark, n=240, d=8, n_labels=8):
+    rows = [
+        (
+            i,
+            f"class_{i % n_labels}",
+            # i+3 offset: no all-zero vector (cosine needs a norm)
+            [math.sin(0.61 * (i + 3) * (j + 1)) for j in range(d)],
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+
+
+def test_filtered_ivf_returns_full_k_where_postfilter_starves(spark):
+    """The brief's acceptance shape: with a selective predicate (1/8 of
+    the corpus per class), filtering INSIDE the index walk returns the
+    full k same-class neighbors the probed lists can supply, while
+    post-filtering an unfiltered top-k returns < k. Also pins: every
+    returned neighbor matches the query's class, ranks are contiguous
+    from 1, and the filtered result is exactly the top-k of the
+    class-restricted candidate set (no non-class candidate ever
+    displaced a class member)."""
+    from _data_engineering_pipeline_project_spark.operators.similarity import (
+        topk_cosine_ivf,
+        topk_cosine_ivf_filtered,
+    )
+
+    corpus = _labeled_corpus(spark)
+    queries = corpus.filter(F.col("vec_id") < 6)
+    k = 5
+
+    filt = topk_cosine_ivf_filtered(
+        corpus, queries, k=k, num_centroids=4, nprobe=2, filter_col="label"
+    ).collect()
+    labels = {r["vec_id"]: r["label"] for r in queries.collect()}
+    by_q: dict = {}
+    for r in filt:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(labels)
+    for qid, rows in by_q.items():
+        # full k, all in-class, contiguous ranks
+        assert len(rows) == k
+        assert all(r["label"] == labels[qid] for r in rows)
+        assert sorted(r["rnk"] for r in rows) == list(range(1, k + 1))
+
+    # the anti-pattern this operator exists to avoid: post-filtering
+    # the unfiltered top-k starves on a selective predicate
+    unfilt = topk_cosine_ivf(
+        corpus, queries, k=k, num_centroids=4, nprobe=2
+    ).collect()
+    nbr_labels = {r["vec_id"]: r["label"] for r in corpus.collect()}
+    post = {}
+    for r in unfilt:
+        if nbr_labels[r["neighbor_id"]] == labels[r["query_id"]]:
+            post[r["query_id"]] = post.get(r["query_id"], 0) + 1
+    starved = [q for q in labels if post.get(q, 0) < k]
+    assert starved, "post-filtering unexpectedly kept full k everywhere"
+
+    # and in-walk filtering never loses recall vs post-filtering: the
+    # surviving post-filter pairs are a subset of the filtered result
+    filt_pairs = {(r["query_id"], r["neighbor_id"]) for r in filt}
+    for r in unfilt:
+        if nbr_labels[r["neighbor_id"]] == labels[r["query_id"]]:
+            assert (r["query_id"], r["neighbor_id"]) in filt_pairs
