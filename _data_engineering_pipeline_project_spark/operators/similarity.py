@@ -1203,6 +1203,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    index: tuple | None = None,
 ) -> DataFrame:
     """IVFADC — the production ANN composition (coarse inverted lists ×
     product-quantized codes): queries probe their ``nprobe`` nearest
@@ -1213,14 +1214,24 @@ def ivfpq_topk(
     are cut, which is exactly the memory-bandwidth economics of a
     100 TB vector store. All stages reuse the family's deterministic
     seeding and fixed-point ADC, so even the composed operator is
-    hash-parity checkable."""
-    centroids = ivf_seed_centroids(corpus, num_centroids, id_col, vec_col)
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col).select(
-        id_col, "centroid_id"
-    )
-    # session-memoized PQ index shared with pq_adc_topk (same
-    # corpus+params -> identical codebooks and codes)
-    cb, codes = pq_index_shared(corpus, m, sub_dim, ksub, id_col, vec_col)
+    hash-parity checkable.
+
+    ``index``: an optional pre-built ``(centroids, assigned,
+    codebooks, codes)`` quadruple — e.g. the maintained relations of
+    ``streaming/ivfopqmaint.py`` — served as-is; ``corpus`` is then
+    never touched and ``queries`` must already live in the index's
+    vector space (the maintainer rotates them first)."""
+    if index is not None:
+        centroids, assigned, cb, codes = index
+        assigned = assigned.select(id_col, "centroid_id")
+    else:
+        centroids = ivf_seed_centroids(corpus, num_centroids, id_col, vec_col)
+        assigned = ivf_assign(corpus, centroids, id_col, vec_col).select(
+            id_col, "centroid_id"
+        )
+        # session-memoized PQ index shared with pq_adc_topk (same
+        # corpus+params -> identical codebooks and codes)
+        cb, codes = pq_index_shared(corpus, m, sub_dim, ksub, id_col, vec_col)
 
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
@@ -1252,6 +1263,13 @@ def ivfpq_topk(
     cand = assigned.join(F.broadcast(probes), "centroid_id").select(
         query_id_col, id_col
     )
+    if index is not None:
+        # maintained lists are at-least-once appends (a crash between
+        # the codes commit and the outer pointer can re-append a
+        # batch's assignments); assignment is deterministic, so exact
+        # duplicates collapse here — a distinct on the CANDIDATE
+        # sliver (post-probe), never on the corpus-sized lists
+        cand = cand.distinct()
     scored = (
         cand.filter(F.col(query_id_col) != F.col(id_col))
         .join(codes, id_col)
