@@ -533,6 +533,7 @@ def save_opq_index(
     ksub: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    model: dict | None = None,
 ) -> None:
     """Persist the full OPQ retrieval artifact: ``path/pca`` (the
     balanced rotation — :func:`save_pca_model`) + ``path/pq`` (PQ
@@ -551,11 +552,26 @@ def save_opq_index(
         save_pq_index,
     )
 
-    model = opq_allocate(
-        pca_fit(corpus, dim=dim, id_col=id_col, vec_col=vec_col, method="gram"),
-        m,
-        sub_dim,
-    )
+    if model is None:
+        model = opq_allocate(
+            pca_fit(
+                corpus, dim=dim, id_col=id_col, vec_col=vec_col,
+                method="gram",
+            ),
+            m,
+            sub_dim,
+        )
+    elif "opq_permutation" not in model or model.get("dim") != dim:
+        # a caller-supplied model must be THE allocated model this
+        # exact pipeline would train (pca_fit(gram) → opq_allocate is
+        # deterministic, so reusing a session-memoized fit changes
+        # nothing — the train-once share); a raw/foreign model would
+        # silently freeze the wrong rotation into the artifact
+        raise ValueError(
+            "save_opq_index(model=...) needs an opq_allocate'd model "
+            f"of dim {dim} (got keys {sorted(model)} with dim "
+            f"{model.get('dim')})"
+        )
     rot = pca_project_batch(
         corpus, model, r=m * sub_dim, id_col=id_col, vec_col=vec_col,
         out_col=vec_col,

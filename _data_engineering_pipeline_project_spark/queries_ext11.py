@@ -324,8 +324,14 @@ def _ivfopq_maintained(spark: SparkSession, sf: str):
     mnt = IvfOpqIndexMaintainer(
         spark, os.path.join(tmpdir, "index"), num_centroids=_IVFOPQ_CENTROIDS
     )
+    # the allocated model is shared with embedding_topk_opq's memo —
+    # pca_fit(gram) → opq_allocate is deterministic, so the bootstrap
+    # freezes the IDENTICAL rotation without paying a second
+    # covariance job in the same session
+    model, _rot = _opq_rotated(spark, sf)
     mnt.bootstrap(
-        emb, dim=_OPQ_DIM, m=_OPQ_M, sub_dim=_OPQ_SD, ksub=_OPQ_K
+        emb, dim=_OPQ_DIM, m=_OPQ_M, sub_dim=_OPQ_SD, ksub=_OPQ_K,
+        model=model,
     )
     if key is not None:
         _IVFOPQ_MAINT_MEMO[key] = (mnt, tmpdir)

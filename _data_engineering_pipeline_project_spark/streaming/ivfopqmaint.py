@@ -159,11 +159,13 @@ class IvfOpqIndexMaintainer:
         ksub: int = 64,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        model: dict | None = None,
     ) -> None:
         """One offline training job: freeze rotation + codebooks +
         seed codes (``OpqIndexMaintainer.bootstrap``), fit the coarse
         quantizer on the ROTATED seed, ingest the rotated seed into
-        the lists."""
+        the lists. ``model`` optionally reuses an already-fit
+        allocated model (deterministic train-once share)."""
         if self._meta.get("bootstrapped"):
             raise ValueError(
                 f"IVF-OPQ maintainer at {self.base_dir} is already "
@@ -178,6 +180,7 @@ class IvfOpqIndexMaintainer:
             ksub=ksub,
             id_col=id_col,
             vec_col=vec_col,
+            model=model,
         )
         rot = self._rotate(corpus)
         self.lists.id_col = id_col

@@ -119,10 +119,14 @@ class OpqIndexMaintainer:
         ksub: int = 64,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        model: dict | None = None,
     ) -> None:
         """One offline training job: fit + allocate + project + encode
         the seed corpus (``save_opq_index``), then open the maintainer
-        over it. The model/codebooks are FROZEN from here on."""
+        over it. The model/codebooks are FROZEN from here on.
+        ``model`` optionally reuses an already-fit allocated model
+        (the deterministic train-once share — save_opq_index guards
+        its geometry)."""
         if self._meta.get("bootstrapped"):
             raise ValueError(
                 f"OPQ maintainer at {self.base_dir} is already "
@@ -142,6 +146,7 @@ class OpqIndexMaintainer:
             ksub=ksub,
             id_col=id_col,
             vec_col=vec_col,
+            model=model,
         )
         self._commit(
             {

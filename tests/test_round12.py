@@ -612,3 +612,47 @@ def test_rebootstrap_decision_on_planted_drift(spark, tmp_path):
         rebootstrap_decision(
             spark, mnt.drift_report(), var_ratio_bounds=(2.0, 0.5)
         )
+
+
+# ---------------------------------------------------------------------------
+# save_opq_index model passthrough: train-once share, foreign-model guard
+# ---------------------------------------------------------------------------
+def test_save_opq_index_model_share_is_bit_identical(spark, tmp_path):
+    """Passing the session's already-fit allocated model to
+    save_opq_index freezes the IDENTICAL artifact the internal refit
+    would have trained (deterministic pipeline) — pinned by comparing
+    both artifacts' served rows. A raw (unallocated) or wrong-dim
+    model is refused loudly."""
+    from _data_engineering_pipeline_project_spark.operators import pca as P
+
+    d, m, sub, ksub = 16, 4, 2, 8
+    df = _emb_batch(spark, range(1, 121), d=d)
+    model = P.opq_allocate(P.pca_fit(df, dim=d, method="gram"), m, sub)
+
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    P.save_opq_index(df, pa, dim=d, m=m, sub_dim=sub, ksub=ksub)
+    P.save_opq_index(df, pb, dim=d, m=m, sub_dim=sub, ksub=ksub, model=model)
+    qs = df.filter(F.col("vec_id") < 5)
+    got_a = sorted(
+        tuple(r)
+        for r in P.opq_topk_from_index(
+            P.load_opq_index(spark, pa), qs, k=3
+        ).collect()
+    )
+    got_b = sorted(
+        tuple(r)
+        for r in P.opq_topk_from_index(
+            P.load_opq_index(spark, pb), qs, k=3
+        ).collect()
+    )
+    assert got_a == got_b and len(got_a) == 12  # 4 queries × k=3
+
+    raw = P.pca_fit(df, dim=d, method="gram")  # not allocated
+    with pytest.raises(ValueError, match="opq_allocate'd model"):
+        P.save_opq_index(
+            df, str(tmp_path / "c"), dim=d, m=m, sub_dim=sub, model=raw
+        )
+    with pytest.raises(ValueError, match="opq_allocate'd model"):
+        P.save_opq_index(
+            df, str(tmp_path / "d"), dim=d + 1, m=m, sub_dim=sub, model=model
+        )
