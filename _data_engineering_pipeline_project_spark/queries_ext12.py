@@ -91,3 +91,80 @@ def embedding_topk_filtered_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return topk_cosine_ivf_filtered(
         emb, queries, k=5, num_centroids=8, nprobe=2, filter_col="label"
     )
+
+
+# --------------------------------------------------------------------------
+# Recall audit of the maintained IVF-OPQ serving path
+# --------------------------------------------------------------------------
+def _ivfopq_recall_sql() -> str:
+    """Deferred twin: the full IVF-OPQ oracle (``queries_ext11._
+    ivfopq_sql`` — independently re-derived rotation and all) as one
+    CTE, the brute-force exact-cosine twin as another, recall@5 as
+    their per-query intersection. Nested WITHs inside CTE bodies are
+    legal DuckDB; both building blocks are the already-hash-green
+    twins, so the audit inherits their parity."""
+    from _data_engineering_pipeline_project_spark.queries_ext import (
+        _TOPK_SQL,
+    )
+    from _data_engineering_pipeline_project_spark.queries_ext11 import (
+        _ivfopq_sql,
+    )
+
+    return f"""
+    WITH approx AS ({_ivfopq_sql()}),
+    exact0 AS ({_TOPK_SQL}),
+    hits AS (
+      SELECT a.query_id, count(*) AS hits
+      FROM approx a JOIN exact0 e
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY a.query_id),
+    qs AS (SELECT DISTINCT query_id FROM exact0)
+    SELECT q.query_id,
+           CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+           round(coalesce(h.hits, 0) / 5.0, 6) AS recall
+    FROM qs q LEFT JOIN hits h USING (query_id)
+"""
+
+
+@query("ivfopq_recall_audit_embeddings", _ivfopq_recall_sql)  # deferred
+def ivfopq_recall_audit_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@5 of the MAINTAINED IVF-OPQ serving path against exact
+    brute-force cosine ground truth, per query — the serving-quality
+    number a deployed vector store tracks next to its drift monitors
+    (recall decays as frozen quantizers age; `rebootstrap_decision`
+    is the response). Composes two already-green deterministic
+    relations: the maintained index's top-5 (session-bootstrapped
+    artifacts — warm after the first OPQ-family call) semi-joined
+    against the exact top-5; ground truth is queries×corpus ONCE for
+    the fixed query panel, never corpus² (the LSH/matryoshka recall-
+    audit precedent). Hash-green end to end, which certifies the
+    ENTIRE composed serving path — rotation, coarse lists, ADC —
+    agrees across engines not just on values but on the quality
+    metric derived from them."""
+    from _data_engineering_pipeline_project_spark.operators.similarity import (
+        topk_cosine_bruteforce,
+    )
+    from _data_engineering_pipeline_project_spark.queries_ext11 import (
+        embedding_topk_ivfopq,
+    )
+
+    approx = embedding_topk_ivfopq(spark, sf).select(
+        "query_id", "neighbor_id"
+    )
+    emb = table(spark, sf, "embeddings")
+    exact = topk_cosine_bruteforce(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, dim=64
+    ).select("query_id", "neighbor_id")
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    qs = exact.select("query_id").distinct()
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("hits", F.lit(0)).cast("bigint").alias("hits"),
+        F.round(F.coalesce("hits", F.lit(0)) / F.lit(5.0), 6).alias(
+            "recall"
+        ),
+    )

@@ -38,13 +38,27 @@ from pyspark.sql import types as T
 
 class SampleMaintainer:
     """Maintain the bottom-``k``-by-``md5(key_col)`` rows of everything
-    merged so far, versioned under ``base_dir``."""
+    merged so far, versioned under ``base_dir``.
+
+    ``group_col`` (r12): maintain the STRATIFIED panel instead — the
+    bottom-k WITHIN each group (k docs per language, k events per
+    type). Per-group bottom-k is the same monoid per stratum, so every
+    property transfers: O(batch) ticks, merge bounded by 2k rows per
+    group seen, N ticks == one-shot over the union (pinned by test),
+    state exactly ≤ k rows per group forever. New groups simply start
+    their own k-row heap on first appearance — the balanced eval panel
+    stays balanced as the group universe grows."""
 
     _POINTER = "_CURRENT"
     _STATE_NAME = "sample"
 
     def __init__(
-        self, spark: SparkSession, base_dir: str, key_col: str, k: int = 64
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        key_col: str,
+        k: int = 64,
+        group_col: str | None = None,
     ):
         if k < 1:
             raise ValueError("k must be >= 1")
@@ -52,6 +66,7 @@ class SampleMaintainer:
         self.base_dir = base_dir
         self.key_col = key_col
         self.k = int(k)
+        self.group_col = group_col
         self.state_dir = os.path.join(base_dir, self._STATE_NAME)
         os.makedirs(base_dir, exist_ok=True)
         self._checkpoint_token: str | None = None
@@ -84,15 +99,22 @@ class SampleMaintainer:
                     "fresh base_dir."
                 )
             self._checkpoint_token = meta.get("checkpoint_token")
-            if (meta.get("key_col"), meta.get("k")) != (self.key_col, self.k):
+            if (
+                meta.get("key_col"),
+                meta.get("k"),
+                meta.get("group_col"),
+            ) != (self.key_col, self.k, self.group_col):
                 raise ValueError(
                     "sample geometry mismatch: state at "
                     f"{self.base_dir} was built with key_col="
-                    f"{meta.get('key_col')!r}, k={meta.get('k')} but this "
+                    f"{meta.get('key_col')!r}, k={meta.get('k')}, "
+                    f"group_col={meta.get('group_col')!r} but this "
                     f"maintainer was opened with key_col={self.key_col!r}, "
-                    f"k={self.k}; a different key changes every hash and a "
-                    "different k changes the sample contract. Reopen with "
-                    "the recorded geometry or rebuild in a fresh base_dir."
+                    f"k={self.k}, group_col={self.group_col!r}; a "
+                    "different key changes every hash, a different k or "
+                    "stratification changes the sample contract. Reopen "
+                    "with the recorded geometry or rebuild in a fresh "
+                    "base_dir."
                 )
             return int(meta["version"]), meta.get("last_batch_id")
         except FileNotFoundError:
@@ -132,6 +154,7 @@ class SampleMaintainer:
                     "last_batch_id": batch_id,
                     "key_col": self.key_col,
                     "k": self.k,
+                    "group_col": self.group_col,
                     "checkpoint_token": self._checkpoint_token,
                 },
                 f,
@@ -153,12 +176,16 @@ class SampleMaintainer:
 
     def _bottom_k(self, df: DataFrame) -> DataFrame:
         from _data_engineering_pipeline_project_spark.operators.sampling import (
+            bottom_k_per_group,
             bottom_k_sample,
         )
 
-        return bottom_k_sample(
-            df.filter(F.col(self.key_col).isNotNull()), self.key_col, self.k
-        )
+        keyed = df.filter(F.col(self.key_col).isNotNull())
+        if self.group_col is not None:
+            return bottom_k_per_group(
+                keyed, self.group_col, self.key_col, self.k
+            )
+        return bottom_k_sample(keyed, self.key_col, self.k)
 
     def merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch hook: bottom-k the batch (TakeOrdered — k rows

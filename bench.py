@@ -156,6 +156,7 @@ EXTENSION_QUERIES = [
     "weighted_jaccard_pairs_documents",
     "embedding_topk_filtered",
     "embedding_topk_filtered_ivf",
+    "ivfopq_recall_audit_embeddings",
     "table_fingerprint_orders",
     "corpus_curation_v2_pipeline",
     "exact_median_order_value",

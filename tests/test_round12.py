@@ -656,3 +656,65 @@ def test_save_opq_index_model_share_is_bit_identical(spark, tmp_path):
         P.save_opq_index(
             df, str(tmp_path / "d"), dim=d + 1, m=m, sub_dim=sub, model=model
         )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sample maintainer (r12 wave 2): per-group bottom-k monoid
+# ---------------------------------------------------------------------------
+def test_stratified_sample_maintainer_ticks_equal_one_shot(spark, tmp_path):
+    """SampleMaintainer(group_col=...): N ticks == a one-shot per-group
+    bottom-k over the union, bit-for-bit; state holds ≤ k rows per
+    group seen; a group first appearing in a later batch starts its
+    own panel; redelivery is a no-op; reopening with a different
+    stratification (or none) fails loudly; a legacy unstratified
+    pointer is not adoptable by a stratified handle."""
+    from _data_engineering_pipeline_project_spark.operators.sampling import (
+        bottom_k_per_group,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.samplemaint import (
+        SampleMaintainer,
+    )
+
+    def batch(lo, hi, langs):
+        rows = [
+            (f"doc_{i}", langs[i % len(langs)], i) for i in range(lo, hi)
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id string, lang string, n int"
+        )
+
+    base = str(tmp_path / "strat")
+    k = 3
+    mnt = SampleMaintainer(
+        spark, base, key_col="doc_id", k=k, group_col="lang"
+    )
+    b1 = batch(0, 40, ["en", "de"])
+    b2 = batch(40, 90, ["en", "fr"])  # fr appears only in tick 2
+    b3 = batch(90, 120, ["de", "fr"])
+    union = b1.unionByName(b2).unionByName(b3)
+    for i, b in enumerate((b1, b2, b3)):
+        mnt.merge_batch(b, batch_id=i)
+    mnt.merge_batch(b2, batch_id=1)  # redelivery: no-op
+    got = {tuple(r) for r in mnt.sample().collect()}
+    want = {
+        tuple(r)
+        for r in bottom_k_per_group(union, "lang", "doc_id", k).collect()
+    }
+    assert got == want
+    # exactly k per group, all three groups present
+    per_group: dict = {}
+    for _, lang, _n in got:
+        per_group[lang] = per_group.get(lang, 0) + 1
+    assert per_group == {"en": k, "de": k, "fr": k}
+
+    # geometry: stratification is part of the contract
+    with pytest.raises(ValueError, match="sample geometry mismatch"):
+        SampleMaintainer(spark, base, key_col="doc_id", k=k)
+    with pytest.raises(ValueError, match="sample geometry mismatch"):
+        SampleMaintainer(
+            spark, base, key_col="doc_id", k=k, group_col="source"
+        )
+    m2 = SampleMaintainer(
+        spark, base, key_col="doc_id", k=k, group_col="lang"
+    )
+    assert {tuple(r) for r in m2.sample().collect()} == want
