@@ -168,3 +168,94 @@ def ivfopq_recall_audit_embeddings(spark: SparkSession, sf: str) -> DataFrame:
             "recall"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Maintained dedup clusters (r12 wave 3): ClusterMaintainer, served
+# --------------------------------------------------------------------------
+# session memo: ONE maintained cluster state per (app, sf, fileset) —
+# the registered query serves the maintainer's relations instead of a
+# per-call batch recompute (the _IVFOPQ_MAINT_MEMO economics)
+_CC_MAINT_MEMO: dict = {}
+
+
+def clear_cluster_maint_memo() -> None:
+    """Eviction hook (wired into ``queries_ext.clear_query_caches``):
+    drop memoized maintained-cluster states and their on-disk temp
+    dirs."""
+    import shutil
+
+    for _mnt, tmpdir in _CC_MAINT_MEMO.values():
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    _CC_MAINT_MEMO.clear()
+
+
+def _cc_maintained(spark: SparkSession, sf: str):
+    """The session's maintained cluster state over this sf's MinHash
+    pair graph: the shared pair stage is split into three deterministic
+    ingest batches (crc32(doc_a) mod 3 — in production each batch is a
+    corpus slice's pairs, the DedupMaintainer cadence) and ticked into
+    a ``ClusterMaintainer``. WHAT is served is split-independent by the
+    maintainer's contract (N ticks == one-shot, bit-for-bit, pinned by
+    test), which is exactly why the one-shot recursive-CTE oracle
+    checks it."""
+    import os
+    import tempfile
+
+    from _data_engineering_pipeline_project_spark.queries_ext import (
+        _minhash_pairs_shared,
+        _session_key,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.clustermaint import (
+        ClusterMaintainer,
+    )
+
+    key = _session_key(spark, sf)
+    if key in _CC_MAINT_MEMO:
+        return _CC_MAINT_MEMO[key][0]
+    pairs = _minhash_pairs_shared(spark, sf)  # pinned: one execution/session
+    tmpdir = tempfile.mkdtemp(prefix="cc_maint_")
+    mnt = ClusterMaintainer(spark, os.path.join(tmpdir, "clusters"))
+    bucket = F.pmod(
+        F.crc32(F.col("doc_a").cast("string").cast("binary")), F.lit(3)
+    )
+    for i in range(3):
+        mnt.merge_batch(pairs.filter(bucket == i), batch_id=i)
+    _CC_MAINT_MEMO[key] = (mnt, tmpdir)
+    return mnt
+
+
+def _cc_maintained_sql() -> str:
+    from _data_engineering_pipeline_project_spark.queries_ext import (
+        _MINHASH_PAIRS_CTES,
+    )
+
+    return f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    ed AS (SELECT doc_a AS a, doc_b AS b FROM dup_pairs
+           UNION SELECT doc_b, doc_a FROM dup_pairs),
+    reach(id, r) AS (
+      SELECT a, b FROM ed
+      UNION
+      SELECT reach.id, ed.b FROM reach JOIN ed ON reach.r = ed.a
+    )
+    SELECT id, least(id, min(r)) AS cluster FROM reach GROUP BY id
+    """
+
+
+@query("dedup_clusters_maintained", _cc_maintained_sql)
+def dedup_clusters_maintained(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup clusters served from the MAINTAINED state
+    (``streaming/clustermaint.py:ClusterMaintainer``) instead of a
+    batch transitive-closure job: the pair graph arrives in three
+    ingest ticks; each tick contracts its edges through the current
+    node→root map, runs CC on the batch-bounded contracted graph, and
+    folds root merges into a flat alias relation. Serving is one
+    broadcast join (members ⋈ aliases) — the corpus-sized relation is
+    scanned, never shuffled, never rewritten per tick. The oracle is
+    the ONE-SHOT recursive-CTE twin (same SQL as
+    ``dedup_clusters_documents``): hash-parity here certifies the
+    incremental decomposition end-to-end, not just row counts.
+    Reference: per-run ``drop_duplicates`` (project/etl2.py:150-165);
+    this is its cross-batch LLM-corpus extension."""
+    return _cc_maintained(spark, sf).clusters()

@@ -157,6 +157,7 @@ EXTENSION_QUERIES = [
     "embedding_topk_filtered",
     "embedding_topk_filtered_ivf",
     "ivfopq_recall_audit_embeddings",
+    "dedup_clusters_maintained",
     "table_fingerprint_orders",
     "corpus_curation_v2_pipeline",
     "exact_median_order_value",

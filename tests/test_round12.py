@@ -718,3 +718,105 @@ def test_stratified_sample_maintainer_ticks_equal_one_shot(spark, tmp_path):
         spark, base, key_col="doc_id", k=k, group_col="lang"
     )
     assert {tuple(r) for r in m2.sample().collect()} == want
+
+
+# ---------------------------------------------------------------------------
+# ClusterMaintainer (r12 wave 3): incremental connected components
+# ---------------------------------------------------------------------------
+def _cm_pairs(spark, rows):
+    return spark.createDataFrame(rows, "doc_a string, doc_b string")
+
+
+def test_cluster_maintainer_ticks_equal_one_shot(spark, tmp_path):
+    """N ticks == one-shot connected_components over the union of all
+    batch edges, bit-for-bit — including cross-batch transitive merges,
+    a later-arriving smaller id stealing a cluster's root (alias), and
+    an alias-of-alias fold (flatness invariant); redelivery is a no-op;
+    compact() preserves served clusters and empties the alias map;
+    post-compact ticks keep the contract."""
+    from _data_engineering_pipeline_project_spark.operators.dedup import (
+        connected_components,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.clustermaint import (
+        ClusterMaintainer,
+    )
+
+    b1 = _cm_pairs(spark, [("b", "c"), ("x", "y")])
+    b2 = _cm_pairs(spark, [("c", "d"), ("a", "b")])  # alias b -> a
+    b3 = _cm_pairs(spark, [("w", "x")])  # alias x -> w
+    b4 = _cm_pairs(spark, [("d", "y")])  # merge: w -> a, x re-folds to a
+    batches = [b1, b2, b3, b4]
+
+    base = str(tmp_path / "cc")
+    mnt = ClusterMaintainer(spark, base)
+    union = b1
+    for i, b in enumerate(batches):
+        mnt.merge_batch(b, batch_id=i)
+        if i > 0:
+            union = union.unionByName(b)
+    mnt.merge_batch(b2, batch_id=1)  # redelivery: no-op
+
+    want = {tuple(r) for r in connected_components(union).collect()}
+    got = {tuple(r) for r in mnt.clusters().collect()}
+    assert got == want
+    assert {c for _, c in got} == {"a"}  # everything merged under min id
+
+    # flatness: every alias points at a CURRENT root (never chained)
+    al = mnt.aliases()
+    assert al is not None
+    amap = {r["old_root"]: r["new_root"] for r in al.collect()}
+    assert set(amap.values()) <= ({"a"})
+    assert all(v not in amap for v in amap.values())
+
+    # compact: served relation unchanged, aliases emptied, dirs folded
+    info = mnt.compact()
+    assert info["folded_batches"] > 0
+    assert mnt.aliases() is None
+    assert {tuple(r) for r in mnt.clusters().collect()} == want
+
+    # post-compact tick: new island + a merge into the compacted base
+    b5 = _cm_pairs(spark, [("p", "q"), ("q", "z")])
+    mnt.merge_batch(b5, batch_id=4)
+    union5 = union.unionByName(b5)
+    want5 = {tuple(r) for r in connected_components(union5).collect()}
+    assert {tuple(r) for r in mnt.clusters().collect()} == want5
+
+    # reopen: same state from the pointer
+    m2 = ClusterMaintainer(spark, base)
+    assert {tuple(r) for r in m2.clusters().collect()} == want5
+
+
+def test_cluster_maintainer_hostile_pointers(spark, tmp_path):
+    """House hostile-artifact discipline: geometry mismatch, corrupt
+    JSON, truncated pointer, and orphaned state dirs all fail loudly
+    and specifically."""
+    import json
+    import os
+
+    from _data_engineering_pipeline_project_spark.streaming.clustermaint import (
+        ClusterMaintainer,
+    )
+
+    base = str(tmp_path / "cc")
+    mnt = ClusterMaintainer(spark, base)
+    mnt.merge_batch(_cm_pairs(spark, [("b", "c")]), batch_id=0)
+
+    with pytest.raises(ValueError, match="cluster geometry mismatch"):
+        ClusterMaintainer(spark, base, a_col="left", b_col="right")
+
+    ptr = os.path.join(base, "_CURRENT")
+    good = open(ptr).read()
+    with open(ptr, "w") as f:
+        f.write("{not json")
+    with pytest.raises(ValueError, match="invalid JSON"):
+        ClusterMaintainer(spark, base)
+    with open(ptr, "w") as f:
+        json.dump({"last_batch_id": 0}, f)
+    with pytest.raises(ValueError, match="truncated or foreign"):
+        ClusterMaintainer(spark, base)
+    os.remove(ptr)
+    with pytest.raises(ValueError, match="cannot be safely adopted"):
+        ClusterMaintainer(spark, base)
+    with open(ptr, "w") as f:
+        f.write(good)
+    assert ClusterMaintainer(spark, base).clusters().count() == 2
