@@ -407,6 +407,11 @@ def clear_query_caches() -> None:
     )
 
     clear_cluster_maint_memo()
+    from _data_engineering_pipeline_project_spark.queries_ext12 import (
+        clear_neardup_maint_memo,
+    )
+
+    clear_neardup_maint_memo()
     for frames in _QUERY_LOCAL_CACHES.values():
         for df in frames:
             try:

@@ -259,3 +259,77 @@ def dedup_clusters_maintained(spark: SparkSession, sf: str) -> DataFrame:
     Reference: per-run ``drop_duplicates`` (project/etl2.py:150-165);
     this is its cross-batch LLM-corpus extension."""
     return _cc_maintained(spark, sf).clusters()
+
+
+# --------------------------------------------------------------------------
+# Maintained near-dup index (r12 wave 3): NearDupIndexMaintainer, served
+# --------------------------------------------------------------------------
+_NDM_MEMO: dict = {}
+
+
+def clear_neardup_maint_memo() -> None:
+    """Eviction hook (wired into ``queries_ext.clear_query_caches``)."""
+    import shutil
+
+    for _mnt, tmpdir in _NDM_MEMO.values():
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    _NDM_MEMO.clear()
+
+
+def _ndm_maintained(spark: SparkSession, sf: str):
+    """The session's maintained near-dup index over this sf's documents:
+    three deterministic ingest batches (crc32(doc_id) mod 3 — corpus
+    slices in production) ticked into a ``NearDupIndexMaintainer``.
+    Served pairs are split-independent by the maintainer's contract
+    (pairs() == one-shot minhash_near_dup_pairs over the union,
+    bit-for-bit, pinned by test), so the one-shot oracle checks them."""
+    import os
+    import tempfile
+
+    from _data_engineering_pipeline_project_spark.queries_ext import (
+        _session_key,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.neardupmaint import (
+        NearDupIndexMaintainer,
+    )
+
+    key = _session_key(spark, sf)
+    if key in _NDM_MEMO:
+        return _NDM_MEMO[key][0]
+    docs = table(spark, sf, "documents").select("doc_id", "text")
+    tmpdir = tempfile.mkdtemp(prefix="ndm_index_")
+    mnt = NearDupIndexMaintainer(spark, os.path.join(tmpdir, "index"))
+    bucket = F.pmod(
+        F.crc32(F.col("doc_id").cast("string").cast("binary")), F.lit(3)
+    )
+    for i in range(3):
+        mnt.merge_batch(docs.filter(bucket == i), batch_id=i)
+    _NDM_MEMO[key] = (mnt, tmpdir)
+    return mnt
+
+
+def _ndm_pairs_sql() -> str:
+    from _data_engineering_pipeline_project_spark.queries_ext import (
+        _MINHASH_SQL,
+    )
+
+    return _MINHASH_SQL
+
+
+@query("near_dup_pairs_maintained", _ndm_pairs_sql)
+def near_dup_pairs_maintained(spark: SparkSession, sf: str) -> DataFrame:
+    """Verified near-dup pairs served from the MAINTAINED LSH index
+    (``streaming/neardupmaint.py:NearDupIndexMaintainer``): banded
+    signatures are computed once per document at its ingest tick and
+    STORED — each tick's candidates are within-batch collisions plus
+    batch-bands ⋈ stored-bands (index scanned, batch broadcast), with
+    exact-Jaccard verification on the candidate sliver only (partner
+    texts fetched by broadcast semi lookup, re-shingled — per-doc
+    pure). The oracle is the ONE-SHOT MinHash twin (same SQL as
+    ``minhash_lsh_near_dup_documents``): hash-parity certifies the
+    incremental index — signature storage, cross-tick candidate
+    generation, sliver verification — by value, including every
+    jaccard double. Hot-shingle capping is a corpus-global statistic
+    and deliberately absent here (freeze-at-bootstrap in deployment;
+    see the module docstring)."""
+    return _ndm_maintained(spark, sf).pairs()

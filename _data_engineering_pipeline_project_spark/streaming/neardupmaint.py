@@ -1,0 +1,472 @@
+"""Maintained MinHash-LSH near-dup index: signatures stored once,
+pairs and clusters maintained per ingest batch.
+
+``minhash_near_dup_pairs`` is the batch pipeline: shingle → signature →
+band → bucket-join → exact-Jaccard verify, over the whole corpus.
+``cross_minhash_near_dup`` restricts the candidate join to new×corpus
+but still RECOMPUTES the corpus side's signatures every cycle — fine
+for a query, wrong for an ingest loop. This maintainer is the missing
+production piece: the banded signature relation is the INDEX, written
+once per document and appended per batch, so a tick's work is bounded
+by the batch:
+
+1. shingle + sign + band the BATCH only (O(batch) — per-doc
+   deterministic, which is what makes the index append-only);
+2. candidates = within-batch band collisions ∪ batch-bands ⋈ STORED
+   bands (the stored side is scanned with the batch side broadcast —
+   never recomputed, never reshuffled);
+3. exact-Jaccard verify on the candidate sliver: partner documents'
+   texts are fetched from the append-only doc store (broadcast semi
+   lookup) and re-shingled — a per-doc pure function, so verification
+   is bit-identical to the one-shot pipeline's;
+4. verified pairs append to the pairs relation and tick the embedded
+   ``ClusterMaintainer`` (clustermaint.py), so duplicate-cluster labels
+   stay current without any transitive-closure recompute.
+
+Completeness argument (why N ticks == one-shot over the union,
+bit-for-bit, pinned by test): band rows are a pure per-document
+function, so the stored index equals the one-shot band relation
+restricted to ingested docs; any colliding pair (a, b) with b ingested
+after a is found at b's tick (batch×stored), same-tick pairs at their
+common tick (within-batch), and Jaccard per pair depends only on the
+two documents' shingle multisets — identical whichever tick verifies
+it. Hence ``pairs()`` equals ``minhash_near_dup_pairs(union)`` exactly
+and ``clusters()`` equals the one-shot transitive closure (the
+embedded maintainer's own contract).
+
+Hot-shingle capping (``max_shingle_df``) is deliberately NOT part of
+the maintained form: the document-frequency cap is a CORPUS-GLOBAL
+statistic — applying it per batch would drop different shingles at
+different ticks and break replay determinism. A deployment that needs
+it freezes the hot-shingle list at bootstrap (the frozen-quantizer
+discipline the OPQ/IVF maintainers use) and re-bootstraps on drift;
+the uncapped semantics here keep exact parity with the uncapped
+one-shot oracle.
+
+Reference parity: the reference dedups per run
+(``project/etl2.py:150-165``); this is the cross-batch LLM-corpus
+extension — the standing near-dup index a 100 TB ingest maintains.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class NearDupIndexMaintainer:
+    """Maintain the banded-signature index, verified near-dup pairs, and
+    duplicate-cluster labels of everything ingested so far; all three
+    served relations equal their one-shot twins over the union of every
+    batch, bit-for-bit."""
+
+    _POINTER = "_CURRENT"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        shingle_n: int = 3,
+        num_hashes: int = 32,
+        rows_per_band: int = 2,
+        threshold: float = 0.3,
+    ):
+        if num_hashes % rows_per_band != 0:
+            raise ValueError("num_hashes must be divisible by rows_per_band")
+        self.spark = spark
+        self.base_dir = base_dir
+        self.id_col = id_col
+        self.text_col = text_col
+        self.shingle_n = int(shingle_n)
+        self.num_hashes = int(num_hashes)
+        self.rows_per_band = int(rows_per_band)
+        self.threshold = float(threshold)
+        os.makedirs(base_dir, exist_ok=True)
+        self._checkpoint_token: str | None = None
+        self._meta = self._recover()
+        from _data_engineering_pipeline_project_spark.streaming.clustermaint import (
+            ClusterMaintainer,
+        )
+
+        self._cc = ClusterMaintainer(
+            spark, os.path.join(base_dir, "clusters"), "doc_a", "doc_b"
+        )
+
+    # --- pointer protocol (house pattern) ---------------------------------
+
+    def _geometry(self) -> dict:
+        return {
+            "id_col": self.id_col,
+            "text_col": self.text_col,
+            "shingle_n": self.shingle_n,
+            "num_hashes": self.num_hashes,
+            "rows_per_band": self.rows_per_band,
+            "threshold": self.threshold,
+        }
+
+    def _pointer_path(self) -> str:
+        return os.path.join(self.base_dir, self._POINTER)
+
+    def _recover(self) -> dict:
+        try:
+            with open(self._pointer_path()) as f:
+                try:
+                    meta = json.load(f)
+                except json.JSONDecodeError as e:
+                    raise ValueError(
+                        f"corrupt {self._POINTER} pointer at "
+                        f"{self.base_dir} (invalid JSON: {e}); the index "
+                        "geometry and batch manifest live only in the "
+                        "pointer, so the state cannot be safely merged "
+                        "into. Restore the pointer from backup or rebuild "
+                        "in a fresh base_dir."
+                    ) from e
+            if "version" not in meta or "batches" not in meta:
+                raise ValueError(
+                    f"corrupt {self._POINTER} pointer at {self.base_dir}"
+                    " (missing 'version'/'batches' — truncated or foreign"
+                    " write); restore the pointer from backup or rebuild"
+                    " in a fresh base_dir."
+                )
+            want = self._geometry()
+            got = {k: meta.get(k) for k in want}
+            if got != want:
+                raise ValueError(
+                    "near-dup index geometry mismatch: state at "
+                    f"{self.base_dir} was built with {got} but this "
+                    f"maintainer was opened with {want}; a different "
+                    "signature/banding geometry changes every stored "
+                    "band row. Reopen with the recorded geometry or "
+                    "rebuild in a fresh base_dir."
+                )
+            self._checkpoint_token = meta.get("checkpoint_token")
+            return meta
+        except FileNotFoundError:
+            pass
+        if os.path.isdir(self.base_dir):
+            orphaned = sorted(
+                n
+                for n in os.listdir(self.base_dir)
+                if re.match(r"^(docs|bands|pairs)_(b\d+|base_v\d+)$", n)
+                and os.path.exists(os.path.join(self.base_dir, n, "_SUCCESS"))
+            )
+            if orphaned:
+                raise ValueError(
+                    f"near-dup index state at {self.base_dir} has "
+                    f"committed dirs ({orphaned}) but no "
+                    f"{self._POINTER} pointer; the geometry and batch "
+                    "manifest live only in the pointer, so this state "
+                    "cannot be safely adopted. Restore the pointer from "
+                    "backup or rebuild in a fresh base_dir."
+                )
+        return {
+            "version": 0,
+            "last_batch_id": None,
+            "batches": [],
+            **self._geometry(),
+        }
+
+    def _commit(self, meta: dict) -> None:
+        meta = {**meta, "checkpoint_token": self._checkpoint_token}
+        tmp = self._pointer_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._pointer_path())
+        self._meta = meta
+
+    @property
+    def version(self) -> int:
+        return int(self._meta["version"])
+
+    # --- served relations ---------------------------------------------------
+
+    def _union_dirs(self, prefix: str) -> DataFrame | None:
+        paths = []
+        gen = int(self._meta.get(f"{prefix}_gen", 0))
+        if gen > 0:
+            paths.append(os.path.join(self.base_dir, f"{prefix}_base_v{gen}"))
+        for b in self._meta["batches"]:
+            p = os.path.join(self.base_dir, f"{prefix}_b{b}")
+            if os.path.exists(os.path.join(p, "_SUCCESS")):
+                paths.append(p)
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
+    def docs(self) -> DataFrame | None:
+        """(id, text) — every ingested document, append-only."""
+        return self._union_dirs("docs")
+
+    def bands(self) -> DataFrame | None:
+        """(id, band, sig) — the standing LSH index, append-only."""
+        return self._union_dirs("bands")
+
+    def pairs(self) -> DataFrame:
+        """(doc_a, doc_b, jaccard) — verified near-dup pairs over
+        everything ingested; equals ``minhash_near_dup_pairs`` over the
+        union of every batch, bit-for-bit."""
+        got = self._union_dirs("pairs")
+        if got is None:
+            raise ValueError("no batches merged yet")
+        return got
+
+    def clusters(self) -> DataFrame:
+        """(id, cluster) duplicate-cluster labels — the embedded
+        ``ClusterMaintainer``'s served relation."""
+        return self._cc.clusters()
+
+    # --- maintenance ----------------------------------------------------------
+
+    def merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch hook. Document ids are the dedup identity: rows
+        whose id is already ingested are dropped (re-ingest of an id is
+        a replay, not new content). All writes are per-batch dirs in
+        overwrite mode + a last-committed pointer, so a crash anywhere
+        replays idempotently."""
+        meta = self._meta
+        last = meta.get("last_batch_id")
+        if last is not None and batch_id <= last:
+            return
+        from _data_engineering_pipeline_project_spark.operators.dedup import (
+            _band_frame,
+            _shingle_table,
+            minhash_wide_signatures,
+        )
+
+        idc, txc = self.id_col, self.text_col
+        batch = batch_df.select(idc, txc).filter(F.col(idc).isNotNull())
+        docs = self.docs()
+        if docs is not None:
+            # state scan 1: drop replayed ids (batch side broadcast)
+            batch = batch.join(
+                docs.select(idc), idc, "left_anti"
+            )
+        batch = batch.persist()
+        sh_b = _shingle_table(batch, idc, txc, self.shingle_n).persist()
+        bands_b = _band_frame(
+            minhash_wide_signatures(sh_b, idc, self.num_hashes),
+            idc,
+            self.num_hashes,
+            self.rows_per_band,
+        ).persist()
+        # within-batch candidates (a < b, the one-shot orientation)
+        a, b = bands_b.alias("a"), bands_b.alias("b")
+        within = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col(f"a.{idc}") < F.col(f"b.{idc}")),
+            )
+            .select(
+                F.col(f"a.{idc}").alias("doc_a"),
+                F.col(f"b.{idc}").alias("doc_b"),
+            )
+            .dropDuplicates()
+        )
+        # cross candidates: stored index scanned, batch side broadcast
+        stored = self.bands()
+        if stored is not None:
+            cross = (
+                stored.join(
+                    F.broadcast(
+                        bands_b.select(
+                            F.col(idc).alias("__new_id"), "band", "sig"
+                        )
+                    ),
+                    ["band", "sig"],
+                )
+                .select(
+                    F.least(F.col(idc), F.col("__new_id")).alias("doc_a"),
+                    F.greatest(F.col(idc), F.col("__new_id")).alias("doc_b"),
+                )
+                .dropDuplicates()
+            )
+            cands = within.unionByName(cross).dropDuplicates()
+        else:
+            cands = within
+        cands = cands.persist()
+        # partner texts: state scan 2 (candidate ids broadcast), then
+        # re-shingle the sliver — per-doc pure, so bit-identical to the
+        # one-shot pipeline's shingle rows for those docs
+        if docs is not None:
+            partner_ids = (
+                cands.select(F.col("doc_a").alias(idc))
+                .unionByName(cands.select(F.col("doc_b").alias(idc)))
+                .distinct()
+                .join(F.broadcast(batch.select(idc)), idc, "left_anti")
+            )
+            partners = docs.join(F.broadcast(partner_ids), idc)
+            sh_all = sh_b.unionByName(
+                _shingle_table(partners, idc, txc, self.shingle_n)
+            ).persist()
+        else:
+            sh_all = sh_b
+        # exact-Jaccard verify on candidates only — the one-shot formula
+        sizes = sh_all.groupBy(idc).agg(F.count(F.lit(1)).alias("n_sh"))
+        common = (
+            cands.join(
+                sh_all.select(F.col(idc).alias("doc_a"), "shingle"), "doc_a"
+            )
+            .join(
+                sh_all.select(F.col(idc).alias("doc_b"), "shingle"),
+                ["doc_b", "shingle"],
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+        pairs_new = (
+            common.join(
+                sizes.select(
+                    F.col(idc).alias("doc_a"), F.col("n_sh").alias("n_a")
+                ),
+                "doc_a",
+            )
+            .join(
+                sizes.select(
+                    F.col(idc).alias("doc_b"), F.col("n_sh").alias("n_b")
+                ),
+                "doc_b",
+            )
+            .withColumn(
+                "jaccard",
+                F.col("common")
+                / (F.col("n_a") + F.col("n_b") - F.col("common")),
+            )
+            .filter(F.col("jaccard") >= self.threshold)
+            .select("doc_a", "doc_b", "jaccard")
+        ).persist()
+        # --- writes (idempotent per-batch dirs), then pointer ---------------
+        batch.write.mode("overwrite").parquet(
+            os.path.join(self.base_dir, f"docs_b{batch_id}")
+        )
+        bands_b.write.mode("overwrite").parquet(
+            os.path.join(self.base_dir, f"bands_b{batch_id}")
+        )
+        pairs_new.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self.base_dir, f"pairs_b{batch_id}")
+        )
+        # tick the embedded cluster maintainer (its own watermark makes
+        # replays no-ops there too)
+        self._cc.merge_batch(pairs_new, batch_id)
+        self._commit(
+            {
+                **meta,
+                "version": int(meta["version"]) + 1,
+                "last_batch_id": batch_id,
+                "batches": [*meta["batches"], batch_id],
+            }
+        )
+        for df in (pairs_new, sh_b, bands_b, batch):
+            df.unpersist()
+        if docs is not None:
+            sh_all.unpersist()
+
+    def compact(self) -> dict:
+        """Fold the per-batch docs/bands/pairs dirs into one base
+        generation each and drop them — serving stops paying a
+        per-batch-dir listing/footer cost as ingest batches accrete
+        (the Bm25Maintainer.compact economics; the embedded cluster
+        maintainer compacts itself with ``self._cc.compact()`` on its
+        own cadence). Served relations are unchanged (pinned by test).
+        Crash-safe: new bases written first, pointer swaps atomically,
+        old dirs removed after. On a real table the bands base would
+        be written bucketed by (band, sig) and docs by id, turning the
+        tick's three state scans into pruned reads."""
+        if not self._meta["batches"]:
+            return {"folded_batches": 0}
+        new_gens = {}
+        for prefix, cluster_col in (
+            ("docs", self.id_col),
+            ("bands", "sig"),
+            ("pairs", "doc_a"),
+        ):
+            rel = self._union_dirs(prefix)
+            gen = int(self._meta.get(f"{prefix}_gen", 0)) + 1
+            (
+                rel.repartition(
+                    max(1, self.spark.sparkContext.defaultParallelism // 8)
+                )
+                .sortWithinPartitions(cluster_col)
+                .write.mode("overwrite")
+                .parquet(
+                    os.path.join(self.base_dir, f"{prefix}_base_v{gen}")
+                )
+            )
+            new_gens[f"{prefix}_gen"] = gen
+        old_batches = list(self._meta["batches"])
+        old_gens = {
+            p: int(self._meta.get(f"{p}_gen", 0))
+            for p in ("docs", "bands", "pairs")
+        }
+        self._commit({**self._meta, "batches": [], **new_gens})
+        for prefix in ("docs", "bands", "pairs"):
+            for b in old_batches:
+                shutil.rmtree(
+                    os.path.join(self.base_dir, f"{prefix}_b{b}"),
+                    ignore_errors=True,
+                )
+            if old_gens[prefix] > 0:
+                shutil.rmtree(
+                    os.path.join(
+                        self.base_dir, f"{prefix}_base_v{old_gens[prefix]}"
+                    ),
+                    ignore_errors=True,
+                )
+        return {"folded_batches": len(old_batches), **new_gens}
+
+    # --- streaming glue -----------------------------------------------------
+
+    def bind_checkpoint(self, token: str) -> None:
+        if self._checkpoint_token is None:
+            self._checkpoint_token = token
+            return
+        if self._checkpoint_token != token:
+            raise ValueError(
+                "streaming checkpoint mismatch: maintainer state was "
+                f"built under checkpoint {self._checkpoint_token!r} but "
+                f"this run uses {token!r}. Restore the original "
+                "checkpoint or start a new maintainer base_dir."
+            )
+
+    def _guarded_hook(self, checkpoint_dir: str):
+        from _data_engineering_pipeline_project_spark.streaming.ckptid import (
+            checkpoint_identity,
+        )
+
+        def hook(batch_df: DataFrame, batch_id: int) -> None:
+            self.bind_checkpoint(checkpoint_identity(checkpoint_dir))
+            self.merge_batch(batch_df, batch_id)
+
+        return hook
+
+    def run_available_now(
+        self,
+        source_dir: str,
+        schema: T.StructType | str,
+        checkpoint_dir: str,
+        source_format: str = "parquet",
+    ) -> None:
+        """Drain new document files from ``source_dir`` into the index."""
+        stream = (
+            self.spark.readStream.format(source_format)
+            .schema(schema)
+            .load(source_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(self._guarded_hook(checkpoint_dir))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

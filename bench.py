@@ -158,6 +158,7 @@ EXTENSION_QUERIES = [
     "embedding_topk_filtered_ivf",
     "ivfopq_recall_audit_embeddings",
     "dedup_clusters_maintained",
+    "near_dup_pairs_maintained",
     "table_fingerprint_orders",
     "corpus_curation_v2_pipeline",
     "exact_median_order_value",

@@ -820,3 +820,169 @@ def test_cluster_maintainer_hostile_pointers(spark, tmp_path):
     with open(ptr, "w") as f:
         f.write(good)
     assert ClusterMaintainer(spark, base).clusters().count() == 2
+
+
+# ---------------------------------------------------------------------------
+# NearDupIndexMaintainer (r12 wave 3): maintained MinHash-LSH index
+# ---------------------------------------------------------------------------
+def _ndm_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_near_dup_index_maintainer_ticks_equal_one_shot(spark, tmp_path):
+    """pairs() == one-shot minhash_near_dup_pairs over the union and
+    clusters() == the one-shot transitive closure, bit-for-bit, with
+    near-dup groups SPANNING batches (the cross-tick band join);
+    redelivery and replayed doc ids are no-ops; reopening with a
+    different banding geometry fails loudly."""
+    from _data_engineering_pipeline_project_spark.operators.dedup import (
+        connected_components,
+        minhash_near_dup_pairs,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.neardupmaint import (
+        NearDupIndexMaintainer,
+    )
+
+    def doc(i, tail):
+        return (
+            i,
+            "the quick brown fox jumps over the lazy dog while the "
+            f"cat sleeps near the warm fire {tail}",
+        )
+
+    # three near-dup groups spanning batches + unrelated noise docs
+    b1 = _ndm_docs(
+        spark,
+        [
+            doc(1, "group one alpha"),
+            doc(10, "group two beta"),
+            (90, "completely different text about spark shuffle "
+                 "partitions and adaptive query execution planning"),
+        ],
+    )
+    b2 = _ndm_docs(
+        spark,
+        [
+            doc(2, "group one alpha bis"),
+            doc(11, "group two beta bis"),
+            doc(20, "group three gamma"),
+            (91, "another unrelated document mentioning parquet row "
+                 "groups footers statistics and bloom filters"),
+        ],
+    )
+    b3 = _ndm_docs(
+        spark,
+        [
+            doc(3, "group one alpha ter"),
+            doc(21, "group three gamma bis"),
+            (92, "a third standalone text on catalyst optimizer rules "
+                 "and whole stage code generation spans"),
+        ],
+    )
+    union = b1.unionByName(b2).unionByName(b3)
+
+    base = str(tmp_path / "ndm")
+    mnt = NearDupIndexMaintainer(spark, base)
+    for i, b in enumerate((b1, b2, b3)):
+        mnt.merge_batch(b, batch_id=i)
+    mnt.merge_batch(b2, batch_id=1)  # redelivery: no-op
+    mnt.merge_batch(b2, batch_id=3)  # replayed ids in a NEW batch: dropped
+
+    want_pairs = {
+        tuple(r) for r in minhash_near_dup_pairs(union, threshold=0.3).collect()
+    }
+    got_pairs = {tuple(r) for r in mnt.pairs().collect()}
+    assert got_pairs == want_pairs
+    assert len(want_pairs) >= 3  # groups actually paired
+    # cross-batch pairs exist (e.g. doc 1 in b1 ~ doc 2 in b2)
+    assert any(a == 1 and b == 2 for a, b, _ in got_pairs)
+
+    want_cc = {
+        tuple(r)
+        for r in connected_components(
+            minhash_near_dup_pairs(union, threshold=0.3)
+        ).collect()
+    }
+    assert {tuple(r) for r in mnt.clusters().collect()} == want_cc
+
+    # reopen: same served relations; geometry guard
+    m2 = NearDupIndexMaintainer(spark, base)
+    assert {tuple(r) for r in m2.pairs().collect()} == want_pairs
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        NearDupIndexMaintainer(spark, base, num_hashes=16)
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        NearDupIndexMaintainer(spark, base, threshold=0.5)
+
+    # compact: served relations unchanged; post-compact ticks keep the
+    # contract (cross candidates now come from the folded bands base)
+    info = m2.compact()
+    assert info["folded_batches"] == 4  # incl. the all-replayed empty batch
+    assert {tuple(r) for r in m2.pairs().collect()} == want_pairs
+    assert {tuple(r) for r in m2.clusters().collect()} == want_cc
+    b4 = _ndm_docs(spark, [doc(4, "group one alpha quater")])
+    m2.merge_batch(b4, batch_id=4)
+    union4 = union.unionByName(b4)
+    want4 = {
+        tuple(r)
+        for r in minhash_near_dup_pairs(union4, threshold=0.3).collect()
+    }
+    assert {tuple(r) for r in m2.pairs().collect()} == want4
+
+
+def test_near_dup_index_maintainer_hostile_pointers(spark, tmp_path):
+    import json
+    import os
+
+    from _data_engineering_pipeline_project_spark.streaming.neardupmaint import (
+        NearDupIndexMaintainer,
+    )
+
+    base = str(tmp_path / "ndm")
+    mnt = NearDupIndexMaintainer(spark, base)
+    mnt.merge_batch(
+        _ndm_docs(spark, [(1, "a b c d e f g"), (2, "a b c d e f h")]),
+        batch_id=0,
+    )
+    ptr = os.path.join(base, "_CURRENT")
+    good = open(ptr).read()
+    with open(ptr, "w") as f:
+        f.write("{nope")
+    with pytest.raises(ValueError, match="invalid JSON"):
+        NearDupIndexMaintainer(spark, base)
+    with open(ptr, "w") as f:
+        json.dump({"k": 1}, f)
+    with pytest.raises(ValueError, match="truncated or foreign"):
+        NearDupIndexMaintainer(spark, base)
+    os.remove(ptr)
+    with pytest.raises(ValueError, match="cannot be safely adopted"):
+        NearDupIndexMaintainer(spark, base)
+    with open(ptr, "w") as f:
+        f.write(good)
+    assert NearDupIndexMaintainer(spark, base).docs().count() == 2
+
+
+def test_cluster_maintainer_serve_plan_is_broadcast_no_shuffle(spark, tmp_path):
+    """Serving plan pin (100 TB property): ``clusters()`` is ONE
+    BroadcastHashJoin over the append-only member dirs — the
+    corpus-sized side is scanned, never shuffled (no SortMergeJoin, no
+    Exchange on the members side). Same discipline for the near-dup
+    maintainer's verification lookups, pinned here at its serve face."""
+    from _data_engineering_pipeline_project_spark.plans.audit import (
+        scan_summary,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.clustermaint import (
+        ClusterMaintainer,
+    )
+
+    base = str(tmp_path / "cc")
+    mnt = ClusterMaintainer(spark, base)
+    mnt.merge_batch(_cm_pairs(spark, [("b", "c"), ("x", "y")]), 0)
+    mnt.merge_batch(_cm_pairs(spark, [("a", "b")]), 1)  # alias b -> a
+    assert mnt.aliases() is not None  # the serve join is actually live
+    s = scan_summary(mnt.clusters())
+    assert s["broadcast_joins"] == 1, s
+    assert s["sortmerge_joins"] == 0, s
+    # the only Exchange is the tiny alias side's broadcast build; the
+    # members relation itself never shuffles
+    plan = str(s)
+    assert "Exchange hashpartitioning" not in plan, s

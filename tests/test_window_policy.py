@@ -30,6 +30,7 @@ WHITELIST = {
     # seed/centroid frames: deterministic TakeOrdered seeds, so the
     # window input is ≤ num_centroids / ksub rows (8-64)
     "embedding_topk_ivf": "seed row_number over ≤num_centroids rows",
+    "embedding_topk_filtered_ivf": "seed row_number over ≤num_centroids rows (same seed frame as embedding_topk_ivf; the label filter sits in the probe join, not the window)",
     "embedding_topk_ivf_refined": "seed windows per Lloyd round, ≤centroids",
     "embedding_topk_ivfpq": "IVF seeds + PQ codebook seeds, ≤64 rows",
     "embedding_topk_ivfopq": "IVF seeds + PQ codebook seeds over the rotated corpus, ≤64 rows",
