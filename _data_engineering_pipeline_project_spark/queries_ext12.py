@@ -333,3 +333,105 @@ def near_dup_pairs_maintained(spark: SparkSession, sf: str) -> DataFrame:
     and deliberately absent here (freeze-at-bootstrap in deployment;
     see the module docstring)."""
     return _ndm_maintained(spark, sf).pairs()
+
+
+# --------------------------------------------------------------------------
+# Maintained stratified eval panel (r12 wave 3): SampleMaintainer, served
+# --------------------------------------------------------------------------
+_PANEL_MEMO: dict = {}
+
+
+def clear_panel_maint_memo() -> None:
+    """Eviction hook (wired into ``queries_ext.clear_query_caches``)."""
+    import shutil
+
+    for _mnt, tmpdir in _PANEL_MEMO.values():
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    _PANEL_MEMO.clear()
+
+
+def _panel_maintained(spark: SparkSession, sf: str):
+    """The session's maintained balanced panel: documents arrive in
+    three deterministic ingest slices and tick a stratified
+    ``SampleMaintainer`` (bottom-8-by-hash per language). Per-group
+    bottom-k is a monoid per stratum, so the served panel is
+    split-independent (N ticks == one-shot, pinned by test) — the
+    one-shot oracle checks it."""
+    import os
+    import tempfile
+
+    from _data_engineering_pipeline_project_spark.queries_ext import (
+        _session_key,
+    )
+    from _data_engineering_pipeline_project_spark.queries_ext11 import (
+        _BK_LANG_K,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.samplemaint import (
+        SampleMaintainer,
+    )
+
+    key = _session_key(spark, sf)
+    if key in _PANEL_MEMO:
+        return _PANEL_MEMO[key][0]
+    docs = table(spark, sf, "documents").select(
+        "lang", "doc_id", "source", "n_chars"
+    )
+    tmpdir = tempfile.mkdtemp(prefix="panel_maint_")
+    mnt = SampleMaintainer(
+        spark,
+        os.path.join(tmpdir, "panel"),
+        key_col="doc_id",
+        k=_BK_LANG_K,
+        group_col="lang",
+    )
+    bucket = F.pmod(
+        F.crc32(F.col("doc_id").cast("string").cast("binary")), F.lit(3)
+    )
+    for i in range(3):
+        mnt.merge_batch(docs.filter(bucket == i), batch_id=i)
+    _PANEL_MEMO[key] = (mnt, tmpdir)
+    return mnt
+
+
+def _panel_sql() -> str:
+    from _data_engineering_pipeline_project_spark.queries_ext11 import (
+        _BK_LANG_K,
+    )
+
+    return f"""
+    SELECT lang, doc_id, source, n_chars, CAST(rn AS INTEGER) AS lang_rank
+    FROM (SELECT lang, doc_id, source, n_chars,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)) NULLS FIRST,
+                            doc_id NULLS FIRST) AS rn
+          FROM documents WHERE doc_id IS NOT NULL)
+    WHERE rn <= {_BK_LANG_K}
+    """
+
+
+@query("balanced_panel_maintained", _panel_sql)
+def balanced_panel_maintained(spark: SparkSession, sf: str) -> DataFrame:
+    """The stratified eval panel served from MAINTAINED state
+    (``SampleMaintainer(group_col='lang')``) instead of a batch
+    bottom-k: each ingest tick merges its slice's per-language
+    bottom-8 into the standing ≤ k-rows-per-language state (monoid per
+    stratum — O(batch) heap, merge bounded by 2k rows per group), so a
+    100 TB ingest keeps a live balanced panel at k·|langs|-row state
+    cost. Serving re-ranks within language (partitioned window — never
+    global). Oracle = the one-shot per-language bottom-k twin
+    (``bottomk_sample_per_lang_documents``'s SQL): hash-parity
+    certifies the maintained panel equals the one-shot panel over
+    everything ingested."""
+    from pyspark.sql import Window
+
+    samp = _panel_maintained(spark, sf).sample()
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    return samp.select(
+        "lang",
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w).cast("int").alias("lang_rank"),
+    )

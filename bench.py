@@ -159,6 +159,7 @@ EXTENSION_QUERIES = [
     "ivfopq_recall_audit_embeddings",
     "dedup_clusters_maintained",
     "near_dup_pairs_maintained",
+    "balanced_panel_maintained",
     "table_fingerprint_orders",
     "corpus_curation_v2_pipeline",
     "exact_median_order_value",
