@@ -986,3 +986,53 @@ def test_cluster_maintainer_serve_plan_is_broadcast_no_shuffle(spark, tmp_path):
     # members relation itself never shuffles
     plan = str(s)
     assert "Exchange hashpartitioning" not in plan, s
+
+
+def test_near_dup_index_maintainer_streaming_drain(spark, tmp_path):
+    """End-to-end availableNow drain: document files land, the index
+    folds them through foreachBatch with the checkpoint-identity guard
+    (pairs AND clusters current after each drain), and a second drain
+    of the SAME directory adds nothing (exactly-once per file)."""
+    from _data_engineering_pipeline_project_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.neardupmaint import (
+        NearDupIndexMaintainer,
+    )
+
+    def doc(i, tail):
+        return (
+            i,
+            "the quick brown fox jumps over the lazy dog while the "
+            f"cat sleeps near the warm fire {tail}",
+        )
+
+    d1 = _ndm_docs(spark, [doc(1, "one alpha"), doc(10, "two beta")])
+    d2 = _ndm_docs(spark, [doc(2, "one alpha bis"), doc(11, "two beta bis")])
+
+    src = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    d1.write.mode("append").parquet(src)
+    mnt = NearDupIndexMaintainer(spark, str(tmp_path / "index"))
+    schema = "doc_id bigint, text string"
+    mnt.run_available_now(src, schema, ckpt)
+    n1 = mnt.pairs().count()
+
+    mnt.run_available_now(src, schema, ckpt)  # nothing new
+    assert mnt.pairs().count() == n1
+
+    d2.write.mode("append").parquet(src)
+    mnt.run_available_now(src, schema, ckpt)
+    want = {
+        tuple(r)
+        for r in minhash_near_dup_pairs(
+            d1.unionByName(d2), threshold=0.3
+        ).collect()
+    }
+    assert {tuple(r) for r in mnt.pairs().collect()} == want
+    assert mnt.clusters().count() == 4  # all four docs labeled
+
+    # a different checkpoint cannot adopt this state (the guard's
+    # ValueError surfaces wrapped in the streaming query failure)
+    with pytest.raises(Exception, match="checkpoint mismatch"):
+        mnt.run_available_now(src, schema, str(tmp_path / "ckpt2"))
