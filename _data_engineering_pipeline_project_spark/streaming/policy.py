@@ -25,6 +25,12 @@ for an index whose quality decays silently):
   ``log_energy`` exceeds ``balance_spread_threshold`` (the quantity
   ``opq_allocate`` balanced at train time has re-widened — PQ codes
   are again spending bits on noise subspaces).
+- **recall floor** (r12): the serving-quality metric itself — mean
+  recall@k over the fixed query panel (the
+  ``ivfopq_recall_audit_embeddings`` relation) fell below
+  ``min_recall``. The drift monitors are PROXIES for this number;
+  when ground-truth recall is measured on a schedule, it is the
+  trigger of record.
 
 Everything is driver-bounded by construction: the drift report is
 ≤ d rows, the balance audit is m rows (the Lloyd-centroid collect
@@ -41,7 +47,8 @@ _SCHEMA = (
     "max_mean_shift double, worst_var_ratio double, "
     "balance_spread double, mean_shift_threshold double, "
     "var_ratio_low double, var_ratio_high double, "
-    "balance_spread_threshold double, evidence string, artifacts string"
+    "balance_spread_threshold double, mean_recall double, "
+    "min_recall double, evidence string, artifacts string"
 )
 
 
@@ -50,6 +57,8 @@ def rebootstrap_decision(
     drift_report: DataFrame,
     balance_audit: DataFrame | None = None,
     *,
+    recall_audit: DataFrame | None = None,
+    min_recall: float | None = None,
     mean_shift_threshold: float = 0.25,
     var_ratio_bounds: tuple[float, float] = (0.5, 2.0),
     min_drifted_dims: int = 1,
@@ -63,6 +72,10 @@ def rebootstrap_decision(
     ``balance_audit``: the ``opq_balance_audit_embeddings`` shape
     (subspace, n_dims, sum_eigenvalue, variance_share, log_energy);
     optional — pass None to judge on drift alone.
+    ``recall_audit``: the ``ivfopq_recall_audit_embeddings`` shape
+    (query_id, hits, recall) — one row per panel query; with
+    ``min_recall`` set, a mean panel recall below the floor triggers
+    on its own (bounded: the panel is a fixed query set by contract).
     ``artifacts``: name → path of what an accepted decision swaps
     (e.g. ``{"opq_index": ".../opq", "ivf_lists": ".../ivf"}``) —
     recorded verbatim in the row so the swap job needs no side
@@ -103,7 +116,24 @@ def rebootstrap_decision(
         if energies:
             spread = max(energies) - min(energies)
 
+    mean_recall = None
+    if recall_audit is not None:
+        recalls = [
+            r["recall"] for r in recall_audit.select("recall").collect()
+        ]  # bounded: fixed panel size by contract
+        if recalls:
+            mean_recall = sum(recalls) / len(recalls)
+
     reasons = []
+    if (
+        min_recall is not None
+        and mean_recall is not None
+        and mean_recall < min_recall
+    ):
+        reasons.append(
+            f"mean panel recall {round(mean_recall, 6)} < floor "
+            f"{min_recall} (ground truth outranks proxies)"
+        )
     if len(shifted) >= min_drifted_dims and shifted:
         reasons.append(
             f"mean shift >= {mean_shift_threshold} on dims {shifted} "
@@ -150,6 +180,8 @@ def rebootstrap_decision(
                 float(balance_spread_threshold)
                 if balance_spread_threshold is not None
                 else None,
+                float(mean_recall) if mean_recall is not None else None,
+                float(min_recall) if min_recall is not None else None,
                 evidence,
                 art,
             )

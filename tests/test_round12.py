@@ -607,6 +607,37 @@ def test_rebootstrap_decision_on_planted_drift(spark, tmp_path):
     assert "re-widened" in spread_hit["evidence"]
     assert spread_hit["balance_spread"] == pytest.approx(9.2)
 
+    # recall floor (r12 wave 3): ground truth outranks proxies — a
+    # calm drift window still re-bootstraps when measured panel recall
+    # sinks below the floor; a healthy panel adds no trigger but its
+    # mean is recorded in the row either way
+    panel_low = spark.createDataFrame(
+        [(0, 2, 0.4), (1, 3, 0.6), (2, 1, 0.2)],
+        "query_id bigint, hits bigint, recall double",
+    )
+    recall_hit = rebootstrap_decision(
+        spark,
+        mnt2.drift_report(top=8),  # calm window — recall triggers alone
+        recall_audit=panel_low,
+        min_recall=0.5,
+        artifacts={"opq_index": "/warm/opq"},
+    ).collect()[0]
+    assert recall_hit["decision"] is True
+    assert "mean panel recall" in recall_hit["evidence"]
+    assert recall_hit["mean_recall"] == pytest.approx(0.4)
+    assert recall_hit["min_recall"] == 0.5
+
+    panel_ok = spark.createDataFrame(
+        [(0, 5, 1.0), (1, 4, 0.8)],
+        "query_id bigint, hits bigint, recall double",
+    )
+    recall_ok = rebootstrap_decision(
+        spark, mnt2.drift_report(top=8), recall_audit=panel_ok,
+        min_recall=0.5,
+    ).collect()[0]
+    assert recall_ok["decision"] is False
+    assert recall_ok["mean_recall"] == pytest.approx(0.9)
+
     # hostile config fails loudly
     with pytest.raises(ValueError, match="var_ratio_bounds"):
         rebootstrap_decision(

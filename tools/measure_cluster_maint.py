@@ -58,7 +58,7 @@ def main() -> None:
 
     spark = get_spark("measure_cluster_maint")
     results = {}
-    for label, members in (("1x", BASE), ("10x", BASE * FACTOR)):
+    for label, members in (("1x", BASE), (f"{FACTOR}x", BASE * FACTOR)):
         tmp = tempfile.mkdtemp(prefix=f"ccmaint_{label}_")
         mnt = ClusterMaintainer(spark, os.path.join(tmp, "cc"))
         # seed state: members/2 disjoint pairs -> `members` member rows
