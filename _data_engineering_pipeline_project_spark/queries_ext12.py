@@ -440,3 +440,48 @@ def balanced_panel_maintained(spark: SparkSession, sf: str) -> DataFrame:
         "n_chars",
         F.row_number().over(w).cast("int").alias("lang_rank"),
     )
+
+
+def _keep_list_sql() -> str:
+    from _data_engineering_pipeline_project_spark.queries_ext import (
+        _MINHASH_PAIRS_CTES,
+    )
+
+    return f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    ed AS (SELECT doc_a AS a, doc_b AS b FROM dup_pairs
+           UNION SELECT doc_b, doc_a FROM dup_pairs),
+    reach(id, r) AS (
+      SELECT a, b FROM ed
+      UNION
+      SELECT reach.id, ed.b FROM reach JOIN ed ON reach.r = ed.a
+    ),
+    labels AS (SELECT id, least(id, min(r)) AS cluster FROM reach GROUP BY id)
+    SELECT d.doc_id FROM documents d
+    LEFT JOIN labels l ON l.id = d.doc_id
+    WHERE l.id IS NULL OR l.cluster = d.doc_id
+    """
+
+
+@query("corpus_keep_list_maintained", _keep_list_sql)
+def corpus_keep_list_maintained(spark: SparkSession, sf: str) -> DataFrame:
+    """THE curation end product: the fuzzy-deduped corpus keep-list —
+    every document that is either untouched by near-duplication or its
+    cluster's representative (min id, the deterministic keep-first
+    rule) — served from the MAINTAINED index: one broadcast anti-join
+    of the corpus against the maintained non-representative set
+    (cluster labels where id != cluster, a relation bounded by the
+    duplicated sliver, not the corpus). A 100 TB ingest reads this
+    instead of re-running transitive closure: the labels are already
+    current after every tick. Oracle: the one-shot recursive-CTE
+    clusters folded into the same keep rule. Reference parity: this is
+    ``drop_duplicates`` (project/etl2.py:150-165) generalized to
+    NEAR-duplicates across ingest batches."""
+    mnt = _ndm_maintained(spark, sf)
+    docs = table(spark, sf, "documents").select("doc_id")
+    dropped = (
+        mnt.clusters()
+        .filter(F.col("id") != F.col("cluster"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    return docs.join(F.broadcast(dropped), "doc_id", "left_anti")
