@@ -812,9 +812,19 @@ def test_cluster_maintainer_ticks_equal_one_shot(spark, tmp_path):
     want5 = {tuple(r) for r in connected_components(union5).collect()}
     assert {tuple(r) for r in mnt.clusters().collect()} == want5
 
+    # a NEW node bridging two existing clusters in one tick: edges
+    # (a,m) and (m,p) contract to (root_a, m), (m, root_p) — the
+    # contracted CC merges both components THROUGH the new node
+    b6 = _cm_pairs(spark, [("a", "m"), ("m", "p")])
+    mnt.merge_batch(b6, batch_id=5)
+    union6 = union5.unionByName(b6)
+    want6 = {tuple(r) for r in connected_components(union6).collect()}
+    assert {tuple(r) for r in mnt.clusters().collect()} == want6
+    assert {c for _, c in want6} == {"a"}  # one component again
+
     # reopen: same state from the pointer
     m2 = ClusterMaintainer(spark, base)
-    assert {tuple(r) for r in m2.clusters().collect()} == want5
+    assert {tuple(r) for r in m2.clusters().collect()} == want6
 
 
 def test_cluster_maintainer_hostile_pointers(spark, tmp_path):
