@@ -485,3 +485,81 @@ def corpus_keep_list_maintained(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("id").alias("doc_id"))
     )
     return docs.join(F.broadcast(dropped), "doc_id", "left_anti")
+
+
+# --------------------------------------------------------------------------
+# Maintained SemDeDup (r12 wave 3): SemDeDupMaintainer, served
+# --------------------------------------------------------------------------
+_SDD_MEMO: dict = {}
+
+
+def clear_semdedup_maint_memo() -> None:
+    """Eviction hook (wired into ``queries_ext.clear_query_caches``)."""
+    import shutil
+
+    for _mnt, tmpdir in _SDD_MEMO.values():
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    _SDD_MEMO.clear()
+
+
+def _sdd_maintained(spark: SparkSession, sf: str):
+    """The session's maintained SemDeDup index over this sf's
+    embeddings: centroids frozen at bootstrap with the one-shot's own
+    deterministic seeding over the FULL corpus (so the existing SQL
+    oracle's seed CTE derives the identical centroid set), then two
+    ingest slices ticked against them. Served pairs equal the one-shot
+    under frozen centroids (pinned by test)."""
+    import os
+    import tempfile
+
+    from _data_engineering_pipeline_project_spark.queries_ext import (
+        _session_key,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.semdedupmaint import (
+        SemDeDupMaintainer,
+    )
+
+    key = _session_key(spark, sf)
+    if key in _SDD_MEMO:
+        return _SDD_MEMO[key][0]
+    emb = table(spark, sf, "embeddings").select("vec_id", "embedding")
+    tmpdir = tempfile.mkdtemp(prefix="sdd_index_")
+    mnt = SemDeDupMaintainer(
+        spark,
+        os.path.join(tmpdir, "index"),
+        num_centroids=16,
+        threshold=0.4,
+        dim=64,
+    )
+    mnt.bootstrap(emb)
+    bucket = F.pmod(
+        F.crc32(F.col("vec_id").cast("string").cast("binary")), F.lit(2)
+    )
+    for i in range(2):
+        mnt.merge_batch(emb.filter(bucket == i), batch_id=i)
+    _SDD_MEMO[key] = (mnt, tmpdir)
+    return mnt
+
+
+def _sdd_pairs_sql() -> str:
+    # the maintained path serves the IDENTICAL relation, so the batch
+    # query's registered oracle is reused verbatim from the registry
+    from _data_engineering_pipeline_project_spark.queries import ORACLES
+
+    return ORACLES["semantic_dup_pairs_embeddings"]
+
+
+@query("semantic_dup_pairs_maintained", _sdd_pairs_sql)
+def semantic_dup_pairs_maintained(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup pairs served from the MAINTAINED embedding index
+    (``streaming/semdedupmaint.py:SemDeDupMaintainer``) — the
+    embedding-space sibling of ``near_dup_pairs_maintained``: centroid
+    seeding (the one corpus-global step) is frozen at bootstrap, every
+    tick assigns only its batch and pairs it within-batch and against
+    the STORED assignments (same-centroid equi-joins, batch broadcast,
+    norms persisted once per vector). The oracle is the one-shot
+    SemDeDup twin's SQL verbatim: hash-parity certifies the
+    frozen-centroid incremental decomposition by value, every cosine
+    double included. On drift, re-bootstrap into a fresh base_dir —
+    the ``rebootstrap_decision`` loop with the recall floor."""
+    return _sdd_maintained(spark, sf).pairs()

@@ -1,0 +1,385 @@
+"""Maintained SemDeDup index: frozen centroids, per-tick semantic
+near-dup pairs, embedded cluster labels.
+
+``semantic_dup_pairs`` (operators/similarity.py — Abbas et al. 2023's
+cluster-then-compare shape) is the batch job: seed centroids from the
+corpus, assign every vector, exact cosine only within clusters. The
+maintained form is the embedding-space sibling of
+``NearDupIndexMaintainer``: the corpus-global step (centroid seeding)
+is FROZEN at bootstrap — the same frozen-quantizer discipline the
+OPQ/IVF maintainers carry, because a centroid set that shifted with
+every batch would re-assign history and break replay — and every later
+tick is bounded by the batch:
+
+1. assign the BATCH against the broadcast frozen centroids (one
+   map-side cross-score + max_by, O(batch));
+2. candidate pairs = within-batch same-centroid ∪ batch × STORED
+   same-centroid (the stored side is scanned with the batch side
+   broadcast — never recomputed: assignment and norms are persisted
+   with each vector, append-only);
+3. exact cosine (the one-shot's expression: stored norms, same
+   rounding) filters to pairs ≥ threshold, which append to the pairs
+   relation and tick the embedded ``ClusterMaintainer``.
+
+N ticks == the one-shot ``semantic_dup_pairs`` over the union WHEN the
+one-shot runs with the same frozen centroids (pinned by test) — and
+the registered serving query bootstraps its centroids from the full
+corpus with the one-shot's own deterministic seeding, so the EXISTING
+SQL oracle checks the maintained path end to end. When drift ages the
+frozen centroids (watch ``DriftMaintainer`` / the recall audit),
+re-bootstrap into a fresh base_dir and swap — the
+``rebootstrap_decision`` loop.
+
+Reference parity: the reference dedups per run
+(``project/etl2.py:150-165``); this is the embedding-space cross-batch
+extension a multimodal 100 TB ingest runs next to the MinHash index.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class SemDeDupMaintainer:
+    """Maintain semantic near-dup pairs and duplicate-cluster labels of
+    every embedding batch ingested so far, against centroids frozen at
+    bootstrap."""
+
+    _POINTER = "_CURRENT"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        num_centroids: int = 16,
+        threshold: float = 0.4,
+        dim: int | None = None,
+    ):
+        self.spark = spark
+        self.base_dir = base_dir
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.num_centroids = int(num_centroids)
+        self.threshold = float(threshold)
+        self.dim = int(dim) if dim is not None else None
+        os.makedirs(base_dir, exist_ok=True)
+        self._checkpoint_token: str | None = None
+        self._meta = self._recover()
+        from _data_engineering_pipeline_project_spark.streaming.clustermaint import (
+            ClusterMaintainer,
+        )
+
+        self._cc = ClusterMaintainer(
+            spark, os.path.join(base_dir, "clusters"), "vec_a", "vec_b"
+        )
+
+    # --- pointer protocol (house pattern) ---------------------------------
+
+    def _geometry(self) -> dict:
+        return {
+            "id_col": self.id_col,
+            "vec_col": self.vec_col,
+            "num_centroids": self.num_centroids,
+            "threshold": self.threshold,
+            "dim": self.dim,
+        }
+
+    def _pointer_path(self) -> str:
+        return os.path.join(self.base_dir, self._POINTER)
+
+    def _recover(self) -> dict:
+        try:
+            with open(self._pointer_path()) as f:
+                try:
+                    meta = json.load(f)
+                except json.JSONDecodeError as e:
+                    raise ValueError(
+                        f"corrupt {self._POINTER} pointer at "
+                        f"{self.base_dir} (invalid JSON: {e}); the index "
+                        "geometry and batch manifest live only in the "
+                        "pointer. Restore it from backup or rebuild in a "
+                        "fresh base_dir."
+                    ) from e
+            if "version" not in meta or "batches" not in meta:
+                raise ValueError(
+                    f"corrupt {self._POINTER} pointer at {self.base_dir}"
+                    " (missing 'version'/'batches' — truncated or foreign"
+                    " write); restore it from backup or rebuild in a fresh"
+                    " base_dir."
+                )
+            want = self._geometry()
+            got = {k: meta.get(k) for k in want}
+            if got != want:
+                raise ValueError(
+                    "semdedup geometry mismatch: state at "
+                    f"{self.base_dir} was built with {got} but this "
+                    f"maintainer was opened with {want}; frozen centroids "
+                    "and stored assignments are only valid under the "
+                    "recorded geometry. Reopen with it or rebuild in a "
+                    "fresh base_dir."
+                )
+            self._checkpoint_token = meta.get("checkpoint_token")
+            return meta
+        except FileNotFoundError:
+            pass
+        if os.path.isdir(self.base_dir):
+            orphaned = sorted(
+                n
+                for n in os.listdir(self.base_dir)
+                if re.match(r"^(vectors|pairs)_b\d+$|^centroids$", n)
+                and os.path.exists(os.path.join(self.base_dir, n, "_SUCCESS"))
+            )
+            if orphaned:
+                raise ValueError(
+                    f"semdedup state at {self.base_dir} has committed "
+                    f"dirs ({orphaned}) but no {self._POINTER} pointer; "
+                    "the geometry and batch manifest live only in the "
+                    "pointer, so this state cannot be safely adopted. "
+                    "Restore the pointer from backup or rebuild in a "
+                    "fresh base_dir."
+                )
+        return {
+            "version": 0,
+            "last_batch_id": None,
+            "batches": [],
+            "bootstrapped": False,
+            **self._geometry(),
+        }
+
+    def _commit(self, meta: dict) -> None:
+        meta = {**meta, "checkpoint_token": self._checkpoint_token}
+        tmp = self._pointer_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._pointer_path())
+        self._meta = meta
+
+    @property
+    def version(self) -> int:
+        return int(self._meta["version"])
+
+    # --- bootstrap ----------------------------------------------------------
+
+    def bootstrap(self, seed_corpus: DataFrame) -> None:
+        """Freeze the centroid set: the one-shot's deterministic seeds
+        (``ivf_seed_centroids`` — smallest md5(id) digests) over the
+        given corpus, persisted once. Double-bootstrap is refused:
+        frozen centroids are the index's identity (re-seeding would
+        silently re-assign all stored vectors)."""
+        if self._meta.get("bootstrapped"):
+            raise ValueError(
+                "semdedup maintainer already bootstrapped: frozen "
+                "centroids are the index's identity. Re-bootstrap into "
+                "a FRESH base_dir and swap (the rebootstrap_decision "
+                "protocol)."
+            )
+        from _data_engineering_pipeline_project_spark.operators.similarity import (
+            ivf_seed_centroids,
+        )
+
+        cent = ivf_seed_centroids(
+            seed_corpus, self.num_centroids, self.id_col, self.vec_col
+        )
+        cent.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self.base_dir, "centroids")
+        )
+        self._commit({**self._meta, "bootstrapped": True})
+
+    def centroids(self) -> DataFrame:
+        if not self._meta.get("bootstrapped"):
+            raise ValueError("bootstrap() the centroid set first")
+        return self.spark.read.parquet(
+            os.path.join(self.base_dir, "centroids")
+        )
+
+    # --- served relations -----------------------------------------------------
+
+    def _union_dirs(self, prefix: str) -> DataFrame | None:
+        paths = []
+        for b in self._meta["batches"]:
+            p = os.path.join(self.base_dir, f"{prefix}_b{b}")
+            if os.path.exists(os.path.join(p, "_SUCCESS")):
+                paths.append(p)
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
+    def vectors(self) -> DataFrame | None:
+        """(id, centroid_id, vec, __nrm) — every ingested vector with
+        its frozen-centroid assignment and norm, append-only."""
+        return self._union_dirs("vectors")
+
+    def pairs(self) -> DataFrame:
+        """(centroid_id, vec_a, vec_b, cosine) — semantic near-dup
+        pairs over everything ingested; equals the one-shot
+        ``semantic_dup_pairs`` under the frozen centroids."""
+        got = self._union_dirs("pairs")
+        if got is None:
+            raise ValueError("no batches merged yet")
+        return got
+
+    def clusters(self) -> DataFrame:
+        """(id, cluster) semantic duplicate-cluster labels."""
+        return self._cc.clusters()
+
+    # --- maintenance ------------------------------------------------------------
+
+    def _cosine(self, va, vb, na, nb):
+        from _data_engineering_pipeline_project_spark.functions.vectors import (
+            dot,
+            dot_unrolled,
+        )
+
+        d = (
+            dot_unrolled(va, vb, self.dim)
+            if self.dim
+            else dot(va, vb)
+        )
+        return F.round(d / (na * nb), 6)
+
+    def merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch hook: assign, pair within-batch and against the
+        stored corpus (same-centroid equi-joins, batch side broadcast),
+        verify with the one-shot's exact-cosine expression, append, and
+        tick the embedded cluster maintainer. Idempotent per-batch dirs
+        + watermark, like every sibling."""
+        meta = self._meta
+        if not meta.get("bootstrapped"):
+            raise ValueError("bootstrap() the centroid set first")
+        last = meta.get("last_batch_id")
+        if last is not None and batch_id <= last:
+            return
+        from _data_engineering_pipeline_project_spark.functions.vectors import (
+            l2_norm,
+        )
+        from _data_engineering_pipeline_project_spark.operators.similarity import (
+            ivf_assign,
+        )
+
+        idc, vc = self.id_col, self.vec_col
+        batch = batch_df.select(idc, vc).filter(F.col(idc).isNotNull())
+        stored = self.vectors()
+        if stored is not None:
+            batch = batch.join(stored.select(idc), idc, "left_anti")
+        assigned = (
+            ivf_assign(batch, self.centroids(), idc, vc)
+            .withColumn("__nrm", l2_norm(vc))
+            .persist()
+        )
+        a, b = assigned.alias("a"), assigned.alias("b")
+        within = a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col(f"a.{idc}") < F.col(f"b.{idc}")),
+        ).select(
+            F.col("a.centroid_id").alias("centroid_id"),
+            F.col(f"a.{idc}").alias("vec_a"),
+            F.col(f"b.{idc}").alias("vec_b"),
+            self._cosine(
+                F.col(f"a.{vc}"),
+                F.col(f"b.{vc}"),
+                F.col("a.__nrm"),
+                F.col("b.__nrm"),
+            ).alias("cosine"),
+        )
+        pairs_new = within
+        if stored is not None:
+            n = F.broadcast(assigned).alias("n")
+            s = stored.alias("s")
+            # orientation: the one-shot emits vec_a < vec_b; whether the
+            # stored or the new vector is the smaller id varies per pair
+            cross = s.join(
+                n,
+                (F.col("s.centroid_id") == F.col("n.centroid_id"))
+                & (F.col(f"s.{idc}") != F.col(f"n.{idc}")),
+            ).select(
+                F.col("s.centroid_id").alias("centroid_id"),
+                F.least(F.col(f"s.{idc}"), F.col(f"n.{idc}")).alias("vec_a"),
+                F.greatest(F.col(f"s.{idc}"), F.col(f"n.{idc}")).alias(
+                    "vec_b"
+                ),
+                self._cosine(
+                    F.col(f"s.{vc}"),
+                    F.col(f"n.{vc}"),
+                    F.col("s.__nrm"),
+                    F.col("n.__nrm"),
+                ).alias("cosine"),
+            )
+            pairs_new = within.unionByName(cross)
+        pairs_new = pairs_new.filter(
+            F.col("cosine") >= self.threshold
+        ).persist()
+        assigned.write.mode("overwrite").parquet(
+            os.path.join(self.base_dir, f"vectors_b{batch_id}")
+        )
+        pairs_new.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self.base_dir, f"pairs_b{batch_id}")
+        )
+        self._cc.merge_batch(pairs_new, batch_id)
+        self._commit(
+            {
+                **meta,
+                "version": int(meta["version"]) + 1,
+                "last_batch_id": batch_id,
+                "batches": [*meta["batches"], batch_id],
+            }
+        )
+        pairs_new.unpersist()
+        assigned.unpersist()
+
+    # --- streaming glue -----------------------------------------------------
+
+    def bind_checkpoint(self, token: str) -> None:
+        if self._checkpoint_token is None:
+            self._checkpoint_token = token
+            return
+        if self._checkpoint_token != token:
+            raise ValueError(
+                "streaming checkpoint mismatch: maintainer state was "
+                f"built under checkpoint {self._checkpoint_token!r} but "
+                f"this run uses {token!r}. Restore the original "
+                "checkpoint or start a new maintainer base_dir."
+            )
+
+    def _guarded_hook(self, checkpoint_dir: str):
+        from _data_engineering_pipeline_project_spark.streaming.ckptid import (
+            checkpoint_identity,
+        )
+
+        def hook(batch_df: DataFrame, batch_id: int) -> None:
+            self.bind_checkpoint(checkpoint_identity(checkpoint_dir))
+            self.merge_batch(batch_df, batch_id)
+
+        return hook
+
+    def run_available_now(
+        self,
+        source_dir: str,
+        schema: T.StructType | str,
+        checkpoint_dir: str,
+        source_format: str = "parquet",
+    ) -> None:
+        """Drain new embedding files from ``source_dir`` into the index."""
+        stream = (
+            self.spark.readStream.format(source_format)
+            .schema(schema)
+            .load(source_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(self._guarded_hook(checkpoint_dir))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

@@ -161,6 +161,7 @@ EXTENSION_QUERIES = [
     "near_dup_pairs_maintained",
     "balanced_panel_maintained",
     "corpus_keep_list_maintained",
+    "semantic_dup_pairs_maintained",
     "table_fingerprint_orders",
     "corpus_curation_v2_pipeline",
     "exact_median_order_value",

@@ -1077,3 +1077,78 @@ def test_near_dup_index_maintainer_streaming_drain(spark, tmp_path):
     # ValueError surfaces wrapped in the streaming query failure)
     with pytest.raises(Exception, match="checkpoint mismatch"):
         mnt.run_available_now(src, schema, str(tmp_path / "ckpt2"))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDupMaintainer (r12 wave 3): frozen centroids, maintained pairs
+# ---------------------------------------------------------------------------
+def test_semdedup_maintainer_ticks_equal_one_shot(spark, tmp_path):
+    """With centroids frozen at bootstrap from the full corpus, N ticks
+    == the one-shot semantic_dup_pairs over the union, bit-for-bit
+    (the one-shot seeds identically from the same corpus); clusters
+    match the transitive closure; redelivery/replays are no-ops;
+    double-bootstrap and geometry drift fail loudly; merging before
+    bootstrap fails."""
+    from _data_engineering_pipeline_project_spark.operators.dedup import (
+        connected_components,
+    )
+    from _data_engineering_pipeline_project_spark.operators.similarity import (
+        semantic_dup_pairs,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.semdedupmaint import (
+        SemDeDupMaintainer,
+    )
+
+    # ids start at 1: vec 0 is the zero vector in the sine grid and a
+    # zero norm is a data bug, not a tolerated input (ANSI division)
+    b1 = _emb_batch(spark, range(1, 30))
+    b2 = _emb_batch(spark, range(30, 70))
+    b3 = _emb_batch(spark, range(70, 100))
+    union = b1.unionByName(b2).unionByName(b3)
+
+    base = str(tmp_path / "sdd")
+    mnt = SemDeDupMaintainer(
+        spark, base, num_centroids=4, threshold=0.9, dim=8
+    )
+    with pytest.raises(ValueError, match="bootstrap"):
+        mnt.merge_batch(b1, batch_id=0)
+    mnt.bootstrap(union)
+    with pytest.raises(ValueError, match="already bootstrapped"):
+        mnt.bootstrap(union)
+    for i, b in enumerate((b1, b2, b3)):
+        mnt.merge_batch(b, batch_id=i)
+    mnt.merge_batch(b2, batch_id=1)  # redelivery: no-op
+
+    want = {
+        tuple(r)
+        for r in semantic_dup_pairs(
+            union, threshold=0.9, num_centroids=4, dim=8
+        ).collect()
+    }
+    got = {tuple(r) for r in mnt.pairs().collect()}
+    assert got == want
+    assert len(want) >= 5  # sine-grid embeddings do produce near-dups
+    # cross-tick pairs exist (ids from different batches)
+    assert any(a < 30 <= b for _, a, b, _ in got)
+
+    want_cc = {
+        tuple(r)
+        for r in connected_components(
+            semantic_dup_pairs(union, threshold=0.9, num_centroids=4, dim=8),
+            a_col="vec_a",
+            b_col="vec_b",
+        ).collect()
+    }
+    assert {tuple(r) for r in mnt.clusters().collect()} == want_cc
+
+    # reopen from pointer; geometry guard
+    m2 = SemDeDupMaintainer(
+        spark, base, num_centroids=4, threshold=0.9, dim=8
+    )
+    assert {tuple(r) for r in m2.pairs().collect()} == want
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        SemDeDupMaintainer(spark, base, num_centroids=8, threshold=0.9)
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        SemDeDupMaintainer(
+            spark, base, num_centroids=4, threshold=0.5, dim=8
+        )
