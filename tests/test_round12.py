@@ -1152,3 +1152,58 @@ def test_semdedup_maintainer_ticks_equal_one_shot(spark, tmp_path):
         SemDeDupMaintainer(
             spark, base, num_centroids=4, threshold=0.5, dim=8
         )
+
+
+def test_semdedup_maintainer_hostile_pointers_and_drain(spark, tmp_path):
+    """House discipline for the semantic index too: corrupt/truncated/
+    lost pointers fail loudly; an availableNow drain folds landed files
+    exactly once and a foreign checkpoint is rejected."""
+    import json
+    import os
+
+    from _data_engineering_pipeline_project_spark.streaming.semdedupmaint import (
+        SemDeDupMaintainer,
+    )
+
+    base = str(tmp_path / "sdd")
+    mnt = SemDeDupMaintainer(
+        spark, base, num_centroids=2, threshold=0.9, dim=8
+    )
+    seed = _emb_batch(spark, range(1, 40))
+    mnt.bootstrap(seed)
+
+    # streaming drain: files land, fold once, re-drain adds nothing
+    src = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    _emb_batch(spark, range(1, 20)).write.mode("append").parquet(src)
+    schema = "vec_id long, embedding array<double>"
+    mnt.run_available_now(src, schema, ckpt)
+    n1 = mnt.pairs().count()
+    mnt.run_available_now(src, schema, ckpt)  # nothing new
+    assert mnt.pairs().count() == n1
+    _emb_batch(spark, range(20, 40)).write.mode("append").parquet(src)
+    mnt.run_available_now(src, schema, ckpt)
+    assert mnt.pairs().count() > n1
+    with pytest.raises(Exception, match="checkpoint mismatch"):
+        mnt.run_available_now(src, schema, str(tmp_path / "ckpt2"))
+
+    # hostile pointers
+    ptr = os.path.join(base, "_CURRENT")
+    good = open(ptr).read()
+    with open(ptr, "w") as f:
+        f.write("{nope")
+    with pytest.raises(ValueError, match="invalid JSON"):
+        SemDeDupMaintainer(spark, base, num_centroids=2, threshold=0.9, dim=8)
+    with open(ptr, "w") as f:
+        json.dump({"threshold": 0.9}, f)
+    with pytest.raises(ValueError, match="truncated or foreign"):
+        SemDeDupMaintainer(spark, base, num_centroids=2, threshold=0.9, dim=8)
+    os.remove(ptr)
+    with pytest.raises(ValueError, match="cannot be safely adopted"):
+        SemDeDupMaintainer(spark, base, num_centroids=2, threshold=0.9, dim=8)
+    with open(ptr, "w") as f:
+        f.write(good)
+    m2 = SemDeDupMaintainer(
+        spark, base, num_centroids=2, threshold=0.9, dim=8
+    )
+    assert m2.pairs().count() == mnt.pairs().count()
