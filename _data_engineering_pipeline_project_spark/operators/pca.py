@@ -521,6 +521,11 @@ def opq_allocate(model: dict, m: int, sub_dim: int) -> dict:
         "components": [model["components"][i] for i in perm],
         "eigenvalues": [model["eigenvalues"][i] for i in perm],
         "opq_permutation": perm,
+        # the grouping IS part of the allocation's identity: a (2,4)
+        # and a (4,2) permutation have the same length but balance
+        # different subspaces — save_opq_index guards on these
+        "opq_m": m,
+        "opq_sub_dim": sub_dim,
     }
 
 
@@ -561,16 +566,28 @@ def save_opq_index(
             m,
             sub_dim,
         )
-    elif "opq_permutation" not in model or model.get("dim") != dim:
+    elif (
+        "opq_permutation" not in model
+        or model.get("dim") != dim
+        or len(model["opq_permutation"]) != m * sub_dim
+        or model.get("opq_m", m) != m
+        or model.get("opq_sub_dim", sub_dim) != sub_dim
+    ):
         # a caller-supplied model must be THE allocated model this
         # exact pipeline would train (pca_fit(gram) → opq_allocate is
         # deterministic, so reusing a session-memoized fit changes
         # nothing — the train-once share); a raw/foreign model would
-        # silently freeze the wrong rotation into the artifact
+        # silently freeze the wrong rotation into the artifact. The
+        # permutation length pins the PQ geometry too: a model balanced
+        # for a different (m, sub_dim) grouping would pass a dim-only
+        # check and train codebooks on wrongly-grouped subspaces (r12
+        # review finding).
         raise ValueError(
             "save_opq_index(model=...) needs an opq_allocate'd model "
-            f"of dim {dim} (got keys {sorted(model)} with dim "
-            f"{model.get('dim')})"
+            f"of dim {dim} whose permutation covers m·sub_dim = "
+            f"{m * sub_dim} components (got keys {sorted(model)} with "
+            f"dim {model.get('dim')}, permutation length "
+            f"{len(model.get('opq_permutation', []))})"
         )
     rot = pca_project_batch(
         corpus, model, r=m * sub_dim, id_col=id_col, vec_col=vec_col,

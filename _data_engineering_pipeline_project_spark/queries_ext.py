@@ -404,23 +404,14 @@ def clear_query_caches() -> None:
     clear_opq_memo()
     from _data_engineering_pipeline_project_spark.queries_ext12 import (
         clear_cluster_maint_memo,
-    )
-
-    clear_cluster_maint_memo()
-    from _data_engineering_pipeline_project_spark.queries_ext12 import (
         clear_neardup_maint_memo,
-    )
-
-    clear_neardup_maint_memo()
-    from _data_engineering_pipeline_project_spark.queries_ext12 import (
         clear_panel_maint_memo,
-    )
-
-    clear_panel_maint_memo()
-    from _data_engineering_pipeline_project_spark.queries_ext12 import (
         clear_semdedup_maint_memo,
     )
 
+    clear_cluster_maint_memo()
+    clear_neardup_maint_memo()
+    clear_panel_maint_memo()
     clear_semdedup_maint_memo()
     for frames in _QUERY_LOCAL_CACHES.values():
         for df in frames:

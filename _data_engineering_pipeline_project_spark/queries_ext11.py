@@ -280,6 +280,7 @@ def clear_opq_memo() -> None:
         except Exception:
             pass
     _OPQ_ROT_MEMO.clear()
+    _OPQ_MODEL_MEMO.clear()
     for _mnt, tmpdir in _IVFOPQ_MAINT_MEMO.values():
         shutil.rmtree(tmpdir, ignore_errors=True)
     _IVFOPQ_MAINT_MEMO.clear()
@@ -327,8 +328,11 @@ def _ivfopq_maintained(spark: SparkSession, sf: str):
     # the allocated model is shared with embedding_topk_opq's memo —
     # pca_fit(gram) → opq_allocate is deterministic, so the bootstrap
     # freezes the IDENTICAL rotation without paying a second
-    # covariance job in the same session
-    model, _rot = _opq_rotated(spark, sf)
+    # covariance job in the same session. Model-only: the bootstrap
+    # projects the corpus itself inside save_opq_index, so pulling the
+    # ROTATED memo here would pay a corpus projection + checkpoint
+    # only to discard it (r12 review finding)
+    model = _opq_model(spark, sf)
     mnt.bootstrap(
         emb, dim=_OPQ_DIM, m=_OPQ_M, sub_dim=_OPQ_SD, ksub=_OPQ_K,
         model=model,
@@ -361,9 +365,7 @@ def _opq_rotated(spark: SparkSession, sf: str):
         key = None
     if key is not None and key in _OPQ_ROT_MEMO:
         return _OPQ_ROT_MEMO[key]
-    model = opq_allocate(
-        pca_fit(emb, dim=_OPQ_DIM, method="gram"), _OPQ_M, _OPQ_SD
-    )
+    model = _opq_model(spark, sf)
     # batch (Arrow) projection: at r·d = 2048 terms the unrolled
     # expression form is past the measured Janino crossover
     # (pca.py:pca_project_batch — 19.5 s of failed whole-stage
@@ -374,6 +376,41 @@ def _opq_rotated(spark: SparkSession, sf: str):
     if key is not None:
         _OPQ_ROT_MEMO[key] = (model, rot)
     return model, rot
+
+
+# the MODEL memo is split from the rotated-corpus memo (r12 review
+# finding): the maintained IVF-OPQ bootstrap needs only the allocated
+# model — its save_opq_index call projects the corpus itself — and
+# extracting the model through _opq_rotated paid a full corpus
+# projection + eager checkpoint that was immediately discarded
+_OPQ_MODEL_MEMO: dict = {}
+
+
+def _opq_model(spark: SparkSession, sf: str) -> dict:
+    """The session's allocated OPQ model for this sf (covariance fit +
+    eigh + balanced allocation; NO corpus projection)."""
+    from _data_engineering_pipeline_project_spark.operators.pca import (
+        opq_allocate,
+        pca_fit,
+    )
+
+    emb = table(spark, sf, "embeddings")
+    try:
+        key = (
+            spark.sparkContext.applicationId,
+            sf,
+            hash(tuple(sorted(emb.inputFiles()))),
+        )
+    except Exception:
+        key = None
+    if key is not None and key in _OPQ_MODEL_MEMO:
+        return _OPQ_MODEL_MEMO[key]
+    model = opq_allocate(
+        pca_fit(emb, dim=_OPQ_DIM, method="gram"), _OPQ_M, _OPQ_SD
+    )
+    if key is not None:
+        _OPQ_MODEL_MEMO[key] = model
+    return model
 
 
 # --------------------------------------------------------------------------

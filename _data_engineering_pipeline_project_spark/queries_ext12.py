@@ -278,7 +278,7 @@ def clear_neardup_maint_memo() -> None:
 
 def _ndm_maintained(spark: SparkSession, sf: str):
     """The session's maintained near-dup index over this sf's documents:
-    three deterministic ingest batches (crc32(doc_id) mod 3 — corpus
+    two deterministic ingest slices (crc32(doc_id) mod 2 — corpus
     slices in production) ticked into a ``NearDupIndexMaintainer``.
     Served pairs are split-independent by the maintainer's contract
     (pairs() == one-shot minhash_near_dup_pairs over the union,

@@ -344,33 +344,42 @@ class ClusterMaintainer:
             batches.append(batch_id)
         aliases_v = int(meta.get("aliases_v", 0))
         if merges is not None:
-            al = self.aliases()
-            if al is not None:
-                # re-resolve existing targets through this tick's merges
-                # (keeps the map flat), then append the new entries
-                rr = merges.select(
-                    F.col("old_root").alias("__m_old"),
-                    F.col("new_root").alias("__m_new"),
-                )
-                folded = (
-                    al.join(
-                        F.broadcast(rr), al.new_root == F.col("__m_old"), "left"
+            merges = merges.persist()
+            # a tick that merged nothing keeps the current alias map
+            # untouched — without this gate, ONE early merge made every
+            # later tick pay an O(|aliases|) rewrite + version bump
+            # forever (r12 review finding)
+            if merges.count() > 0:
+                al = self.aliases()
+                if al is not None:
+                    # re-resolve existing targets through this tick's
+                    # merges (keeps the map flat), then append the new
+                    # entries
+                    rr = merges.select(
+                        F.col("old_root").alias("__m_old"),
+                        F.col("new_root").alias("__m_new"),
                     )
-                    .select(
-                        "old_root",
-                        F.coalesce("__m_new", "new_root").alias("new_root"),
+                    folded = (
+                        al.join(
+                            F.broadcast(rr),
+                            al.new_root == F.col("__m_old"),
+                            "left",
+                        )
+                        .select(
+                            "old_root",
+                            F.coalesce("__m_new", "new_root").alias(
+                                "new_root"
+                            ),
+                        )
+                        .unionByName(merges)
                     )
-                    .unionByName(merges)
-                )
-            else:
-                folded = merges
-            folded = folded.persist()
-            if folded.count() > 0:
+                else:
+                    folded = merges
                 aliases_v += 1
                 folded.coalesce(1).write.mode("overwrite").parquet(
                     os.path.join(self.base_dir, f"aliases_v{aliases_v}")
                 )
-            folded.unpersist()
+            merges.unpersist()
         self._commit(
             {
                 **meta,

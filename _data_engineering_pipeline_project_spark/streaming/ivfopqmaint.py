@@ -122,8 +122,15 @@ class IvfOpqIndexMaintainer:
             return meta
         except FileNotFoundError:
             pass
-        if os.path.isdir(os.path.join(self.base_dir, "opq")) or os.path.isdir(
-            os.path.join(self.base_dir, "ivf")
+        # committed content only: the OPQ half's own pointer or the IVF
+        # half's written quantizer. Bare opq/ or ivf/ dirs are NOT
+        # orphans — constructing the maintainer makedirs opq/ before
+        # bootstrap, and treating that as adoptable state permanently
+        # bricked a never-bootstrapped base_dir (r12 review finding).
+        if os.path.exists(
+            os.path.join(self.base_dir, "opq", "_CURRENT")
+        ) or os.path.exists(
+            os.path.join(self.base_dir, "ivf", "centroids", "_SUCCESS")
         ):
             raise ValueError(
                 f"IVF-OPQ maintainer state at {self.base_dir} has "

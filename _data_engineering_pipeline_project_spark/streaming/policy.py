@@ -121,8 +121,17 @@ def rebootstrap_decision(
         recalls = [
             r["recall"] for r in recall_audit.select("recall").collect()
         ]  # bounded: fixed panel size by contract
-        if recalls:
-            mean_recall = sum(recalls) / len(recalls)
+        if not recalls:
+            # an empty panel is a monitoring failure, not evidence of
+            # health — the broken-serving-path case is exactly when the
+            # floor matters most (r12 review finding). Fail loudly.
+            raise ValueError(
+                "recall_audit has no rows: the query panel is empty or "
+                "the audit pipeline is broken; refusing to report "
+                "'within thresholds' on missing evidence. Fix the "
+                "panel, or omit recall_audit to judge on drift alone."
+            )
+        mean_recall = sum(recalls) / len(recalls)
 
     reasons = []
     if (

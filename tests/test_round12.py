@@ -1207,3 +1207,72 @@ def test_semdedup_maintainer_hostile_pointers_and_drain(spark, tmp_path):
         spark, base, num_centroids=2, threshold=0.9, dim=8
     )
     assert m2.pairs().count() == mnt.pairs().count()
+
+
+# ---------------------------------------------------------------------------
+# r12 self-review regression pins
+# ---------------------------------------------------------------------------
+def test_ivfopq_unbootstrapped_dir_is_reopenable(spark, tmp_path):
+    """Constructing IvfOpqIndexMaintainer makedirs its halves BEFORE any
+    bootstrap; reopening that never-bootstrapped base_dir must succeed
+    (the orphan guard keys on COMMITTED content — the OPQ half's
+    pointer / the IVF quantizer — not bare directories, which
+    previously bricked the dir permanently). Committed state with a
+    lost pointer still refuses adoption."""
+    import os
+
+    from _data_engineering_pipeline_project_spark.streaming.ivfopqmaint import (
+        IvfOpqIndexMaintainer,
+    )
+
+    base = str(tmp_path / "idx")
+    IvfOpqIndexMaintainer(spark, base)  # abandoned before bootstrap
+    m2 = IvfOpqIndexMaintainer(spark, base)  # must not raise
+    emb = _emb_batch(spark, range(1, 40))
+    m2.bootstrap(emb, dim=8, m=4, sub_dim=2, ksub=4)
+    os.remove(os.path.join(base, "_CURRENT"))
+    with pytest.raises(ValueError, match="cannot be safely adopted"):
+        IvfOpqIndexMaintainer(spark, base)
+
+
+def test_rebootstrap_decision_rejects_empty_recall_panel(spark, tmp_path):
+    """An empty recall audit is a monitoring failure, not evidence of
+    health — the policy must fail loudly instead of reporting 'within
+    thresholds' on missing evidence."""
+    from _data_engineering_pipeline_project_spark.streaming.driftmaint import (
+        DriftMaintainer,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.policy import (
+        rebootstrap_decision,
+    )
+
+    mnt = DriftMaintainer(spark, str(tmp_path / "d"))
+    mnt.merge_batch(_emb_batch(spark, range(1, 40)), batch_id=0)
+    mnt.mark_baseline()
+    mnt.merge_batch(_emb_batch(spark, range(40, 60)), batch_id=1)
+    empty = spark.createDataFrame(
+        [], "query_id bigint, hits bigint, recall double"
+    )
+    with pytest.raises(ValueError, match="recall_audit has no rows"):
+        rebootstrap_decision(
+            spark, mnt.drift_report(top=8), recall_audit=empty,
+            min_recall=0.5,
+        )
+
+
+def test_save_opq_index_rejects_mismatched_allocation_geometry(spark, tmp_path):
+    """A caller-supplied model allocated for a DIFFERENT (m, sub_dim)
+    grouping must be refused even when dim matches — the permutation
+    length pins the PQ geometry (a dim-only check silently froze a
+    mis-grouped rotation)."""
+    from _data_engineering_pipeline_project_spark.operators import pca as P
+
+    emb = _emb_batch(spark, range(1, 60))
+    model = P.opq_allocate(
+        P.pca_fit(emb, dim=8, method="gram"), 2, 4
+    )  # 2×4 grouping
+    with pytest.raises(ValueError, match="m·sub_dim"):
+        P.save_opq_index(
+            emb, str(tmp_path / "x"), dim=8, m=4, sub_dim=2, ksub=4,
+            model=model,
+        )
