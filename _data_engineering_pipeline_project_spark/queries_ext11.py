@@ -349,8 +349,6 @@ def _opq_rotated(spark: SparkSession, sf: str):
         pinned_checkpoint,
     )
     from _data_engineering_pipeline_project_spark.operators.pca import (
-        opq_allocate,
-        pca_fit,
         pca_project_batch,
     )
 
