@@ -563,3 +563,45 @@ def semantic_dup_pairs_maintained(spark: SparkSession, sf: str) -> DataFrame:
     double included. On drift, re-bootstrap into a fresh base_dir —
     the ``rebootstrap_decision`` loop with the recall floor."""
     return _sdd_maintained(spark, sf).pairs()
+
+
+def _semantic_keep_list_sql() -> str:
+    # the SemDeDup pair CTEs (verbatim from the registered oracle, its
+    # final SELECT folded into a CTE) + recursive closure + keep rule
+    from _data_engineering_pipeline_project_spark.queries import ORACLES
+
+    pair_sql = ORACLES["semantic_dup_pairs_embeddings"]
+    return f"""
+    WITH RECURSIVE sem_pairs AS ({pair_sql}),
+    ed AS (SELECT vec_a AS a, vec_b AS b FROM sem_pairs
+           UNION SELECT vec_b, vec_a FROM sem_pairs),
+    reach(id, r) AS (
+      SELECT a, b FROM ed
+      UNION
+      SELECT reach.id, ed.b FROM reach JOIN ed ON reach.r = ed.a
+    ),
+    labels AS (SELECT id, least(id, min(r)) AS cluster FROM reach GROUP BY id)
+    SELECT e.vec_id FROM embeddings e
+    LEFT JOIN labels l ON l.id = e.vec_id
+    WHERE l.id IS NULL OR l.cluster = e.vec_id
+    """
+
+
+@query("semantic_keep_list_maintained", _semantic_keep_list_sql)
+def semantic_keep_list_maintained(spark: SparkSession, sf: str) -> DataFrame:
+    """The SemDeDup end product (Abbas et al. 2023 §3: keep ONE
+    representative per semantic cluster): every embedding untouched by
+    semantic duplication or its cluster's min-id representative,
+    served from the MAINTAINED index as one broadcast anti-join
+    against the maintained non-representative labels — the embedding-
+    space twin of ``corpus_keep_list_maintained``. Oracle: the
+    registered SemDeDup pair SQL folded through the recursive closure
+    and the same keep rule."""
+    mnt = _sdd_maintained(spark, sf)
+    emb = table(spark, sf, "embeddings").select("vec_id")
+    dropped = (
+        mnt.clusters()
+        .filter(F.col("id") != F.col("cluster"))
+        .select(F.col("id").alias("vec_id"))
+    )
+    return emb.join(F.broadcast(dropped), "vec_id", "left_anti")

@@ -162,6 +162,7 @@ EXTENSION_QUERIES = [
     "balanced_panel_maintained",
     "corpus_keep_list_maintained",
     "semantic_dup_pairs_maintained",
+    "semantic_keep_list_maintained",
     "table_fingerprint_orders",
     "corpus_curation_v2_pipeline",
     "exact_median_order_value",
