@@ -30,6 +30,7 @@ from _data_engineering_pipeline_project_spark import queries_ext9 as _qext9  # n
 from _data_engineering_pipeline_project_spark import queries_ext10 as _qext10  # noqa: F401  (registers into _q.QUERIES/ORACLES)
 from _data_engineering_pipeline_project_spark import queries_ext11 as _qext11  # noqa: F401  (registers into _q.QUERIES/ORACLES)
 from _data_engineering_pipeline_project_spark import queries_ext12 as _qext12  # noqa: F401  (registers into _q.QUERIES/ORACLES)
+from _data_engineering_pipeline_project_spark import queries_ext13 as _qext13  # noqa: F401  (registers into _q.QUERIES/ORACLES)
 
 
 def entry(spark: SparkSession) -> DataFrame:

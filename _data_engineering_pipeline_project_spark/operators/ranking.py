@@ -305,6 +305,32 @@ def bm25_scores_from_index(
     dictionary slice and the 1-row stats broadcast are term-bag-sized
     and constant)."""
     id_col = index["params"]["id_col"]
+    per_term = bm25_per_term_contrib_from_index(
+        index, query_terms, k1=k1, b=b
+    )
+    return per_term.groupBy(id_col).agg(
+        F.round(F.sum("contrib"), round_digits).alias("bm25")
+    )
+
+
+def bm25_per_term_contrib_from_index(
+    index: dict,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(id, term, contrib) served from a loaded/maintained index
+    artifact — the unsummed form of :func:`bm25_scores_from_index`,
+    for callers that combine terms in FIXED written order (the
+    cross-engine-exact fusion path: ``hybrid_search_rrf`` and its
+    maintained twin). Identical expressions over the same exact
+    integer inputs as :func:`bm25_per_term_contrib`'s direct path —
+    tf/df/dl are longs from the artifact and avgdl is the same
+    long-sum / long-count division ``avg(dl)`` performs — so contribs
+    match the direct path bit-for-bit (test-pinned). Plan: the only
+    corpus-sized relation is the term-clustered postings slice for
+    the query bag; dictionary slice + 1-row stats broadcast."""
+    id_col = index["params"]["id_col"]
     qset = [t.lower() for t in query_terms]
     tf = index["postings"].filter(F.col("term").isin(qset))
     df_ = index["dictionary"].filter(F.col("term").isin(qset)).select(
@@ -317,13 +343,12 @@ def bm25_scores_from_index(
     tf_norm = (F.col("tf") * (k1 + 1)) / (
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
     )
-    per_term = (
+    return (
         tf.join(F.broadcast(df_), "term")
         .crossJoin(F.broadcast(index["stats"]))
-        .select(F.col(id_col), (idf * tf_norm).alias("contrib"))
-    )
-    return per_term.groupBy(id_col).agg(
-        F.round(F.sum("contrib"), round_digits).alias("bm25")
+        .select(
+            F.col(id_col), F.col("term"), (idf * tf_norm).alias("contrib")
+        )
     )
 
 

@@ -701,12 +701,21 @@ def bottomk_sample_per_lang_documents(
 _IVFOPQ_CENTROIDS, _IVFOPQ_NPROBE = 8, 2
 
 
-def _ivfopq_sql() -> str:
+def _ivfopq_sql(
+    topk: int | None = None, panel_pred: str = "vec_id < 10"
+) -> str:
     """Deferred oracle: IVF-OPQ (the FAISS-standard OPQ+IVFADC index
     form) — :func:`_proj_ctes` feeding the proven IVFADC tail
     (embedding_topk_ivfpq's structure) with every stage sourced from
     the rotated vectors: IVF seeds/assignment/probes on proj, PQ
-    codebooks/encode/ADC on proj subspaces."""
+    codebooks/encode/ADC on proj subspaces.
+
+    ``topk``/``panel_pred`` parameterize the final cut and the query
+    panel so composed oracles (queries_ext13's maintained hybrid needs
+    top-20 for the single query vec 0) reuse the IDENTICAL derivation;
+    zero-arg default keeps the registered deferred form unchanged."""
+    if topk is None:
+        topk = _OPQ_TOPK
     model = opq_model_duckdb(f"{_ORACLE_SF_DIR}/embeddings.parquet")
     cb_slices = "\n      UNION ALL ".join(
         f"SELECT code, {s} AS subspace, "
@@ -742,7 +751,7 @@ def _ivfopq_sql() -> str:
       SELECT vec_id AS query_id, centroid_id FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id
                     ORDER BY cos DESC, centroid_id) AS arnk
-        FROM cscore WHERE vec_id < 10) WHERE arnk <= {_IVFOPQ_NPROBE}),
+        FROM cscore WHERE {panel_pred}) WHERE arnk <= {_IVFOPQ_NPROBE}),
     seeds AS (
       SELECT vec_id, pvec AS svec, md5(CAST(vec_id AS VARCHAR)) AS h
       FROM proj ORDER BY h, vec_id LIMIT {_OPQ_K}),
@@ -766,7 +775,7 @@ def _ivfopq_sql() -> str:
                                      ORDER BY d2, code) AS rn
         FROM enc0) WHERE rn = 1),
     qsub AS (SELECT vec_id AS query_id, subspace, svec
-             FROM sub WHERE vec_id < 10),
+             FROM sub WHERE {panel_pred}),
     dtab AS (
       SELECT q.query_id, q.subspace, c.code,
              CAST(round(round(list_dot_product(q.svec, q.svec)
@@ -791,7 +800,7 @@ def _ivfopq_sql() -> str:
     FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                       ORDER BY s_fp, neighbor_id) AS rnk
           FROM scored)
-    WHERE rnk <= {_OPQ_TOPK}
+    WHERE rnk <= {topk}
 """
 
 

@@ -1,0 +1,208 @@
+"""Round-13 registrations (VERDICT r12 brief #1): hybrid retrieval
+served from MAINTAINED indexes.
+
+``hybrid_search_rrf`` (queries_ext3) is the RAG-stack fusion shape but
+recomputes BM25 statistics and brute-force cosine from scratch on
+every call. The production serving form keeps both halves as standing
+indexes — the lexical inverted index (``streaming/bm25maint.py:
+Bm25Maintainer``) and the FAISS-style vector index (``streaming/
+ivfopqmaint.py:IvfOpqIndexMaintainer``) — and a query touches only
+(a) the query bag's postings slice and (b) the probed lists'
+candidates. ``hybrid_search_rrf_maintained`` is that form: lexical
+top-20 from maintained postings, semantic top-20 from the maintained
+IVF-OPQ, reciprocal-rank fused.
+
+ORACLE DESIGN: composed from two already-hash-green derivations —
+the lexical CTE block shared verbatim with ``hybrid_search_rrf``
+(``queries_ext3._BM25_LEX_CTES``) and the IVF-OPQ deferred twin
+(``queries_ext11._ivfopq_sql``, parameterized to top-20 for the single
+query vec 0), fused by the shared RRF tail. Hash-parity certifies the
+ENTIRE maintained serving path — postings/dictionary/stats monoid
+merges, frozen rotation, coarse lists, ADC, fusion — by value.
+
+Reference parity: the reference recomputes its world per cycle
+(project/etl2.py); this is the standing-index serving economics a
+100 TB corpus requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from _data_engineering_pipeline_project_spark.catalog import table
+from _data_engineering_pipeline_project_spark.queries import query
+
+# --------------------------------------------------------------------------
+# Maintained BM25 index (session memo — the _IVFOPQ_MAINT_MEMO economics)
+# --------------------------------------------------------------------------
+_BM25_MAINT_MEMO: dict = {}
+
+
+def clear_bm25_maint_memo() -> None:
+    """Eviction hook (wired into ``queries_ext.clear_query_caches``):
+    drop memoized maintained BM25 indexes and their on-disk temp
+    dirs."""
+    import shutil
+
+    for _mnt, tmpdir in _BM25_MAINT_MEMO.values():
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    _BM25_MAINT_MEMO.clear()
+
+
+def _bm25_maintained(spark: SparkSession, sf: str):
+    """The session's maintained BM25 inverted index over this sf's
+    documents: two deterministic ingest slices (crc32(doc_id) mod 2 —
+    corpus slices in production) ticked into a ``Bm25Maintainer``.
+    Served scores are split-independent by the maintainer's contract
+    (postings append disjointly; df/stats are commutative monoids;
+    N ticks == one-shot bit-for-bit, pinned by test), which is why the
+    one-shot lexical oracle checks them."""
+    import os
+    import tempfile
+
+    from _data_engineering_pipeline_project_spark.queries_ext import (
+        _session_key,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.bm25maint import (
+        Bm25Maintainer,
+    )
+
+    key = _session_key(spark, sf)
+    if key in _BM25_MAINT_MEMO:
+        return _BM25_MAINT_MEMO[key][0]
+    docs = table(spark, sf, "documents").select("doc_id", "text")
+    tmpdir = tempfile.mkdtemp(prefix="bm25_maint_")
+    mnt = Bm25Maintainer(spark, os.path.join(tmpdir, "index"))
+    # coalesce(bucket, 0): a null doc_id must land in exactly one slice
+    # (the one-shot oracle's corpus scalars count every row)
+    bucket = F.coalesce(
+        F.pmod(
+            F.crc32(F.col("doc_id").cast("string").cast("binary")), F.lit(2)
+        ),
+        F.lit(0),
+    )
+    for i in range(2):
+        mnt.merge_batch(docs.filter(bucket == i), batch_id=i)
+    _BM25_MAINT_MEMO[key] = (mnt, tmpdir)
+    return mnt
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval served from maintained indexes
+# --------------------------------------------------------------------------
+def _hybrid_from_indexes(
+    bm25_index: dict,
+    sem_topk: DataFrame,
+    terms: tuple[str, ...],
+) -> DataFrame:
+    """RRF fusion of a maintained-BM25 lexical top-20 with a
+    pre-ranked semantic top-k relation (query_id, neighbor_id, rnk) —
+    factored so tests can drive it with differently-ticked maintainers
+    and pin bit-for-bit equality. Fusion arithmetic is the exact
+    ``hybrid_search_rrf`` text: fixed-order term combine, round-4
+    bm25, TakeOrdered top-20s, fixed-order reciprocal ranks, round-8
+    rrf, top-10."""
+    from pyspark.sql import Window
+
+    from _data_engineering_pipeline_project_spark.operators.ranking import (
+        bm25_per_term_contrib_from_index,
+    )
+
+    id_col = bm25_index["params"]["id_col"]
+    per_term = bm25_per_term_contrib_from_index(bm25_index, list(terms))
+    agg = [
+        F.coalesce(
+            F.max(F.when(F.col("term") == t, F.col("contrib"))), F.lit(0.0)
+        ).alias(f"__c{i}")
+        for i, t in enumerate(terms)
+    ]
+    bm = per_term.groupBy(id_col).agg(*agg)
+    total = F.col("__c0")
+    for i in range(1, len(terms)):
+        total = total + F.col(f"__c{i}")
+    bm = bm.select(
+        F.col(id_col).alias("doc_id"), F.round(total, 4).alias("bm25")
+    )
+    w_lex = Window.orderBy(F.desc("bm25"), "doc_id")
+    lex = (
+        bm.orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+        .withColumn("r_lex", F.row_number().over(w_lex).cast("int"))
+        .select("doc_id", "r_lex")
+    )
+    sem = sem_topk.select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rnk").cast("int").alias("r_sem"),
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "r_lex",
+        "r_sem",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(60) + F.col("r_sem")), F.lit(0.0)
+            ),
+            8,
+        ).alias("rrf"),
+    )
+    w_f = Window.orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fused.orderBy(F.desc("rrf"), "doc_id")
+        .limit(10)
+        .withColumn("rnk", F.row_number().over(w_f).cast("int"))
+    )
+
+
+def _hybrid_maint_sql() -> str:
+    """Deferred twin: the shared lexical CTE block + the IVF-OPQ twin
+    (top-20, query panel = vec 0) + the shared RRF tail. Both building
+    blocks are already-hash-green derivations, so the composed audit
+    inherits their parity — the recall-audit composition precedent
+    (queries_ext12)."""
+    from _data_engineering_pipeline_project_spark.queries_ext3 import (
+        _BM25_LEX_CTES,
+        _RRF_FUSE_SQL,
+    )
+    from _data_engineering_pipeline_project_spark.queries_ext11 import (
+        _ivfopq_sql,
+    )
+
+    return f"""
+    WITH {_BM25_LEX_CTES},
+    sem0 AS ({_ivfopq_sql(topk=20, panel_pred="vec_id = 0")}),
+    sem AS (SELECT neighbor_id AS doc_id, rnk AS r_sem FROM sem0),
+    {_RRF_FUSE_SQL}
+    """
+
+
+@query("hybrid_search_rrf_maintained", _hybrid_maint_sql)  # deferred
+def hybrid_search_rrf_maintained(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval served from MAINTAINED indexes — the production
+    RAG serving shape (VERDICT r12 #1) and the capstone of the r12
+    maintained wave: lexical BM25 top-20 from the maintained inverted
+    index (``Bm25Maintainer`` — the query touches only the query bag's
+    term-clustered postings slice, df/stats broadcast), semantic
+    top-20 from the maintained IVF-OPQ (``IvfOpqIndexMaintainer`` —
+    rotate ONE query vector, open only probed lists' files, ADC over
+    stored codes), fused by reciprocal rank exactly as
+    ``hybrid_search_rrf``. Nothing corpus-sized is recomputed at query
+    time; both indexes are session-bootstrapped artifacts (ticked in
+    slices — N ticks == one-shot pinned bit-for-bit in
+    tests/test_round13.py). At 100 TB this plan reads: a pruned
+    postings slice + nprobe/num_centroids of the codes — the
+    inverted-index and IVF economics composed."""
+    from _data_engineering_pipeline_project_spark.queries_ext3 import (
+        _BM25_TERMS,
+    )
+    from _data_engineering_pipeline_project_spark.queries_ext11 import (
+        _IVFOPQ_NPROBE,
+        _ivfopq_maintained,
+    )
+
+    bm25_index = _bm25_maintained(spark, sf).serve_index()
+    mnt = _ivfopq_maintained(spark, sf)
+    emb = table(spark, sf, "embeddings")
+    sem = mnt.topk(emb.filter(F.col("vec_id") == 0), k=20, nprobe=_IVFOPQ_NPROBE)
+    return _hybrid_from_indexes(bm25_index, sem, _BM25_TERMS)

@@ -953,10 +953,12 @@ def corpus_health_summary(spark: SparkSession, sf: str) -> DataFrame:
 _BM25_TERMS = ("table", "value", "fast")
 
 
-@query(
-    "hybrid_search_rrf",
-    r"""
-    WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+# the lexical half (tokenize → BM25 → top-20 ranks) as a reusable CTE
+# block: hybrid_search_rrf composes it with the brute-force semantic
+# side below; queries_ext13's maintained twin composes the SAME text
+# with the IVF-OPQ twin, so both oracles share one lexical derivation
+_BM25_LEX_CTES = r"""tok AS (SELECT doc_id,
+                        unnest(string_split_regex(trim(lower(text)),
                                                           '\s+')) AS term
                  FROM documents),
     tok2 AS (SELECT doc_id, term FROM tok WHERE length(term) > 0),
@@ -982,7 +984,25 @@ _BM25_TERMS = ("table", "value", "fast")
            FROM contrib GROUP BY doc_id),
     lex AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
                                 AS INTEGER) AS r_lex
-            FROM bm QUALIFY r_lex <= 20),
+            FROM bm QUALIFY r_lex <= 20)"""
+
+# RRF fusion + final top-10 — same sharing rationale as _BM25_LEX_CTES
+_RRF_FUSE_SQL = """fused AS (
+      SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, r_lex, r_sem,
+             round(coalesce(CAST(1.0 AS DOUBLE) / (60 + r_lex), 0)
+                   + coalesce(CAST(1.0 AS DOUBLE) / (60 + r_sem), 0), 8)
+               AS rrf
+      FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+    SELECT doc_id, r_lex, r_sem, rrf,
+           CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER)
+             AS rnk
+    FROM fused QUALIFY rnk <= 10"""
+
+
+@query(
+    "hybrid_search_rrf",
+    f"""
+    WITH {_BM25_LEX_CTES},
     qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings
            WHERE vec_id = 0),
     cs AS (SELECT e.vec_id AS doc_id,
@@ -994,16 +1014,7 @@ _BM25_TERMS = ("table", "value", "fast")
     sem AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
                                 AS INTEGER) AS r_sem
             FROM cs QUALIFY r_sem <= 20),
-    fused AS (
-      SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, r_lex, r_sem,
-             round(coalesce(CAST(1.0 AS DOUBLE) / (60 + r_lex), 0)
-                   + coalesce(CAST(1.0 AS DOUBLE) / (60 + r_sem), 0), 8)
-               AS rrf
-      FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
-    SELECT doc_id, r_lex, r_sem, rrf,
-           CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER)
-             AS rnk
-    FROM fused QUALIFY rnk <= 10
+    {_RRF_FUSE_SQL}
     """,
 )
 def hybrid_search_rrf(spark: SparkSession, sf: str) -> DataFrame:

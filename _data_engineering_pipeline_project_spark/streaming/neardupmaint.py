@@ -34,14 +34,22 @@ it. Hence ``pairs()`` equals ``minhash_near_dup_pairs(union)`` exactly
 and ``clusters()`` equals the one-shot transitive closure (the
 embedded maintainer's own contract).
 
-Hot-shingle capping (``max_shingle_df``) is deliberately NOT part of
-the maintained form: the document-frequency cap is a CORPUS-GLOBAL
-statistic — applying it per batch would drop different shingles at
-different ticks and break replay determinism. A deployment that needs
-it freezes the hot-shingle list at bootstrap (the frozen-quantizer
-discipline the OPQ/IVF maintainers use) and re-bootstraps on drift;
-the uncapped semantics here keep exact parity with the uncapped
-one-shot oracle.
+Hot-shingle capping (``max_shingle_df``, VERDICT r12 #2): the
+document-frequency cap is a CORPUS-GLOBAL statistic — applying it per
+batch would drop different shingles at different ticks and break
+replay determinism. So the maintained form FREEZES the hot-shingle
+drop-list at bootstrap (the frozen-quantizer discipline the OPQ/IVF
+maintainers use): ``bootstrap_hot_shingles(corpus)`` computes the
+drop-list once over the bootstrap corpus with ``drop_hot_shingles``'s
+exact counting, persists it as an artifact, and every tick anti-joins
+its batch (and partner re-shingles) against that frozen list — so
+capped maintained == capped one-shot with the same frozen list,
+bit-for-bit (pinned by test). At 100 TB this is the guard that keeps
+boilerplate shingles from turning band buckets quadratic; on corpus
+drift the list ages like any frozen quantizer — re-bootstrap into a
+fresh base_dir (the ``rebootstrap_decision`` loop). Uncapped
+(``max_shingle_df=None``, the default) keeps exact parity with the
+uncapped one-shot oracle.
 
 Reference parity: the reference dedups per run
 (``project/etl2.py:150-165``); this is the cross-batch LLM-corpus
@@ -78,6 +86,7 @@ class NearDupIndexMaintainer:
         num_hashes: int = 32,
         rows_per_band: int = 2,
         threshold: float = 0.3,
+        max_shingle_df: int | None = None,
     ):
         if num_hashes % rows_per_band != 0:
             raise ValueError("num_hashes must be divisible by rows_per_band")
@@ -89,6 +98,9 @@ class NearDupIndexMaintainer:
         self.num_hashes = int(num_hashes)
         self.rows_per_band = int(rows_per_band)
         self.threshold = float(threshold)
+        self.max_shingle_df = (
+            int(max_shingle_df) if max_shingle_df is not None else None
+        )
         os.makedirs(base_dir, exist_ok=True)
         self._checkpoint_token: str | None = None
         self._meta = self._recover()
@@ -110,6 +122,10 @@ class NearDupIndexMaintainer:
             "num_hashes": self.num_hashes,
             "rows_per_band": self.rows_per_band,
             "threshold": self.threshold,
+            # the CAP is geometry (it changes every stored band row);
+            # the frozen drop-LIST is state (hot_shingles_v1 artifact).
+            # None for pre-cap states: meta.get() defaults align.
+            "max_shingle_df": self.max_shingle_df,
         }
 
     def _pointer_path(self) -> str:
@@ -155,7 +171,11 @@ class NearDupIndexMaintainer:
             orphaned = sorted(
                 n
                 for n in os.listdir(self.base_dir)
-                if re.match(r"^(docs|bands|pairs)_(b\d+|base_v\d+)$", n)
+                if re.match(
+                    r"^((docs|bands|pairs)_(b\d+|base_v\d+)"
+                    r"|hot_shingles_v\d+)$",
+                    n,
+                )
                 and os.path.exists(os.path.join(self.base_dir, n, "_SUCCESS"))
             )
             if orphaned:
@@ -225,6 +245,78 @@ class NearDupIndexMaintainer:
         ``ClusterMaintainer``'s served relation."""
         return self._cc.clusters()
 
+    # --- frozen hot-shingle cap (VERDICT r12 #2) ------------------------------
+
+    def _hot_dir(self) -> str:
+        return os.path.join(self.base_dir, "hot_shingles_v1")
+
+    def _hot_list(self) -> DataFrame | None:
+        """The frozen drop-list (shingle) — None when uncapped or not
+        yet bootstrapped."""
+        if int(self._meta.get("hot_gen", 0)) > 0:
+            return self.spark.read.parquet(self._hot_dir())
+        return None
+
+    def bootstrap_hot_shingles(self, corpus_df: DataFrame) -> int:
+        """Freeze the hot-shingle drop-list from the bootstrap corpus —
+        ONE corpus-global aggregate, persisted as an artifact, applied
+        to every subsequent tick. Must run before the first ingest
+        tick (a list frozen mid-stream would give early and late
+        batches different shingle universes — the replay-determinism
+        break the per-batch cap has). Counting is ``drop_hot_shingles``'s
+        exact semantics (rows of the shingle relation per shingle >
+        max_shingle_df), so capped maintained == capped one-shot with
+        the same frozen list, bit-for-bit. Returns the frozen list's
+        size (driver-bounded: one count over the hot sliver)."""
+        from _data_engineering_pipeline_project_spark.operators.dedup import (
+            _shingle_table,
+        )
+
+        if self.max_shingle_df is None:
+            raise ValueError(
+                "maintainer was opened uncapped (max_shingle_df=None); "
+                "pass max_shingle_df to the constructor to freeze a "
+                "hot-shingle list"
+            )
+        if self._meta["batches"]:
+            raise ValueError(
+                f"near-dup index at {self.base_dir} already has ingested "
+                "batches; the hot-shingle list must be frozen BEFORE the "
+                "first tick (frozen-quantizer discipline) — re-bootstrap "
+                "into a fresh base_dir and swap"
+            )
+        if int(self._meta.get("hot_gen", 0)) > 0:
+            raise ValueError(
+                f"hot-shingle list at {self.base_dir} is already frozen; "
+                "re-bootstrap into a fresh base_dir and swap (the frozen "
+                "list is the index's identity)"
+            )
+        sh = _shingle_table(
+            corpus_df.select(self.id_col, self.text_col),
+            self.id_col,
+            self.text_col,
+            self.shingle_n,
+        )
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > self.max_shingle_df)
+            .select("shingle")
+        )
+        hot.write.mode("overwrite").parquet(self._hot_dir())
+        self._commit({**self._meta, "hot_gen": 1})
+        return self.spark.read.parquet(self._hot_dir()).count()
+
+    def _apply_hot_cap(
+        self, sh: DataFrame, hot: DataFrame | None
+    ) -> DataFrame:
+        """Anti-join a shingle relation against the frozen drop-list
+        (hot side broadcast — boilerplate lists are small by nature);
+        identity when uncapped."""
+        if hot is None:
+            return sh
+        return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
     # --- maintenance ----------------------------------------------------------
 
     def merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -244,6 +336,16 @@ class NearDupIndexMaintainer:
         )
 
         idc, txc = self.id_col, self.text_col
+        if self.max_shingle_df is not None and (
+            int(meta.get("hot_gen", 0)) == 0
+        ):
+            raise ValueError(
+                "maintainer was opened with max_shingle_df="
+                f"{self.max_shingle_df} but no frozen hot-shingle list "
+                "exists; call bootstrap_hot_shingles(corpus) before the "
+                "first tick"
+            )
+        hot = self._hot_list()
         batch = batch_df.select(idc, txc).filter(F.col(idc).isNotNull())
         docs = self.docs()
         if docs is not None:
@@ -252,7 +354,9 @@ class NearDupIndexMaintainer:
                 docs.select(idc), idc, "left_anti"
             )
         batch = batch.persist()
-        sh_b = _shingle_table(batch, idc, txc, self.shingle_n).persist()
+        sh_b = self._apply_hot_cap(
+            _shingle_table(batch, idc, txc, self.shingle_n), hot
+        ).persist()
         bands_b = _band_frame(
             minhash_wide_signatures(sh_b, idc, self.num_hashes),
             idc,
@@ -308,7 +412,9 @@ class NearDupIndexMaintainer:
             )
             partners = docs.join(F.broadcast(partner_ids), idc)
             sh_all = sh_b.unionByName(
-                _shingle_table(partners, idc, txc, self.shingle_n)
+                self._apply_hot_cap(
+                    _shingle_table(partners, idc, txc, self.shingle_n), hot
+                )
             ).persist()
         else:
             sh_all = sh_b

@@ -78,6 +78,7 @@ EXTENSION_QUERIES = [
     "seasonal_residual_events",
     "corpus_health_summary",
     "hybrid_search_rrf",
+    "hybrid_search_rrf_maintained",
     "train_val_test_split_documents",
     "group_split_events_no_leakage",
     "ab_test_conversion_events",

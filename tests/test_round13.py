@@ -1,0 +1,280 @@
+"""Round 13: the VERDICT r12 brief — hybrid retrieval served from
+maintained indexes, the frozen hot-shingle cap, the blue/green index
+swap, and the composed all-maintainer drain."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+_TERMS = ("table", "value", "fast")
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _doc_rows(ids):
+    """Deterministic synthetic docs with varying tf of the query bag
+    and varying lengths (so bm25's idf / length-norm both matter)."""
+    out = []
+    for i in ids:
+        words = []
+        words += ["table"] * (i % 4)
+        words += ["value"] * (i % 3)
+        words += ["fast"] * (i % 5)
+        words += [f"filler{i}w{j}" for j in range(i % 7 + 1)]
+        out.append((i, " ".join(words)))
+    return out
+
+
+def _emb_batch(spark, ids, d=16):
+    rows = [
+        (i, [math.sin(0.37 * i * (j + 1)) for j in range(d)]) for i in ids
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r12 #1: hybrid retrieval served from maintained indexes
+# ---------------------------------------------------------------------------
+def test_bm25_maintained_per_term_matches_direct(spark, tmp_path):
+    """Per-term contributions served from a maintained BM25 index equal
+    the direct path (``bm25_per_term_contrib``) BIT-FOR-BIT over every
+    tick split — tf/df/dl are exact longs either way and avgdl is the
+    same long-sum / long-count division, so the doubles coincide."""
+    from _data_engineering_pipeline_project_spark.operators.ranking import (
+        bm25_per_term_contrib,
+        bm25_per_term_contrib_from_index,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.bm25maint import (
+        Bm25Maintainer,
+    )
+
+    rows = _doc_rows(range(1, 46))
+    union = _docs(spark, rows)
+    mnt = Bm25Maintainer(spark, str(tmp_path / "bm25"))
+    for i in range(3):
+        mnt.merge_batch(
+            _docs(spark, [r for r in rows if r[0] % 3 == i]), batch_id=i
+        )
+
+    got = {
+        tuple(r)
+        for r in bm25_per_term_contrib_from_index(
+            mnt.serve_index(), list(_TERMS)
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in bm25_per_term_contrib(union, list(_TERMS)).collect()
+    }
+    assert got == want and len(want) > 20
+
+
+def test_hybrid_maintained_fusion_ticks_equal_one_shot(spark, tmp_path):
+    """The maintained hybrid (lexical from Bm25Maintainer + semantic
+    from IvfOpqIndexMaintainer, RRF-fused) equals the one-shot fusion
+    over the same frozen vector index BIT-FOR-BIT, for any lexical
+    tick split — the serving face of VERDICT r12 #1. The one-shot
+    reference recomputes the lexical side with the DIRECT per-term
+    path (the ``hybrid_search_rrf`` arithmetic) and fuses the same
+    maintained semantic top-k; the ivfopq maintained==one-shot leg is
+    pinned separately (test_round12)."""
+    from pyspark.sql import Window
+
+    from _data_engineering_pipeline_project_spark.operators.ranking import (
+        bm25_per_term_contrib,
+    )
+    from _data_engineering_pipeline_project_spark.queries_ext13 import (
+        _hybrid_from_indexes,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.bm25maint import (
+        Bm25Maintainer,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.ivfopqmaint import (
+        IvfOpqIndexMaintainer,
+    )
+
+    ids = list(range(1, 61))
+    rows = _doc_rows(ids)
+    union_docs = _docs(spark, rows)
+    d, m, sub, ksub, C, nprobe = 16, 4, 2, 8, 4, 2
+
+    # ONE frozen vector index (bootstrap + 2 ticks — maintained)
+    vmnt = IvfOpqIndexMaintainer(
+        spark, str(tmp_path / "ivfopq"), num_centroids=C
+    )
+    vmnt.bootstrap(
+        _emb_batch(spark, range(1, 41), d=d), dim=d, m=m, sub_dim=sub,
+        ksub=ksub,
+    )
+    vmnt.merge_batch(_emb_batch(spark, range(41, 51), d=d), batch_id=0)
+    vmnt.merge_batch(_emb_batch(spark, range(51, 61), d=d), batch_id=1)
+    sem = vmnt.topk(
+        _emb_batch(spark, [1], d=d), k=20, nprobe=nprobe
+    ).persist()
+
+    def maintained_hybrid(n_ticks, name):
+        mnt = Bm25Maintainer(spark, str(tmp_path / name))
+        for i in range(n_ticks):
+            mnt.merge_batch(
+                _docs(spark, [r for r in rows if r[0] % n_ticks == i]),
+                batch_id=i,
+            )
+        return sorted(
+            tuple(r)
+            for r in _hybrid_from_indexes(
+                mnt.serve_index(), sem, _TERMS
+            ).collect()
+        )
+
+    got_1 = maintained_hybrid(1, "bm25_one")
+    got_3 = maintained_hybrid(3, "bm25_three")
+    assert got_1 == got_3  # lexical tick split invisible, bit-for-bit
+
+    # one-shot reference: DIRECT lexical path + same semantic relation
+    per_term = bm25_per_term_contrib(union_docs, list(_TERMS))
+    agg = [
+        F.coalesce(
+            F.max(F.when(F.col("term") == t, F.col("contrib"))), F.lit(0.0)
+        ).alias(f"__c{i}")
+        for i, t in enumerate(_TERMS)
+    ]
+    bm = per_term.groupBy("doc_id").agg(*agg)
+    total = F.col("__c0")
+    for i in range(1, len(_TERMS)):
+        total = total + F.col(f"__c{i}")
+    bm = bm.select("doc_id", F.round(total, 4).alias("bm25"))
+    w_lex = Window.orderBy(F.desc("bm25"), "doc_id")
+    lex = (
+        bm.orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+        .withColumn("r_lex", F.row_number().over(w_lex).cast("int"))
+        .select("doc_id", "r_lex")
+    )
+    sem_r = sem.select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rnk").cast("int").alias("r_sem"),
+    )
+    fused = lex.join(sem_r, "doc_id", "full_outer").select(
+        "doc_id",
+        "r_lex",
+        "r_sem",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(60) + F.col("r_sem")), F.lit(0.0)
+            ),
+            8,
+        ).alias("rrf"),
+    )
+    w_f = Window.orderBy(F.desc("rrf"), "doc_id")
+    want = sorted(
+        tuple(r)
+        for r in fused.orderBy(F.desc("rrf"), "doc_id")
+        .limit(10)
+        .withColumn("rnk", F.row_number().over(w_f).cast("int"))
+        .collect()
+    )
+    assert got_3 == want and len(want) == 10
+    # both sides contributed: some row fused lexical AND semantic ranks
+    assert any(r[1] is not None and r[2] is not None for r in want)
+    sem.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r12 #2: frozen hot-shingle cap for the maintained near-dup index
+# ---------------------------------------------------------------------------
+def test_neardup_maintainer_frozen_hot_shingle_cap(spark, tmp_path):
+    """Capped maintained == capped one-shot with the same frozen list,
+    BIT-FOR-BIT — the 100 TB boilerplate guard (VERDICT r12 #2). A
+    planted boilerplate sentence shared by EVERY document creates hot
+    shingles; the frozen drop-list removes them from signatures,
+    candidates, and verification alike, so unrelated docs stop
+    colliding while true near-dups stay connected through their rarer
+    shingles. Freeze-before-first-tick and geometry guards fail
+    loudly."""
+    from _data_engineering_pipeline_project_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.neardupmaint import (
+        NearDupIndexMaintainer,
+    )
+
+    boiler = (
+        "this website uses cookies to improve your experience please "
+        "accept our terms of service and privacy policy before reading"
+    )
+
+    def doc(i, body):
+        return (i, f"{boiler} {body}")
+
+    rows = [
+        doc(1, "alpha beta gamma delta epsilon zeta eta theta"),
+        doc(2, "alpha beta gamma delta epsilon zeta eta iota"),  # ~dup of 1
+        doc(3, "completely different words one two three four five six"),
+        doc(4, "unrelated content seven eight nine ten eleven twelve"),
+        doc(5, "another standalone text about parquet row group stats"),
+        doc(6, "alpha beta gamma delta epsilon zeta eta kappa"),  # ~dup of 1
+    ]
+    union = _docs(spark, rows)
+    cap = 3
+
+    base = str(tmp_path / "ndm_capped")
+    mnt = NearDupIndexMaintainer(spark, base, max_shingle_df=cap)
+    # guard: capped ticks require the frozen list first
+    with pytest.raises(ValueError, match="bootstrap_hot_shingles"):
+        mnt.merge_batch(union, batch_id=0)
+    n_hot = mnt.bootstrap_hot_shingles(union)
+    assert n_hot > 0  # the boilerplate actually froze a drop-list
+    with pytest.raises(ValueError, match="already frozen"):
+        mnt.bootstrap_hot_shingles(union)
+
+    b1 = _docs(spark, rows[:2])
+    b2 = _docs(spark, rows[2:4])
+    b3 = _docs(spark, rows[4:])
+    for i, b in enumerate((b1, b2, b3)):
+        mnt.merge_batch(b, batch_id=i)
+
+    want = {
+        tuple(r)
+        for r in minhash_near_dup_pairs(
+            union, threshold=0.3, max_shingle_df=cap
+        ).collect()
+    }
+    got = {tuple(r) for r in mnt.pairs().collect()}
+    assert got == want
+    # true near-dups survive the cap (group {1,2,6} pairs present)
+    assert any(a == 1 and b == 2 for a, b, _ in got)
+    # the cap changed the result vs uncapped (boilerplate had been
+    # pairing unrelated docs / inflating jaccards)
+    uncapped = {
+        tuple(r)
+        for r in minhash_near_dup_pairs(union, threshold=0.3).collect()
+    }
+    assert got != uncapped
+
+    # reopen with the SAME cap: same served pairs; different cap: loud
+    m2 = NearDupIndexMaintainer(spark, base, max_shingle_df=cap)
+    assert {tuple(r) for r in m2.pairs().collect()} == want
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        NearDupIndexMaintainer(spark, base)
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        NearDupIndexMaintainer(spark, base, max_shingle_df=cap + 1)
+
+    # freeze-after-ticks guard (fresh uncapped-looking state with ticks)
+    base2 = str(tmp_path / "ndm_late")
+    m3 = NearDupIndexMaintainer(spark, base2, max_shingle_df=cap)
+    m4 = NearDupIndexMaintainer(spark, str(tmp_path / "ndm_plain"))
+    m4.merge_batch(b1, batch_id=0)
+    m3.bootstrap_hot_shingles(union)
+    m3.merge_batch(b1, batch_id=0)
+    with pytest.raises(ValueError, match="already has ingested"):
+        m3.bootstrap_hot_shingles(union)
+    # uncapped maintainer rejects a freeze attempt
+    with pytest.raises(ValueError, match="opened uncapped"):
+        m4.bootstrap_hot_shingles(union)
