@@ -278,3 +278,211 @@ def test_neardup_maintainer_frozen_hot_shingle_cap(spark, tmp_path):
     # uncapped maintainer rejects a freeze attempt
     with pytest.raises(ValueError, match="opened uncapped"):
         m4.bootstrap_hot_shingles(union)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r12 #3: blue/green index swap executes the re-bootstrap decision
+# ---------------------------------------------------------------------------
+def test_bluegreen_swap_crash_floor_and_gc(spark, tmp_path):
+    """Pointer mechanics: a crash mid-build leaves the old generation
+    serving and a debris dir a later swap never adopts; a rebuilt index
+    below the recall floor ABORTS the flip loudly; an empty audit panel
+    is a monitoring failure, not evidence; decision False is a recorded
+    no-op; gc removes debris but never the serving generation; hostile
+    pointers fail loudly."""
+    import json
+    import os
+
+    from _data_engineering_pipeline_project_spark.streaming.bluegreen import (
+        BlueGreenIndex,
+    )
+
+    base = str(tmp_path / "bg")
+    bg = BlueGreenIndex(base)
+    with pytest.raises(ValueError, match="no serving generation"):
+        bg.serving_dir()
+
+    def build(tag):
+        def fn(gen_dir):
+            os.makedirs(gen_dir, exist_ok=True)
+            with open(os.path.join(gen_dir, "payload"), "w") as fh:
+                fh.write(tag)
+        return fn
+
+    r0 = bg.swap(True, build("g0"))
+    assert r0["swapped"] and bg.serving_dir().endswith("gen_0")
+
+    # crash mid-build: pointer unmoved, gen_1 is debris
+    def crashing(gen_dir):
+        os.makedirs(gen_dir, exist_ok=True)
+        with open(os.path.join(gen_dir, "payload"), "w") as fh:
+            fh.write("partial")
+        raise RuntimeError("executor lost")
+
+    with pytest.raises(RuntimeError, match="executor lost"):
+        bg.swap(True, crashing)
+    assert bg.serving_dir().endswith("gen_0")
+    assert os.path.isdir(os.path.join(base, "gen_1"))  # debris
+
+    # next attempt allocates gen_2 — the debris dir is never adopted
+    r2 = bg.swap(True, build("g2"))
+    assert r2["serving_gen"] == 2 and bg.serving_dir().endswith("gen_2")
+    with open(os.path.join(bg.serving_dir(), "payload")) as fh:
+        assert fh.read() == "g2"
+
+    # decision False: recorded no-op
+    rno = bg.swap(False, build("never"))
+    assert rno["swapped"] is False and bg.serving_dir().endswith("gen_2")
+
+    # recall floor: rebuilt gen_3 audits below the floor -> abort, loud
+    low_panel = spark.createDataFrame(
+        [(i, 0.4) for i in range(5)], "query_id int, recall double"
+    )
+    with pytest.raises(ValueError, match="below the floor"):
+        bg.swap(
+            True, build("g3"), audit_fn=lambda d: low_panel, min_recall=0.9
+        )
+    assert bg.serving_dir().endswith("gen_2")
+
+    # empty panel: monitoring failure, refuse to flip
+    empty = low_panel.filter(F.col("recall") > 1.0)
+    with pytest.raises(ValueError, match="no rows"):
+        bg.swap(True, build("g4"), audit_fn=lambda d: empty, min_recall=0.1)
+    assert bg.serving_dir().endswith("gen_2")
+
+    # min_recall without an audit_fn is a caller bug
+    with pytest.raises(ValueError, match="no audit_fn"):
+        bg.swap(True, build("g5"), min_recall=0.5)
+
+    # gc: debris (1, 3, 4) removed; serving gen_2 and previous gen_0 kept
+    removed = bg.gc(keep_previous=1)
+    assert "gen_1" in removed and "gen_3" in removed and "gen_4" in removed
+    assert os.path.isdir(os.path.join(base, "gen_2"))
+    assert os.path.isdir(os.path.join(base, "gen_0"))
+
+    # reopen recovers; hostile pointers fail loudly
+    bg2 = BlueGreenIndex(base)
+    assert bg2.serving_dir().endswith("gen_2")
+    with open(os.path.join(base, "_SERVING"), "w") as fh:
+        fh.write("{truncated")
+    with pytest.raises(ValueError, match="corrupt"):
+        BlueGreenIndex(base)
+    orphan_base = str(tmp_path / "orphan")
+    os.makedirs(os.path.join(orphan_base, "gen_0"))
+    with pytest.raises(ValueError, match="no _SERVING pointer"):
+        BlueGreenIndex(orphan_base)
+
+
+def test_bluegreen_planted_drift_end_to_end(spark, tmp_path):
+    """The full loop the policy operator promised (VERDICT r12 #3):
+    planted drift -> rebootstrap_decision True -> blue/green swap
+    re-bootstraps the IVF-OPQ index over the accumulated corpus,
+    verifies recall on the panel, and atomically repoints serving —
+    recall restored (new >= old on the same panel), old generation
+    intact until gc."""
+    from _data_engineering_pipeline_project_spark.operators.similarity import (
+        topk_cosine_bruteforce,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.bluegreen import (
+        BlueGreenIndex,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.driftmaint import (
+        DriftMaintainer,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.ivfopqmaint import (
+        IvfOpqIndexMaintainer,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.policy import (
+        rebootstrap_decision,
+    )
+    import os
+
+    d, m, sub, ksub, C, nprobe, k = 16, 4, 2, 8, 4, 2, 5
+
+    def emb(ids, shift=0.0):
+        rows = [
+            (
+                i,
+                [
+                    math.sin(0.37 * i * (j + 1)) + (shift if j == 2 else 0.0)
+                    for j in range(d)
+                ],
+            )
+            for i in ids
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    corpus_a = emb(range(1, 81))
+    drifted = emb(range(81, 201), shift=2.5)
+    union = corpus_a.unionByName(drifted)
+    panel_ids = [81, 95, 110, 140, 180]  # queries from the drifted mass
+    panel = emb(panel_ids, shift=2.5)
+
+    def build_over(corpus):
+        def fn(gen_dir):
+            mnt = IvfOpqIndexMaintainer(
+                spark, os.path.join(gen_dir, "index"), num_centroids=C
+            )
+            mnt.bootstrap(corpus, dim=d, m=m, sub_dim=sub, ksub=ksub)
+        return fn
+
+    def audit(gen_dir):
+        mnt = IvfOpqIndexMaintainer(
+            spark, os.path.join(gen_dir, "index"), num_centroids=C
+        )
+        approx = mnt.topk(panel, k=k, nprobe=nprobe).select(
+            "query_id", "neighbor_id"
+        )
+        exact = topk_cosine_bruteforce(union, panel, k=k, dim=d).select(
+            "query_id", "neighbor_id"
+        )
+        hits = (
+            approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("hits"))
+        )
+        qs = exact.select("query_id").distinct()
+        return qs.join(hits, "query_id", "left").select(
+            "query_id",
+            (F.coalesce("hits", F.lit(0)) / F.lit(float(k))).alias("recall"),
+        )
+
+    bg = BlueGreenIndex(str(tmp_path / "bg_ivfopq"))
+    # gen_0: bootstrapped over the pre-drift corpus, then ticked with
+    # the drifted batch (frozen rotation/centroids from A quantize the
+    # new mass with the old geometry — the staleness drift measures)
+    bg.swap(True, build_over(corpus_a))
+    old_mnt = IvfOpqIndexMaintainer(
+        spark,
+        os.path.join(bg.serving_dir(), "index"),
+        num_centroids=C,
+    )
+    old_mnt.merge_batch(drifted, batch_id=0)
+    old_recalls = [
+        r["recall"] for r in audit(bg.serving_dir()).collect()
+    ]
+    old_mean = sum(old_recalls) / len(old_recalls)
+
+    # the monitoring loop: planted drift trips the decision
+    dm = DriftMaintainer(spark, str(tmp_path / "drift"))
+    dm.merge_batch(corpus_a, batch_id=0)
+    dm.mark_baseline()
+    dm.merge_batch(drifted, batch_id=1)
+    decision = rebootstrap_decision(
+        spark,
+        dm.drift_report(top=8),
+        artifacts={"ivfopq": bg.serving_dir()},
+    )
+    assert decision.collect()[0]["decision"] is True
+
+    # execute: rebuild over the accumulated corpus, verify, flip
+    report = bg.swap(
+        decision, build_over(union), audit_fn=audit, min_recall=0.3
+    )
+    assert report["swapped"] and bg.serving_dir().endswith("gen_1")
+    assert report["mean_recall"] >= 0.3
+    assert report["mean_recall"] >= old_mean  # recall restored
+    # blue survives until gc
+    assert os.path.isdir(os.path.join(str(tmp_path / "bg_ivfopq"), "gen_0"))
