@@ -299,10 +299,11 @@ def _ndm_maintained(spark: SparkSession, sf: str):
     docs = table(spark, sf, "documents").select("doc_id", "text")
     tmpdir = tempfile.mkdtemp(prefix="ndm_index_")
     mnt = NearDupIndexMaintainer(spark, os.path.join(tmpdir, "index"))
-    # two ingest slices: a tick has a FIXED scheduling overhead (~18 s
-    # measured, tools/measure_neardup_maint.py) that dwarfs its O(batch)
-    # work at registry scale, so the bootstrap uses the fewest ticks
-    # that still exercise the cross-batch (batch-bands x stored-bands)
+    # two ingest slices: a tick has a FIXED scheduling overhead (~5 s
+    # after the r13 lineage discipline — was ~18 s; tools/
+    # measure_neardup_maint.py) that dwarfs its O(batch) work at
+    # registry scale, so the bootstrap uses the fewest ticks that
+    # still exercise the cross-batch (batch-bands x stored-bands)
     # path; the unit tests pin the 3-4-batch contract
     bucket = F.pmod(
         F.crc32(F.col("doc_id").cast("string").cast("binary")), F.lit(2)

@@ -206,3 +206,198 @@ def hybrid_search_rrf_maintained(spark: SparkSession, sf: str) -> DataFrame:
     emb = table(spark, sf, "embeddings")
     sem = mnt.topk(emb.filter(F.col("vec_id") == 0), k=20, nprobe=_IVFOPQ_NPROBE)
     return _hybrid_from_indexes(bm25_index, sem, _BM25_TERMS)
+
+
+# --------------------------------------------------------------------------
+# RAG retrieval served from a maintained chunk-level BM25 index
+# --------------------------------------------------------------------------
+_RAG_BM25_MAINT_MEMO: dict = {}
+
+
+def clear_rag_bm25_maint_memo() -> None:
+    """Eviction hook (wired into ``queries_ext.clear_query_caches``)."""
+    import shutil
+
+    for _mnt, tmpdir in _RAG_BM25_MAINT_MEMO.values():
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    _RAG_BM25_MAINT_MEMO.clear()
+
+
+def _rag_bm25_maintained(spark: SparkSession, sf: str):
+    """The session's maintained CHUNK-level BM25 inverted index:
+    context-window chunks (pure per-doc function — chunking commutes
+    with ingest slicing) ticked into a ``Bm25Maintainer`` keyed by
+    cid. Same split-independence contract as the document index."""
+    import os
+    import tempfile
+
+    from _data_engineering_pipeline_project_spark.operators import (
+        curation as C,
+    )
+    from _data_engineering_pipeline_project_spark.queries_ext import (
+        _session_key,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.bm25maint import (
+        Bm25Maintainer,
+    )
+
+    key = _session_key(spark, sf)
+    if key in _RAG_BM25_MAINT_MEMO:
+        return _RAG_BM25_MAINT_MEMO[key][0]
+    docs = table(spark, sf, "documents")
+    chunks = C.chunk_documents(docs, chunk_chars=120, overlap=0).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("cid"),
+        "chunk",
+    )
+    tmpdir = tempfile.mkdtemp(prefix="rag_bm25_maint_")
+    mnt = Bm25Maintainer(
+        spark,
+        os.path.join(tmpdir, "index"),
+        id_col="cid",
+        text_col="chunk",
+    )
+    bucket = F.coalesce(
+        F.pmod(
+            F.crc32(F.col("cid").cast("string").cast("binary")), F.lit(2)
+        ),
+        F.lit(0),
+    )
+    for i in range(2):
+        mnt.merge_batch(chunks.filter(bucket == i), batch_id=i)
+    _RAG_BM25_MAINT_MEMO[key] = (mnt, tmpdir)
+    return mnt
+
+
+def _rag_maint_sql() -> str:
+    # the maintained path serves the IDENTICAL relation (maintained
+    # lexical stats == one-shot stats bit-for-bit; the semantic side is
+    # the same exact-integer plan), so the registered oracle is reused
+    # verbatim — the semantic_dup_pairs_maintained precedent
+    from _data_engineering_pipeline_project_spark.queries import ORACLES
+
+    return ORACLES["rag_retrieval_pipeline"]
+
+
+@query("rag_retrieval_maintained", _rag_maint_sql)  # deferred (reuse)
+def rag_retrieval_maintained(spark: SparkSession, sf: str) -> DataFrame:
+    """The RAG retrieval stack served from MAINTAINED lexical state:
+    chunk-level BM25 top-20 from a standing ``Bm25Maintainer`` over the
+    chunk relation (cid-keyed postings with dl payload — the query
+    touches only the query bag's postings slice; n_docs/avgdl/df are
+    the maintained monoids) fused with the exact-integer
+    sign-projection semantic ranking of ``rag_retrieval_pipeline``
+    (chunk embeddings are a pure per-chunk function — at scale they
+    persist as a vector artifact; the fixed 8-dim integer space here
+    makes the exact plan the right one at any corpus size since score
+    cost is one fused projection per chunk). Oracle: the one-shot RAG
+    twin VERBATIM — hash-parity certifies the maintained lexical stats
+    equal the recomputed ones to the last ulp, fused ranks included."""
+    from pyspark.sql import Window
+
+    from _data_engineering_pipeline_project_spark.operators import (
+        curation as C,
+    )
+    from _data_engineering_pipeline_project_spark.operators.ranking import (
+        bm25_per_term_contrib_from_index,
+    )
+    from _data_engineering_pipeline_project_spark.queries_ext3 import (
+        _BM25_TERMS,
+        _RAG_NQ2,
+        _RAG_Q,
+    )
+
+    docs = table(spark, sf, "documents")
+    chunks = C.chunk_documents(docs, chunk_chars=120, overlap=0).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("cid"),
+        "chunk",
+    )
+    toks = chunks.select(
+        "cid",
+        F.explode(F.split(F.trim(F.lower(F.col("chunk"))), r"\s+")).alias(
+            "term"
+        ),
+    ).filter(F.length("term") > 0)
+    sign_cols = [
+        F.sum(
+            F.when(
+                F.substring(
+                    F.md5(F.concat(F.col("term"), F.lit(f":{j}"))), 15, 1
+                ).isin(*list("13579bdf")),
+                -1,
+            ).otherwise(1)
+        ).alias(f"v{j}")
+        for j in range(8)
+    ]
+    emb = toks.groupBy("cid").agg(*sign_cols)
+    dot = sum(
+        (F.col(f"v{j}") * F.lit(_RAG_Q[j]) for j in range(1, 8)),
+        F.col("v0") * F.lit(_RAG_Q[0]),
+    )
+    n2 = sum(
+        (F.col(f"v{j}") * F.col(f"v{j}") for j in range(1, 8)),
+        F.col("v0") * F.col("v0"),
+    )
+    semscore = emb.select(
+        "cid",
+        F.when(
+            n2 > 0,
+            F.round(dot / (F.sqrt(n2) * F.sqrt(F.lit(float(_RAG_NQ2)))), 6),
+        ).alias("cos"),
+    ).filter(F.col("cos").isNotNull())
+    w_sem = Window.orderBy(F.desc("cos"), "cid")
+    sem = (
+        semscore.orderBy(F.desc("cos"), "cid")
+        .limit(20)
+        .withColumn("r_sem", F.row_number().over(w_sem).cast("int"))
+        .select("cid", "r_sem")
+    )
+
+    # lexical: MAINTAINED postings instead of a per-call recompute
+    ix = _rag_bm25_maintained(spark, sf).serve_index()
+    per_term = bm25_per_term_contrib_from_index(ix, list(_BM25_TERMS))
+    agg = [
+        F.coalesce(
+            F.max(F.when(F.col("term") == t, F.col("contrib"))), F.lit(0.0)
+        ).alias(f"__c{i}")
+        for i, t in enumerate(_BM25_TERMS)
+    ]
+    bm = per_term.groupBy("cid").agg(*agg)
+    total = F.col("__c0")
+    for i in range(1, len(_BM25_TERMS)):
+        total = total + F.col(f"__c{i}")
+    bm = bm.select("cid", F.round(total, 4).alias("bm25"))
+    w_lex = Window.orderBy(F.desc("bm25"), "cid")
+    lex = (
+        bm.orderBy(F.desc("bm25"), "cid")
+        .limit(20)
+        .withColumn("r_lex", F.row_number().over(w_lex).cast("int"))
+        .select("cid", "r_lex")
+    )
+
+    fused = lex.join(sem, "cid", "full_outer").select(
+        "cid",
+        "r_lex",
+        "r_sem",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(60) + F.col("r_sem")), F.lit(0.0)
+            ),
+            8,
+        ).alias("rrf"),
+    )
+    w_f = Window.orderBy(F.desc("rrf"), "cid")
+    return (
+        fused.orderBy(F.desc("rrf"), "cid")
+        .limit(10)
+        .withColumn("rnk", F.row_number().over(w_f).cast("int"))
+        .select(
+            "cid",
+            F.expr("cid div 1000").alias("doc_id"),
+            (F.col("cid") % 1000).cast("int").alias("chunk_idx"),
+            "r_lex",
+            "r_sem",
+            "rrf",
+            "rnk",
+        )
+    )

@@ -662,16 +662,59 @@ def _render_doc_images(docs: DataFrame) -> DataFrame:
     )
 
 
-@query("image_ahash_near_dup")  # rows-only: real binary decode in the loop
+@query(
+    "image_ahash_near_dup",
+    r"""
+    WITH hx AS (SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx
+                FROM documents),
+    byt AS (SELECT doc_id,
+                   list_transform(range(0, 192), p ->
+                     CASE WHEN length(hx) >= 2*p + 2
+                          THEN CAST(('0x' || substr(hx, 2*p + 1, 2))
+                                    AS INTEGER)
+                          ELSE 0 END) AS b
+            FROM hx),
+    lum AS (SELECT doc_id,
+                   list_transform(range(0, 64), p ->
+                     (299*b[3*p + 1] + 587*b[3*p + 2] + 114*b[3*p + 3])
+                       // 1000) AS luma
+            FROM byt),
+    m AS (SELECT doc_id, luma, list_sum(luma) // 64 AS mean FROM lum),
+    h0 AS (SELECT doc_id,
+                  list_sum(list_transform(range(0, 64), p ->
+                    CASE WHEN luma[p + 1] > mean
+                         THEN CAST(1 AS HUGEINT) << (63 - p)
+                         ELSE CAST(0 AS HUGEINT) END)) AS hu
+           FROM m),
+    h AS (SELECT doc_id,
+                 CAST(CASE WHEN hu >= CAST(1 AS HUGEINT) << 63
+                           THEN hu - (CAST(1 AS HUGEINT) << 64)
+                           ELSE hu END AS BIGINT) AS ah
+          FROM h0)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.ah, b.ah)) AS INTEGER) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ah, b.ah)) <= 2
+    """,
+)
 def image_ahash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     """Perceptual-hash near-duplicate IMAGE pairs: render each document
     as a deterministic 8×8 feature image (PPM bytes), REAL-decode and
     aHash it (integer luma math, multimodal/codecs.py), then the banded
-    64-bit Hamming join shared with SimHash. Rows-only by design — the
-    decode step is genuinely non-SQL — but every stage below the UDF is
-    pinned by unit tests (aHash parity vs a pure-python reference,
-    pigeonhole recall) and the banding reuses the oracle-proven
-    sig64 path."""
+    64-bit Hamming join shared with SimHash.
+
+    ORACLED since r13 (VERDICT r12 #7, rows-only 9 → 8): the whole
+    UDF chain — render (utf-8 prefix → pixels), PPM encode, decode,
+    8×8 nearest resize (identity at 8×8), Rec.601 integer luma, mean
+    threshold, MSB-first bit pack into a signed 64-bit lane — is
+    integer arithmetic end to end, so DuckDB reproduces the signature
+    from the RAW BYTES (hex-sliced utf-8, zero-padded — exactly the
+    multimodal_fake_resize sha256-twin discipline) and the HUGEINT
+    two's-complement fold lands the identical BIGINT. The twin
+    verifies pairs by brute-force popcount, which equals the banded
+    path exactly because max_hamming=2 ≤ n_bands-1=3 makes pigeonhole
+    recall COMPLETE — so hash parity certifies codec, hash, banding,
+    and verification by value."""
     from _data_engineering_pipeline_project_spark.multimodal.codecs import (
         ahash_images,
     )

@@ -353,7 +353,22 @@ class NearDupIndexMaintainer:
             batch = batch.join(
                 docs.select(idc), idc, "left_anti"
             )
-        batch = batch.persist()
+        # LINEAGE DISCIPLINE (r13 profiling, SCALE.md): each stage's
+        # output is written to its (idempotent, pre-pointer) batch dir
+        # and READ BACK, so downstream plans are parquet scans instead
+        # of re-compiling/re-optimizing the accumulated pipeline. The
+        # tick was fixed-overhead-bound — ~86 AQE jobs per bootstrap at
+        # sf0.01, most re-deriving tiny frames through a 15-operator
+        # lineage; the round-trip (exact for long/string/double lanes)
+        # cut the registry bootstrap ~3x. A crash between a stage write
+        # and the pointer commit leaves overwrite-idempotent orphans,
+        # exactly as before.
+        batch.write.mode("overwrite").parquet(
+            os.path.join(self.base_dir, f"docs_b{batch_id}")
+        )
+        batch = self.spark.read.parquet(
+            os.path.join(self.base_dir, f"docs_b{batch_id}")
+        )
         sh_b = self._apply_hot_cap(
             _shingle_table(batch, idc, txc, self.shingle_n), hot
         ).persist()
@@ -362,44 +377,46 @@ class NearDupIndexMaintainer:
             idc,
             self.num_hashes,
             self.rows_per_band,
-        ).persist()
+        )
+        bands_b.write.mode("overwrite").parquet(
+            os.path.join(self.base_dir, f"bands_b{batch_id}")
+        )
+        bands_b = self.spark.read.parquet(
+            os.path.join(self.base_dir, f"bands_b{batch_id}")
+        )
         # within-batch candidates (a < b, the one-shot orientation)
         a, b = bands_b.alias("a"), bands_b.alias("b")
-        within = (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.sig") == F.col("b.sig"))
-                & (F.col(f"a.{idc}") < F.col(f"b.{idc}")),
-            )
-            .select(
-                F.col(f"a.{idc}").alias("doc_a"),
-                F.col(f"b.{idc}").alias("doc_b"),
-            )
-            .dropDuplicates()
+        within = a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{idc}") < F.col(f"b.{idc}")),
+        ).select(
+            F.col(f"a.{idc}").alias("doc_a"),
+            F.col(f"b.{idc}").alias("doc_b"),
         )
         # cross candidates: stored index scanned, batch side broadcast
+        # (bands() reads only the POINTER's batch list — the dir just
+        # written above is not committed yet, so it is not in scope)
         stored = self.bands()
         if stored is not None:
-            cross = (
-                stored.join(
-                    F.broadcast(
-                        bands_b.select(
-                            F.col(idc).alias("__new_id"), "band", "sig"
-                        )
-                    ),
-                    ["band", "sig"],
-                )
-                .select(
-                    F.least(F.col(idc), F.col("__new_id")).alias("doc_a"),
-                    F.greatest(F.col(idc), F.col("__new_id")).alias("doc_b"),
-                )
-                .dropDuplicates()
+            cross = stored.join(
+                F.broadcast(
+                    bands_b.select(
+                        F.col(idc).alias("__new_id"), "band", "sig"
+                    )
+                ),
+                ["band", "sig"],
+            ).select(
+                F.least(F.col(idc), F.col("__new_id")).alias("doc_a"),
+                F.greatest(F.col(idc), F.col("__new_id")).alias("doc_b"),
             )
-            cands = within.unionByName(cross).dropDuplicates()
+            cands = within.unionByName(cross)
         else:
             cands = within
-        cands = cands.persist()
+        # ONE dedup over the union (the per-branch dropDuplicates were
+        # two extra shuffles for the same set)
+        cands = cands.dropDuplicates().persist()
         # partner texts: state scan 2 (candidate ids broadcast), then
         # re-shingle the sliver — per-doc pure, so bit-identical to the
         # one-shot pipeline's shingle rows for those docs
@@ -451,20 +468,23 @@ class NearDupIndexMaintainer:
             )
             .filter(F.col("jaccard") >= self.threshold)
             .select("doc_a", "doc_b", "jaccard")
-        ).persist()
-        # --- writes (idempotent per-batch dirs), then pointer ---------------
-        batch.write.mode("overwrite").parquet(
-            os.path.join(self.base_dir, f"docs_b{batch_id}")
         )
-        bands_b.write.mode("overwrite").parquet(
-            os.path.join(self.base_dir, f"bands_b{batch_id}")
-        )
+        # docs/bands landed at their stage boundaries above; the pairs
+        # write completes the batch's dirs, then the pointer commits
         pairs_new.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(self.base_dir, f"pairs_b{batch_id}")
         )
-        # tick the embedded cluster maintainer (its own watermark makes
-        # replays no-ops there too)
-        self._cc.merge_batch(pairs_new, batch_id)
+        # tick the embedded cluster maintainer FROM THE COMMITTED FILES
+        # (its own watermark makes replays no-ops there too): handing it
+        # the live verify lineage made every cluster-tick action
+        # re-optimize the whole pipeline — the parquet-backed frame is
+        # the same rows with a three-node plan (r13 profiling)
+        self._cc.merge_batch(
+            self.spark.read.parquet(
+                os.path.join(self.base_dir, f"pairs_b{batch_id}")
+            ),
+            batch_id,
+        )
         self._commit(
             {
                 **meta,
@@ -473,7 +493,7 @@ class NearDupIndexMaintainer:
                 "batches": [*meta["batches"], batch_id],
             }
         )
-        for df in (pairs_new, sh_b, bands_b, batch):
+        for df in (sh_b, cands):
             df.unpersist()
         if docs is not None:
             sh_all.unpersist()

@@ -89,6 +89,7 @@ EXTENSION_QUERIES = [
     "minmax_scaled_embedding_elements",
     "hits_event_types",
     "rag_retrieval_pipeline",
+    "rag_retrieval_maintained",
     "expectations_suite_orders",
     "unigram_lm_quality_documents",
     "ols_trend_events_daily",

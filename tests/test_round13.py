@@ -486,3 +486,86 @@ def test_bluegreen_planted_drift_end_to_end(spark, tmp_path):
     assert report["mean_recall"] >= old_mean  # recall restored
     # blue survives until gc
     assert os.path.isdir(os.path.join(str(tmp_path / "bg_ivfopq"), "gen_0"))
+
+
+# ---------------------------------------------------------------------------
+# rag_retrieval_maintained == rag_retrieval_pipeline (served from state)
+# ---------------------------------------------------------------------------
+def test_rag_maintained_equals_recompute_pipeline(spark):
+    """The maintained-lexical RAG serving path returns the IDENTICAL
+    relation to the per-call recompute (chunk BM25 stats are the
+    maintainer's monoids; the semantic side is the same exact-integer
+    plan) — which is exactly why the registered oracle is the one-shot
+    twin verbatim."""
+    from _data_engineering_pipeline_project_spark.queries_ext3 import (
+        rag_retrieval_pipeline,
+    )
+    from _data_engineering_pipeline_project_spark.queries_ext13 import (
+        rag_retrieval_maintained,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(tuple(r) for r in rag_retrieval_maintained(spark, sf).collect())
+    want = sorted(tuple(r) for r in rag_retrieval_pipeline(spark, sf).collect())
+    assert got == want and len(want) == 10
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r12 #8 (stretch): ANALYZE on maintained state informs planning
+# ---------------------------------------------------------------------------
+def test_analyze_maintained_state_flips_serving_join_to_broadcast(
+    spark, tmp_path
+):
+    """Compacted maintainer parquet registered in the catalog +
+    ANALYZE TABLE = real statistics driving the serving plan: the
+    compacted cluster-members relation joins a large fact with NO
+    broadcast hint and the optimizer picks BroadcastHashJoin from the
+    recorded row count — the maintained-state extension of
+    test_table_statistics_inform_planning. At 100 TB this is how a
+    periodically-compacted index table keeps getting the right join
+    strategy as it grows (stats refresh on the compaction cadence,
+    hints in none of the query code)."""
+    from _data_engineering_pipeline_project_spark.plans.audit import (
+        broadcast_join_count,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.clustermaint import (
+        ClusterMaintainer,
+    )
+
+    base = str(tmp_path / "cc")
+    mnt = ClusterMaintainer(spark, base)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 60, 2)], "doc_a long, doc_b long"
+    )
+    mnt.merge_batch(pairs, batch_id=0)
+    mnt.compact()  # one base generation, aliases folded in
+    members_dir = os.path.join(base, "members_base_v1")
+    assert os.path.isdir(members_dir)
+
+    spark.sql("DROP TABLE IF EXISTS cc_members_stats")
+    spark.sql(
+        "CREATE TABLE cc_members_stats (id BIGINT, root0 BIGINT) "
+        f"USING parquet LOCATION '{members_dir}'"
+    )
+    try:
+        spark.sql(
+            "ANALYZE TABLE cc_members_stats COMPUTE STATISTICS "
+            "FOR ALL COLUMNS"
+        )
+        desc = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql(
+                "DESCRIBE TABLE EXTENDED cc_members_stats"
+            ).collect()
+        }
+        assert "Statistics" in desc and "rows" in desc["Statistics"]
+
+        fact = spark.range(200000).selectExpr("id % 90 as id", "id as v")
+        j = (
+            fact.join(spark.table("cc_members_stats"), "id")
+            .groupBy("root0")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert broadcast_join_count(j) >= 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cc_members_stats")

@@ -25,7 +25,15 @@ WHITELIST = {
     "top_customers_by_revenue": "rank after limit(10)",
     "top_session_paths_events": "rank after limit(15)",
     "hybrid_search_rrf": "3 ranks, each after limit(20)/limit(10)",
+    "hybrid_search_rrf_maintained": (
+        "3 ranks, each after limit(20)/limit(10) — the maintained "
+        "serving twin fuses the same TakeOrdered frames"
+    ),
     "rag_retrieval_pipeline": "3 ranks, each after limit(k)",
+    "rag_retrieval_maintained": (
+        "3 ranks, each after limit(k) — maintained-lexical twin of "
+        "rag_retrieval_pipeline, same TakeOrdered frames"
+    ),
     "vocab_coverage_top30": "rank + cum share after limit(30)",
     # seed/centroid frames: deterministic TakeOrdered seeds, so the
     # window input is ≤ num_centroids / ksub rows (8-64)
