@@ -401,3 +401,116 @@ def rag_retrieval_maintained(spark: SparkSession, sf: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Maintained covariance / PCA sufficient statistics (r13 wave 2)
+# --------------------------------------------------------------------------
+_COV_MAINT_MEMO: dict = {}
+
+
+def clear_cov_maint_memo() -> None:
+    """Eviction hook (wired into ``queries_ext.clear_query_caches``)."""
+    import shutil
+
+    for _mnt, tmpdir in _COV_MAINT_MEMO.values():
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    _COV_MAINT_MEMO.clear()
+
+
+def _cov_maintained(spark: SparkSession, sf: str):
+    """The session's maintained covariance statistics over this sf's
+    embeddings: three deterministic ingest slices ticked into a
+    ``CovarianceMaintainer``. Exact DECIMAL sums are order-free, so
+    the served relations are split-independent (N ticks == one-shot
+    ``pca_fit(method='gram')``, bit-for-bit, pinned by test) — which
+    is why the one-shot oracles check them verbatim."""
+    import os
+    import tempfile
+
+    from _data_engineering_pipeline_project_spark.queries_ext import (
+        _session_key,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.covmaint import (
+        CovarianceMaintainer,
+    )
+
+    key = _session_key(spark, sf)
+    if key in _COV_MAINT_MEMO:
+        return _COV_MAINT_MEMO[key][0]
+    emb = table(spark, sf, "embeddings").select("vec_id", "embedding")
+    tmpdir = tempfile.mkdtemp(prefix="cov_maint_")
+    mnt = CovarianceMaintainer(
+        spark, os.path.join(tmpdir, "sums"), dim=64
+    )
+    bucket = F.coalesce(
+        F.pmod(
+            F.crc32(F.col("vec_id").cast("string").cast("binary")), F.lit(3)
+        ),
+        F.lit(0),
+    )
+    for i in range(3):
+        mnt.merge_batch(emb.filter(bucket == i), batch_id=i)
+    _COV_MAINT_MEMO[key] = (mnt, tmpdir)
+    return mnt
+
+
+def _cov_audit_sql() -> str:
+    # the maintained sums rebuild the IDENTICAL doubles, so the batch
+    # audit's registered oracle is reused verbatim
+    from _data_engineering_pipeline_project_spark.queries import ORACLES
+
+    return ORACLES["embedding_covariance_audit"]
+
+
+@query("covariance_maintained_embeddings", _cov_audit_sql)
+def covariance_maintained_embeddings(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """The covariance redundancy audit served from MAINTAINED
+    sufficient statistics (``streaming/covmaint.py:
+    CovarianceMaintainer``) instead of a corpus scan: state is the
+    exact DECIMAL power-sum triangle (d(d+1)/2 + d + 1 rows forever),
+    each ingest slice folded in O(batch·d) gram passes; serving
+    rebuilds the audit's doubles with the identical IEEE sequences.
+    Oracle: the batch audit's SQL verbatim — hash-parity certifies the
+    maintained monoid decomposition down to the last ulp of every
+    covariance. At 100 TB this is what makes rotation re-training a
+    NO-SCAN operation (see ``pca_scree_maintained`` and the blue/green
+    rebuild test)."""
+    cov = _cov_maintained(spark, sf).covariance_pairs(
+        include_diagonal=False
+    ).select("dim_i", "dim_j", F.round("cov", 8).alias("cov"))
+    return cov.orderBy(
+        F.abs(F.col("cov")).desc(), "dim_i", "dim_j"
+    ).limit(20)
+
+
+def _scree_maint_sql() -> str:
+    from _data_engineering_pipeline_project_spark.queries import ORACLES
+
+    sql = ORACLES["pca_variance_explained_embeddings"]
+    return sql() if callable(sql) else sql
+
+
+@query("pca_scree_maintained", _scree_maint_sql)  # deferred (reuse)
+def pca_scree_maintained(spark: SparkSession, sf: str) -> DataFrame:
+    """The scree report computed from the MAINTAINED statistics — the
+    full ``pca_fit`` model (cov doubles, mean, eigh spectrum) rebuilt
+    from standing DECIMAL sums without touching a single corpus row.
+    Oracle: the scree's deferred twin verbatim (independent DuckDB
+    covariance + identical eigh) — a hash match certifies that
+    maintained-sums → model is bit-equal to corpus-scan → model,
+    which is the exact guarantee the no-scan re-bootstrap loop
+    (CovarianceMaintainer.model() → opq_allocate →
+    BlueGreenIndex.swap) rests on."""
+    from _data_engineering_pipeline_project_spark.operators.pca import (
+        variance_explained,
+    )
+
+    model = _cov_maintained(spark, sf).model()
+    rows = variance_explained(model)[:8]
+    return spark.createDataFrame(
+        [(c, round(e, 8), round(f, 6)) for c, e, f in rows],
+        "component int, eigenvalue double, cum_fraction double",
+    )

@@ -194,6 +194,8 @@ EXTENSION_QUERIES = [
     "matryoshka_recall_audit_embeddings",
     "embedding_covariance_audit",
     "pca_variance_explained_embeddings",
+    "covariance_maintained_embeddings",
+    "pca_scree_maintained",
     "l_diversity_audit_events",
     "suggest_expectations_orders",
     "embedding_drift_audit_embeddings",

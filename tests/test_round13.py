@@ -569,3 +569,139 @@ def test_analyze_maintained_state_flips_serving_join_to_broadcast(
         assert broadcast_join_count(j) >= 1
     finally:
         spark.sql("DROP TABLE IF EXISTS cc_members_stats")
+
+
+# ---------------------------------------------------------------------------
+# r13 wave 2: maintained covariance statistics -> no-scan re-training
+# ---------------------------------------------------------------------------
+def test_covariance_maintainer_ticks_equal_one_shot(spark, tmp_path):
+    """model()/covariance_pairs() from maintained DECIMAL sums equal
+    ``pca_fit(union, method='gram')`` BIT-FOR-BIT over any tick split
+    (exact integer monoids, identical final IEEE sequences);
+    redelivery is a no-op, geometry and hostile pointers fail loudly,
+    a fresh handle recovers."""
+    import json
+
+    from _data_engineering_pipeline_project_spark.operators.pca import (
+        covariance_pairs,
+        pca_fit,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.covmaint import (
+        CovarianceMaintainer,
+    )
+
+    d = 12
+    b1 = _emb_batch(spark, range(1, 41), d=d)
+    b2 = _emb_batch(spark, range(41, 71), d=d)
+    b3 = _emb_batch(spark, range(71, 101), d=d)
+    union = b1.unionByName(b2).unionByName(b3)
+
+    base = str(tmp_path / "cov")
+    mnt = CovarianceMaintainer(spark, base, dim=d)
+    with pytest.raises(ValueError, match="no batches merged"):
+        mnt.sums()
+    for i, b in enumerate((b1, b2, b3)):
+        mnt.merge_batch(b, batch_id=i)
+    mnt.merge_batch(b2, batch_id=1)  # redelivery: no-op (sums not idempotent)
+
+    want = pca_fit(union, dim=d, method="gram")
+    got = mnt.model()
+    assert got == want  # exact float equality, every field
+
+    want_cov = sorted(
+        tuple(r)
+        for r in covariance_pairs(union, method="gram", dim=d).collect()
+    )
+    got_cov = sorted(tuple(r) for r in mnt.covariance_pairs().collect())
+    assert got_cov == want_cov
+
+    # reopen: same model; geometry guard; hostile pointer
+    m2 = CovarianceMaintainer(spark, base, dim=d)
+    assert m2.model() == want
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        CovarianceMaintainer(spark, base, dim=d + 1)
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        CovarianceMaintainer(spark, base, dim=d, vec_col="other")
+    ptr = os.path.join(base, "_CURRENT")
+    good = open(ptr).read()
+    with open(ptr, "w") as fh:
+        fh.write("{broken")
+    with pytest.raises(ValueError, match="corrupt"):
+        CovarianceMaintainer(spark, base, dim=d)
+    os.remove(ptr)
+    with pytest.raises(ValueError, match="cannot be safely adopted"):
+        CovarianceMaintainer(spark, base, dim=d)
+    with open(ptr, "w") as fh:
+        fh.write(good)
+    assert CovarianceMaintainer(spark, base, dim=d).version == 3
+    # foreign format refused
+    meta = json.loads(good)
+    meta["format"] = "something-else"
+    with open(ptr, "w") as fh:
+        fh.write(json.dumps(meta))
+    with pytest.raises(ValueError, match="format"):
+        CovarianceMaintainer(spark, base, dim=d)
+
+
+def test_rebootstrap_from_maintained_stats_no_corpus_scan(spark, tmp_path):
+    """The no-scan re-training arc (the missing half of the blue/green
+    loop): an OPQ model allocated from the MAINTAINED covariance sums
+    equals the corpus-scan model exactly, so a re-bootstrap swap can
+    train from standing state and touch the corpus only to re-encode —
+    the served IVF-OPQ top-k under either model is bit-identical."""
+    from _data_engineering_pipeline_project_spark.operators.pca import (
+        opq_allocate,
+        pca_fit,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.bluegreen import (
+        BlueGreenIndex,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.covmaint import (
+        CovarianceMaintainer,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.ivfopqmaint import (
+        IvfOpqIndexMaintainer,
+    )
+
+    d, m, sub, ksub, C, nprobe = 16, 4, 2, 8, 4, 2
+    b1 = _emb_batch(spark, range(1, 61), d=d)
+    b2 = _emb_batch(spark, range(61, 121), d=d)
+    union = b1.unionByName(b2)
+
+    cov = CovarianceMaintainer(spark, str(tmp_path / "cov"), dim=d)
+    cov.merge_batch(b1, batch_id=0)
+    cov.merge_batch(b2, batch_id=1)
+
+    model_scan = opq_allocate(pca_fit(union, dim=d, method="gram"), m, sub)
+    model_maint = opq_allocate(cov.model(), m, sub)
+    assert model_maint == model_scan  # training WITHOUT the corpus scan
+
+    def build_with(model):
+        def fn(gen_dir):
+            mnt = IvfOpqIndexMaintainer(
+                spark, os.path.join(gen_dir, "index"), num_centroids=C
+            )
+            mnt.bootstrap(
+                union, dim=d, m=m, sub_dim=sub, ksub=ksub, model=model
+            )
+        return fn
+
+    bg = BlueGreenIndex(str(tmp_path / "bg"))
+    bg.swap(True, build_with(model_maint))
+    served = IvfOpqIndexMaintainer(
+        spark, os.path.join(bg.serving_dir(), "index"), num_centroids=C
+    )
+    ref_dir = str(tmp_path / "ref")
+    ref = IvfOpqIndexMaintainer(
+        spark, os.path.join(ref_dir, "index"), num_centroids=C
+    )
+    ref.bootstrap(union, dim=d, m=m, sub_dim=sub, ksub=ksub, model=model_scan)
+
+    q = _emb_batch(spark, [1, 5, 9], d=d)
+    got = sorted(
+        tuple(r) for r in served.topk(q, k=4, nprobe=nprobe).collect()
+    )
+    want = sorted(
+        tuple(r) for r in ref.topk(q, k=4, nprobe=nprobe).collect()
+    )
+    assert got == want and len(got) == 12
