@@ -272,10 +272,19 @@ class SemDeDupMaintainer:
         stored = self.vectors()
         if stored is not None:
             batch = batch.join(stored.select(idc), idc, "left_anti")
-        assigned = (
-            ivf_assign(batch, self.centroids(), idc, vc)
-            .withColumn("__nrm", l2_norm(vc))
-            .persist()
+        # lineage discipline (r13, SCALE.md): land the batch's
+        # assignments+norms in their (idempotent, pre-pointer) batch dir
+        # FIRST and read them back, so the pair joins and the embedded
+        # cluster tick run over a three-node parquet scan instead of
+        # re-optimizing the assign lineage per action; doubles
+        # round-trip exactly, so served values are unchanged
+        ivf_assign(batch, self.centroids(), idc, vc).withColumn(
+            "__nrm", l2_norm(vc)
+        ).write.mode("overwrite").parquet(
+            os.path.join(self.base_dir, f"vectors_b{batch_id}")
+        )
+        assigned = self.spark.read.parquet(
+            os.path.join(self.base_dir, f"vectors_b{batch_id}")
         )
         a, b = assigned.alias("a"), assigned.alias("b")
         within = a.join(
@@ -317,16 +326,18 @@ class SemDeDupMaintainer:
                 ).alias("cosine"),
             )
             pairs_new = within.unionByName(cross)
-        pairs_new = pairs_new.filter(
-            F.col("cosine") >= self.threshold
-        ).persist()
-        assigned.write.mode("overwrite").parquet(
-            os.path.join(self.base_dir, f"vectors_b{batch_id}")
-        )
+        pairs_new = pairs_new.filter(F.col("cosine") >= self.threshold)
         pairs_new.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(self.base_dir, f"pairs_b{batch_id}")
         )
-        self._cc.merge_batch(pairs_new, batch_id)
+        # the cluster tick consumes the COMMITTED pairs files (same
+        # rows, three-node plan — the neardupmaint r13 rule)
+        self._cc.merge_batch(
+            self.spark.read.parquet(
+                os.path.join(self.base_dir, f"pairs_b{batch_id}")
+            ),
+            batch_id,
+        )
         self._commit(
             {
                 **meta,
@@ -335,9 +346,6 @@ class SemDeDupMaintainer:
                 "batches": [*meta["batches"], batch_id],
             }
         )
-        pairs_new.unpersist()
-        assigned.unpersist()
-
     # --- streaming glue -----------------------------------------------------
 
     def bind_checkpoint(self, token: str) -> None:

@@ -288,3 +288,167 @@ def test_fanout_drain_ticks_all_maintainers_and_replays_safely(
         tuple(r) for r in ix["dictionary"].collect()
     ) == sorted(tuple(r) for r in cix["dictionary"].collect())
     assert ix["stats"].collect() == cix["stats"].collect()
+
+
+# ---------------------------------------------------------------------------
+# r13 capstone: the self-healing index loop, end to end
+# ---------------------------------------------------------------------------
+def test_self_healing_index_loop_end_to_end(spark, tmp_path):
+    """The full production loop every r12-r13 piece exists for, in one
+    test: ONE ingest drain (FanoutDrain) ticks the serving IVF-OPQ
+    index, the drift monitor, and the covariance statistics; planted
+    drift trips ``rebootstrap_decision``; ``BlueGreenIndex.swap``
+    re-trains the rotation FROM THE MAINTAINED SUMS (no training scan
+    — ``CovarianceMaintainer.model()`` is bit-equal to a corpus-scan
+    ``pca_fit``), re-encodes, passes the recall-floor audit, and
+    atomically repoints serving. Recall on the drifted panel is
+    restored (new >= old), the blue generation survives until gc."""
+    import math
+    import os
+
+    from pyspark.sql import functions as F
+
+    from _data_engineering_pipeline_project_spark.operators.pca import (
+        opq_allocate,
+        pca_fit,
+    )
+    from _data_engineering_pipeline_project_spark.operators.similarity import (
+        topk_cosine_bruteforce,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.bluegreen import (
+        BlueGreenIndex,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.compose import (
+        FanoutDrain,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.covmaint import (
+        CovarianceMaintainer,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.driftmaint import (
+        DriftMaintainer,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.ivfopqmaint import (
+        IvfOpqIndexMaintainer,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.policy import (
+        rebootstrap_decision,
+    )
+
+    d, m, sub, ksub, C, nprobe, k = 16, 4, 2, 8, 4, 2, 5
+    schema = "vec_id long, embedding array<double>"
+
+    def emb_rows(ids, shift=0.0):
+        return [
+            (
+                i,
+                [
+                    math.sin(0.37 * i * (j + 1)) + (shift if j == 2 else 0.0)
+                    for j in range(d)
+                ],
+            )
+            for i in ids
+        ]
+
+    calm = emb_rows(range(1, 81))
+    drifted = emb_rows(range(81, 201), shift=2.5)
+    union = spark.createDataFrame(calm + drifted, schema)
+    panel = spark.createDataFrame(emb_rows([81, 95, 110, 140, 180], 2.5), schema)
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+
+    def land(rows, name):
+        df = spark.createDataFrame(rows, schema)
+        tmp = str(tmp_path / f"_tmp_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.replace(
+            os.path.join(tmp, part), os.path.join(landing, f"{name}.parquet")
+        )
+
+    # gen_0: serving index bootstrapped over the calm seed
+    bg = BlueGreenIndex(str(tmp_path / "bg"))
+
+    def build_plain(corpus):
+        def fn(gen_dir):
+            mnt = IvfOpqIndexMaintainer(
+                spark, os.path.join(gen_dir, "index"), num_centroids=C
+            )
+            mnt.bootstrap(corpus, dim=d, m=m, sub_dim=sub, ksub=ksub)
+        return fn
+
+    bg.swap(True, build_plain(spark.createDataFrame(calm, schema)))
+    serving = IvfOpqIndexMaintainer(
+        spark, os.path.join(bg.serving_dir(), "index"), num_centroids=C
+    )
+    drift = DriftMaintainer(spark, str(tmp_path / "drift"))
+    drift.merge_batch(spark.createDataFrame(calm, schema), batch_id=-1)
+    drift.mark_baseline()
+    cov = CovarianceMaintainer(spark, str(tmp_path / "cov"), dim=d)
+    cov.merge_batch(spark.createDataFrame(calm, schema), batch_id=-1)
+
+    # ONE drain ticks the serving index, the drift monitor, and the
+    # covariance statistics from the same micro-batch
+    drain = FanoutDrain(
+        [
+            ("index", serving, None),
+            ("drift", drift, lambda b: b.select("embedding")),
+            ("cov", cov, None),
+        ]
+    )
+    land(drifted, "drifted")
+    drain.run_available_now(
+        spark, landing, schema, str(tmp_path / "ckpt")
+    )
+
+    def audit(gen_dir):
+        mnt = IvfOpqIndexMaintainer(
+            spark, os.path.join(gen_dir, "index"), num_centroids=C
+        )
+        approx = mnt.topk(panel, k=k, nprobe=nprobe).select(
+            "query_id", "neighbor_id"
+        )
+        exact = topk_cosine_bruteforce(union, panel, k=k, dim=d).select(
+            "query_id", "neighbor_id"
+        )
+        hits = (
+            approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("hits"))
+        )
+        qs = exact.select("query_id").distinct()
+        return qs.join(hits, "query_id", "left").select(
+            "query_id",
+            (F.coalesce("hits", F.lit(0)) / F.lit(float(k))).alias("recall"),
+        )
+
+    old_recalls = [r["recall"] for r in audit(bg.serving_dir()).collect()]
+    old_mean = sum(old_recalls) / len(old_recalls)
+
+    decision = rebootstrap_decision(
+        spark, drift.drift_report(top=8),
+        artifacts={"ivfopq": bg.serving_dir()},
+    )
+    assert decision.collect()[0]["decision"] is True
+
+    # re-train WITHOUT a training scan: the rotation comes from the
+    # maintained sums (bit-equal to a fresh pca_fit over the union)
+    model_maint = opq_allocate(cov.model(), m, sub)
+    assert model_maint == opq_allocate(
+        pca_fit(union, dim=d, method="gram"), m, sub
+    )
+
+    def build_from_stats(gen_dir):
+        mnt = IvfOpqIndexMaintainer(
+            spark, os.path.join(gen_dir, "index"), num_centroids=C
+        )
+        mnt.bootstrap(
+            union, dim=d, m=m, sub_dim=sub, ksub=ksub, model=model_maint
+        )
+
+    report = bg.swap(
+        decision, build_from_stats, audit_fn=audit, min_recall=0.3
+    )
+    assert report["swapped"] and report["mean_recall"] >= max(0.3, old_mean)
+    assert bg.serving_dir().endswith("gen_1")
+    assert os.path.isdir(os.path.join(str(tmp_path / "bg"), "gen_0"))

@@ -63,7 +63,7 @@ def main() -> None:
 
     spark = get_spark("measure_neardup_maint")
     results = {}
-    for label, ndocs in (("1x", BASE), ("10x", BASE * FACTOR)):
+    for label, ndocs in (("1x", BASE), (f"{FACTOR}x", BASE * FACTOR)):
         tmp = tempfile.mkdtemp(prefix=f"ndm_{label}_")
         mnt = NearDupIndexMaintainer(spark, os.path.join(tmp, "index"))
         mnt.merge_batch(doc_batch(spark, ndocs, 0), batch_id=0)
