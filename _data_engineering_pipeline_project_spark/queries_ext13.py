@@ -91,18 +91,14 @@ def _bm25_maintained(spark: SparkSession, sf: str):
 # --------------------------------------------------------------------------
 # Hybrid retrieval served from maintained indexes
 # --------------------------------------------------------------------------
-def _hybrid_from_indexes(
-    bm25_index: dict,
-    sem_topk: DataFrame,
-    terms: tuple[str, ...],
+def _bm25_top20_from_index(
+    bm25_index: dict, terms: tuple[str, ...], key: str
 ) -> DataFrame:
-    """RRF fusion of a maintained-BM25 lexical top-20 with a
-    pre-ranked semantic top-k relation (query_id, neighbor_id, rnk) —
-    factored so tests can drive it with differently-ticked maintainers
-    and pin bit-for-bit equality. Fusion arithmetic is the exact
-    ``hybrid_search_rrf`` text: fixed-order term combine, round-4
-    bm25, TakeOrdered top-20s, fixed-order reciprocal ranks, round-8
-    rrf, top-10."""
+    """Lexical top-20 (``key``, r_lex) from a maintained BM25 index —
+    the exact ``hybrid_search_rrf`` arithmetic (fixed-order term
+    combine, round-4 bm25, TakeOrdered-then-rank), shared by both
+    maintained retrieval queries so the fusion text lives ONCE
+    (review r13)."""
     from pyspark.sql import Window
 
     from _data_engineering_pipeline_project_spark.operators.ranking import (
@@ -122,21 +118,25 @@ def _hybrid_from_indexes(
     for i in range(1, len(terms)):
         total = total + F.col(f"__c{i}")
     bm = bm.select(
-        F.col(id_col).alias("doc_id"), F.round(total, 4).alias("bm25")
+        F.col(id_col).alias(key), F.round(total, 4).alias("bm25")
     )
-    w_lex = Window.orderBy(F.desc("bm25"), "doc_id")
-    lex = (
-        bm.orderBy(F.desc("bm25"), "doc_id")
+    w_lex = Window.orderBy(F.desc("bm25"), key)
+    return (
+        bm.orderBy(F.desc("bm25"), key)
         .limit(20)
         .withColumn("r_lex", F.row_number().over(w_lex).cast("int"))
-        .select("doc_id", "r_lex")
+        .select(key, "r_lex")
     )
-    sem = sem_topk.select(
-        F.col("neighbor_id").alias("doc_id"),
-        F.col("rnk").cast("int").alias("r_sem"),
-    )
-    fused = lex.join(sem, "doc_id", "full_outer").select(
-        "doc_id",
+
+
+def _rrf_fuse_top10(lex: DataFrame, sem: DataFrame, key: str) -> DataFrame:
+    """Reciprocal-rank fusion + top-10 of (key, r_lex) × (key, r_sem)
+    — fixed written order, round-8, TakeOrdered-then-rank; the single
+    shared copy of ``hybrid_search_rrf``'s fusion tail."""
+    from pyspark.sql import Window
+
+    fused = lex.join(sem, key, "full_outer").select(
+        key,
         "r_lex",
         "r_sem",
         F.round(
@@ -147,12 +147,29 @@ def _hybrid_from_indexes(
             8,
         ).alias("rrf"),
     )
-    w_f = Window.orderBy(F.desc("rrf"), "doc_id")
+    w_f = Window.orderBy(F.desc("rrf"), key)
     return (
-        fused.orderBy(F.desc("rrf"), "doc_id")
+        fused.orderBy(F.desc("rrf"), key)
         .limit(10)
         .withColumn("rnk", F.row_number().over(w_f).cast("int"))
     )
+
+
+def _hybrid_from_indexes(
+    bm25_index: dict,
+    sem_topk: DataFrame,
+    terms: tuple[str, ...],
+) -> DataFrame:
+    """RRF fusion of a maintained-BM25 lexical top-20 with a
+    pre-ranked semantic top-k relation (query_id, neighbor_id, rnk) —
+    factored so tests can drive it with differently-ticked maintainers
+    and pin bit-for-bit equality."""
+    lex = _bm25_top20_from_index(bm25_index, terms, "doc_id")
+    sem = sem_topk.select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rnk").cast("int").alias("r_sem"),
+    )
+    return _rrf_fuse_top10(lex, sem, "doc_id")
 
 
 def _hybrid_maint_sql() -> str:
@@ -297,9 +314,6 @@ def rag_retrieval_maintained(spark: SparkSession, sf: str) -> DataFrame:
     from _data_engineering_pipeline_project_spark.operators import (
         curation as C,
     )
-    from _data_engineering_pipeline_project_spark.operators.ranking import (
-        bm25_per_term_contrib_from_index,
-    )
     from _data_engineering_pipeline_project_spark.queries_ext3 import (
         _BM25_TERMS,
         _RAG_NQ2,
@@ -352,54 +366,18 @@ def rag_retrieval_maintained(spark: SparkSession, sf: str) -> DataFrame:
         .select("cid", "r_sem")
     )
 
-    # lexical: MAINTAINED postings instead of a per-call recompute
+    # lexical: MAINTAINED postings instead of a per-call recompute;
+    # fusion text shared with the hybrid (review r13)
     ix = _rag_bm25_maintained(spark, sf).serve_index()
-    per_term = bm25_per_term_contrib_from_index(ix, list(_BM25_TERMS))
-    agg = [
-        F.coalesce(
-            F.max(F.when(F.col("term") == t, F.col("contrib"))), F.lit(0.0)
-        ).alias(f"__c{i}")
-        for i, t in enumerate(_BM25_TERMS)
-    ]
-    bm = per_term.groupBy("cid").agg(*agg)
-    total = F.col("__c0")
-    for i in range(1, len(_BM25_TERMS)):
-        total = total + F.col(f"__c{i}")
-    bm = bm.select("cid", F.round(total, 4).alias("bm25"))
-    w_lex = Window.orderBy(F.desc("bm25"), "cid")
-    lex = (
-        bm.orderBy(F.desc("bm25"), "cid")
-        .limit(20)
-        .withColumn("r_lex", F.row_number().over(w_lex).cast("int"))
-        .select("cid", "r_lex")
-    )
-
-    fused = lex.join(sem, "cid", "full_outer").select(
+    lex = _bm25_top20_from_index(ix, _BM25_TERMS, "cid")
+    return _rrf_fuse_top10(lex, sem, "cid").select(
         "cid",
+        F.expr("cid div 1000").alias("doc_id"),
+        (F.col("cid") % 1000).cast("int").alias("chunk_idx"),
         "r_lex",
         "r_sem",
-        F.round(
-            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_lex")), F.lit(0.0))
-            + F.coalesce(
-                F.lit(1.0) / (F.lit(60) + F.col("r_sem")), F.lit(0.0)
-            ),
-            8,
-        ).alias("rrf"),
-    )
-    w_f = Window.orderBy(F.desc("rrf"), "cid")
-    return (
-        fused.orderBy(F.desc("rrf"), "cid")
-        .limit(10)
-        .withColumn("rnk", F.row_number().over(w_f).cast("int"))
-        .select(
-            "cid",
-            F.expr("cid div 1000").alias("doc_id"),
-            (F.col("cid") % 1000).cast("int").alias("chunk_idx"),
-            "r_lex",
-            "r_sem",
-            "rrf",
-            "rnk",
-        )
+        "rrf",
+        "rnk",
     )
 
 

@@ -49,6 +49,10 @@ from pyspark.sql import DataFrame
 
 _POINTER = "_SERVING"
 _FORMAT = "bluegreen-v1"
+# pointer history is an audit LOG, not unbounded state: older entries
+# roll off (counters keep the lifetime totals) so the fsync'd pointer
+# write and _recover() stay O(1) over the index's lifetime
+_HISTORY_KEEP = 200
 
 
 class BlueGreenIndex:
@@ -103,6 +107,18 @@ class BlueGreenIndex:
             "serving_gen": None,
             "next_gen": 0,
             "history": [],
+            "history_total": 0,
+        }
+
+    def _with_history(self, meta: dict, report: dict) -> dict:
+        """Append one report, trimming the log to ``_HISTORY_KEEP``
+        entries (review r13: an unconditional-swap scheduler would
+        otherwise grow the fsync'd pointer without bound)."""
+        hist = [*meta["history"], report][-_HISTORY_KEEP:]
+        return {
+            **meta,
+            "history": hist,
+            "history_total": int(meta.get("history_total", 0)) + 1,
         }
 
     def _commit(self, meta: dict) -> None:
@@ -166,9 +182,7 @@ class BlueGreenIndex:
                 "evidence": evidence,
                 "serving_gen": self._meta["serving_gen"],
             }
-            self._commit(
-                {**self._meta, "history": [*self._meta["history"], report]}
-            )
+            self._commit(self._with_history(self._meta, report))
             return report
         if min_recall is not None and audit_fn is None:
             raise ValueError("min_recall set but no audit_fn to measure it")
@@ -205,12 +219,7 @@ class BlueGreenIndex:
                     "mean_recall": mean_recall,
                     "serving_gen": self._meta["serving_gen"],
                 }
-                self._commit(
-                    {
-                        **self._meta,
-                        "history": [*self._meta["history"], report],
-                    }
-                )
+                self._commit(self._with_history(self._meta, report))
                 raise ValueError(report["reason"])
 
         # 3. atomic flip
@@ -223,21 +232,31 @@ class BlueGreenIndex:
             "evidence": evidence,
         }
         self._commit(
-            {
-                **self._meta,
-                "serving_gen": gen,
-                "history": [*self._meta["history"], report],
-            }
+            {**self._with_history(self._meta, report), "serving_gen": gen}
         )
         return report
 
     # --- maintenance -----------------------------------------------------------
-    def gc(self, keep_previous: int = 1) -> list[str]:
+    def gc(
+        self, keep_previous: int = 1, grace_seconds: float = 3600.0
+    ) -> list[str]:
         """Remove generation debris: every gen dir that is neither the
         serving generation nor one of the ``keep_previous`` most recent
         previously-serving generations (blue stays until drained —
         readers that resolved the pointer pre-flip may still be on it).
-        Idempotent; never touches the serving generation."""
+        Idempotent; never touches the serving generation.
+
+        ``grace_seconds`` (review r13): a generation allocated by an
+        IN-FLIGHT swap exists on disk before any pointer/history record
+        names it, so a concurrent gc cannot distinguish it from crash
+        debris by state alone. Any gen dir modified within the grace
+        window is skipped — debris older than the window is, by the
+        committed-counter protocol, from an attempt that already failed
+        (a live build touches its files continuously). Pass 0 only when
+        no swap can be running."""
+        import time
+
+        now = time.time()
         keep = set()
         g = self._meta["serving_gen"]
         if g is not None:
@@ -256,9 +275,19 @@ class BlueGreenIndex:
                 gen = int(n.split("_", 1)[1])
             except ValueError:
                 continue
-            if gen not in keep:
-                shutil.rmtree(
-                    os.path.join(self.base_dir, n), ignore_errors=True
+            if gen in keep:
+                continue
+            path = os.path.join(self.base_dir, n)
+            try:
+                age = now - max(
+                    os.path.getmtime(os.path.join(root, f))
+                    for root, _dirs, files in os.walk(path)
+                    for f in [*files, "."]
                 )
-                removed.append(n)
+            except (OSError, ValueError):
+                age = float("inf")
+            if age < grace_seconds:
+                continue  # possibly an in-flight build — leave it
+            shutil.rmtree(path, ignore_errors=True)
+            removed.append(n)
         return removed

@@ -75,6 +75,11 @@ class CovarianceMaintainer:
         os.makedirs(base_dir, exist_ok=True)
         self._checkpoint_token: str | None = None
         self._meta = self._recover()
+        # eager v0 pointer (review r13): sums_v1 lands before the first
+        # pointer commit; without a pinned manifest a crash in that
+        # window would brick recovery on the orphan guard
+        if not os.path.exists(self._pointer_path()):
+            self._commit(self._meta)
 
     # --- pointer protocol -------------------------------------------------
     def _geometry(self) -> dict:
@@ -190,6 +195,12 @@ class CovarianceMaintainer:
         parts = _gram_parts(
             batch_df, self.id_col, self.vec_col, self.dim
         ).persist()
+        try:
+            self._merge_parts(parts, batch_id)
+        finally:
+            parts.unpersist()
+
+    def _merge_parts(self, parts: DataFrame, batch_id: int) -> None:
         g = parts.select(F.posexplode("g_part").alias("idx", "v")).select(
             F.lit("g").alias("kind"),
             "idx",
@@ -237,9 +248,16 @@ class CovarianceMaintainer:
         self._commit(
             {**self._meta, "version": nxt, "last_batch_id": batch_id}
         )
-        parts.unpersist()
-        if v > 0:
-            shutil.rmtree(self._sums_dir(v), ignore_errors=True)
+        # GC every superseded sums dir, not just the immediate
+        # predecessor — a crash between a past commit and its rmtree
+        # would otherwise strand that version forever (review r13);
+        # idempotent, and the pointer no longer references any of them
+        for name in os.listdir(self.base_dir):
+            m = re.match(r"^sums_v(\d+)$", name)
+            if m and int(m.group(1)) < nxt:
+                shutil.rmtree(
+                    os.path.join(self.base_dir, name), ignore_errors=True
+                )
 
     # --- serving ------------------------------------------------------------
     def covariance_pairs(self, include_diagonal: bool = True) -> DataFrame:
@@ -352,7 +370,12 @@ class CovarianceMaintainer:
     # --- streaming glue ------------------------------------------------------
     def bind_checkpoint(self, token: str) -> None:
         if self._checkpoint_token is None:
+            # commit-on-adopt (the Bm25Maintainer rule, review r13): an
+            # in-memory-only token lets a recreated checkpoint slip past
+            # the guard whenever the early batches no-op on the
+            # watermark and nothing else commits
             self._checkpoint_token = token
+            self._commit(self._meta)
             return
         if self._checkpoint_token != token:
             raise ValueError(

@@ -104,6 +104,16 @@ class NearDupIndexMaintainer:
         os.makedirs(base_dir, exist_ok=True)
         self._checkpoint_token: str | None = None
         self._meta = self._recover()
+        # eager v0 pointer (review r13): the lineage discipline lands
+        # stage dirs from the START of a tick, so a crash inside a
+        # fresh maintainer's FIRST tick would otherwise leave committed
+        # dirs with no pointer — exactly the state _recover refuses to
+        # adopt. Pinning the empty manifest at construction makes that
+        # window a normal replay (orphan dirs not in the manifest are
+        # overwritten); the orphan guard still fires for dirs that
+        # predate the pointer (foreign/lost state).
+        if not os.path.exists(self._pointer_path()):
+            self._commit(self._meta)
         from _data_engineering_pipeline_project_spark.streaming.clustermaint import (
             ClusterMaintainer,
         )
@@ -291,8 +301,14 @@ class NearDupIndexMaintainer:
                 "re-bootstrap into a fresh base_dir and swap (the frozen "
                 "list is the index's identity)"
             )
+        # same null-id filter as merge_batch (review r13): the frozen
+        # counts must describe exactly the corpus ticks will ingest,
+        # or null-id rows inflate a shingle's df past the cap for docs
+        # that never enter the index
         sh = _shingle_table(
-            corpus_df.select(self.id_col, self.text_col),
+            corpus_df.select(self.id_col, self.text_col).filter(
+                F.col(self.id_col).isNotNull()
+            ),
             self.id_col,
             self.text_col,
             self.shingle_n,
@@ -310,12 +326,15 @@ class NearDupIndexMaintainer:
     def _apply_hot_cap(
         self, sh: DataFrame, hot: DataFrame | None
     ) -> DataFrame:
-        """Anti-join a shingle relation against the frozen drop-list
-        (hot side broadcast — boilerplate lists are small by nature);
-        identity when uncapped."""
+        """Anti-join a shingle relation against the frozen drop-list;
+        identity when uncapped. Join strategy is left to AQE (the
+        ``drop_hot_shingles`` rule): boilerplate lists are usually
+        small and broadcast themselves, but a forced hint would pin an
+        aggressively-capped web-scale list to the driver (review
+        r13)."""
         if hot is None:
             return sh
-        return sh.join(F.broadcast(hot), "shingle", "left_anti")
+        return sh.join(hot, "shingle", "left_anti")
 
     # --- maintenance ----------------------------------------------------------
 

@@ -354,8 +354,13 @@ def test_bluegreen_swap_crash_floor_and_gc(spark, tmp_path):
     with pytest.raises(ValueError, match="no audit_fn"):
         bg.swap(True, build("g5"), min_recall=0.5)
 
-    # gc: debris (1, 3, 4) removed; serving gen_2 and previous gen_0 kept
-    removed = bg.gc(keep_previous=1)
+    # gc with the grace window: fresh debris is indistinguishable from
+    # an in-flight build, so nothing is removed yet
+    assert bg.gc(keep_previous=1) == []
+    # gc past the grace window (grace 0 = operator asserts no swap is
+    # running): debris (1, 3, 4) removed; serving gen_2 + previous
+    # gen_0 kept
+    removed = bg.gc(keep_previous=1, grace_seconds=0)
     assert "gen_1" in removed and "gen_3" in removed and "gen_4" in removed
     assert os.path.isdir(os.path.join(base, "gen_2"))
     assert os.path.isdir(os.path.join(base, "gen_0"))
