@@ -422,6 +422,11 @@ def clear_query_caches() -> None:
     clear_bm25_maint_memo()
     clear_rag_bm25_maint_memo()
     clear_cov_maint_memo()
+    from _data_engineering_pipeline_project_spark.queries_ext13 import (
+        clear_drift_maint_memo,
+    )
+
+    clear_drift_maint_memo()
     for frames in _QUERY_LOCAL_CACHES.values():
         for df in frames:
             try:

@@ -492,3 +492,104 @@ def pca_scree_maintained(spark: SparkSession, sf: str) -> DataFrame:
         [(c, round(e, 8), round(f, 6)) for c, e, f in rows],
         "component int, eigenvalue double, cum_fraction double",
     )
+
+
+# --------------------------------------------------------------------------
+# Maintained drift report, oracled (r13 wave 3)
+# --------------------------------------------------------------------------
+_DRIFT_MAINT_MEMO: dict = {}
+
+
+def clear_drift_maint_memo() -> None:
+    """Eviction hook (wired into ``queries_ext.clear_query_caches``)."""
+    import shutil
+
+    for _mnt, tmpdir in _DRIFT_MAINT_MEMO.values():
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    _DRIFT_MAINT_MEMO.clear()
+
+
+def _drift_maintained(spark: SparkSession, sf: str):
+    """The session's maintained drift monitor over this sf's
+    embeddings: md5-bucket slice 0 establishes the pinned baseline
+    (the cross-engine hash_bucket convention — crc32 has no DuckDB
+    twin), slices 1-2 are the post-baseline ingest. Every quantity is
+    an exact integer sum, so the served report is split-independent
+    AND statically SQL-expressible."""
+    import os
+    import tempfile
+
+    from _data_engineering_pipeline_project_spark.operators import (
+        sampling as S,
+    )
+    from _data_engineering_pipeline_project_spark.queries_ext import (
+        _session_key,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.driftmaint import (
+        DriftMaintainer,
+    )
+
+    key = _session_key(spark, sf)
+    if key in _DRIFT_MAINT_MEMO:
+        return _DRIFT_MAINT_MEMO[key][0]
+    emb = table(spark, sf, "embeddings").select("vec_id", "embedding")
+    tmpdir = tempfile.mkdtemp(prefix="drift_maint_")
+    mnt = DriftMaintainer(spark, os.path.join(tmpdir, "drift"))
+    bucket = S.hash_bucket("vec_id", 3)
+    mnt.merge_batch(emb.filter(bucket == 0), batch_id=0)
+    mnt.mark_baseline()
+    for i in (1, 2):
+        mnt.merge_batch(emb.filter(bucket == i), batch_id=i)
+    _DRIFT_MAINT_MEMO[key] = (mnt, tmpdir)
+    return mnt
+
+
+_DRIFT_MAINT_SQL = """
+    WITH vq AS (
+      SELECT CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 3 AS b,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * 1048576.0) AS BIGINT)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL),
+    e AS (SELECT b, i, v[i] AS vi
+          FROM vq, generate_series(1, 64) g(i)),
+    base AS (SELECT i AS dim, count(*) AS n,
+                    CAST(sum(vi) AS DOUBLE) AS s,
+                    CAST(sum(vi * vi) AS DOUBLE) AS sii
+             FROM e WHERE b = 0 GROUP BY i),
+    now AS (SELECT i AS dim, count(*) AS n,
+                   CAST(sum(vi) AS DOUBLE) AS s,
+                   CAST(sum(vi * vi) AS DOUBLE) AS sii
+            FROM e GROUP BY i),
+    m AS (SELECT base.dim,
+                 base.s / base.n / 1048576.0 AS mu_a,
+                 (base.n * base.sii - base.s * base.s)
+                   / (base.n * base.n) / (1048576.0 * 1048576.0) AS var_a,
+                 now.s / now.n / 1048576.0 AS mu_b,
+                 (now.n * now.sii - now.s * now.s)
+                   / (now.n * now.n) / (1048576.0 * 1048576.0) AS var_b
+          FROM base JOIN now ON base.dim = now.dim)
+    SELECT CAST(dim AS INTEGER) AS dim,
+           round(mu_a, 8) AS mean_a, round(mu_b, 8) AS mean_b,
+           round(abs(mu_a - mu_b), 8) AS mean_shift,
+           round(var_a, 8) AS var_a, round(var_b, 8) AS var_b,
+           round(var_b / var_a, 6) AS var_ratio
+    FROM m
+    ORDER BY mean_shift DESC, dim
+    LIMIT 10
+"""
+
+
+@query("drift_report_maintained", _DRIFT_MAINT_SQL)
+def drift_report_maintained(spark: SparkSession, sf: str) -> DataFrame:
+    """The drift monitor's report relation served from MAINTAINED
+    moment state (``streaming/driftmaint.py:DriftMaintainer``) — and
+    ORACLED: per-dim power sums are exact integers on the quantized
+    lane, so DuckDB recomputes baseline-window-vs-everything moments
+    from the raw vectors and the maintained report hash-matches down
+    to every rounded shift and variance ratio. This upgrades the
+    drift→re-bootstrap loop's trigger input from test-pinned to
+    value-certified: the exact relation ``rebootstrap_decision``
+    consumes is what the oracle checks. Two bounded d-row reads at
+    serve time; no corpus scan."""
+    return _drift_maintained(spark, sf).drift_report(top=10)

@@ -196,6 +196,7 @@ EXTENSION_QUERIES = [
     "pca_variance_explained_embeddings",
     "covariance_maintained_embeddings",
     "pca_scree_maintained",
+    "drift_report_maintained",
     "l_diversity_audit_events",
     "suggest_expectations_orders",
     "embedding_drift_audit_embeddings",
