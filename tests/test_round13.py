@@ -710,3 +710,74 @@ def test_rebootstrap_from_maintained_stats_no_corpus_scan(spark, tmp_path):
         tuple(r) for r in ref.topk(q, k=4, nprobe=nprobe).collect()
     )
     assert got == want and len(got) == 12
+
+
+# ---------------------------------------------------------------------------
+# review r13 regression: first-tick crash replays instead of bricking
+# ---------------------------------------------------------------------------
+def test_first_tick_crash_replays_cleanly(spark, tmp_path):
+    """The lineage discipline lands stage dirs from the START of a
+    tick; the eager v0 pointer makes a crash inside a FRESH
+    maintainer's first tick an ordinary replay (orphan dirs not in the
+    manifest are overwritten), not a bricked base_dir — while truly
+    foreign state (committed dirs, no pointer at all) still fails
+    loudly."""
+    from _data_engineering_pipeline_project_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+    )
+    from _data_engineering_pipeline_project_spark.operators.pca import (
+        pca_fit,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.covmaint import (
+        CovarianceMaintainer,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.neardupmaint import (
+        NearDupIndexMaintainer,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog alpha"),
+            (2, "the quick brown fox jumps over the lazy dog beta"),
+            (3, "completely different words one two three four five"),
+        ],
+    )
+
+    # --- near-dup: simulate a crash mid-first-tick ---------------------
+    base = str(tmp_path / "ndm_crash")
+    mnt = NearDupIndexMaintainer(spark, base)
+    assert os.path.exists(os.path.join(base, "_CURRENT"))  # eager v0
+    # stage dirs landed, pointer never advanced (the crash window)
+    docs.write.mode("overwrite").parquet(os.path.join(base, "docs_b0"))
+    docs.selectExpr("doc_id", "1 as band", "2 as sig").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "bands_b0"))
+    # restart: recover + replay the batch — no orphan refusal
+    m2 = NearDupIndexMaintainer(spark, base)
+    m2.merge_batch(docs, batch_id=0)
+    want = {
+        tuple(r)
+        for r in minhash_near_dup_pairs(docs, threshold=0.3).collect()
+    }
+    assert {tuple(r) for r in m2.pairs().collect()} == want
+
+    # foreign state (no pointer ever) still refuses adoption
+    foreign = str(tmp_path / "ndm_foreign")
+    os.makedirs(foreign)
+    docs.write.mode("overwrite").parquet(os.path.join(foreign, "docs_b0"))
+    with pytest.raises(ValueError, match="cannot be safely adopted"):
+        NearDupIndexMaintainer(spark, foreign)
+
+    # --- covariance: crash after sums_v1 write, before commit ----------
+    d = 8
+    emb = _emb_batch(spark, range(1, 31), d=d)
+    cbase = str(tmp_path / "cov_crash")
+    cm = CovarianceMaintainer(spark, cbase, dim=d)
+    assert os.path.exists(os.path.join(cbase, "_CURRENT"))  # eager v0
+    emb.limit(5).selectExpr(
+        "'n' as kind", "0 as idx", "CAST(1 AS DECIMAL(38,0)) as val"
+    ).write.mode("overwrite").parquet(os.path.join(cbase, "sums_v1"))
+    c2 = CovarianceMaintainer(spark, cbase, dim=d)  # recovers at v0
+    c2.merge_batch(emb, batch_id=0)  # replay overwrites the orphan
+    assert c2.model() == pca_fit(emb, dim=d, method="gram")
