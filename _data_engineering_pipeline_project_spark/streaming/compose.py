@@ -55,7 +55,27 @@ class FanoutDrain:
     micro-batch to that maintainer's input relation (None = identity).
     Maintainers that need a one-off ``bootstrap`` (frozen quantizers)
     must be bootstrapped BEFORE the drain starts — the drain only
-    ticks."""
+    ticks.
+
+    ``maintainer`` may instead be a ZERO-ARG CALLABLE resolved at the
+    start of every micro-batch — the blue/green indirection: a route
+    like ``lambda: IvfOpqIndexMaintainer(spark, os.path.join(
+    bg.serving_dir(), "index"))`` follows the ``_SERVING`` pointer, so
+    after ``BlueGreenIndex.swap`` flips generations the SAME standing
+    drain ticks the NEW index with no restart.
+
+    SWAP CADENCE CONTRACT: swap at drain QUIESCENCE — between
+    ``run_available_now`` passes (``awaitTermination`` returned, so
+    every delivered batch is committed to the streaming checkpoint).
+    The fresh generation was re-bootstrapped over the accumulated
+    corpus, which includes exactly those committed batches; its own
+    watermark then starts at the next pass's first batch. Swapping
+    MID-stream would race an uncommitted tail batch: a crash+replay
+    after the flip could deliver rows the new generation already
+    absorbed at bootstrap (its empty watermark cannot tell), a
+    double-ingest no per-maintainer protocol can detect. The
+    availableNow cadence makes quiescence the natural swap point
+    (pinned by test)."""
 
     def __init__(
         self,
@@ -78,11 +98,18 @@ class FanoutDrain:
 
         def fold(batch_df: DataFrame, batch_id: int) -> None:
             token = checkpoint_identity(checkpoint_dir)
-            for _name, mnt, _tf in self.routes:
+            # resolve callable routes ONCE per batch (blue/green
+            # indirection — a swap between batches repoints here), and
+            # bind every maintainer before any fold
+            resolved = [
+                (name, mnt() if callable(mnt) else mnt, tf)
+                for name, mnt, tf in self.routes
+            ]
+            for _name, mnt, _tf in resolved:
                 mnt.bind_checkpoint(token)
             batch_df.persist()
             try:
-                for _name, mnt, tf in self.routes:
+                for _name, mnt, tf in resolved:
                     mnt.merge_batch(
                         tf(batch_df) if tf is not None else batch_df,
                         batch_id,

@@ -452,3 +452,95 @@ def test_self_healing_index_loop_end_to_end(spark, tmp_path):
     assert report["swapped"] and report["mean_recall"] >= max(0.3, old_mean)
     assert bg.serving_dir().endswith("gen_1")
     assert os.path.isdir(os.path.join(str(tmp_path / "bg"), "gen_0"))
+
+
+def test_fanout_bluegreen_indirection_route(spark, tmp_path):
+    """A FanoutDrain route given a ZERO-ARG RESOLVER follows the
+    blue/green ``_SERVING`` pointer: before the swap the standing
+    drain ticks gen_0; after a swap at drain quiescence (the cadence
+    contract) the SAME drain ticks gen_1 — no restart, no rewiring.
+    The old generation's state stops growing the moment serving
+    flips."""
+    import math
+    import os
+
+    from _data_engineering_pipeline_project_spark.streaming.bluegreen import (
+        BlueGreenIndex,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.compose import (
+        FanoutDrain,
+    )
+    from _data_engineering_pipeline_project_spark.streaming.ivfopqmaint import (
+        IvfOpqIndexMaintainer,
+    )
+
+    d, C = 8, 2
+    schema = "vec_id long, embedding array<double>"
+
+    def emb(ids):
+        return spark.createDataFrame(
+            [
+                (i, [math.sin(0.37 * i * (j + 1)) for j in range(d)])
+                for i in ids
+            ],
+            schema,
+        )
+
+    seed = emb(range(1, 41))
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+
+    def land(df, name):
+        tmp = str(tmp_path / f"_tmp_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.replace(
+            os.path.join(tmp, part), os.path.join(landing, f"{name}.parquet")
+        )
+
+    bg = BlueGreenIndex(str(tmp_path / "bg"))
+
+    def build_over(corpus):
+        def fn(gen_dir):
+            mnt = IvfOpqIndexMaintainer(
+                spark, os.path.join(gen_dir, "index"), num_centroids=C
+            )
+            mnt.bootstrap(corpus, dim=d, m=2, sub_dim=2, ksub=4)
+        return fn
+
+    bg.swap(True, build_over(seed))
+
+    def serving_index():
+        return IvfOpqIndexMaintainer(
+            spark,
+            os.path.join(bg.serving_dir(), "index"),
+            num_centroids=C,
+        )
+
+    drain = FanoutDrain([("index", serving_index, None)])
+    ckpt = str(tmp_path / "ckpt")
+
+    land(emb(range(41, 51)), "b1")
+    drain.run_available_now(spark, landing, schema, ckpt)
+    gen0 = os.path.join(str(tmp_path / "bg"), "gen_0", "index")
+    def n_vecs(index_dir):
+        return (
+            IvfOpqIndexMaintainer(spark, index_dir, num_centroids=C)
+            .codes.codes()
+            .select("vec_id")
+            .distinct()
+            .count()
+        )
+
+    assert n_vecs(gen0) == 50  # seed 40 + drained batch 10
+
+    # swap AT QUIESCENCE (awaitTermination returned): gen_1 over all 50
+    bg.swap(True, build_over(seed.unionByName(emb(range(41, 51)))))
+    assert bg.serving_dir().endswith("gen_1")
+
+    land(emb(range(51, 61)), "b2")
+    drain.run_available_now(spark, landing, schema, ckpt)
+    gen1 = os.path.join(bg.serving_dir(), "index")
+    assert n_vecs(gen1) == 60  # 50 bootstrapped + the post-swap batch
+    # the retired generation stopped growing at the flip
+    assert n_vecs(gen0) == 50
