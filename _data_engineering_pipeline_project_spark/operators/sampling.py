@@ -378,3 +378,90 @@ def mixture_resample(
         .filter(F.col("__u") < F.col("keep_rate"))
         .drop("__u")
     )
+
+
+def dsir_importance_scores(
+    docs: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    fp_scale: int = 1_000_000,
+) -> DataFrame:
+    """DSIR-style importance scores (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): hashed unigram
+    bucket features, add-one-smoothed bucket likelihoods under the
+    TARGET token distribution (rows matching ``target_pred``) vs the
+    RAW corpus, per-document importance = Σ log-likelihood-ratio over
+    its tokens. Documents scoring high "look like the target" — the
+    standard cheap proxy for quality/domain selection at pre-training
+    scale.
+
+    Determinism/parity design (the house fixed-point rule): each
+    bucket's log-ratio is rounded onto a 10^-6 fixed-point lane BEFORE
+    the per-document sum, so the doc score is an EXACT long sum —
+    commutative, association-free, bit-identical across engines — and
+    last-ulp ln() differences (JVM vs libm) are absorbed by the
+    rounding. Scale shape: one groupBy(bucket) pair of counts
+    (``buckets``-bounded), the ≤``buckets``-row ratio table broadcast
+    into the token relation, one per-doc sum — no window, no
+    all-pairs, nothing corpus²; at 100 TB the only corpus-sized pass
+    is the tokenize.
+
+    Returns (id, n_tokens, score_fp, dsir_score) for every document
+    with ≥1 token; callers rank/threshold on the exact ``score_fp``."""
+    from _data_engineering_pipeline_project_spark.operators import (
+        textstats as TS,
+    )
+
+    toks = docs.select(
+        F.col(id_col),
+        target_pred.alias("__tgt"),
+        F.explode(TS.tokens(text_col)).alias("term"),
+    ).filter(F.length("term") > 0)
+    toks = toks.withColumn("b", md5_hash60(F.col("term")) % buckets)
+    raw = toks.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        toks.filter(F.col("__tgt"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot = toks.agg(
+        F.count(F.lit(1)).alias("R"),
+        F.count(F.when(F.col("__tgt"), F.lit(1))).alias("T"),
+    )
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                        / (F.col("T") + buckets)
+                    )
+                    - F.log((F.col("cr") + 1) / (F.col("R") + buckets))
+                )
+                * fp_scale
+            )
+            .cast("long")
+            .alias("lr_fp"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(lr), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr_fp").alias("score_fp"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "score_fp",
+            F.round(F.col("score_fp") / F.lit(float(fp_scale)), 6).alias(
+                "dsir_score"
+            ),
+        )
+    )

@@ -593,3 +593,70 @@ def drift_report_maintained(spark: SparkSession, sf: str) -> DataFrame:
     consumes is what the oracle checks. Two bounded d-row reads at
     serve time; no corpus scan."""
     return _drift_maintained(spark, sf).drift_report(top=10)
+
+
+# --------------------------------------------------------------------------
+# DSIR importance resampling (r13 wave 3)
+# --------------------------------------------------------------------------
+@query(
+    "dsir_importance_resample_documents",
+    r"""
+    WITH tok0 AS (SELECT doc_id, lang,
+                         unnest(string_split_regex(trim(lower(text)),
+                                                   '\s+')) AS term
+                  FROM documents),
+    tok AS (SELECT doc_id, lang, term,
+                   CAST('0x' || substr(md5(term), 1, 15) AS BIGINT)
+                     % 1024 AS b
+            FROM tok0 WHERE length(term) > 0),
+    tgt AS (SELECT b, count(*) AS ct FROM tok WHERE lang = 'en'
+            GROUP BY b),
+    raw AS (SELECT b, count(*) AS cr FROM tok GROUP BY b),
+    tot AS (SELECT count(*) AS R,
+                   count(*) FILTER (WHERE lang = 'en') AS T
+            FROM tok),
+    lr AS (SELECT raw.b,
+                  CAST(round((ln((coalesce(ct, 0) + 1) / (T + 1024))
+                              - ln((cr + 1) / (R + 1024)))
+                             * 1000000) AS BIGINT) AS lr_fp
+           FROM raw LEFT JOIN tgt USING (b), tot),
+    sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                  sum(lr_fp) AS s_fp
+           FROM tok JOIN lr USING (b) GROUP BY doc_id)
+    SELECT doc_id, n_tokens,
+           round(s_fp / 1000000.0, 6) AS dsir_score,
+           CAST(row_number() OVER (ORDER BY s_fp DESC, doc_id)
+                AS INTEGER) AS rnk
+    FROM sc QUALIFY rnk <= 100
+    """,
+)
+def dsir_importance_resample_documents(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """DSIR data selection over the corpus (Xie et al. 2023): target =
+    English documents' token distribution, features = 1024 hashed
+    unigram buckets, per-doc importance = Σ per-bucket smoothed
+    log-likelihood ratios — the top-100 most target-like documents
+    with their scores. The fixed-point lane (round each bucket's
+    log-ratio to 10^-6 BEFORE the per-doc sum) makes the score an
+    exact long sum, so ranking and hash parity are engine-independent
+    despite the ln() calls (``operators/sampling.py:
+    dsir_importance_scores``). Scale: one tokenize pass + a
+    1024-row broadcast ratio table — the selection sweep a 100 TB
+    pre-training pipeline runs to bias sampling toward a target
+    domain without training a classifier."""
+    from pyspark.sql import Window
+
+    from _data_engineering_pipeline_project_spark.operators.sampling import (
+        dsir_importance_scores,
+    )
+
+    docs = table(spark, sf, "documents")
+    sc = dsir_importance_scores(docs, F.col("lang") == "en")
+    w = Window.orderBy(F.desc("score_fp"), "doc_id")
+    return (
+        sc.orderBy(F.desc("score_fp"), "doc_id")
+        .limit(100)
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .select("doc_id", "n_tokens", "dsir_score", "rnk")
+    )

@@ -197,6 +197,7 @@ EXTENSION_QUERIES = [
     "covariance_maintained_embeddings",
     "pca_scree_maintained",
     "drift_report_maintained",
+    "dsir_importance_resample_documents",
     "l_diversity_audit_events",
     "suggest_expectations_orders",
     "embedding_drift_audit_embeddings",

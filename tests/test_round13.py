@@ -781,3 +781,51 @@ def test_first_tick_crash_replays_cleanly(spark, tmp_path):
     c2 = CovarianceMaintainer(spark, cbase, dim=d)  # recovers at v0
     c2.merge_batch(emb, batch_id=0)  # replay overwrites the orphan
     assert c2.model() == pca_fit(emb, dim=d, method="gram")
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (r13 wave 3)
+# ---------------------------------------------------------------------------
+def test_dsir_scores_separate_target_like_documents(spark):
+    """Documents drawn from the target vocabulary score strictly higher
+    than off-target documents (the selection property DSIR exists
+    for), a doc of mixed vocabulary lands between, and the fixed-point
+    score is an exact long (partitioning-independent: repartitioned
+    input yields identical rows)."""
+    from _data_engineering_pipeline_project_spark.operators.sampling import (
+        dsir_importance_scores,
+    )
+
+    tgt_words = "alpha beta gamma delta epsilon zeta".split()
+    off_words = "uno dos tres cuatro cinco seis".split()
+    rows = []
+    for i in range(10):  # target-domain docs (flagged)
+        rows.append((i, " ".join(tgt_words * 3), True))
+    for i in range(10, 16):  # candidates: target-like vocabulary
+        rows.append((i, " ".join(tgt_words * 2), False))
+    for i in range(16, 22):  # candidates: off-target vocabulary
+        rows.append((i, " ".join(off_words * 2), False))
+    rows.append((30, " ".join(tgt_words + off_words), False))  # mixed
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, is_tgt boolean"
+    )
+
+    out = {
+        r["doc_id"]: (r["score_fp"], r["n_tokens"])
+        for r in dsir_importance_scores(
+            docs, F.col("is_tgt"), buckets=64
+        ).collect()
+    }
+    like = min(out[i][0] for i in range(10, 16))
+    off = max(out[i][0] for i in range(16, 22))
+    assert like > out[30][0] > off  # target-like > mixed > off-target
+    assert out[10][1] == 12 and out[30][1] == 12  # token counts exact
+
+    # partitioning independence: exact long sums, identical rows
+    out2 = {
+        r["doc_id"]: (r["score_fp"], r["n_tokens"])
+        for r in dsir_importance_scores(
+            docs.repartition(7), F.col("is_tgt"), buckets=64
+        ).collect()
+    }
+    assert out == out2

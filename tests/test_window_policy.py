@@ -35,6 +35,7 @@ WHITELIST = {
         "rag_retrieval_pipeline, same TakeOrdered frames"
     ),
     "vocab_coverage_top30": "rank + cum share after limit(30)",
+    "dsir_importance_resample_documents": "rank after limit(100)",
     # seed/centroid frames: deterministic TakeOrdered seeds, so the
     # window input is ≤ num_centroids / ksub rows (8-64)
     "embedding_topk_ivf": "seed row_number over ≤num_centroids rows",
