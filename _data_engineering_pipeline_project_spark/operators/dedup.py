@@ -864,8 +864,12 @@ def connected_components(
                 StructField("cluster", id_type, True),
             ]
         )
-        return pairs.sparkSession.createDataFrame(
-            [(x, find(x)) for x in nodes], out_schema
+        from _data_engineering_pipeline_project_spark.functions.localrel import (
+            local_df,
+        )
+
+        return local_df(
+            pairs.sparkSession, [(x, find(x)) for x in nodes], out_schema
         )
 
     # pinned_checkpoint: reliable when a checkpoint dir is configured

@@ -27,6 +27,8 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from _data_engineering_pipeline_project_spark.functions.localrel import local_df
+
 
 @dataclass(frozen=True)
 class Expectation:
@@ -271,7 +273,8 @@ def suggest_expectations(
             )
         if kind == "str" and c in sets:
             rows.append((c, "in_set", None, None, sets[c]))
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         rows,
         "column string, suggestion string, lo double, hi double, "
         "allowed array<string>",

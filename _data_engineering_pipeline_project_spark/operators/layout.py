@@ -377,8 +377,12 @@ def _footer_pairs(
     n_slices = max(
         1, min(len(files), spark.sparkContext.defaultParallelism * 4)
     )
-    files_df = spark.createDataFrame(
-        [(f,) for f in files], "path string"
+    from _data_engineering_pipeline_project_spark.functions.localrel import (
+        local_df,
+    )
+
+    files_df = local_df(
+        spark, [(f,) for f in files], "path string"
     ).repartition(n_slices)
 
     def read_footers(batches):

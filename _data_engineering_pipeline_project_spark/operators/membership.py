@@ -57,6 +57,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.column import Column
 
+from _data_engineering_pipeline_project_spark.functions.localrel import local_df
+
 WORD_BITS = 60  # masks stay positive longs; house md5 keys are 60-bit too
 
 # element_at is 1-based; index with (pos % 60) + 1
@@ -227,7 +229,8 @@ def save_bloom_index(
         .option("parquet.block.size", str(int(row_group_bytes)))
         .parquet(f"{path}/words")
     )
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(int(m_bits), int(k), WORD_BITS, "bloom-words-v1")],
         "m_bits long, k int, word_bits int, format string",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")

@@ -48,6 +48,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from _data_engineering_pipeline_project_spark.functions.localrel import local_df
+
 QUANT_SCALE = 1 << 20  # element lane: round(x * 2^20) — portable rounding
 
 
@@ -257,7 +259,7 @@ def _covariance_pairs_gram(
     tri = [(t, i, j) for t, (i, j) in enumerate(
         (i, j) for i in range(dim) for j in range(i, dim)
     )]
-    tmap = spark.createDataFrame(tri, "t int, i0 int, j0 int")
+    tmap = local_df(spark, tri, "t int, i0 int, j0 int")
     di = dims.select(
         F.col("i0").alias("__i"), F.col("s").alias("si"), "n"
     )
@@ -656,8 +658,8 @@ def save_pca_model(spark, model: dict, path: str) -> None:
         rows.append(
             ("perm", -1, [float(p) for p in model["opq_permutation"]])
         )
-    spark.createDataFrame(
-        rows, "kind string, idx int, vals array<double>"
+    local_df(
+        spark, rows, "kind string, idx int, vals array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(path)
 
 

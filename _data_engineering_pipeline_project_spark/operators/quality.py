@@ -266,8 +266,12 @@ def detect_pattern_columns(
         f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)
     ]
     if not cols:
-        return df.sparkSession.createDataFrame(
-            [], "column string, has_match boolean"
+        from _data_engineering_pipeline_project_spark.functions.localrel import (
+            local_df,
+        )
+
+        return local_df(
+            df.sparkSession, [], "column string, has_match boolean"
         )
     aggs = [
         F.max(F.coalesce(F.col(c).rlike(pattern), F.lit(False))).alias(c) for c in cols

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from _data_engineering_pipeline_project_spark.functions.localrel import local_df
 from _data_engineering_pipeline_project_spark.operators import textstats as TS
 
 
@@ -233,7 +234,8 @@ def save_bm25_index(
         dl.agg(
             F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
-        spark.createDataFrame(
+        local_df(
+            spark,
             [(id_col, text_col, "dl-in-postings-v2")],
             "id_col string, text_col string, format string",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")

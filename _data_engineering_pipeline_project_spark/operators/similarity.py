@@ -1011,7 +1011,12 @@ def save_pq_index(
     cb, codes = pq_index_shared(corpus, m, sub_dim, ksub, id_col, vec_col)
     cb.write.mode("overwrite").parquet(f"{path}/codebooks")
     codes.write.mode("overwrite").parquet(f"{path}/codes")
-    corpus.sparkSession.createDataFrame(
+    from _data_engineering_pipeline_project_spark.functions.localrel import (
+        local_df,
+    )
+
+    local_df(
+        corpus.sparkSession,
         [(m, sub_dim, ksub, id_col, vec_col)],
         "m int, sub_dim int, ksub int, id_col string, vec_col string",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")

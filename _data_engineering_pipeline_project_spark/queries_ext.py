@@ -183,7 +183,11 @@ def type_validation_tpch(spark: SparkSession, sf: str) -> DataFrame:
         for issue in validate_column_types(df, reg[name]):
             rows.append({"table_name": name, **issue})
     schema = "table_name string, column string, issue string, expected string, actual string"
-    return spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+    from _data_engineering_pipeline_project_spark.functions.localrel import (
+        local_df,
+    )
+
+    return local_df(spark, rows, schema)
 
 
 # --------------------------------------------------------------------------

@@ -507,7 +507,12 @@ def pca_variance_explained_embeddings(
 
     model = pca_fit(table(spark, sf, "embeddings"), dim=64, method="gram")
     rows = variance_explained(model)[:8]
-    return spark.createDataFrame(
+    from _data_engineering_pipeline_project_spark.functions.localrel import (
+        local_df,
+    )
+
+    return local_df(
+        spark,
         [(c, round(e, 8), round(f, 6)) for c, e, f in rows],
         "component int, eigenvalue double, cum_fraction double",
     )

@@ -902,7 +902,12 @@ def opq_balance_audit_embeddings(spark: SparkSession, sf: str) -> DataFrame:
                 round(sum(math.log(max(e, 1e-300)) for e in bucket), 6),
             )
         )
-    return spark.createDataFrame(
+    from _data_engineering_pipeline_project_spark.functions.localrel import (
+        local_df,
+    )
+
+    return local_df(
+        spark,
         rows,
         "subspace int, n_dims int, sum_eigenvalue double, "
         "variance_share double, log_energy double",

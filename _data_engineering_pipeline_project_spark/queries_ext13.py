@@ -488,7 +488,12 @@ def pca_scree_maintained(spark: SparkSession, sf: str) -> DataFrame:
 
     model = _cov_maintained(spark, sf).model()
     rows = variance_explained(model)[:8]
-    return spark.createDataFrame(
+    from _data_engineering_pipeline_project_spark.functions.localrel import (
+        local_df,
+    )
+
+    return local_df(
+        spark,
         [(c, round(e, 8), round(f, 6)) for c, e, f in rows],
         "component int, eigenvalue double, cum_fraction double",
     )

@@ -523,8 +523,12 @@ def benford_first_digit_orders(spark: SparkSession, sf: str) -> DataFrame:
     )
     c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
     t = c.agg(F.sum("n").alias("total"))
-    exp = spark.createDataFrame(
-        [(i + 1, v) for i, v in enumerate(_BENFORD)], "digit int, expected double"
+    from _data_engineering_pipeline_project_spark.functions.localrel import (
+        local_df,
+    )
+
+    exp = local_df(
+        spark, [(i + 1, v) for i, v in enumerate(_BENFORD)], "digit int, expected double"
     )
     obs = F.col("n") / F.col("total").cast("double")
     return (

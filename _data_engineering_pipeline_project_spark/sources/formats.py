@@ -118,9 +118,13 @@ def parquet_file_stats(
                 columns=["file", "n_rows", "n_row_groups", "cmin", "cmax"],
             )
 
-    return spark.createDataFrame(
-        [(f,) for f in files], "file string"
-    ).mapInPandas(footer, out_schema)
+    from _data_engineering_pipeline_project_spark.functions.localrel import (
+        local_df,
+    )
+
+    return local_df(
+        spark, [(f,) for f in files], "file string"
+    ).repartition(max(1, min(len(files), 8))).mapInPandas(footer, out_schema)
 
 
 def write_xml(

@@ -102,10 +102,14 @@ class IvfIndexMaintainer:
     def centroids(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self._centroid_dir)
 
-    def ingest(self, batch: DataFrame) -> int:
+    def ingest(self, batch: DataFrame) -> None:
         """Assign a batch to lists and append — one broadcast-assign
         pass + one partitioned write; cost is O(batch), independent of
-        index size."""
+        index size. (r13 optimization: this used to ``return
+        batch.count()`` — a SECOND full evaluation of the input, which
+        for the IVF-OPQ maintainer is the whole Arrow-rotated corpus at
+        bootstrap and the rotated batch every tick, purely to produce a
+        value no caller read. The write is the only action now.)"""
         from _data_engineering_pipeline_project_spark.operators.similarity import (
             ivf_assign,
         )
@@ -117,7 +121,6 @@ class IvfIndexMaintainer:
         assigned.write.mode("append").partitionBy("centroid_id").parquet(
             self._list_dir
         )
-        return batch.count()
 
     # -- per-list compaction (r7) ---------------------------------------
     def _list_ids(self) -> list[int]:

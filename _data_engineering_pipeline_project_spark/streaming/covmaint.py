@@ -293,7 +293,11 @@ class CovarianceMaintainer:
                 (i, j) for i in range(dim) for j in range(i, dim)
             )
         ]
-        tmap = self.spark.createDataFrame(tri, "t int, i0 int, j0 int")
+        from _data_engineering_pipeline_project_spark.functions.localrel import (
+            local_df,
+        )
+
+        tmap = local_df(self.spark, tri, "t int, i0 int, j0 int")
         di = dims.select(
             F.col("i0").alias("__i"), F.col("s").alias("si"), "n"
         )

@@ -174,7 +174,12 @@ def rebootstrap_decision(
         if artifacts
         else ""
     )
-    return spark.createDataFrame(
+    from _data_engineering_pipeline_project_spark.functions.localrel import (
+        local_df,
+    )
+
+    return local_df(
+        spark,
         [
             (
                 decision,
