@@ -69,6 +69,24 @@ _NANOS_TS_COLS = {"events": ("ts",)}
 # the path's mtime, so an in-session overwrite (which writes new files
 # and bumps the directory mtime) misses the memo and re-resolves.
 _TABLE_MEMO: dict = {}
+_TABLE_MEMO_MAX = 256  # bound (ADVICE r13): drop oldest past this
+
+
+def _mtime_key(path: str) -> float:
+    """Directory mtime PLUS the max top-level child mtime (ADVICE r13:
+    an in-place rewrite of an existing part file keeps its filename and
+    does not bump the parent dir's mtime — unreachable via Spark
+    writers, but a foreign tool could; the child scan closes it for a
+    fraction of the listing cost the memo saves)."""
+    m = os.path.getmtime(path)
+    if os.path.isdir(path):
+        with os.scandir(path) as it:
+            for e in it:
+                try:
+                    m = max(m, e.stat().st_mtime)
+                except OSError:
+                    pass
+    return m
 
 
 def table(spark: SparkSession, data_dir: str, name: str) -> DataFrame:
@@ -82,10 +100,13 @@ def table(spark: SparkSession, data_dir: str, name: str) -> DataFrame:
         # runtime-settable; harmless for non-nanos files
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
+        # keyed on the SESSION object, not applicationId alone (ADVICE
+        # r13: a sibling spark.newSession() shares the applicationId but
+        # must not be handed a DataFrame bound to another session)
         key = (
-            spark.sparkContext.applicationId,
+            spark,
             os.path.abspath(path),
-            os.path.getmtime(path),
+            _mtime_key(path),
         )
     except Exception:
         key = None
@@ -97,5 +118,7 @@ def table(spark: SparkSession, data_dir: str, name: str) -> DataFrame:
             # integer div — float division loses precision at 1e18 nanos
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
     if key is not None:
+        while len(_TABLE_MEMO) >= _TABLE_MEMO_MAX:
+            _TABLE_MEMO.pop(next(iter(_TABLE_MEMO)))
         _TABLE_MEMO[key] = df
     return df

@@ -46,11 +46,16 @@ def local_df(
     batch (single partition). ``rows``: tuples/Rows or dicts; ``schema``:
     DDL string or StructType. Bit-identical values to the classic
     ``createDataFrame`` (test-pinned), ~10-30x cheaper per action."""
-    st = (
-        T._parse_datatype_string(schema)
-        if isinstance(schema, str)
-        else schema
-    )
+    if isinstance(schema, str):
+        # _parse_datatype_string is a private PySpark API (ADVICE r13):
+        # an upstream rename must degrade to the classic path, not
+        # break every DDL-string caller
+        try:
+            st = T._parse_datatype_string(schema)
+        except Exception:
+            return spark.createDataFrame(rows, schema)
+    else:
+        st = schema
     if any(_has_timestamp(f.dataType) for f in st.fields):
         # session-timezone semantics are the classic path's job
         return spark.createDataFrame(rows, st)
@@ -63,6 +68,14 @@ def local_df(
         if rows and isinstance(rows[0], dict):
             cols = [[r.get(n) for r in rows] for n in names]
         elif rows:
+            # the classic path raises on a row longer than the schema;
+            # zip() would silently truncate it (ADVICE r13) — keep the
+            # malformed-input class an error here too
+            if len(rows[0]) != len(st.fields):
+                raise ValueError(
+                    f"row has {len(rows[0])} fields, schema declares "
+                    f"{len(st.fields)}"
+                )
             cols = [list(c) for c in zip(*rows)]
         else:
             cols = [[] for _ in names]

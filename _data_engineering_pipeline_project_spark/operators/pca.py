@@ -300,49 +300,99 @@ def pca_fit(
     artifact-friendly."""
     import numpy as np
 
-    parts = None
     if method == "gram":
-        # one input scan: the cached per-batch partials feed BOTH the
-        # covariance and the mean (the explode form's mean is a second,
-        # cheap column-pruned scan — code-review r10 flagged the gram
-        # path, where the input read is the entire cost at width)
-        parts = _gram_parts(df, id_col, vec_col, dim).cache()
-    try:
-        rows = covariance_pairs(
-            df, id_col, vec_col, method=method, dim=dim, _parts=parts
-        ).collect()
+        # ONE aggregation job for covariance AND mean (VERDICT r13 #4:
+        # the previous form paid two collects — covariance, then mean —
+        # over the same cached partials, a second job of pure
+        # scheduling). The per-batch partials are concatenated into one
+        # lane (idx < dim = column sums, idx >= dim = upper-triangle
+        # Gram slots), one groupBy(idx) yields every exact decimal sum
+        # plus the row count, and the driver applies the IDENTICAL IEEE
+        # double sequence the Spark expressions used: decimal→double is
+        # correctly rounded in both engines, and
+        # (n·sij − si·sj)/(n·n)/scale² is evaluated in the same
+        # operation order, so the model is bit-for-bit the two-collect
+        # one (pinned by test).
+        nslots = dim + dim * (dim + 1) // 2
+        rows = (
+            _gram_parts(df, id_col, vec_col, dim)
+            .select(
+                "n_part",
+                F.posexplode(F.concat("s_part", "g_part")).alias(
+                    "idx", "val"
+                ),
+            )
+            .groupBy("idx")
+            .agg(
+                F.sum(F.col("val").cast("decimal(38,0)")).alias("s"),
+                F.sum("n_part").alias("n"),
+            )
+            .collect()
+        )
         if not rows:
             raise ValueError(
                 "pca_fit on an empty relation: covariance is undefined "
                 "(no rows reached the aggregate)"
             )
+        if len(rows) != nslots:
+            raise ValueError(
+                f"gram partials returned {len(rows)} slots, expected "
+                f"{nslots} (dim={dim} mismatch?)"
+            )
+        n = int(rows[0]["n"])
+        s = {r["idx"]: r["s"] for r in rows}
+        scale2 = float(QUANT_SCALE) * float(QUANT_SCALE)
         cov = np.zeros((dim, dim))
-        for r in rows:
-            cov[r["dim_i"] - 1, r["dim_j"] - 1] = r["cov"]
-            cov[r["dim_j"] - 1, r["dim_i"] - 1] = r["cov"]
-        mean_src = (
-            parts.select("n_part", F.posexplode("s_part").alias("i0", "vi"))
-            if parts is not None
-            else quantized_elements(df, id_col, vec_col).select(
-                F.lit(1).alias("n_part"),
-                F.posexplode("v").alias("i0", "vi"),
-            )
+        t = 0
+        for i in range(dim):
+            si = float(s[i])
+            for j in range(i, dim):
+                sij = float(s[dim + t])
+                sj = float(s[j])
+                cov[i, j] = cov[j, i] = (
+                    (float(n) * sij - si * sj) / float(n * n) / scale2
+                )
+                t += 1
+        w, v = np.linalg.eigh(cov)  # ascending
+        order = np.argsort(w)[::-1]
+        return {
+            "eigenvalues": [float(w[i]) for i in order],
+            "components": [[float(x) for x in v[:, i]] for i in order],
+            "mean": [
+                float(s[i]) / float(n) / float(QUANT_SCALE)
+                for i in range(dim)
+            ],
+            "dim": dim,
+        }
+    rows = covariance_pairs(
+        df, id_col, vec_col, method=method, dim=dim
+    ).collect()
+    if not rows:
+        raise ValueError(
+            "pca_fit on an empty relation: covariance is undefined "
+            "(no rows reached the aggregate)"
         )
-        mean = (
-            mean_src.groupBy("i0")
-            .agg(
-                (
-                    F.sum(F.col("vi").cast("decimal(38,0)")).cast("double")
-                    / F.sum("n_part")
-                    / F.lit(float(QUANT_SCALE))
-                ).alias("m")
-            )
-            .orderBy("i0")
-            .collect()
+    cov = np.zeros((dim, dim))
+    for r in rows:
+        cov[r["dim_i"] - 1, r["dim_j"] - 1] = r["cov"]
+        cov[r["dim_j"] - 1, r["dim_i"] - 1] = r["cov"]
+    mean = (
+        quantized_elements(df, id_col, vec_col)
+        .select(
+            F.lit(1).alias("n_part"),
+            F.posexplode("v").alias("i0", "vi"),
         )
-    finally:
-        if parts is not None:
-            parts.unpersist()
+        .groupBy("i0")
+        .agg(
+            (
+                F.sum(F.col("vi").cast("decimal(38,0)")).cast("double")
+                / F.sum("n_part")
+                / F.lit(float(QUANT_SCALE))
+            ).alias("m")
+        )
+        .orderBy("i0")
+        .collect()
+    )
     w, v = np.linalg.eigh(cov)  # ascending
     order = np.argsort(w)[::-1]
     return {

@@ -160,7 +160,99 @@ def emoji_scan_documents(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("type_validation_tpch")  # rows-only: compares against the Python registry
+def _type_validation_sql() -> str:
+    """DuckDB twin of the schema reconciliation (VERDICT r13 #7): the
+    declared registry is emitted as a VALUES list (same Python source of
+    truth — ``schema.tpch_registry`` — so the two sides cannot drift),
+    the actual side is ``information_schema.columns`` over the oracle's
+    views, and the reconciliation rules mirror
+    ``validate_column_types`` exactly: a row only when a declared column
+    is absent or its type differs with BOTH sides outside the numeric
+    family and BOTH outside the timestamp/date family. On a mismatch the
+    engines print their own type spellings (mapped to Spark's
+    simpleString vocabulary where a 1:1 name exists), which is the one
+    caveat: the report is equal whenever the data conforms or a column
+    is missing; a hypothetical exotic-type mismatch could differ in the
+    ``actual`` string."""
+    from pyspark.sql import types as T
+
+    from _data_engineering_pipeline_project_spark.schema import (
+        tpch_registry,
+    )
+
+    reg = tpch_registry()
+
+    def dkind(dt) -> str:
+        if isinstance(dt, T.NumericType):
+            return "num"
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            return "ts"
+        return "other"
+
+    decl_rows = []
+    for tname in reg.tables:
+        for f in reg[tname].struct.fields:
+            decl_rows.append(
+                f"('{tname}', '{f.name}', "
+                f"'{f.dataType.simpleString()}', '{dkind(f.dataType)}')"
+            )
+    decl = ",\n      ".join(decl_rows)
+    tables = ", ".join(f"'{t}'" for t in reg.tables)
+    return f"""
+    WITH decl(table_name, col, expected, dkind) AS (VALUES
+      {decl}),
+    act AS (
+      SELECT table_name, column_name AS col, data_type,
+             CASE data_type
+               WHEN 'BIGINT' THEN 'bigint' WHEN 'INTEGER' THEN 'int'
+               WHEN 'SMALLINT' THEN 'smallint' WHEN 'TINYINT' THEN 'tinyint'
+               WHEN 'DOUBLE' THEN 'double' WHEN 'FLOAT' THEN 'float'
+               WHEN 'VARCHAR' THEN 'string' WHEN 'BOOLEAN' THEN 'boolean'
+               WHEN 'DATE' THEN 'date'
+               WHEN 'FLOAT[]' THEN 'array<float>'
+               WHEN 'DOUBLE[]' THEN 'array<double>'
+               ELSE CASE WHEN data_type LIKE 'TIMESTAMP%' THEN 'timestamp'
+                         ELSE lower(data_type) END
+             END AS aname,
+             CASE
+               WHEN data_type IN ('TINYINT','SMALLINT','INTEGER','BIGINT',
+                                  'HUGEINT','UTINYINT','USMALLINT',
+                                  'UINTEGER','UBIGINT','FLOAT','DOUBLE')
+                    OR data_type LIKE 'DECIMAL%' THEN 'num'
+               WHEN data_type = 'DATE' OR data_type LIKE 'TIMESTAMP%'
+                    THEN 'ts'
+               ELSE 'other'
+             END AS akind
+      FROM information_schema.columns
+      WHERE table_name IN ({tables})),
+    present AS (SELECT DISTINCT table_name FROM act),
+    missing_tables AS (
+      SELECT DISTINCT d.table_name, '' AS "column",
+             'missing_table' AS issue, '' AS expected, '' AS actual
+      FROM decl d LEFT JOIN present p USING (table_name)
+      WHERE p.table_name IS NULL),
+    missing_cols AS (
+      SELECT d.table_name, d.col AS "column",
+             'missing_column' AS issue, d.expected, '' AS actual
+      FROM decl d
+      JOIN present p USING (table_name)
+      LEFT JOIN act a ON a.table_name = d.table_name AND a.col = d.col
+      WHERE a.col IS NULL),
+    mismatches AS (
+      SELECT d.table_name, d.col AS "column",
+             'type_mismatch' AS issue, d.expected, a.aname AS actual
+      FROM decl d
+      JOIN act a ON a.table_name = d.table_name AND a.col = d.col
+      WHERE d.expected <> a.aname
+        AND NOT (d.dkind = 'num' AND a.akind = 'num')
+        AND NOT (d.dkind = 'ts' AND a.akind = 'ts'))
+    SELECT * FROM missing_tables
+    UNION ALL SELECT * FROM missing_cols
+    UNION ALL SELECT * FROM mismatches
+    """
+
+
+@query("type_validation_tpch", _type_validation_sql)  # deferred twin
 def type_validation_tpch(spark: SparkSession, sf: str) -> DataFrame:
     """Q3 — declared-vs-actual schema reconciliation for every testdata
     table (metadata-only; no data scanned). Empty on conforming data."""

@@ -37,6 +37,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalescePartitions.parallelismFirst stays at its default
+        # (true). A/B'd in r14 (OPTIMIZATION_r14.md): false coalesces
+        # byte-small shuffles to one task, which SERIALIZED the
+        # compute-dense ANN/PQ family (embedding_topk_pq 4.5→18.8 s,
+        # ivfpq 1.2→10.4 s, item_item_cosine 4.1→12.5 s) for a
+        # negligible win on the overhead-bound tails — bytes are the
+        # wrong proxy for these stages' cost.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

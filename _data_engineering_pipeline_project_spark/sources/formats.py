@@ -122,9 +122,16 @@ def parquet_file_stats(
         local_df,
     )
 
+    # footer scanning parallelism scales with the cluster, capped by the
+    # file count (ADVICE r13: a literal 8 serialized many-file footer
+    # audits on real clusters) — same rule as layout.py's _footer_pairs
+    n_slices = max(
+        1,
+        min(len(files), spark.sparkContext.defaultParallelism * 4),
+    )
     return local_df(
         spark, [(f,) for f in files], "file string"
-    ).repartition(max(1, min(len(files), 8))).mapInPandas(footer, out_schema)
+    ).repartition(n_slices).mapInPandas(footer, out_schema)
 
 
 def write_xml(

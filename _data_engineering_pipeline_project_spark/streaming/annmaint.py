@@ -109,7 +109,10 @@ class IvfIndexMaintainer:
         batch.count()`` — a SECOND full evaluation of the input, which
         for the IVF-OPQ maintainer is the whole Arrow-rotated corpus at
         bootstrap and the rotated batch every tick, purely to produce a
-        value no caller read. The write is the only action now.)"""
+        value no caller read. The write is the only action now.
+        API NOTE: the return type changed int -> None in r13; external
+        callers needing a count should read the written files' parquet
+        metadata instead of forcing a second evaluation.)"""
         from _data_engineering_pipeline_project_spark.operators.similarity import (
             ivf_assign,
         )

@@ -176,9 +176,12 @@ class Bm25Maintainer:
             .parquet(self._batch_dir(bname))
         )
         # dictionary merge: batch dfs from the JUST-WRITTEN postings
-        # (no second tokenize), monoid-added into the current dictionary
+        # (no second tokenize), monoid-added into the current dictionary;
+        # the read-back carries the known schema (r14) so it skips the
+        # footer schema-inference job
         batch_dict = (
-            self.spark.read.parquet(self._batch_dir(bname))
+            self.spark.read.schema(postings.schema)
+            .parquet(self._batch_dir(bname))
             .groupBy("term")
             .agg(F.count(F.lit(1)).alias("df"))
         )
@@ -201,23 +204,44 @@ class Bm25Maintainer:
                     F.coalesce("df", F.lit(0)) + F.coalesce("_df", F.lit(0))
                 ).alias("df"),
             )
-            cs = self.spark.read.parquet(
+            # fold the current 1-row stats in via a join instead of a
+            # driver collect (r14, guide §1.2): same exact long adds,
+            # one fewer action per tick
+            cur_stats = self.spark.read.parquet(
                 os.path.join(self._meta_dir(v), "stats")
-            ).collect()[0]
-            merged_stats = batch_stats.select(
-                (F.col("n_docs") + F.lit(cs["n_docs"])).alias("n_docs"),
-                (F.col("total_dl") + F.lit(cs["total_dl"])).alias("total_dl"),
+            ).select(
+                F.col("n_docs").alias("_n"), F.col("total_dl").alias("_t")
+            )
+            merged_stats = batch_stats.crossJoin(
+                F.broadcast(cur_stats)
+            ).select(
+                (F.col("n_docs") + F.col("_n")).alias("n_docs"),
+                (F.col("total_dl") + F.col("_t")).alias("total_dl"),
             )
         else:
             merged_dict, merged_stats = batch_dict, batch_stats
 
         nxt = v + 1
-        merged_dict.write.mode("overwrite").parquet(
-            os.path.join(self._meta_dir(nxt), "dictionary")
-        )
-        merged_stats.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(self._meta_dir(nxt), "stats")
-        )
+        # the dictionary and stats relations are independent, go to
+        # independent pre-pointer dirs: overlap the writes (guide §2.6);
+        # the pointer commits strictly after both, as before
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [
+                pool.submit(
+                    lambda: merged_dict.write.mode("overwrite").parquet(
+                        os.path.join(self._meta_dir(nxt), "dictionary")
+                    )
+                ),
+                pool.submit(
+                    lambda: merged_stats.coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(self._meta_dir(nxt), "stats"))
+                ),
+            ]
+            for f in futs:
+                f.result()
         self._commit(
             {
                 **self._meta,  # preserves checkpoint_token and format

@@ -241,18 +241,51 @@ class ClusterMaintainer:
         the new nodes' member rows, fold the merge map into the flat
         alias relation, commit. Label algebra is idempotent under
         re-merge; the watermark keeps the version chain exactly-once
-        like the siblings."""
+        like the siblings.
+
+        Adaptive small-batch path (r14, the ``connected_components``
+        r5 precedent): a tick whose pair batch fits the broadcast gate
+        does the contraction, union-find, member/merge derivation and
+        alias fold ON THE DRIVER — identical integer algebra, so the
+        committed state is bit-identical (pinned by the N-ticks ==
+        one-shot suite) — paying ONE bounded probe collect + ONE
+        members lookup (state scanned, batch broadcast — the same
+        state touch the distributed tick pays) + two LocalTableScan
+        writes, instead of ~15 tiny AQE stage jobs whose per-job driver
+        latency dominated the tick (profiled: 1.5-2.3 s wall vs 0.4-0.9
+        s summed job time at sf0.1). Batches past the gate take the
+        distributed path below, unchanged."""
         meta = self._meta
         last = meta.get("last_batch_id")
         if last is not None and batch_id <= last:
             return
         from _data_engineering_pipeline_project_spark.operators.dedup import (
+            _default_small_graph_edges,
             connected_components,
         )
 
         pairs = pairs_df.select(
             F.col(self.a_col).alias("a"), F.col(self.b_col).alias("b")
         ).filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        bound = _default_small_graph_edges(self.spark)
+        head = pairs.limit(bound + 1).collect()
+        if len(head) <= bound:
+            # the alias map must also fit on the driver (it is bounded
+            # by merge events ever — a sliver by the flatness invariant
+            # — but the gate is cheap insurance): oversize falls through
+            # to the distributed path
+            alias_rows = None
+            al = self.aliases()
+            if al is not None:
+                alias_rows = al.limit(bound + 1).collect()
+            if alias_rows is None or len(alias_rows) <= bound:
+                self._merge_batch_local(
+                    head,
+                    alias_rows or [],
+                    batch_id,
+                    pairs.schema["a"].dataType,
+                )
+                return
         nodes = (
             pairs.select(F.col("a").alias("id"))
             .unionByName(pairs.select(F.col("b").alias("id")))
@@ -333,23 +366,40 @@ class ClusterMaintainer:
                     F.col("cluster").alias("new_root"),
                 )
             )
-        # materialize plans BEFORE touching state dirs
+        # materialize plans BEFORE touching state dirs. ONE probe action
+        # covers both frames (r14, guide §1.2: the previous form paid a
+        # separate count() job per frame — two scheduling rounds for
+        # counts over already-persisted slivers): union the persisted
+        # frames under a side tag and count per side; the job fills both
+        # caches, and the writes below reuse them.
         new_members_rows = new_members.persist()
-        n_new = new_members_rows.count()
+        probe = new_members_rows.select(F.lit(0).alias("__side"))
+        if merges is not None:
+            merges = merges.persist()
+            probe = probe.unionAll(merges.select(F.lit(1).alias("__side")))
+        counts = {
+            r["__side"]: r["cnt"]
+            for r in probe.groupBy("__side")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        n_new = int(counts.get(0, 0))
         batches = list(meta["batches"])
+        writes = []
         if n_new > 0:
-            new_members_rows.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(self.base_dir, f"members_b{batch_id}")
+            writes.append(
+                lambda: new_members_rows.coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(self.base_dir, f"members_b{batch_id}"))
             )
             batches.append(batch_id)
         aliases_v = int(meta.get("aliases_v", 0))
         if merges is not None:
-            merges = merges.persist()
             # a tick that merged nothing keeps the current alias map
             # untouched — without this gate, ONE early merge made every
             # later tick pay an O(|aliases|) rewrite + version bump
             # forever (r12 review finding)
-            if merges.count() > 0:
+            if int(counts.get(1, 0)) > 0:
                 al = self.aliases()
                 if al is not None:
                     # re-resolve existing targets through this tick's
@@ -376,9 +426,26 @@ class ClusterMaintainer:
                 else:
                     folded = merges
                 aliases_v += 1
-                folded.coalesce(1).write.mode("overwrite").parquet(
-                    os.path.join(self.base_dir, f"aliases_v{aliases_v}")
+                writes.append(
+                    lambda: folded.coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(
+                        os.path.join(self.base_dir, f"aliases_v{aliases_v}")
+                    )
                 )
+        # the member append and the alias rewrite are independent
+        # relations going to independent (idempotent, pre-pointer) dirs:
+        # overlap them so the second write's scheduling hides in the
+        # first's tail (guide §2.6) — the pointer still commits strictly
+        # after both, so crash-anywhere replays exactly as before
+        if len(writes) == 1:
+            writes[0]()
+        elif writes:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                list(pool.map(lambda w: w(), writes))
+        if merges is not None:
             merges.unpersist()
         self._commit(
             {
@@ -396,6 +463,138 @@ class ClusterMaintainer:
         if aliases_v != old_alias and old_alias > 0:
             shutil.rmtree(
                 os.path.join(self.base_dir, f"aliases_v{old_alias}"),
+                ignore_errors=True,
+            )
+
+    def _merge_batch_local(
+        self, head, alias_rows, batch_id: int, id_type
+    ) -> None:
+        """Driver-side tick for a batch that fits the broadcast gate:
+        the same contract/CC/derive/fold algebra as the distributed
+        path, over plain Python ints — union-find with path compression
+        and union-by-min produces the identical min-label components
+        (the ``connected_components`` small-graph equivalence), and the
+        member/merge/fold derivations are exact integer ops, so the
+        committed state is bit-identical. Spark is touched exactly
+        twice: the members lookup (state scanned, batch ids broadcast —
+        the one state-sized touch the distributed tick also pays) and
+        the LocalTableScan writes of the new member / folded alias
+        relations."""
+        from pyspark.sql.types import StructField, StructType
+
+        from _data_engineering_pipeline_project_spark.functions.localrel import (
+            local_df,
+        )
+
+        meta = self._meta
+        edges0 = [(r["a"], r["b"]) for r in head]
+        nodes: set = set()
+        for a, b in edges0:
+            nodes.add(a)
+            nodes.add(b)
+        alias_map = {r["old_root"]: r["new_root"] for r in alias_rows}
+        # the ONE state-sized touch: look up batch ids in members
+        # (members scanned in place, batch ids broadcast), stale roots
+        # resolved through the alias map — exactly the distributed
+        # tick's `known`
+        known: dict = {}
+        mem = self.members()
+        if mem is not None and nodes:
+            nodes_df = local_df(
+                self.spark,
+                [(n,) for n in sorted(nodes)],
+                StructType([StructField("id", id_type, True)]),
+            )
+            for r in mem.join(F.broadcast(nodes_df), "id").collect():
+                r0 = r["root0"]
+                known[r["id"]] = alias_map.get(r0, r0)
+        # contract + CC: union-find (path compression, union-by-min —
+        # component root IS its min id, matching the min-label loop)
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        cc_nodes: set = set()
+        for a, b in edges0:
+            src = known.get(a, a)
+            dst = known.get(b, b)
+            if src == dst:
+                continue
+            cc_nodes.add(src)
+            cc_nodes.add(dst)
+            ra, rb = find(src), find(dst)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        cc = {x: find(x) for x in cc_nodes}
+        new_members = [
+            (n, cc.get(n, n)) for n in sorted(nodes) if n not in known
+        ]
+        merges = {}
+        for r in set(known.values()):
+            c = cc.get(r, r)
+            if c != r:
+                merges[r] = c
+        # writes + pointer commit: same dirs, same schemas, same gates
+        # as the distributed path (idempotent pre-pointer dirs, pointer
+        # strictly last)
+        batches = list(meta["batches"])
+        if new_members:
+            local_df(
+                self.spark,
+                new_members,
+                StructType(
+                    [
+                        StructField("id", id_type, True),
+                        StructField("root0", id_type, True),
+                    ]
+                ),
+            ).write.mode("overwrite").parquet(
+                os.path.join(self.base_dir, f"members_b{batch_id}")
+            )
+            batches.append(batch_id)
+        aliases_v = int(meta.get("aliases_v", 0))
+        new_av = aliases_v
+        if merges:
+            # fold: re-resolve existing targets through this tick's
+            # merges (keeps the map flat), then append the new entries;
+            # keys are disjoint by the flatness invariant
+            folded = {
+                old: merges.get(new, new) for old, new in alias_map.items()
+            }
+            folded.update(merges)
+            new_av += 1
+            local_df(
+                self.spark,
+                sorted(folded.items()),
+                StructType(
+                    [
+                        StructField("old_root", id_type, True),
+                        StructField("new_root", id_type, True),
+                    ]
+                ),
+            ).write.mode("overwrite").parquet(
+                os.path.join(self.base_dir, f"aliases_v{new_av}")
+            )
+        self._commit(
+            {
+                **meta,
+                "version": int(meta["version"]) + 1,
+                "last_batch_id": batch_id,
+                "batches": batches,
+                "aliases_v": new_av,
+            }
+        )
+        if new_av != aliases_v and aliases_v > 0:
+            shutil.rmtree(
+                os.path.join(self.base_dir, f"aliases_v{aliases_v}"),
                 ignore_errors=True,
             )
 

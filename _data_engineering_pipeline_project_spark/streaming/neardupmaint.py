@@ -382,15 +382,22 @@ class NearDupIndexMaintainer:
         # cut the registry bootstrap ~3x. A crash between a stage write
         # and the pointer commit leaves overwrite-idempotent orphans,
         # exactly as before.
+        batch_schema = batch.schema
         batch.write.mode("overwrite").parquet(
             os.path.join(self.base_dir, f"docs_b{batch_id}")
         )
-        batch = self.spark.read.parquet(
+        # read-backs carry the known schema (r14): skips the per-read
+        # footer schema-inference job — one fewer 1-task job per seam
+        batch = self.spark.read.schema(batch_schema).parquet(
             os.path.join(self.base_dir, f"docs_b{batch_id}")
         )
         sh_b = self._apply_hot_cap(
             _shingle_table(batch, idc, txc, self.shingle_n), hot
         ).persist()
+        # (r14: clustering the batch's band rows by sig on write was
+        # A/B'd and reverted — the extra shuffle cost ~1.5 s/tick and
+        # the hoped read-back parallelism never materialized because
+        # openCostInBytes packs the small files back into one split)
         bands_b = _band_frame(
             minhash_wide_signatures(sh_b, idc, self.num_hashes),
             idc,
@@ -400,7 +407,7 @@ class NearDupIndexMaintainer:
         bands_b.write.mode("overwrite").parquet(
             os.path.join(self.base_dir, f"bands_b{batch_id}")
         )
-        bands_b = self.spark.read.parquet(
+        bands_b = self.spark.read.schema(bands_b.schema).parquet(
             os.path.join(self.base_dir, f"bands_b{batch_id}")
         )
         # within-batch candidates (a < b, the one-shot orientation)
@@ -499,7 +506,7 @@ class NearDupIndexMaintainer:
         # re-optimize the whole pipeline — the parquet-backed frame is
         # the same rows with a three-node plan (r13 profiling)
         self._cc.merge_batch(
-            self.spark.read.parquet(
+            self.spark.read.schema(pairs_new.schema).parquet(
                 os.path.join(self.base_dir, f"pairs_b{batch_id}")
             ),
             batch_id,

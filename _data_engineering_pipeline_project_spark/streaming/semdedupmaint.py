@@ -277,13 +277,20 @@ class SemDeDupMaintainer:
         # FIRST and read them back, so the pair joins and the embedded
         # cluster tick run over a three-node parquet scan instead of
         # re-optimizing the assign lineage per action; doubles
-        # round-trip exactly, so served values are unchanged
-        ivf_assign(batch, self.centroids(), idc, vc).withColumn(
+        # round-trip exactly, so served values are unchanged.
+        # (r14: clustering the batch by centroid_id on write was A/B'd
+        # and reverted — the extra shuffle cost more than the read-back
+        # parallelism returned, because openCostInBytes packs the small
+        # per-list files back into one split anyway)
+        vec_b = ivf_assign(batch, self.centroids(), idc, vc).withColumn(
             "__nrm", l2_norm(vc)
-        ).write.mode("overwrite").parquet(
+        )
+        vec_b.write.mode("overwrite").parquet(
             os.path.join(self.base_dir, f"vectors_b{batch_id}")
         )
-        assigned = self.spark.read.parquet(
+        # read back with the known schema: skips the per-read footer
+        # schema-inference job (one fewer 1-task job per read-back)
+        assigned = self.spark.read.schema(vec_b.schema).parquet(
             os.path.join(self.base_dir, f"vectors_b{batch_id}")
         )
         a, b = assigned.alias("a"), assigned.alias("b")
@@ -327,13 +334,19 @@ class SemDeDupMaintainer:
             )
             pairs_new = within.unionByName(cross)
         pairs_new = pairs_new.filter(F.col("cosine") >= self.threshold)
-        pairs_new.coalesce(1).write.mode("overwrite").parquet(
+        # no coalesce(1) here (r14): coalesce is a narrow dependency, so
+        # it pulled the WHOLE broadcast-join cosine pipeline into one
+        # task; writing at the scan's parallelism (one slice per
+        # centroid file) keeps the verify parallel — pairs are a sliver,
+        # so the handful of per-list files stays bounded per tick
+        pairs_new.write.mode("overwrite").parquet(
             os.path.join(self.base_dir, f"pairs_b{batch_id}")
         )
         # the cluster tick consumes the COMMITTED pairs files (same
-        # rows, three-node plan — the neardupmaint r13 rule)
+        # rows, three-node plan — the neardupmaint r13 rule), with the
+        # known schema so the read skips footer inference
         self._cc.merge_batch(
-            self.spark.read.parquet(
+            self.spark.read.schema(pairs_new.schema).parquet(
                 os.path.join(self.base_dir, f"pairs_b{batch_id}")
             ),
             batch_id,
