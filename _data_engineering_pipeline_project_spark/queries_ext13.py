@@ -210,6 +210,8 @@ def hybrid_search_rrf_maintained(spark: SparkSession, sf: str) -> DataFrame:
     tests/test_round13.py). At 100 TB this plan reads: a pruned
     postings slice + nprobe/num_centroids of the codes — the
     inverted-index and IVF economics composed."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from _data_engineering_pipeline_project_spark.queries_ext3 import (
         _BM25_TERMS,
     )
@@ -218,8 +220,18 @@ def hybrid_search_rrf_maintained(spark: SparkSession, sf: str) -> DataFrame:
         _ivfopq_maintained,
     )
 
-    bm25_index = _bm25_maintained(spark, sf).serve_index()
-    mnt = _ivfopq_maintained(spark, sf)
+    # the two standing indexes are INDEPENDENT (different inputs,
+    # separate state dirs and memos): bootstrap them concurrently so
+    # the lexical ticks back-fill the cores the vector bootstrap's
+    # small jobs leave idle (guide §2.6). Warm-memo calls return
+    # instantly, so this only overlaps the cold session bootstrap.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_lex = pool.submit(
+            lambda: _bm25_maintained(spark, sf).serve_index()
+        )
+        f_sem = pool.submit(_ivfopq_maintained, spark, sf)
+        bm25_index = f_lex.result()
+        mnt = f_sem.result()
     emb = table(spark, sf, "embeddings")
     sem = mnt.topk(emb.filter(F.col("vec_id") == 0), k=20, nprobe=_IVFOPQ_NPROBE)
     return _hybrid_from_indexes(bm25_index, sem, _BM25_TERMS)

@@ -72,4 +72,36 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _warm_python_workers(spark)
     return spark
+
+
+# one probe per application: getOrCreate can hand the same session back
+_WARMED_APPS: set = set()
+
+
+def _warm_python_workers(spark: SparkSession) -> None:
+    """Fork the Python worker pool at session build (VERDICT r13 #8,
+    guide §4.5): the FIRST pandas/Arrow job of a session pays the
+    worker fork + import cost — measured 2.65 s for an identity
+    mapInPandas at local[32] vs 0.52 s once the pool exists — and with
+    ``spark.python.worker.reuse`` (default true) the pool persists, so
+    one idle-time probe at session build takes that hit out of
+    whichever operator happens to cross the Python boundary first. One
+    task per core so every slot's worker is forked."""
+    try:
+        app = spark.sparkContext.applicationId
+        if app in _WARMED_APPS:
+            return
+        _WARMED_APPS.add(app)
+        n = spark.sparkContext.defaultParallelism
+
+        def _idty(batches):
+            for b in batches:
+                yield b
+
+        spark.range(n * 10, numPartitions=n).mapInPandas(
+            _idty, "id long"
+        ).count()
+    except Exception:
+        pass
