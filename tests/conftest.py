@@ -2,6 +2,147 @@ from __future__ import annotations
 
 import pytest
 
+# ---------------------------------------------------------------------------
+# Slow-test gating (r14, VERDICT r13 #2): the full suite grew to ~42 min,
+# past the driver's verify budget (VERIFY_r13 recorded a TIMEOUT at ~77%
+# with zero failures). The long e2e / crash-replay / soak tests below
+# (measured ≥ ~10 s each from a committed --durations=0 run) are skipped
+# by DEFAULT and run with ``pytest --runslow`` — the documented pytest
+# pattern. The default run keeps at least one fast representative per
+# operator/maintainer family (equivalence, replay, hostile-pointer), so
+# ``pytest tests/ -x -q`` stays a meaningful gate at ~13-14 min.
+# Central nodeid list (not per-file decorators) so the selection is
+# auditable in one place.
+SLOW_TESTS = {
+    "test_adversarial.py::test_pk_validation_hostile",
+    "test_adversarial.py::test_bm25_hostile",
+    "test_annmaint.py::test_compact_hot_lists_drops_files_search_identical",
+    "test_compactmaint.py::test_compaction_preserves_rows_and_debounces",
+    "test_compactmaint.py::test_compaction_tightens_file_stats",
+    "test_compactmaint.py::test_crash_between_write_and_commit_loses_nothing",
+    "test_dedupmaint.py::test_available_now_stream_end_to_end",
+    "test_dedupmaint.py::test_checkpoint_recreated_at_same_path_fails_loudly",
+    "test_e2e_maintenance.py::test_compaction_and_rollup_compose",
+    "test_e2e_maintenance.py::test_fanout_drain_ticks_all_maintainers_and_replays_safely",
+    "test_e2e_maintenance.py::test_fanout_bluegreen_indirection_route",
+    "test_e2e_maintenance.py::test_self_healing_index_loop_end_to_end",
+    "test_ext3.py::test_pagerank_bounds",
+    "test_ext5_properties.py::test_remove_duplicate_spans_matches_reference",
+    "test_ext7.py::test_lsh_recall_audit_sample_fraction",
+    "test_extensions.py::test_lsh_dup_pairs_recall_vs_bruteforce",
+    "test_extensions.py::test_ivf_lloyd_refinement_improves_clustering",
+    "test_formats.py::test_streaming_jdbc_sink_idempotent_on_retry",
+    "test_pipeline.py::test_quality_checker_pipeline",
+    "test_properties.py::test_fk_check_invariants",
+    "test_properties.py::test_pk_check_invariants",
+    "test_properties.py::test_decontaminate_partitions_the_corpus",
+    "test_properties.py::test_keep_first_agg_equals_window_form",
+    "test_ranking.py::test_semantic_dup_pairs_subset_of_bruteforce",
+    "test_round10.py::test_compaction_with_quantized_zorder_layout",
+    "test_round10.py::test_bm25_maintainer_streaming_available_now",
+    "test_round10.py::test_equi_depth_zorder_survives_pareto_where_minmax_fails",
+    "test_round10b.py::test_opq_balanced_rotation_beats_plain_and_naive_pq",
+    "test_round10b.py::test_opq_improves_adc_retrieval_recall",
+    "test_round10b.py::test_bloom_maintainer_streaming_available_now",
+    "test_round10b.py::test_artifact_round_trip_and_geometry_guard",
+    "test_round11.py::test_opq_index_maintainer_equals_frozen_one_shot",
+    "test_round11.py::test_hostile_artifacts_fail_loudly",
+    "test_round12.py::test_ivfopq_maintainer_equals_frozen_one_shot",
+    "test_round12.py::test_near_dup_index_maintainer_ticks_equal_one_shot",
+    "test_round12.py::test_near_dup_index_maintainer_streaming_drain",
+    "test_round12.py::test_ivfopq_maintainer_streaming_drain",
+    "test_round12.py::test_maintained_heavy_hitter_screen_equals_batch",
+    "test_round12.py::test_cluster_maintainer_ticks_equal_one_shot",
+    "test_round12.py::test_save_opq_index_model_share_is_bit_identical",
+    "test_round13.py::test_bluegreen_planted_drift_end_to_end",
+    "test_round13.py::test_rebootstrap_from_maintained_stats_no_corpus_scan",
+    "test_round13.py::test_hybrid_maintained_fusion_ticks_equal_one_shot",
+    "test_round13.py::test_neardup_maintainer_frozen_hot_shingle_cap",
+    "test_round14.py::test_cluster_maintainer_local_tick_equals_distributed",
+    "test_scd2.py::test_vacuum_merge_interleaved_depth_property",
+    "test_scd2.py::test_vacuum_versions_keeps_time_travel_window",
+    "test_stateful_streaming.py::test_running_user_stats",
+    "test_stateful_streaming.py::test_streaming_topk_heavy_hitters",
+    "test_streaming.py::test_chained_window_rollup_two_stateful_operators",
+    "test_streaming.py::test_stream_stream_full_outer_join_heartbeats_both_sides",
+    "test_streaming.py::test_stream_stream_left_join_idle_heartbeat_unfreezes_stalled_side",
+    "test_streaming.py::test_stream_stream_left_join_emits_null_for_expired_unmatched",
+    "test_streaming.py::test_stream_stream_join",
+    "test_streaming.py::test_refreshed_enrichment_sees_dim_swap",
+    "test_streaming.py::test_agg_maintainer_matches_full_recompute",
+    "test_streaming.py::test_processing_time_scheduler_soak",
+    "test_streaming.py::test_incremental_loader_scd2",
+    "test_streaming.py::test_streaming_dedup_within_watermark",
+    "test_twopass.py::test_property_equals_global_window",
+    "test_twopass.py::test_null_numeric_leading_key_bins_first",
+    "test_window_policy.py::test_registry_has_no_unwhitelisted_global_ordered_windows",
+    # 4.5-8 s band (second pass to land the default run ~13 min):
+    # non-representative variants whose family keeps a fast twin in the
+    # default run
+    "test_adversarial.py::test_layout_hostile",
+    "test_adversarial.py::test_dedup_hostile",
+    "test_adversarial.py::test_scd2_empty_batch_tombstones_then_reappears",
+    "test_ext3.py::test_line_dedup_conservation_properties",
+    "test_ext3.py::test_temperature_resample_invariants",
+    "test_ext4.py::test_pq_codes_shape_and_recall",
+    "test_ext5.py::test_recursive_cte_reaches_depth_beyond_unrolled",
+    "test_ext5_properties.py::test_windowed_funnel_matches_reference",
+    "test_ext5_properties.py::test_sweepline_concurrency_matches_bruteforce",
+    "test_ext5_properties.py::test_kmv_set_ops_match_reference",
+    "test_ext5_properties.py::test_cdc_chunks_match_reference",
+    "test_ext7.py::test_semdecon_auto_dispatches_on_derived_gate",
+    "test_properties.py::test_conform_is_idempotent",
+    "test_pydatasource.py::test_stream_drains_across_restarts",
+    "test_pydatasource.py::test_stream_recovery_does_not_duplicate",
+    "test_round10.py::test_bm25_maintainer_counts_empty_docs_in_stats",
+    "test_round10b.py::test_review_fixes_round10_wave2",
+    "test_round10b.py::test_pca_rotation_preserves_geometry_and_concentrates_variance",
+    "test_round10b.py::test_pca_model_artifact_round_trip",
+    "test_round10b.py::test_rotating_bloom_ages_out_old_windows",
+    "test_round10b.py::test_hilbert_expression_matches_udf_including_hostile_inputs",
+    "test_round11.py::test_opq_query_recall_beats_plain_pq_query",
+    "test_round11.py::test_opq_index_artifact_serves_identically",
+    "test_round11.py::test_bloom_words_layout_row_group_skips",
+    "test_round11.py::test_rotating_bloom_crash_mid_rotate_recovers_exactly",
+    "test_round12.py::test_ivfopq_unbootstrapped_dir_is_reopenable",
+    "test_scd2.py::test_pointer_loss_on_delta_era_table_keeps_full_history",
+    "test_scd2.py::test_time_travel",
+    "test_scd2.py::test_restart_recovers_committed_version",
+    "test_scd2.py::test_legacy_layout_history_readable_and_upgradable",
+    "test_sketches.py::test_binned_quantiles_error_bound_property",
+    "test_streaming.py::test_session_window_stream",
+    "test_streaming.py::test_complete_mode_streaming_aggregation",
+    "test_streaming.py::test_streaming_query_listener_collects_batch_metrics",
+    "test_twopass.py::test_matches_global_window_with_ties_and_negatives",
+    "test_twopass.py::test_nan_double_leading_key_bins_last",
+    "test_twopass.py::test_exclusive_prefix_max_matches_global_window",
+}
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow",
+        action="store_true",
+        default=False,
+        help="also run the slow e2e/replay/soak tests (full ~42 min suite)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test, skipped unless --runslow"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow: run with --runslow")
+    for item in items:
+        base = item.nodeid.split("/")[-1].split("[")[0]
+        if base in SLOW_TESTS or "slow" in item.keywords:
+            item.add_marker(skip)
+
 
 @pytest.fixture(scope="session")
 def spark(tmp_path_factory):
